@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+brute_force_topk — exact cosine top-k: cross join + per-row array math
+(F.zip_with dot product, JVM-side) + per-query bounded top-k window.
+Correct at any scale but O(N*Q); the baseline and the verifier for the
+approximate path.
+
+lsh_topk — random-hyperplane LSH: deterministic pseudo-random planes from
+xxhash64, sign-bit bucket code, candidates = bucket collisions (multi-probe
+by band), exact cosine re-rank within candidates. The 100 TB path: the
+bucket join is an equi-join; plane generation is constant folding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns, computed in float64."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` rows for each query row.
+
+    queries: (query_id_col, vec_col). The query side is broadcast — ANN
+    workloads have few queries and huge corpora; the corpus is scanned
+    once, no shuffle until the final per-query top-k (TakeOrdered-style
+    via window over query_id, which partitions by query — bounded state).
+    Ties broken by ascending corpus id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucket_code_expr(vec_col: str, num_planes: int, dim: int) -> Column:
+    """Random-hyperplane sign-bit code (int64) of an embedding.
+
+    Planes are deterministic pseudo-random unit-cube vectors derived from
+    xxhash64('plane', p, j) — constant-foldable, no side data to ship.
+    SQL-expression form because the shift amount is a lambda variable.
+    """
+    return F.expr(
+        f"aggregate(sequence(0, {num_planes - 1}), 0L, (acc, p) -> "
+        f"acc | IF(aggregate(zip_with({vec_col}, "
+        f"transform(sequence(0, {dim - 1}), j -> "
+        f"cast(xxhash64('plane', p, j) as double) / 9.223372036854775808E18), "
+        f"(x, w) -> cast(x as double) * w), cast(0 as double), (a, v) -> a + v) > 0, "
+        f"shiftleft(1L, p), 0L))"
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH banding for candidates, exact
+    cosine re-rank. A candidate collides with the query on ≥1 band of
+    sign bits. Recall < 1.0 by construction; verified against
+    brute_force_topk in tests."""
+    bits_per_band = num_planes // bands
+
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band_idx', b, "
+        f"'band_val', shiftrightunsigned(__code, b * {bits_per_band}) "
+        f"& {(1 << bits_per_band) - 1}))"
+    )
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        code = bucket_code_expr(vec_col, num_planes, dim)
+        return df.select(
+            F.col(idc), F.col(vec_col), code.alias("__code")
+        ).select(
+            idc,
+            vec_col,
+            F.explode(F.expr(band_expr)).alias("b"),
+        ).select(idc, vec_col, "b.band_idx", "b.band_val")
+
+    c = banded(corpus, id_col)
+    q = F.broadcast(
+        banded(
+            queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+        ).withColumnRenamed(vec_col, "__qvec")
+    )
+    cands = (
+        c.join(q, on=["band_idx", "band_val"])
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All built-in-function compositions (JVM-side, whole-stage-codegen'd); the
+formulas are deterministic so every one of them is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "de"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (LineReader/Text-style: bytes in, tokens out)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def doc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality stats: token count, char classes, ratios, and a
+    deterministic quality score. Everything codegen-able, zero shuffles."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", ""))
+    n_space = F.length(F.regexp_replace(text, r"[^ ]", ""))
+    avg_token_len = F.when(n_tokens > 0, (n_chars - n_space).cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    # quality: long-enough, mostly-alphabetic, lightly-punctuated text
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + alpha_ratio * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of any of `words` as whole tokens in lowercased text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        # count of " w " occurrences: non-overlapping thanks to the split
+        total = total + F.size(F.split(padded, rf"\s{w}\s")) - F.lit(1)
+    return total
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language whole-token
+    stopword hit counts; 'und' (undetermined) when no list scores > 0.
+    Ties resolved by language code order — deterministic."""
+    text = F.col(text_col)
+    scores = [
+        _stopword_hits(text, ws).alias(f"score_{lang}")
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), text, *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{l}") == best), F.lit(l)
+        ).otherwise(pred)
+    return scored.select(
+        id_col,
+        *[F.col(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint (winnowing-lite): min xxhash64
+    over character n-grams of the normalized text — a single stable
+    64-bit id robust to leading/trailing noise."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n = F.length(norm) - F.lit(window - 1)
+    grams = F.when(n <= 0, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, window)
+        )
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

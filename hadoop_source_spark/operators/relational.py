@@ -1,0 +1,81 @@
+"""Relational helpers: top-k, sorted merge, content-summary rollups.
+
+These wrap idiomatic Spark plans with the semantics the reference exposes
+through its shell/aggregation surface (SURVEY.md §2.4, §2.5):
+
+- top_k        → TakeOrderedAndProject physical op (no full sort; each
+                 partition keeps k rows, driver merges) — the scale-correct
+                 replacement for ls-sort + head.
+- merge_sorted → SequenceFile.Sorter.merge (SequenceFile.java:3185): N
+                 sorted inputs co-sequenced into one sorted output. In
+                 Spark: union + repartitionByRange + sortWithinPartitions,
+                 which is a range-partitioned external merge — the same
+                 spill/merge design, distributed.
+- content_summary → ContentSummary subtree rollup (ContentSummary.java:34,
+                 FSDirStatAndListingOp.java:508): GROUP BY prefix with
+                 count/sum, the reference's only aggregation pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.operators.setops import union_all
+
+
+def top_k(df: DataFrame, k: int, order: Sequence[Column | str]) -> DataFrame:
+    """Global top-k. orderBy + limit lowers to TakeOrderedAndProject:
+    per-partition bounded heaps, no global sort — O(n) scan at any scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def merge_sorted(dfs: Sequence[DataFrame], order: Sequence[str]) -> DataFrame:
+    """K-way merge of sorted (or unsorted) conformant inputs.
+
+    Output is globally sorted by `order`: range partitioning gives
+    cross-partition order, sortWithinPartitions gives in-partition order.
+    Downstream consumers reading partitions in order observe the merged
+    stream — equivalent to Sorter.merge's RawKeyValueIterator.
+    """
+    cols = [F.col(c) for c in order]
+    return union_all(dfs).repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
+def content_summary(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    size_col: str,
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """du/count-style rollup: row count + total size per group."""
+    group = [group] if isinstance(group, str) else list(group)
+    return df.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum(size_col).alias("length"),
+        *extra_aggs,
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    value_col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group percentiles (SampleQuantiles.java:50 / MutableQuantiles).
+
+    approx=True uses approx_percentile (the GK-family sketch, mergeable,
+    constant memory — the 100 TB path). approx=False uses exact
+    `percentile` for oracle-checkable results at test scale.
+    """
+    group = [group] if isinstance(group, str) else list(group)
+    fn = F.approx_percentile if approx else F.percentile
+    aggs = [
+        fn(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100):02d}")
+        for p in probs
+    ]
+    return df.groupBy(*group).agg(*aggs)

@@ -1,0 +1,85 @@
+"""SparkSession factory.
+
+Design notes (100 TB readiness):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace the reference's hand-built
+  balancing (hdfs/server/balancer/Balancer.java:177) and give us
+  resilience to skewed keys without manual salting in the common case.
+- spark.sql.shuffle.partitions defaults to the local core count here; on a
+  real cluster AQE coalesces from a high initial number, so we set
+  `spark.sql.adaptive.coalescePartitions.initialPartitionNum` generously —
+  the cheap knob that makes the same code correct at 1000 executors.
+- Arrow enabled for every pandas interchange (SNIPPETS.md patterns): any
+  Python-side operator (minhash, multimodal decode) pays Arrow batch
+  costs, never per-row pickling.
+- Session timezone pinned UTC: the reference stores all times as UTC
+  millis (FileStatus.mtime, inotify Event timestamps); pinning avoids
+  oracle drift between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally-created session.
+
+    The correctness driver hands us its own SparkSession; everything our
+    queries depend on for *semantics* (not just speed) must be applied
+    here, defensively, at call time.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+    # read as long nanos and convert in data.table() (truncation to micros,
+    # matching DuckDB's nanos→micros behavior).
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def get_spark(
+    app_name: str = "hadoop-source-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    local[N] for tests; the same configs are cluster-appropriate — on YARN
+    the master/memory settings come from spark-submit and everything else
+    carries over.
+    """
+    n = cpus or _cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

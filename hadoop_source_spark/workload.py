@@ -1,0 +1,873 @@
+"""Query registry: every operator exposed as a (Spark fn, DuckDB oracle) pair.
+
+Contract (driver): fn(spark, sf_dir) -> DataFrame; oracle = ANSI SQL DuckDB
+runs over the same parquet, views pre-registered. Column names and value
+rounding are aligned on BOTH sides because the driver hash-compares values
+after sorting columns by name.
+
+Float discipline: every double aggregate is rounded (sums → 2dp at 1e8
+magnitudes, avgs/ratios → 4-6dp) on both sides so fp summation-order noise
+(Spark partial aggs vs DuckDB sequential) can't flip the hash. Timestamps
+are emitted as formatted strings (UTC) for the same reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_source_spark import catalog
+from hadoop_source_spark.data import table
+from hadoop_source_spark.llmops import dedup as dd
+from hadoop_source_spark.llmops import similarity as sim
+from hadoop_source_spark.llmops import textstats as ts
+from hadoop_source_spark.operators import asof, kv, relational, setops
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn):
+        QUERIES[name] = Query(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core — TPC-H-shaped queries over the star schema
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", _Q01_ORACLE, headline=True)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filter + 8-agg groupBy. Partial (map-side)
+    aggregation makes this shuffle ~#groups rows regardless of input size."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q03_ORACLE = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@register("q03_shipping_priority", _Q03_ORACLE, headline=True)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    customer filter is applied before the join (Catalyst pushes it);
+    final top-k is TakeOrderedAndProject, not a global sort."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q05_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("q05_local_supplier", _Q05_ORACLE, headline=True)
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation are broadcast (bounded
+    dims); supplier joins via AQE's size decision; the only large shuffle
+    is lineitem⋈orders on orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+"""
+
+
+@register("top_k_orders", _TOPK_ORACLE)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ls -S + head analog (shell/Ls.java:374): global top-k without a
+    global sort (TakeOrderedAndProject keeps k rows per partition)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    return relational.top_k(
+        o, 15, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       count(*)                   AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n0  ON c.c_nationkey = n0.n_nationkey
+JOIN region r0  ON n0.n_regionkey = r0.r_regionkey,
+LATERAL (SELECT n0.n_name) n(n_name), LATERAL (SELECT r0.r_name) r(r_name)
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+# simpler, portable rollup oracle
+_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT r.r_name, n.n_name, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+)
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM base
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("rollup_revenue", _ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — free from Catalyst (reference has no grouping-sets
+    machinery at all; SURVEY §2.4)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+@register("window_running_total", _RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend — per-key ordered scan, one shuffle."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_RANK_ORACLE = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+@register("window_rank_top3", _RANK_ORACLE)
+def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via row_number — the distributed 'head per dir'."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+@register("semi_join_active_customers", _SEMI_ORACLE)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetFile/Bloom membership as a left-semi join (SURVEY §2.3); Catalyst
+    may inject a runtime bloom filter on the probe side — exactly
+    BloomMapFile's probablyHasKey short-circuit."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+@register("anti_join_dormant_customers", _ANTI_ORACLE)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no recent orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@register("except_solvent_building", _EXCEPT_ORACLE)
+def except_solvent_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT — bloom algebra / SetFile difference (SURVEY §2.6)."""
+    c = table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.subtract(negative)
+
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O'
+              THEN round(o_totalprice * 1.05, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    AND NOT (o_orderpriority = '1-URGENT'
+             AND o_orderdate < TIMESTAMP '1996-01-01')
+)
+SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN '+'
+            WHEN v2.o_orderkey IS NULL THEN '-'
+            WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'M'
+       END AS change
+FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE (v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice)
+"""
+
+
+@register("snapshot_diff_orders", _SNAPDIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (SnapshotDiffReport.java:44-48) between two derived
+    versions of orders: creates (+), deletes (-), modifies (M)."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    v2 = (
+        o.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        .filter(
+            ~(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.round(F.col("o_totalprice") * 1.05, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return setops.snapshot_diff(v1, v2, keys=["o_orderkey"], compare=["o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# Events: as-of join, windowed/session aggregation, quantiles
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, min(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       c.click_id,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+       datediff('microsecond', c.ts, p.ts) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_purchase_click", _ASOF_ORACLE, headline=True)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (MapFile.getClosest backward): each purchase matched to
+    the user's most recent click at-or-before it. Implemented with the
+    union+window kernel — one shuffle on user_id, no range join."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    joined = asof.asof_join(
+        purchases, clicks, on="ts", by="user_id", direction="backward", how="inner"
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        "click_id",
+        F.date_format("ts_right", TS_FMT).alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly", _HOURLY_ORACLE, headline=True)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming query in
+    streaming/events.py — same plan modulo the watermark)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM e
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
+@register("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) in batch — session_window() is the same
+    operator Structured Streaming uses with a watermark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", TS_FMT).alias("session_start"),
+            F.date_format("session_window.end", TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_PCT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("percentiles_by_type", _PCT_ORACLE)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles (SampleQuantiles.java:50 analog). Exact `percentile` here
+    for oracle equality; the 100 TB path is approx_percentile (mergeable
+    GK sketch — same family as the reference's)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Namespace/catalog surface over `documents` (source = path analog)
+# ---------------------------------------------------------------------------
+
+_CONTENT_SUMMARY_ORACLE = """
+SELECT source,
+       count(*) AS file_count,
+       sum(n_chars) AS length,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register("content_summary_docs", _CONTENT_SUMMARY_ORACLE)
+def content_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContentSummary / du / count rollup (ContentSummary.java:34-41)."""
+    d = table(spark, sf_dir, "documents")
+    return relational.content_summary(
+        d,
+        "source",
+        "n_chars",
+        [
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        ],
+    )
+
+
+_FIND_ORACLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE regexp_matches(source, '^src1[^/]*$') AND n_chars > 500
+"""
+
+
+@register("find_glob_docs", _FIND_ORACLE)
+def find_glob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find -name 'src1*' -size +500 (Find.java:43 expression tree +
+    GlobPattern.java:32 translation)."""
+    d = table(spark, sf_dir, "documents")
+    return catalog.find(
+        d,
+        catalog.glob_filter("source", "src1*"),
+        F.col("n_chars") > 500,
+    ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE, headline=True)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (MD5Hash.java:35 analog)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d, "text", "doc_id")
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(lower(regexp_replace(text, '[^\w\s]', ' ', 'g'))),
+           '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS grams
+  FROM t
+),
+sh AS (SELECT DISTINCT doc_id, unnest(grams) AS shingle FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at >= 0.5.
+
+    NOT a headline/bench query: exact all-pairs Jaccard via shingle
+    self-join is quadratic in per-shingle document frequency — on this
+    small-vocabulary corpus at sf0.1 it explodes. It exists as the exact
+    ground truth the scalable path (dedup_minhash_lsh) is validated
+    against at sf0.01."""
+    d = table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None, headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs (approximate — no SQL oracle; validated
+    in tests against exact Jaccard ground truth)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (approximate — validated in tests)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.simhash_dup_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+_DOC_STATS_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0
+             THEN (n_chars - n_space) * 1.0 / n_tokens ELSE 0 END, 6) AS avg_token_len,
+       round(CASE WHEN n_chars > 0
+             THEN n_alpha * 1.0 / n_chars ELSE 0 END, 6) AS alpha_ratio,
+       round(CASE WHEN n_chars > 0
+             THEN n_punct * 1.0 / n_chars ELSE 0 END, 6) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.5
+             + (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0 END) * 0.4
+             + (1.0 - least((CASE WHEN n_chars > 0
+                 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 10.0, 1.0)) * 0.1,
+             6) AS quality
+FROM s
+"""
+
+
+@register("doc_stats", _DOC_STATS_ORACLE, headline=True)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-quality stats (token count, char classes, score)."""
+    d = table(spark, sf_dir, "documents")
+    return ts.doc_stats(d, "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    langs = sorted(ts.STOPWORDS)
+    for lang in langs:
+        terms = " + ".join(
+            rf"(len(string_split_regex(' ' || lower(text) || ' ', '\s{w}\s')) - 1)"
+            for w in ts.STOPWORDS[lang]
+        )
+        score_exprs.append(f"({terms}) AS score_{lang}")
+    best = ", ".join(f"score_{l}" for l in langs)
+    pred = "CASE "
+    for l in langs:
+        pred += (
+            f"WHEN greatest({best}) > 0 AND score_{l} = greatest({best}) "
+            f"THEN '{l}' "
+        )
+    pred += "ELSE 'und' END AS pred_lang"
+    scores = ",\n       ".join(score_exprs)
+    sel = ", ".join(f"score_{l}" for l in langs)
+    return (
+        f"WITH s AS (SELECT doc_id, {scores} FROM documents)\n"
+        f"SELECT doc_id, {sel}, {pred} FROM s"
+    )
+
+
+@register("language_id", _langid_oracle())
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic)."""
+    d = table(spark, sf_dir, "documents")
+    return ts.language_id(d, "text", "doc_id")
+
+
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE, headline=True)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline. Query side broadcast; corpus scanned once."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
+
+
+@register("ann_cosine_lsh", None)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (recall tested vs brute force)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
+
+
+_GET_CLOSEST_ORACLE = """
+WITH kv AS (SELECT p_partkey AS key, p_name AS value FROM part),
+probes AS (
+  SELECT DISTINCT o_orderkey % 2500 AS key
+  FROM orders WHERE o_orderkey % 37 = 0
+),
+m AS (
+  SELECT p.key, min(kv.key) AS key_right
+  FROM probes p LEFT JOIN kv ON kv.key >= p.key
+  GROUP BY p.key
+)
+SELECT m.key, m.key_right, kv.value
+FROM m LEFT JOIN kv ON kv.key = m.key_right
+"""
+
+
+@register("kv_get_closest", _GET_CLOSEST_ORACLE)
+def kv_get_closest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapFile.Reader.getClosest (MapFile.java:699): first key >= probe,
+    null past the end — via the asof-join kernel, not a range join."""
+    p = table(spark, sf_dir, "part")
+    o = table(spark, sf_dir, "orders")
+    kv_df = p.select(F.col("p_partkey").alias("key"), F.col("p_name").alias("value"))
+    probes = (
+        o.filter(F.col("o_orderkey") % 37 == 0)
+        .select((F.col("o_orderkey") % 2500).alias("key"))
+        .distinct()
+    )
+    return kv.kv_get_closest(kv_df, probes, key="key", before=False)
+
+
+# ---------------------------------------------------------------------------
+# public accessors
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items() if q.headline}
