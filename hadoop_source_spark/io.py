@@ -1,0 +1,115 @@
+"""Format/IO layer — the reference's storage containers, Spark-first.
+
+SequenceFile (common/io/SequenceFile.java): Spark ships Hadoop's
+SequenceFile support natively — `write_sequence_file` /
+`read_sequence_file` below are REAL Hadoop-binary-compatible files
+(sc.sequenceFile / rdd.saveAsSequenceFile), not an emulation. A reader of
+the reference's files can hand them to this engine unchanged.
+
+MapFile (common/io/MapFile.java:66-69: sorted data + sparse index): the
+Spark-native equivalent is `write_kv_sorted` — key-range-partitioned,
+sorted parquet whose row-group min/max statistics ARE the sparse index
+(predicate pushdown bisects them exactly like MapFile.Reader.get's index
+binary search). TFile's block index (TFile.java:985) maps the same way.
+
+Compression codecs (common/io/compress/*): parquet/text codec options —
+all the reference's codecs (gzip/bzip2/lz4/snappy/zstd) are built into
+Spark; bzip2/gzip text inputs are transparently decompressed on read
+(CompressionCodecFactory extension dispatch).
+
+getmerge (CopyCommands.Merge) → coalesce(1) write; concat (Concat.java:37)
+→ union; Display.Cat/Text format sniffing → spark.read.format dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TEXT_CODECS = {"none", "gzip", "bzip2", "lz4", "deflate", "snappy"}
+PARQUET_CODECS = {"none", "snappy", "gzip", "zstd", "lz4", "uncompressed"}
+
+
+def write_sequence_file(df: DataFrame, path: str, key_col: str = "key",
+                        value_col: str = "value") -> None:
+    """Write a 2-column DataFrame as a REAL Hadoop SequenceFile
+    (Text/Text). Binary-compatible with the reference's readers."""
+    rdd = df.select(
+        F.col(key_col).cast("string"), F.col(value_col).cast("string")
+    ).rdd.map(tuple)
+    rdd.saveAsSequenceFile(path)
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Hadoop SequenceFile into a (key, value) DataFrame."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, "key string, value string")
+
+
+def write_kv_sorted(df: DataFrame, path: str, key_col: str = "key",
+                    num_partitions: int | None = None) -> None:
+    """MapFile analog: globally key-sorted parquet. Range partitioning
+    gives cross-file key ordering; sortWithinPartitions gives in-file
+    order; parquet stats give the sparse index."""
+    parted = (
+        df.repartitionByRange(num_partitions, F.col(key_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(key_col))
+    )
+    parted.sortWithinPartitions(key_col).write.mode("overwrite").parquet(path)
+
+
+def read_kv(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def getmerge(df: DataFrame, path: str, fmt: str = "text",
+             order: list[str] | None = None) -> None:
+    """CopyCommands.Merge: concatenate into ONE output file. The explicit
+    coalesce(1) is the semantic point (single ordered file) — a
+    deliberately non-scalable sink for small results, as in the shell."""
+    out = df.orderBy(*order) if order else df
+    out.coalesce(1).write.mode("overwrite").format(fmt).save(path)
+
+
+def concat(dfs: list[DataFrame]) -> DataFrame:
+    """Concat.java:80 — same-schema concatenation, no dedup."""
+    from hadoop_source_spark.operators.setops import union_all
+
+    return union_all(dfs)
+
+
+def read_lines(spark: SparkSession, path: str, line_sep: str | None = None) -> DataFrame:
+    """LineReader (common/util/LineReader.java:48): split text into lines,
+    custom delimiter supported, compressed input auto-decoded."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path)
+
+
+def write_text(df: DataFrame, path: str, compression: str = "none") -> None:
+    w = df.write.mode("overwrite")
+    if compression != "none":
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def write_parquet(df: DataFrame, path: str, compression: str = "zstd",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def file_checksum(df: DataFrame, value_col: str) -> DataFrame:
+    """Display.Checksum analog: content digests via built-in hash exprs
+    (MD5Hash.java:35, PureJavaCrc32.java:39)."""
+    return df.select(
+        F.md5(F.col(value_col).cast("binary")).alias("md5"),
+        F.crc32(F.col(value_col).cast("binary")).alias("crc32"),
+        F.sha2(F.col(value_col).cast("binary"), 256).alias("sha256"),
+    )

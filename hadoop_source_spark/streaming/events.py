@@ -1,0 +1,141 @@
+"""Event-stream processing — the HDFS inotify surface, Spark-first.
+
+Reference semantics being reproduced:
+- DFSInotifyEventInputStream (hdfs-client/DFSInotifyEventInputStream.java:96
+  poll, :207 take): an ordered, resumable stream of typed events with a
+  txid offset. Spark analog: a file-source stream + checkpointing — the
+  checkpoint's file/offset log IS the txid resume token.
+- tail -f (common/fs/shell/Tail.java:53-93, 5s poll loop): micro-batch
+  file-source follow.
+- Durable append visibility (DFSOutputStream.hflush/hsync :577,:584):
+  sink-side exactly-once via checkpoint + idempotent foreachBatch.
+
+The reference has NO windows/watermarks/session state; we expose Spark's
+(window, session_window, withWatermark, dropDuplicates) because the
+north-star engine needs them, and verify them by batch-replay equivalence
+(tests) — stream(availableNow) over the same data must equal the batch
+query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def replay_events_to_dir(spark: SparkSession, sf_dir: str, out_dir: str,
+                         num_files: int = 8) -> None:
+    """Materialize the events table as N parquet files so the file source
+    replays it as N discoverable 'appends' (micro-batches with
+    maxFilesPerTrigger=1) — the inotify-replay fixture."""
+    from hadoop_source_spark.data import table
+
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(num_files, F.col("event_id"))
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def events_stream(spark: SparkSession, events_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over an events directory (schema pinned — streaming
+    sources don't infer)."""
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(events_dir)
+
+
+def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window counts with late-data tolerance `watermark`.
+    State is bounded: windows older than the watermark are finalized and
+    evicted — the 100 TB/unbounded-time safety property."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(stream: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Session windows over the stream — merging windows with gap timeout,
+    exactly the batch session_window semantics."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Stateful stream dedup within the watermark horizon — the inotify
+    at-least-once → exactly-once bridge (resume may replay events; state
+    drops txid duplicates, watermark bounds the state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(
+        keys or ["event_id"]
+    )
+
+
+def tail_follow(spark: SparkSession, dir_path: str) -> DataFrame:
+    """tail -f (Tail.java:53): follow a growing text directory as a
+    micro-batch stream of lines."""
+    return spark.readStream.format("text").load(dir_path)
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table and return
+    the result as a batch DataFrame (test/verification harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -858,6 +858,421 @@ def kv_get_closest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational widening: more TPC-H-shaped coverage on the actual schemas
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q04_order_priority", _Q04_ORACLE)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with any late
+    lineitem (shipped >60 days after order)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("q12_priority_lines", _Q12_ORACLE)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation over a fact-dim join."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+@register("q14_promo_effect", _Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: global conditional ratio aggregate."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+         o.o_totalprice
+HAVING sum(l.l_quantity) > 250
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", _Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a big-join aggregate (l_quantity is
+    integral-valued, so the unrounded HAVING threshold is fp-safe)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q22_ORACLE = """
+SELECT n.n_name, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+"""
+
+
+@register("q22_global_sales_opportunity", _Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .collect()[0][0]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL')  AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_status_priority", _CUBE_ORACLE)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (reference has no grouping-sets machinery; SURVEY §2.4)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_QUOTA_ORACLE = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS used
+FROM documents
+GROUP BY source
+HAVING sum(n_chars) > 8000
+"""
+
+
+@register("quota_violations", _QUOTA_ORACLE)
+def quota_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota check (DirectoryWithQuotaFeature.verifyQuota:220): groups
+    whose storage-space usage exceeds the quota."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("used"),
+        )
+        .filter(F.col("used") > 8000)
+    )
+
+
+_VIEWFS_ORACLE = """
+SELECT 'mnt_a' AS mount, doc_id, source FROM documents WHERE source = 'src1'
+UNION ALL
+SELECT 'mnt_b' AS mount, doc_id, source FROM documents
+WHERE source IN ('src2', 'src3')
+"""
+
+
+@register("viewfs_union", _VIEWFS_ORACLE)
+def viewfs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViewFs mount-table union (ViewFileSystem.java:89): N namespaces
+    exposed as one via UNION ALL."""
+    d = table(spark, sf_dir, "documents")
+    mnt_a = d.filter(F.col("source") == "src1").select(
+        F.lit("mnt_a").alias("mount"), "doc_id", "source"
+    )
+    mnt_b = d.filter(F.col("source").isin("src2", "src3")).select(
+        F.lit("mnt_b").alias("mount"), "doc_id", "source"
+    )
+    return setops.union_all([mnt_a, mnt_b])
+
+
+_KV_LOOKUP_ORACLE = """
+WITH kv AS (SELECT p_partkey AS key, p_name AS value FROM part),
+probes AS (
+  SELECT DISTINCT o_orderkey % 2000 AS key
+  FROM orders WHERE o_orderkey % 53 = 0
+)
+SELECT p.key, kv.value FROM probes p LEFT JOIN kv ON kv.key = p.key
+"""
+
+
+@register("kv_point_lookup", _KV_LOOKUP_ORACLE)
+def kv_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapFile.Reader.get (MapFile.java:681): batch point lookups."""
+    p = table(spark, sf_dir, "part")
+    o = table(spark, sf_dir, "orders")
+    kv_df = p.select(F.col("p_partkey").alias("key"), F.col("p_name").alias("value"))
+    probes = (
+        o.filter(F.col("o_orderkey") % 53 == 0)
+        .select((F.col("o_orderkey") % 2000).alias("key"))
+        .distinct()
+    )
+    return kv.kv_lookup(kv_df, probes, key="key")
+
+
+_MERGE_SORTED_ORACLE = """
+SELECT row_number() OVER (
+         ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS pos,
+       l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+FROM lineitem
+"""
+
+
+@register("merge_sorted_runs", _MERGE_SORTED_ORACLE)
+def merge_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile.Sorter.merge (SequenceFile.java:3185): split the fact
+    table into 3 runs, k-way merge them back into one globally sorted
+    stream, and PROVE the physical order by zipping positions from the
+    merged partitions (range partitioning ⇒ partition index order = key
+    order). The order-insensitive hash then checks pos↔key pairing."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    runs = [l.filter(F.col("l_linenumber") % 3 == i) for i in range(3)]
+    merged = relational.merge_sorted(
+        runs, ["l_shipdate", "l_orderkey", "l_linenumber"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+    )
+    zipped = merged.rdd.zipWithIndex().map(
+        lambda t: (t[1], t[0][0], t[0][1], t[0][2])
+    )
+    return spark.createDataFrame(
+        zipped, "pos long, l_orderkey long, l_linenumber int, l_shipdate string"
+    )
+
+
+_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_json_props", _JSON_ORACLE)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON property extraction in the scan
+    (the reference has no expression language at all — SURVEY §2.7)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+_DIGEST_ORACLE = """
+SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
+@register("hash_digests", _DIGEST_ORACLE)
+def hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests (MD5Hash.java:35; Display.Checksum): md5 + sha256
+    scalar functions over UTF-8 text bytes."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("md5_hex"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256_hex"),
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS md5,
+       strlen(text) % 1920 AS fake_width,
+       strlen(text) % 1080 AS fake_height
+FROM documents
+"""
+
+
+@register("multimodal_meta", _MULTIMODAL_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the real multimodal
+    plumbing (mapInPandas over Arrow batches; payload = UTF-8 bytes as the
+    image stand-in, decode step stubbed — llmops/multimodal.py)."""
+    from hadoop_source_spark.llmops import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    return mm.extract_meta(mm.with_payload(d, "text", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,91 @@
+"""LLM-pipeline operator quality gates: approximate operators validated
+against exact ground truth (bloom-style contract: bounded false positives,
+near-zero false negatives)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.data import table
+from hadoop_source_spark.llmops import dedup as dd
+from hadoop_source_spark.llmops import multimodal as mm
+from hadoop_source_spark.llmops import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF, "documents")
+
+
+def test_minhash_recall_precision(spark, docs):
+    exact = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    inter = len(exact & approx)
+    recall = inter / max(len(exact), 1)
+    precision = inter / max(len(approx), 1)
+    assert recall >= 0.9, f"recall {recall} (exact={len(exact)}, approx={len(approx)})"
+    assert precision >= 0.8, f"precision {precision}"
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content about spark engines and parquet files")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dd.simhash_dup_pairs(df, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id long, text string"
+    )
+    rows = {r.text_hash: r for r in dd.exact_dedup(df).collect()}
+    assert len(rows) == 2
+    by_copies = {r.n_copies: r.doc_id for r in rows.values()}
+    assert by_copies[2] == 2  # min id survives
+    assert by_copies[1] == 9
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in sim.brute_force_topk(e, q, k=10).collect()}
+    approx = {(r.query_id, r.vec_id) for r in sim.lsh_topk(e, q, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH top-k recall {recall}"  # approximate by design
+
+
+def test_multimodal_meta_plumbing(spark, docs):
+    out = mm.extract_meta(mm.with_payload(docs)).collect()
+    assert len(out) == docs.count()
+    one = next(r for r in out)
+    assert len(one.md5) == 32 and one.n_bytes > 0
+    assert 0 <= one.fake_width < 1920
+
+
+def test_decode_image_is_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(mm.with_payload(docs))
+
+
+def test_fingerprint_stable_and_noise_robust(spark):
+    from hadoop_source_spark.llmops.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "hello world this is a document"),
+         (2, "  hello   world this is a document  "),
+         (3, "entirely different text")],
+        "id long, text string",
+    )
+    fp = {r.id: r.f for r in df.select("id", fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[2]  # whitespace-normalized
+    assert fp[1] != fp[3]

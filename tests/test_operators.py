@@ -1,0 +1,120 @@
+"""Property-style operator semantics tests (the reference's contract-test
+style: AbstractFSContractTestBase bonded per implementation)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.operators import asof, kv, relational, setops
+
+
+@pytest.fixture(scope="module")
+def kv_fixture(spark):
+    """Seeded KV table with duplicate-free int keys + probe set straddling
+    the key range (FIXTURES.md 'kv' contract cases)."""
+    rng = random.Random(42)
+    keys = sorted(rng.sample(range(0, 10_000), 500))
+    rows = [(k, f"val{k}") for k in keys]
+    probes = sorted(rng.sample(range(-100, 10_200), 300))
+    kv_df = spark.createDataFrame(rows, "key long, value string")
+    probe_df = spark.createDataFrame([(p,) for p in probes], "key long")
+    return keys, probes, kv_df, probe_df
+
+
+def _model_closest(keys, probe, before):
+    """Python reference model of MapFile.Reader.getClosest."""
+    if before:
+        cands = [k for k in keys if k <= probe]
+        return max(cands) if cands else None
+    cands = [k for k in keys if k >= probe]
+    return min(cands) if cands else None
+
+
+@pytest.mark.parametrize("before", [False, True])
+def test_get_closest_matches_model(spark, kv_fixture, before):
+    keys, probes, kv_df, probe_df = kv_fixture
+    got = {
+        r.key: r.key_right
+        for r in kv.kv_get_closest(kv_df, probe_df, before=before).collect()
+    }
+    for p in probes:
+        assert got[p] == _model_closest(keys, p, before), (p, before)
+
+
+def test_get_closest_exact_match_wins(spark, kv_fixture):
+    keys, _, kv_df, _ = kv_fixture
+    some = spark.createDataFrame([(keys[7],)], "key long")
+    for before in (False, True):
+        r = kv.kv_get_closest(kv_df, some, before=before).collect()[0]
+        assert r.key_right == keys[7]
+        assert r.value == f"val{keys[7]}"
+
+
+def test_asof_join_by_groups(spark):
+    """Backward asof with by-keys: each left row gets the latest right row
+    at-or-before it within its group only."""
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 15), ("c", 5)], "g string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, "r1"), ("a", 20, "r2"), ("b", 30, "r3")],
+        "g string, t long, payload string",
+    )
+    out = {
+        (r.g, r.t): (r.t_right, r.payload)
+        for r in asof.asof_join(left, right, on="t", by="g", how="left").collect()
+    }
+    assert out[("a", 10)] == (5, "r1")
+    assert out[("a", 20)] == (20, "r2")  # inclusive
+    assert out[("b", 15)] == (None, None)  # right exists but only later
+    assert out[("c", 5)] == (None, None)  # no right group
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([("a", 1), ("a", 9)], "g string, t long")
+    right = spark.createDataFrame([("a", 5, "x")], "g string, t long, p string")
+    rows = asof.asof_join(left, right, on="t", by="g", how="inner").collect()
+    assert [(r.g, r.t, r.p) for r in rows] == [("a", 9, "x")]
+
+
+def test_snapshot_diff_classification(spark):
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "id long, v string"
+    )
+    got = {r.id: r.change for r in setops.snapshot_diff(v1, v2, ["id"]).collect()}
+    assert got == {1: "-", 2: "M", 4: "+"}  # 3 unchanged → absent
+
+
+def test_merge_sorted_is_globally_sorted(spark):
+    rng = random.Random(7)
+    vals = [rng.randrange(100_000) for _ in range(3000)]
+    dfs = [
+        spark.createDataFrame([(v,) for v in vals[i::3]], "k long")
+        for i in range(3)
+    ]
+    merged = relational.merge_sorted(dfs, ["k"])
+    collected = [r.k for r in merged.toLocalIterator()]
+    assert collected == sorted(vals)
+
+
+def test_top_k_uses_take_ordered(spark):
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "x long")
+    plan = (
+        relational.top_k(df, 5, [F.col("x").desc()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_with_position_is_dense(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], "k string")
+    rows = kv.with_position(df, ["k"]).collect()
+    assert [(r.pos, r.k) for r in sorted(rows, key=lambda r: r.pos)] == [
+        (0, "a"), (1, "b"), (2, "c"),
+    ]

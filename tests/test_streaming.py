@@ -1,0 +1,90 @@
+"""Streaming correctness by batch-replay equivalence: a stream drained
+with availableNow over the same data must equal the batch query
+(the reference's inotify ordering/resume tests are the model —
+hdfs-test/TestDFSInotifyEventInputStream.java)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    with tempfile.TemporaryDirectory() as d:
+        se.replay_events_to_dir(spark, "/root/testdata/sf0.001", d, num_files=4)
+        yield d
+
+
+def test_stream_sees_all_events(spark, events_dir):
+    stream = se.events_stream(spark, events_dir)
+    out = se.run_to_memory(stream.select("event_id"), "t_all_events")
+    batch = spark.read.parquet(events_dir)
+    assert out.count() == batch.count()
+
+
+def test_hourly_counts_match_batch(spark, events_dir):
+    # complete mode: append would (correctly) hold back windows newer than
+    # the watermark when the availableNow run ends — we want all of them.
+    stream = se.events_stream(spark, events_dir)
+    out = se.run_to_memory(
+        se.hourly_counts_stream(stream), "t_hourly", output_mode="complete"
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_dedup_stream_drops_replays(spark, events_dir):
+    """Replay duplicates (inotify resume) are dropped by keyed state."""
+    stream = se.events_stream(spark, events_dir)
+    doubled = stream.unionByName(stream)  # simulate a replayed source
+    out = se.run_to_memory(
+        se.dedup_stream(doubled, keys=["event_id"]), "t_dedup"
+    )
+    batch = spark.read.parquet(events_dir)
+    assert out.count() == batch.count()
+
+
+def test_tail_follow_picks_up_appends(spark):
+    """tail -f: new files appearing in the dir arrive as new micro-batches."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "a.txt"), "w") as f:
+            f.write("line1\nline2\n")
+        stream = se.tail_follow(spark, d)
+        q = (
+            stream.writeStream.format("memory").queryName("t_tail")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        n1 = spark.sql("SELECT count(*) FROM t_tail").collect()[0][0]
+        assert n1 == 2
+        # "append" more (new file = the file-source growth model)
+        with open(os.path.join(d, "b.txt"), "w") as f:
+            f.write("line3\n")
+        q2 = (
+            se.tail_follow(spark, d)
+            .writeStream.format("memory").queryName("t_tail2")
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination()
+        n2 = spark.sql("SELECT count(*) FROM t_tail2").collect()[0][0]
+        assert n2 == 3
