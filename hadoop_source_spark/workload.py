@@ -1272,6 +1272,69 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_meta(mm.with_payload(d, "text", "doc_id"))
 
 
+_LS_ORACLE = """
+SELECT path, n_chars, rn FROM (
+  SELECT concat(source, '/', doc_id) AS path, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 50
+"""
+
+
+@register("ls_docs_by_size", _LS_ORACLE)
+def ls_docs_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ls -S (shell/Ls.java:374 size comparator): listing ordered by size,
+    position included so the order itself is hash-checked. Bounded output
+    (the shell paginates listings for the same reason — dfs.ls.limit)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select(
+            F.concat_ws("/", "source", "doc_id").alias("path"),
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+_STAT_ORACLE = """
+SELECT concat('name=', source, '/', doc_id, ' size=', n_chars, ' lang=', lang)
+       AS stat
+FROM documents
+"""
+
+
+@register("stat_projection_docs", _STAT_ORACLE)
+def stat_projection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stat %-format projection (shell/Stat.java:32-42) through the
+    catalog.stat_format pipeline."""
+    d = table(spark, sf_dir, "documents").select(
+        F.concat_ws("/", "source", "doc_id").alias("path"),
+        F.col("n_chars").alias("length"),
+        "lang",
+    )
+    return catalog.stat_format(
+        d, "name=%n size=%b lang=%l",
+        {"%n": "path", "%b": "length", "%l": "lang"},
+    )
+
+
+@register("bloom_membership", None)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BloomMapFile gate (BloomMapFile.java:264): build a bloom filter over
+    customers-with-orders, probe all customers. Approximate (fp possible,
+    no false negatives) — contract validated in tests, rows-only here."""
+    from hadoop_source_spark.functions import bloom
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    filt = bloom.bloom_build(o.select(F.col("o_custkey").alias("key")), "key")
+    return bloom.bloom_probe(
+        filt, c.select(F.col("c_custkey").alias("key")), "key"
+    ).filter(F.col("might_contain"))
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------

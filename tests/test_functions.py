@@ -1,0 +1,125 @@
+"""Bloom filter contract (no false negatives, algebra), hash dispatch,
+Writable type-map round-trip."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.functions import bloom, hashes
+
+M = 1 << 16
+K = 5
+
+
+@pytest.fixture(scope="module")
+def keysets(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "key string")
+    absent = spark.createDataFrame([(f"z{i}",) for i in range(2000)], "key string")
+    return a, b, absent
+
+
+def test_bloom_no_false_negatives(spark, keysets):
+    a, _, _ = keysets
+    filt = bloom.bloom_build(a, "key", M, K)
+    res = bloom.bloom_probe(filt, a, "key", M, K)
+    assert res.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark, keysets):
+    a, _, absent = keysets
+    filt = bloom.bloom_build(a, "key", M, K)
+    fp = bloom.bloom_probe(filt, absent, "key", M, K).filter(
+        F.col("might_contain")
+    ).count()
+    # n=500, m=65536, k=5 → theoretical fpp ~ 2e-7; allow generous slack
+    assert fp <= 2, f"false positives: {fp}/2000"
+
+
+def test_bloom_or_is_union(spark, keysets):
+    a, b, _ = keysets
+    union_filter = bloom.bloom_or(
+        bloom.bloom_build(a, "key", M, K), bloom.bloom_build(b, "key", M, K)
+    )
+    both = a.unionByName(b)
+    res = bloom.bloom_probe(union_filter, both, "key", M, K)
+    assert res.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_and_xor_algebra(spark, keysets):
+    a, b, _ = keysets
+    fa, fb = (bloom.bloom_build(x, "key", M, K) for x in (a, b))
+    fand = bloom.bloom_and(fa, fb)
+    fxor = bloom.bloom_xor(fa, fb)
+    # and-filter bits ⊆ each side's bits; xor = or minus and (wordwise)
+    for_ = bloom.bloom_or(fa, fb)
+    j = (
+        for_.selectExpr("word_idx", "word AS w_or")
+        .join(fand.selectExpr("word_idx", "word AS w_and"), "word_idx", "left")
+        .join(fxor.selectExpr("word_idx", "word AS w_xor"), "word_idx", "left")
+        .selectExpr(
+            "coalesce(w_and, 0) & ~w_or AS and_outside_or",
+            "(coalesce(w_and,0) ^ coalesce(w_xor,0)) ^ w_or AS recompose",
+        )
+    )
+    assert j.filter("and_outside_or != 0 OR recompose != 0").count() == 0
+
+
+def test_hash_dispatch(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    row = df.select(
+        hashes.md5_hex("s").alias("m"),
+        hashes.sha256_hex("s").alias("sh"),
+        hashes.crc32("s").alias("c"),
+        hashes.murmur3_32("s").alias("mm"),
+        hashes.xxhash64("s").alias("xx"),
+    ).collect()[0]
+    assert row.m == "900150983cd24fb0d6963f7d28e17f72"
+    assert row.sh.startswith("ba7816bf")
+    assert row.c == 891568578
+    assert isinstance(row.mm, int) and isinstance(row.xx, int)
+
+
+def test_writable_type_map_round_trip(spark):
+    """Every mapped Spark type survives a parquet round trip (the
+    SequenceFile write→read-back contract, columnar edition)."""
+    from pyspark.sql import types as T
+
+    from hadoop_source_spark.types import WRITABLE_TO_SPARK
+
+    fields = [
+        T.StructField(f"c_{name.lower()}", dt, True)
+        for name, dt in WRITABLE_TO_SPARK.items()
+        if not isinstance(dt, T.NullType)
+    ]
+    schema = T.StructType(fields)
+    row = []
+    for f in fields:
+        dt = f.dataType
+        if isinstance(dt, T.BooleanType):
+            row.append(True)
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            row.append(1)
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            row.append(1.5)
+        elif isinstance(dt, T.StringType):
+            row.append("s")
+        elif isinstance(dt, T.BinaryType):
+            row.append(bytearray(b"\x01\x02"))
+        elif isinstance(dt, T.MapType):
+            row.append({"k": "v"})
+        elif isinstance(dt, T.ArrayType):
+            row.append([["x"]] if isinstance(dt.elementType, T.ArrayType) else ["x"])
+        elif isinstance(dt, T.StructType):
+            row.append(("tag", bytearray(b"\x00")))
+        else:
+            row.append(None)
+    df = spark.createDataFrame([tuple(row)], schema)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/t")
+        back = spark.read.parquet(f"{d}/t")
+        assert back.schema == schema
+        assert back.count() == 1
