@@ -1335,6 +1335,238 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("might_contain"))
 
 
+_Q06_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q06_forecast_revenue", _Q06_ORACLE)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches
+    the parquet scan (PushedFilters)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with join-condition filter, then a
+    histogram of counts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + max-equality (ties kept)."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__mx", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("__mx")
+    )
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+_Q17_ORACLE = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q17_small_quantity", _Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-key average, expressed as a window
+    (one pass — no self-join; l_quantity is integral so the 0.2*avg
+    threshold compare is fp-safe)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q19_ORACLE = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_discounted_revenue", _Q19_ORACLE)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive join predicates."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+
+    def arm(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm(
+        "Brand#3", 35, 20, 30
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_TAIL_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate, rn_from_end
+FROM (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         row_number() OVER (ORDER BY l_shipdate DESC, l_orderkey DESC,
+                            l_linenumber DESC) AS rn_from_end
+  FROM lineitem) t
+WHERE rn_from_end <= 20
+"""
+
+
+@register("tail_lineitem", _TAIL_ORACLE)
+def tail_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tail -n 20 in key order (shell/Tail.java): last-k via reversed
+    top-k — TakeOrderedAndProject, no global sort."""
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.col("l_shipdate").desc(),
+        F.col("l_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+    )
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.row_number().over(w).alias("rn_from_end"),
+        )
+        .filter(F.col("rn_from_end") <= 20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+            "rn_from_end",
+        )
+    )
+
+
+_STREAM_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_hourly_counts", _STREAM_HOURLY_ORACLE)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run, hash-verified against the batch
+    oracle: events replayed through the file source (inotify analog),
+    watermarked tumbling-window aggregation, availableNow drain, complete
+    output. Stream-batch equivalence as a correctness gate."""
+    import tempfile
+    import uuid
+
+    from hadoop_source_spark.streaming import events as se
+
+    d = tempfile.mkdtemp(prefix="hss_stream_")
+    se.replay_events_to_dir(spark, sf_dir, d, num_files=4)
+    stream = se.events_stream(spark, d)
+    name = f"hss_stream_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(
+        se.hourly_counts_stream(stream), name, output_mode="complete"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
