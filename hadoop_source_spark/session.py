@@ -83,3 +83,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
+
+
+def enable_fair_pools(spark: SparkSession, pool_file: str | None = None) -> None:
+    """Multi-tenant queue parity (SURVEY §2.10): YARN's Fair/Capacity
+    schedulers (FairScheduler.java:143, CapacityScheduler.java:211) map to
+    Spark's FAIR scheduler pools — config, not code.
+
+    spark.scheduler.mode is a static conf (must be set before the
+    SparkContext starts, e.g. via get_spark(extra_conf=...)); this helper
+    assigns the CURRENT thread's jobs to a pool, which is the per-query
+    queue-submission act (RMAppManager.submitApplication analog).
+    """
+    if pool_file:
+        spark.conf.set("spark.scheduler.allocation.file", pool_file)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "default")
+
+
+def submit_to_pool(spark: SparkSession, pool: str) -> None:
+    """Route subsequent jobs on this thread to a named pool (the queue a
+    YARN app would be submitted to)."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)

@@ -1,0 +1,95 @@
+"""Catalog/namespace surface over a synthesized deterministic files tree
+(FIXTURES.md B 'files' schema; operations from SURVEY §2.1-2.5 shell rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_source_spark import catalog
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    i = 0
+    for top in ("data", "logs"):
+        for sub in ("a", "b"):
+            for n in range(5):
+                path = f"/{top}/{sub}/file{n}.txt"
+                rows.append(
+                    (path, f"/{top}/{sub}", False, 100 * (i + 1),
+                     base + dt.timedelta(hours=i), "alice" if i % 2 else "bob")
+                )
+                i += 1
+    rows.append(("/data/a", "/data", True, 0, base, "root"))
+    return spark.createDataFrame(
+        rows, "path string, parent string, is_dir boolean, length long, "
+              "mtime timestamp, owner string"
+    )
+
+
+def test_glob_to_regex():
+    g = catalog.glob_to_regex
+    assert g("*.txt") == "^[^/]*\\.txt$"
+    assert g("file?.txt") == "^file[^/]\\.txt$"
+    assert g("{a,b}.log") == "^(a|b)\\.log$"
+    assert g("[0-9]x") == "^[0-9]x$"
+
+
+def test_glob_filter_components_dont_cross_slash(spark, files):
+    # '*' must not match across path separators (GlobPattern semantics)
+    got = files.filter(catalog.glob_filter("path", "/data/*/file1.txt"))
+    assert sorted(r.path for r in got.collect()) == [
+        "/data/a/file1.txt", "/data/b/file1.txt",
+    ]
+    none = files.filter(catalog.glob_filter("path", "/data/*.txt"))
+    assert none.count() == 0
+
+
+def test_find_predicate_tree(spark, files):
+    got = catalog.find(
+        files,
+        catalog.glob_filter("path", "/logs/*/*"),
+        F.col("length") > 1200,
+        ~F.col("is_dir"),
+    )
+    assert all(r.path.startswith("/logs/") and r.length > 1200 for r in got.collect())
+    assert got.count() > 0
+
+
+def test_ls_orderings(spark, files):
+    by_size = [r.path for r in catalog.ls(files, order="size", reverse=True).collect()]
+    sizes = {r.path: r.length for r in files.collect()}
+    assert by_size == sorted(sizes, key=lambda p: -sizes[p])
+    by_mtime = [r.path for r in catalog.ls(files, order="mtime").collect()]
+    mtimes = {r.path: r.mtime for r in files.collect()}
+    assert by_mtime == sorted(mtimes, key=lambda p: mtimes[p])
+
+
+def test_du_rollup(spark, files):
+    got = {r.parent: (r.length, r.file_count)
+           for r in catalog.du(files.filter(~F.col("is_dir")), "parent").collect()}
+    assert set(got) == {"/data/a", "/data/b", "/logs/a", "/logs/b"}
+    assert got["/data/a"][1] == 5
+
+
+def test_stat_format(spark, files):
+    one = files.filter(F.col("path") == "/data/a/file0.txt")
+    out = catalog.stat_format(
+        one, "%n %b %u", {"%n": "path", "%b": "length", "%u": "owner"}
+    ).collect()[0].stat
+    assert out == "/data/a/file0.txt 100 bob"
+
+
+def test_test_predicates(spark, files):
+    """shell Test.java -d/-e/-f/-s/-z as boolean expressions."""
+    exists = files.filter(F.col("path") == "/data/a").count() > 0   # -e
+    isdir = files.filter((F.col("path") == "/data/a") & F.col("is_dir")).count() > 0  # -d
+    nonzero = files.filter(
+        (F.col("path") == "/data/a/file0.txt") & (F.col("length") > 0)
+    ).count() > 0  # -s
+    assert exists and isdir and nonzero

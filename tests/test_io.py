@@ -87,6 +87,37 @@ def test_concat_union(spark, kv_df):
     assert hio.concat([a, b]).count() == 1000
 
 
+def test_partitioned_write_prunes(spark):
+    """Hive-style partitioned layout: a filter on the partition column must
+    become a PartitionFilter (directory pruning, the namespace-level analog
+    of MapFile's index skip)."""
+    from hadoop_source_spark import plans
+    from hadoop_source_spark.data import table
+
+    l = table(spark, "/root/testdata/sf0.001", "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        hio.write_parquet(l, f"{d}/part_lineitem", partition_by=["l_returnflag"])
+        back = spark.read.parquet(f"{d}/part_lineitem")
+        q = back.filter(F.col("l_returnflag") == "R")
+        plan = plans.executed_plan(q)
+        assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+        n_r = q.count()
+        assert n_r == l.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_fair_pool_submission(spark):
+    """FAIR pool routing (queue-submission parity, SURVEY §2.10)."""
+    from hadoop_source_spark.session import submit_to_pool
+
+    submit_to_pool(spark, "interactive")
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        == "interactive"
+    )
+    assert spark.range(10).count() == 10  # jobs still run in the pool
+    submit_to_pool(spark, "default")
+
+
 def test_file_checksum(spark):
     df = spark.createDataFrame([("abc",)], "v string")
     row = hio.file_checksum(df, "v").collect()[0]
