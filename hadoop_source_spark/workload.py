@@ -1567,6 +1567,189 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q07_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE s.s_nationkey < 5 AND c.c_nationkey >= 5 AND c.c_nationkey < 10
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                         AND TIMESTAMP '1997-12-31') t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q07_volume_shipping", _Q07_ORACLE)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year (nation sets
+    widened for the synthetic FK distribution)."""
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    c = table(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") >= 5) & (F.col("c_nationkey") < 10)
+    )
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q08_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  JOIN region r   ON n2.n_regionkey = r.r_regionkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1997-12-31') t
+GROUP BY o_year
+"""
+
+
+@register("q08_market_share", _Q08_ORACLE)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join, conditional share ratio by year."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(r, F.col("n2_region") == r.r_regionkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q09_ORACLE = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.8 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%') t
+GROUP BY nation, o_year
+"""
+
+
+@register("q09_product_profit", _Q09_ORACLE)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation/year (cost modeled from
+    p_retailprice — the synthetic schema has no partsupp)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_variety", _Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation (supplier variety per
+    part group; observed pairs stand in for the absent partsupp)."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
