@@ -107,6 +107,68 @@ def _algebra(b1: DataFrame, b2: DataFrame, op: str) -> DataFrame:
     )
 
 
+def counting_bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """CountingBloomFilter (common/util/bloom/CountingBloomFilter.java:105):
+    per-position counters instead of bits → supports delete and
+    approximate multiplicity. Representation: (pos, count)."""
+    return (
+        df.select(
+            F.explode(
+                _positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def counting_bloom_delete(
+    cbf: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """CountingBloomFilter.delete: decrement the deleted keys' positions."""
+    dec = counting_bloom_build(df, key_col, num_bits, num_hashes).select(
+        "pos", F.col("count").alias("__dec")
+    )
+    return (
+        cbf.join(dec, "pos", "left")
+        .select(
+            "pos",
+            (F.col("count") - F.coalesce("__dec", F.lit(0))).alias("count"),
+        )
+        .filter(F.col("count") > 0)
+    )
+
+
+def counting_bloom_approx_count(
+    cbf: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Approximate multiplicity = min over the key's positions' counters
+    (the count-min estimate; CountingBloomFilter.approximateCount).
+    Never under-counts an inserted key."""
+    exploded = probes.select(
+        F.col(key_col),
+        F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"),
+    )
+    return (
+        exploded.join(F.broadcast(cbf), "pos", "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("approx_count"))
+    )
+
+
 def bloom_and(b1: DataFrame, b2: DataFrame) -> DataFrame:
     """BloomFilter.and (:131): approximate set intersection."""
     return _algebra(b1, b2, "and")

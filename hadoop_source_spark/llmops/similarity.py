@@ -92,6 +92,78 @@ def bucket_code_expr(vec_col: str, num_planes: int, dim: int) -> Column:
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer → cell-partitioned
+    corpus → probe the nprobe nearest cells per query → exact cosine
+    re-rank inside them.
+
+    The 100 TB shape: training samples the corpus (KMeans on a bounded
+    sample), assignment is one model.transform pass, and the search join
+    touches ~nprobe/num_cells of the corpus — an equi-join on cell id,
+    skew-safe via AQE. Centroid count scales with corpus size (rule of
+    thumb sqrt(N)); nprobe trades recall for cost.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    featurized = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("features"),
+    )
+    model = KMeans(k=num_cells, seed=42, maxIter=10).fit(featurized)
+    assigned = model.transform(featurized).select(
+        id_col, vec_col, F.col("prediction").alias("cell")
+    )
+
+    centroids = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            f"cell int, centroid array<double>",
+        )
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    probe_cells = (
+        q.crossJoin(centroids)
+        .select(
+            query_id_col,
+            "__qvec",
+            "cell",
+            cosine(F.col("__qvec"), F.col("centroid")).alias("__cdist"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__cdist").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id_col, "__qvec", "cell")
+    )
+    scored = assigned.join(F.broadcast(probe_cells), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -126,6 +126,55 @@ def tail_follow(spark: SparkSession, dir_path: str) -> DataFrame:
     return spark.readStream.format("text").load(dir_path)
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR via applyInPandasWithState: per-user
+    running totals that survive across micro-batches — the operator class
+    Spark's built-ins don't cover (arbitrary per-key state machines; the
+    reference's closest analog is the edit-log tailer keeping its own
+    resume state, FSEditLog.java:124).
+
+    Emits one row per (user) per batch it appears in, with cumulative
+    n_events / sum_value / last event timestamp. State is a 3-field
+    tuple; watermark-less (state lives for the query lifetime — bound it
+    with timeoutConf for production TTLs)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, last_us = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(
+                last_us, int(pdf["ts"].astype("int64").max() // 1000)
+            )
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 4)],
+                "last_event_us": [last_us],
+            }
+        )
+
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double, "
+                             "last_event_us long",
+            stateStructType="n long, total double, last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Drain a stream with availableNow into an in-memory table and return

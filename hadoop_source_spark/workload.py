@@ -816,6 +816,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
 
 
+@register("ann_cosine_ivf", None)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer + nprobe cell search + exact
+    re-rank (recall tested vs brute force)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(e, q, k=10, num_cells=8, nprobe=3)
+
+
 @register("ann_cosine_lsh", None)
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (recall tested vs brute force)."""

@@ -64,6 +64,44 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH top-k recall {recall}"  # approximate by design
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in sim.brute_force_topk(e, q, k=10).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in sim.ivf_topk(e, q, k=10, num_cells=8, nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF top-k recall {recall}"
+
+
+def test_counting_bloom_multiplicity_and_delete(spark):
+    from hadoop_source_spark.functions import bloom
+
+    M, K = 1 << 16, 5
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1, "key string"
+    )
+    cbf = bloom.counting_bloom_build(df, "key", M, K)
+    probes = spark.createDataFrame([("a",), ("b",), ("zzz",)], "key string")
+    got = {
+        r.key: r.approx_count
+        for r in bloom.counting_bloom_approx_count(cbf, probes, "key", M, K).collect()
+    }
+    assert got["a"] >= 3 and got["b"] >= 1  # never under-counts
+    assert got["zzz"] <= 1  # fp slack only
+    # delete one 'a'
+    cbf2 = bloom.counting_bloom_delete(
+        cbf, spark.createDataFrame([("a",)], "key string"), "key", M, K
+    )
+    got2 = {
+        r.key: r.approx_count
+        for r in bloom.counting_bloom_approx_count(cbf2, probes, "key", M, K).collect()
+    }
+    assert got2["a"] >= 2 and got2["b"] >= 1
+
+
 def test_multimodal_meta_plumbing(spark, docs):
     out = mm.extract_meta(mm.with_payload(docs)).collect()
     assert len(out) == docs.count()
