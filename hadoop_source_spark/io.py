@@ -105,6 +105,35 @@ def write_parquet(df: DataFrame, path: str, compression: str = "zstd",
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    num_buckets: int = 32,
+) -> None:
+    """Bucketed, sorted table — the co-location primitive that deletes the
+    shuffle from repeated key joins (MapFile's 'keep it sorted so readers
+    can merge' philosophy applied to join locality). Joining two tables
+    bucketed on the same key with the same bucket count produces a
+    SortMergeJoin with NO Exchange (asserted in tests)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a previous session may have left the managed location behind
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = os.path.join(warehouse, table_name.lower())
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)  # managed table in spark.sql.warehouse.dir
+    )
+
+
 def file_checksum(df: DataFrame, value_col: str) -> DataFrame:
     """Display.Checksum analog: content digests via built-in hash exprs
     (MD5Hash.java:35, PureJavaCrc32.java:39)."""

@@ -25,27 +25,59 @@ def snapshot_diff(
     v2: DataFrame,
     keys: Sequence[str],
     compare: Sequence[str] | None = None,
+    identity: str | None = None,
 ) -> DataFrame:
-    """Classify rows of v2 vs v1 into '+', '-', 'M'.
+    """Classify rows of v2 vs v1 into '+', '-', 'M' — and 'R' when an
+    ``identity`` column is given.
 
-    Returns the key columns plus a ``change`` column; unchanged rows are
-    dropped (SnapshotDiffReport only reports differences).
+    Without identity, a rename surfaces as delete+create (exactly what
+    HDFS reports when inode tracking is unavailable). With identity (the
+    inode-id analog), a delete and a create sharing the identity collapse
+    into one 'R' row carrying ``dst_<key>`` columns
+    (SnapshotDiffReport.DiffType.RENAME, :44-48).
+
+    Returns the key columns plus ``change`` (+ dst keys when identity is
+    set); unchanged rows are dropped (the report only lists differences).
     """
     keys = list(keys)
-    compare = list(compare if compare is not None else [c for c in v1.columns if c not in keys])
+    compare = list(compare if compare is not None else [c for c in v1.columns if c not in keys and c != identity])
 
-    a = v1.select(*keys, F.struct(*[F.col(c) for c in compare]).alias("__v1"))
-    b = v2.select(*keys, F.struct(*[F.col(c) for c in compare]).alias("__v2"))
-    joined = a.join(b, on=keys, how="full_outer")
+    id_cols = [identity] if identity else []
+    a = v1.select(*keys, *id_cols, F.struct(*[F.col(c) for c in compare]).alias("__v1"))
+    b = v2.select(*keys, *id_cols, F.struct(*[F.col(c) for c in compare]).alias("__v2"))
+    joined = a.join(b, on=keys + id_cols, how="full_outer")
     change = (
         F.when(F.col("__v1").isNull(), F.lit("+"))
         .when(F.col("__v2").isNull(), F.lit("-"))
         .when(~F.col("__v1").eqNullSafe(F.col("__v2")), F.lit("M"))
     )
-    return (
-        joined.select(*keys, change.alias("change"))
+    base = (
+        joined.select(*keys, *id_cols, change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+    if not identity:
+        return base
+
+    # Pair up (-) and (+) rows sharing the identity → RENAME.
+    minus = base.filter(F.col("change") == "-").select(
+        *[F.col(k).alias(f"__src_{k}") for k in keys], identity
+    )
+    plus = base.filter(F.col("change") == "+").select(
+        *[F.col(k).alias(f"__dst_{k}") for k in keys], identity
+    )
+    renames = minus.join(plus, identity, "inner")
+    rename_rows = renames.select(
+        *[F.col(f"__src_{k}").alias(k) for k in keys],
+        F.col(identity),
+        F.lit("R").alias("change"),
+        *[F.col(f"__dst_{k}").alias(f"dst_{k}") for k in keys],
+    )
+    renamed_ids = renames.select(identity)
+    rest = base.join(renamed_ids, identity, "left_anti").select(
+        *keys, identity, "change",
+        *[F.lit(None).cast(a.schema[k].dataType).alias(f"dst_{k}") for k in keys],
+    )
+    return rest.unionByName(rename_rows)
 
 
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:

@@ -91,6 +91,60 @@ def test_snapshot_diff_classification(spark):
     assert got == {1: "-", 2: "M", 4: "+"}  # 3 unchanged → absent
 
 
+def test_snapshot_diff_rename_detection(spark):
+    """With an identity (inode-id analog), delete+create at the same
+    identity collapses to 'R' with dst path."""
+    v1 = spark.createDataFrame(
+        [("/a", 100, "x"), ("/b", 101, "y"), ("/c", 102, "z")],
+        "path string, inode long, v string",
+    )
+    v2 = spark.createDataFrame(
+        [("/a2", 100, "x"), ("/b", 101, "Y"), ("/d", 103, "w")],
+        "path string, inode long, v string",
+    )
+    rows = {
+        (r.path, r.change): r
+        for r in setops.snapshot_diff(
+            v1, v2, ["path"], identity="inode"
+        ).collect()
+    }
+    assert ("/a", "R") in rows and rows[("/a", "R")].dst_path == "/a2"
+    assert ("/b", "M") in rows
+    assert ("/c", "-") in rows
+    assert ("/d", "+") in rows
+    assert len(rows) == 4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Same-key bucketed tables join with zero shuffles."""
+    from hadoop_source_spark import io as hio
+    from hadoop_source_spark import plans
+    from hadoop_source_spark.data import table
+
+    l = table(spark, "/root/testdata/sf0.001", "lineitem")
+    o = table(spark, "/root/testdata/sf0.001", "orders")
+    hio.write_bucketed(l, "bkt_lineitem", "l_orderkey", 8)
+    hio.write_bucketed(o, "bkt_orders", "o_orderkey", 8)
+    bl = spark.table("bkt_lineitem")
+    bo = spark.table("bkt_orders")
+    # force the non-broadcast path: at test SF AQE would broadcast and
+    # hide the bucketing effect we're demonstrating
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert plans.join_counts(j)["sort_merge"] == 1
+        assert j.count() > 0
+        n_exchanges = plans.shuffle_count(j)
+        assert n_exchanges <= 1, f"expected only the agg exchange, got {n_exchanges}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_merge_sorted_is_globally_sorted(spark):
     rng = random.Random(7)
     vals = [rng.randrange(100_000) for _ in range(3000)]
