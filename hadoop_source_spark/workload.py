@@ -281,7 +281,7 @@ FROM orders
 """
 
 
-@register("window_running_total", _RUNNING_ORACLE)
+@register("window_running_total", _RUNNING_ORACLE, headline=True)
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-customer spend — per-key ordered scan, one shuffle."""
     o = table(spark, sf_dir, "orders")
@@ -1710,7 +1710,7 @@ GROUP BY nation, o_year
 """
 
 
-@register("q09_product_profit", _Q09_ORACLE)
+@register("q09_product_profit", _Q09_ORACLE, headline=True)
 def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by nation/year (cost modeled from
     p_retailprice — the synthetic schema has no partsupp)."""
@@ -1758,6 +1758,97 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q02_ORACLE = """
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         round(avg(l.l_extendedprice / l.l_quantity), 6) AS unit_cost
+  FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+  SELECT c.l_partkey, min(c.unit_cost) AS min_cost
+  FROM cost c GROUP BY c.l_partkey
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+       c.unit_cost
+FROM part p
+JOIN best b ON b.l_partkey = p.p_partkey
+JOIN cost c ON c.l_partkey = p.p_partkey AND c.unit_cost = b.min_cost
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+"""
+
+
+@register("q02_min_cost_supplier", _Q02_ORACLE)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier (correlated min +
+    join-back; observed lineitem prices stand in for partsupp). Ties on
+    the rounded min keep all suppliers — deterministic either way."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "PROMO")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("__min", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__min")
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "unit_cost"
+        )
+    )
+
+
+_Q11_ORACLE = """
+WITH value_by_part AS (
+  SELECT l.l_partkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey < 5
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, round(part_value, 2) AS part_value
+FROM value_by_part
+WHERE part_value > (SELECT 0.001 * sum(part_value) FROM value_by_part)
+"""
+
+
+@register("q11_important_stock", _Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group values filtered by a fraction-of-global-total
+    scalar subquery."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    by_part = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "part_value"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        by_part.withColumn("__total", F.sum("part_value").over(w))
+        .filter(F.col("part_value") > 0.001 * F.col("__total"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
     )
 
 
