@@ -50,6 +50,30 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles (array<long>).
+
+    Tokens are hashed once, then gram hashes are combined pairwise with
+    xxhash64(acc, next) over shifted hash arrays — no gram STRINGS are
+    ever materialized, which removes the dominant allocation cost of the
+    string-shingle path. Injective up to 64-bit collisions, so every
+    set-similarity computed over these equals the string-shingle version.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    acc = hashes
+    for j in range(1, n):
+        shifted = F.slice(
+            hashes, j + 1, F.greatest(F.size(hashes) - j, F.lit(0))
+        )
+        acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+    full = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.when(
+        F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    ).otherwise(full)
+    return F.array_distinct(grams)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -94,10 +118,10 @@ def minhash_signatures(
     shingle with a globally small h1 wins EVERY component in both
     documents, scoring disjoint docs at est≈1.0 — observed, not
     hypothetical.)"""
-    sh = shingles(F.col(text_col), shingle_n)
     hashed = df.select(
-        F.col(id_col), F.explode(sh).alias("__shingle")
-    ).select(id_col, F.xxhash64("__shingle").alias("__h"))
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h"),
+    )
     aggs = [
         F.min(F.xxhash64("__h", F.lit(i))).alias(f"__s{i}")
         for i in range(num_hashes)
@@ -218,11 +242,7 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-            )
-        ).alias("shingle"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct().localCheckpoint(eager=False)  # referenced 3x below
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
 
@@ -267,10 +287,9 @@ def simhash(
     For each shingle hash h, bit k contributes +1 if set else -1; the
     signature bit k is 1 iff the sum is positive. Zero shuffles.
     """
-    sh = shingles(F.col(text_col), shingle_n)
     hashed = df.select(
         F.col(id_col),
-        F.transform(sh, lambda s: F.xxhash64(s)).alias("__hashes"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("__hashes"),
     )
     # SQL-expression form: the shift amount is a lambda variable, which the
     # Python shiftleft/shiftright API doesn't accept (int-only).
