@@ -48,6 +48,47 @@ def glob_filter(path_col: Column | str, pattern: str) -> Column:
     return F.col(path_col).rlike(glob_to_regex(pattern)) if isinstance(path_col, str) else path_col.rlike(glob_to_regex(pattern))
 
 
+def files_from_fs(spark, root: str) -> DataFrame:
+    """Materialize a real directory tree as the `files` metadata table
+    (FileStatus model: FileSystem.java:181). Driver-side walk — namespace
+    metadata is small by definition; for a distributed listing use the
+    InMemoryFileIndex via spark.read, which parallelizes automatically."""
+    import os
+    import datetime as dt
+
+    rows = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        for d in dirnames:
+            p = os.path.join(dirpath, d)
+            st = os.stat(p)
+            rows.append((p, dirpath, True, 0,
+                         dt.datetime.utcfromtimestamp(st.st_mtime)))
+        for f in filenames:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            rows.append((p, dirpath, False, st.st_size,
+                         dt.datetime.utcfromtimestamp(st.st_mtime)))
+    return spark.createDataFrame(
+        rows,
+        "path string, parent string, is_dir boolean, length long, mtime timestamp",
+    )
+
+
+def paginate(df: DataFrame, order: list[str], page_size: int):
+    """Paginated listing (FSDirStatAndListingOp.java:213, dfs.ls.limit):
+    yields the ordered result in bounded pages without materializing the
+    whole listing on the driver."""
+    it = df.orderBy(*order).toLocalIterator()
+    page = []
+    for row in it:
+        page.append(row)
+        if len(page) == page_size:
+            yield page
+            page = []
+    if page:
+        yield page
+
+
 def find(
     df: DataFrame,
     *predicates: Column,

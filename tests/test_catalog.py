@@ -85,6 +85,38 @@ def test_stat_format(spark, files):
     assert out == "/data/a/file0.txt 100 bob"
 
 
+def test_files_from_fs_real_tree(spark):
+    """du/count over a REAL directory (the testdata tree)."""
+    fdf = catalog.files_from_fs(spark, "/root/testdata/sf0.001")
+    import os
+
+    real = sum(
+        os.path.getsize(os.path.join("/root/testdata/sf0.001", f))
+        for f in os.listdir("/root/testdata/sf0.001")
+        if os.path.isfile(os.path.join("/root/testdata/sf0.001", f))
+    )
+    got = (
+        fdf.filter(~F.col("is_dir"))
+        .filter(F.col("parent") == "/root/testdata/sf0.001")
+        .agg(F.sum("length"))
+        .collect()[0][0]
+    )
+    assert got == real
+    # glob over the real namespace
+    n_parquet = fdf.filter(
+        catalog.glob_filter("path", "/root/testdata/sf0.001/*.parquet")
+    ).count()
+    assert n_parquet == 10
+
+
+def test_paginate_bounded_pages(spark, files):
+    pages = list(catalog.paginate(files, ["path"], page_size=7))
+    assert all(len(p) <= 7 for p in pages)
+    flat = [r.path for p in pages for r in p]
+    assert flat == sorted(flat)
+    assert len(flat) == files.count()
+
+
 def test_test_predicates(spark, files):
     """shell Test.java -d/-e/-f/-s/-z as boolean expressions."""
     exists = files.filter(F.col("path") == "/data/a").count() > 0   # -e

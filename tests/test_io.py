@@ -66,6 +66,29 @@ def test_parquet_compression_round_trip(spark, codec):
         assert spark.read.parquet(path).count() == 500
 
 
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_other_formats_round_trip(spark, fmt):
+    """Source plurality (FileSystem connector dispatch analog): the same
+    table through csv/json/orc keeps values."""
+    from hadoop_source_spark.data import table
+
+    df = table(spark, "/root/testdata/sf0.001", "nation")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t_{fmt}"
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.format(fmt).save(path)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", True).option("inferSchema", True)
+        back = r.format(fmt).load(path)
+        assert back.count() == df.count()
+        assert sorted(r.n_name for r in back.select("n_name").collect()) == sorted(
+            r.n_name for r in df.select("n_name").collect()
+        )
+
+
 def test_getmerge_single_file(spark, kv_df):
     """CopyCommands.Merge: ONE output file, ordered."""
     import glob
