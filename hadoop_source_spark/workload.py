@@ -1852,6 +1852,59 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS stddev,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_stats_by_type", _STATS_ORACLE)
+def events_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MutableStat/MutableRate metrics (MutableStat.java:38): count, mean,
+    stddev, min, max per series."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+_STRFN_ORACLE = """
+SELECT doc_id,
+       substr(text, 1, 20) AS prefix,
+       strpos(text, 'data') AS find_pos,
+       len(string_split(text, ' ')) AS n_space_tokens,
+       upper(lang) AS lang_upper,
+       concat(lang, ':', source) AS tagged
+FROM documents
+"""
+
+
+@register("string_functions_docs", _STRFN_ORACLE)
+def string_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text.java surface (charAt/find/set/append — Text.java:136,144):
+    substring, substring search (1-based, 0 = absent, as Text.find+1),
+    split, case map, concat."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("prefix"),
+        F.instr(F.col("text"), "data").alias("find_pos"),
+        F.size(F.split("text", " ", -1)).alias("n_space_tokens"),
+        F.upper("lang").alias("lang_upper"),
+        F.concat_ws(":", "lang", "source").alias("tagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------

@@ -83,6 +83,46 @@ def test_hash_dispatch(spark):
     assert isinstance(row.mm, int) and isinstance(row.xx, int)
 
 
+def test_scalar_pandas_udf_surface(spark):
+    """The UDF tiers (SURVEY §2.9): an Arrow-vectorized scalar pandas_udf
+    must agree with the JVM expression it mirrors."""
+    from tests._pandas_udfs import py_quality
+
+    from hadoop_source_spark.data import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    jvm = d.select(
+        "doc_id",
+        F.round(
+            F.least(
+                F.size(F.split(F.trim("text"), r"\s+")) / F.lit(100.0),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("q"),
+    )
+    py = d.select("doc_id", F.round(py_quality("text"), 6).alias("q"))
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, py.collect()))
+
+
+def test_table_properties_metadata(spark):
+    """SequenceFile header metadata (SequenceFile.java:725 Metadata
+    TreeMap) → table properties."""
+    from hadoop_source_spark import io as hio
+    from hadoop_source_spark.data import table
+
+    n = table(spark, "/root/testdata/sf0.001", "nation")
+    hio.write_bucketed(n, "meta_nation", "n_nationkey", 2)
+    spark.sql(
+        "ALTER TABLE meta_nation SET TBLPROPERTIES ('writer'='hss', 'v'='1')"
+    )
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES meta_nation").collect()
+    }
+    assert props["writer"] == "hss" and props["v"] == "1"
+
+
 def test_writable_type_map_round_trip(spark):
     """Every mapped Spark type survives a parquet round trip (the
     SequenceFile write→read-back contract, columnar edition)."""

@@ -62,6 +62,65 @@ def test_dedup_stream_drops_replays(spark, events_dir):
     assert out.count() == batch.count()
 
 
+def test_checkpoint_resume_processes_only_new_data(spark):
+    """inotify txid resume (DFSInotifyEventInputStream.java:45): restart
+    from a checkpoint must process only events appended after the last
+    offset — the checkpoint IS the resume token."""
+    import os
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt, tempfile.TemporaryDirectory() as sink:
+        df = spark.range(10).selectExpr("id", "timestamp'2024-01-01' as ts")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema("id long, ts timestamp")
+                .format("parquet").load(src)
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        n1 = spark.read.parquet(sink).count()
+        assert n1 == 10
+        # append 5 more and resume from the same checkpoint
+        spark.range(100, 105).selectExpr(
+            "id", "timestamp'2024-01-02' as ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        out = spark.read.parquet(sink)
+        assert out.count() == 15  # 10 + 5, NOT 25 — no reprocessing
+        assert out.filter("id >= 100").count() == 5
+
+
+def test_foreach_batch_idempotent_sink(spark):
+    """hflush/hsync durability analog: foreachBatch + batchId-keyed
+    idempotent writes give exactly-once output."""
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        # idempotent: keyed by batch_id, re-delivery overwrites same key
+        seen[batch_id] = batch_df.count()
+
+    with tempfile.TemporaryDirectory() as d:
+        se.replay_events_to_dir(spark, "/root/testdata/sf0.001", d, num_files=3)
+        stream = se.events_stream(spark, d, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sum(seen.values()) == spark.read.parquet(d).count()
+        assert len(seen) >= 2  # genuinely micro-batched
+
+
 def test_tail_follow_picks_up_appends(spark):
     """tail -f: new files appearing in the dir arrive as new micro-batches."""
     import os
