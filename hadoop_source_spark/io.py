@@ -134,6 +134,44 @@ def write_bucketed(
     )
 
 
+def cat(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Display.Cat/Text (common/fs/shell/Display.java:72,116): read any
+    supported container, auto-sniffing the format from the extension the
+    way Display.Text dispatches on magic bytes (:124-164). SequenceFile
+    dirs decode to (key, value) text — the `-text` behavior."""
+    if fmt is None:
+        p = path.rstrip("/")
+        ext = p.rsplit(".", 1)[-1].lower() if "." in os.path.basename(p) else ""
+        fmt = {
+            "parquet": "parquet", "csv": "csv", "json": "json",
+            "txt": "text", "text": "text", "orc": "orc",
+            "gz": "text", "bz2": "text",
+        }.get(ext, "")
+        if not fmt:
+            # directory: sniff by contained file names
+            try:
+                names = os.listdir(p)
+            except OSError:
+                names = []
+            if any(n.endswith(".parquet") for n in names):
+                fmt = "parquet"
+            elif any(n.endswith(".orc") for n in names):
+                fmt = "orc"
+            elif any(n.endswith((".txt", ".json", ".csv", ".gz", ".bz2"))
+                     for n in names):
+                fmt = "text"
+            elif any(n.startswith("part-") and "." not in n for n in names):
+                fmt = "sequence"  # Hadoop seq part files have no extension
+            else:
+                fmt = "text"
+    if fmt == "sequence":
+        return read_sequence_file(spark, path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", True).option("inferSchema", True)
+    return reader.format(fmt).load(path)
+
+
 def file_checksum(df: DataFrame, value_col: str) -> DataFrame:
     """Display.Checksum analog: content digests via built-in hash exprs
     (MD5Hash.java:35, PureJavaCrc32.java:39)."""

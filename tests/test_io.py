@@ -141,6 +141,42 @@ def test_fair_pool_submission(spark):
     submit_to_pool(spark, "default")
 
 
+def test_cat_format_dispatch(spark, kv_df):
+    """Display.Cat/Text: extension/content sniffing picks the decoder."""
+    from hadoop_source_spark import io as hio2
+
+    # parquet file by extension
+    df = hio2.cat(spark, "/root/testdata/sf0.001/nation.parquet")
+    assert df.count() == 25
+    with tempfile.TemporaryDirectory() as d:
+        # sequence dir with explicit fmt (the `-text` decode path)
+        hio.write_sequence_file(kv_df, f"{d}/seq")
+        back = hio2.cat(spark, f"{d}/seq", fmt="sequence")
+        assert back.count() == 1000 and back.columns == ["key", "value"]
+        # text dir sniffed
+        hio.write_text(kv_df.select(F.col("key").alias("value")), f"{d}/txt")
+        assert hio2.cat(spark, f"{d}/txt").count() == 1000
+
+
+def test_sketch_accuracy(spark):
+    """Approximate aggregates (SampleQuantiles.java:50, HLL role): bounded
+    relative error vs exact — the production path for 100 TB quantiles."""
+    from hadoop_source_spark.data import table
+
+    e = table(spark, "/root/testdata/sf0.01", "events")
+    exact_distinct = e.select("user_id").distinct().count()
+    approx_distinct = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx_distinct - exact_distinct) / exact_distinct < 0.1
+
+    exact_p50 = e.agg(F.percentile("value", F.lit(0.5))).collect()[0][0]
+    approx_p50 = e.agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    ).collect()[0][0]
+    assert abs(approx_p50 - exact_p50) / exact_p50 < 0.05
+
+
 def test_file_checksum(spark):
     df = spark.createDataFrame([("abc",)], "v string")
     row = hio.file_checksum(df, "v").collect()[0]
