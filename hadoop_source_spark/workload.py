@@ -1905,6 +1905,98 @@ def string_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+@register("intersect_rich_building", _INTERSECT_ORACLE)
+def intersect_rich_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT (bloom `and` exact counterpart, SURVEY §2.6)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(c.filter(F.col("c_acctbal") > 5000).select("c_custkey"))
+    )
+
+
+_TIMELINE_ORACLE = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       round(value, 6) AS value
+FROM events
+WHERE event_type IN ('error', 'signup')
+  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+  AND value > 100
+  AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 80
+ORDER BY ts, event_id
+LIMIT 100
+"""
+
+
+@register("timeline_entity_filter", _TIMELINE_ORACLE)
+def timeline_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN timeline-reader predicate surface (TimelineEntityFilters.java:
+    35-65): type set + createdTime range + info-filter + limit, as plain
+    DataFrame filters."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("event_type").isin("error", "signup")
+            & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+            & (F.col("value") > 100)
+            & F.get_json_object("props", "$.k").cast("int").between(10, 80)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", TS_FMT).alias("ts"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("ts", "event_id")
+        .limit(100)
+    )
+
+
+_HEAD_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate, rn
+FROM (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+           AS rn
+  FROM lineitem) t
+WHERE rn <= 20
+"""
+
+
+@register("head_lineitem", _HEAD_ORACLE)
+def head_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head -n 20 in key order (shell/Head.java)."""
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+            "rn",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
