@@ -276,6 +276,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (node, cluster)
+    with cluster = min doc id reachable. The canonicalization step of a
+    dedup pipeline: keep one doc per cluster.
+
+    Iterative min-label propagation (converges in O(component diameter)
+    rounds, each one equi-join + min-agg; lineage cut per round with
+    localCheckpoint). Dedup clusters are short chains in practice, so the
+    loop exits after 2-4 rounds on real data.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nlabel").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("minn", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -126,6 +126,43 @@ def tail_follow(spark: SparkSession, dir_path: str) -> DataFrame:
     return spark.readStream.format("text").load(dir_path)
 
 
+def purchase_click_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase matched to same-user clicks
+    within `max_gap` BEFORE it. Both sides watermarked so the join state
+    is bounded (clicks older than purchase-watermark − max_gap are
+    evicted) — the unbounded-time safety property a 100 TB stream needs.
+
+    Batch equivalence is asserted in tests (availableNow drain == batch
+    range-join on the same data)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "click_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """CUSTOM STATEFUL OPERATOR via applyInPandasWithState: per-user
     running totals that survive across micro-batches — the operator class

@@ -1997,6 +1997,30 @@ def head_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ORACLE = f"""
+WITH RECURSIVE
+jpairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE}) jq),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          UNION SELECT id_b, id_a FROM jpairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(r) AS cluster FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: connected components over near-dup pairs
+    (min-label propagation; oracle = recursive-CTE transitive closure over
+    the same exact-Jaccard pair set)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return dd.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------

@@ -62,6 +62,36 @@ def test_dedup_stream_drops_replays(spark, events_dir):
     assert out.count() == batch.count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream join drained with availableNow must equal the batch
+    range join over the same data."""
+    stream = se.events_stream(spark, events_dir)
+    p_s = stream.filter(F.col("event_type") == "purchase")
+    c_s = stream.filter(F.col("event_type") == "click")
+    out = se.run_to_memory(
+        se.purchase_click_interval_join(p_s, c_s), "t_ssjoin"
+    )
+    batch = spark.read.parquet(events_dir)
+    pb = batch.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "ts AS p_ts"
+    )
+    cb = batch.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "user_id AS c_user", "ts AS c_ts"
+    )
+    want = (
+        pb.join(
+            cb,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "click_id")
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.select("purchase_id", "click_id").collect()}
+    expected = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert got == expected and len(expected) > 0
+
+
 def test_checkpoint_resume_processes_only_new_data(spark):
     """inotify txid resume (DFSInotifyEventInputStream.java:45): restart
     from a checkpoint must process only events appended after the last
