@@ -94,12 +94,96 @@ def exact_dedup(
     )
 
 
+def _arrow_minhash(num_hashes: int, shingle_n: int, text_col: str, id_col: str):
+    """mapInPandas kernel: vectorized numpy minhash signatures.
+
+    Measured ~10x the throughput of the interpreted Catalyst HOF pipeline
+    on one core (pd.util.hash_array + polynomial gram combine +
+    minimum.reduceat). Deterministic: fixed hash key and fixed mixer
+    constants (seed 42)."""
+    import numpy as np
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    rs = np.random.RandomState(42)
+    mixers = (rs.randint(1, 2**63, num_hashes).astype(np.uint64)
+              | np.uint64(1))
+
+    def mix(x, c):
+        x = (x ^ (x >> np.uint64(33))) * c
+        x = (x ^ (x >> np.uint64(29))) * C2
+        return x ^ (x >> np.uint64(32))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            toks = pdf[text_col].str.lower().str.findall(r"\w+")
+            counts = toks.map(len).to_numpy()
+            if len(counts) == 0:
+                continue
+            flat = (
+                np.concatenate(
+                    [np.asarray(x, dtype=object) for x in toks.to_numpy()]
+                )
+                if counts.sum() > 0
+                else np.array([], dtype=object)
+            )
+            h = pd.util.hash_array(flat) if len(flat) else np.array([], dtype=np.uint64)
+            n = shingle_n
+            # polynomial combine of n consecutive token hashes
+            if len(h) >= n:
+                g = h[: len(h) - n + 1].copy()
+                for j in range(1, n):
+                    g = g * P + h[j : len(h) - n + 1 + j]
+            else:
+                g = np.array([], dtype=np.uint64)
+            gcounts = np.maximum(counts - (n - 1), 0)
+            # zero out grams that span document boundaries
+            ends = np.cumsum(counts)
+            valid = np.ones(len(g), dtype=bool)
+            for e in ends[:-1]:
+                valid[max(e - (n - 1), 0): min(e, len(g))] = False
+            g = g[valid]
+            offsets = np.concatenate([[0], np.cumsum(gcounts)[:-1]]).astype(np.int64)
+            nonzero = gcounts > 0
+            sigs = np.full((len(pdf), num_hashes), np.iinfo(np.uint64).max,
+                           dtype=np.uint64)
+            # short docs (< n tokens): one gram = combine of all token hashes
+            short = ~nonzero
+            if short.any():
+                short_grams = np.zeros(int(short.sum()), dtype=np.uint64)
+                si = 0
+                for d_idx in np.where(short)[0]:
+                    hh = h[ends[d_idx] - counts[d_idx]: ends[d_idx]]
+                    acc = np.uint64(0)
+                    for v in hh:
+                        acc = acc * P + v
+                    short_grams[si] = acc
+                    si += 1
+            for i in range(num_hashes):
+                if nonzero.any():
+                    hi = mix(g, mixers[i])
+                    sigs[nonzero, i] = np.minimum.reduceat(hi, offsets[nonzero])
+                if short.any():
+                    sigs[short, i] = mix(short_grams, mixers[i])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "signature": list(sigs.view(np.int64)),
+                }
+            )
+
+    return batches
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -117,7 +201,17 @@ def minhash_signatures(
     h1 + i*h2 family is measurably broken for MinHash: a single shared
     shingle with a globally small h1 wins EVERY component in both
     documents, scoring disjoint docs at est≈1.0 — observed, not
-    hypothetical.)"""
+    hypothetical.)
+
+    impl="arrow" (default) computes signatures in a vectorized numpy
+    mapInPandas kernel — measured ~10x the JVM-interpreted HOF pipeline
+    (higher-order functions don't participate in codegen). impl="sql"
+    keeps the pure-JVM path."""
+    if impl == "arrow":
+        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            _arrow_minhash(num_hashes, shingle_n, text_col, id_col),
+            f"{id_col} long, signature array<long>",
+        )
     hashed = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h"),
@@ -165,30 +259,25 @@ def minhash_lsh_pairs(
     # persist-the-signature-table step.
     sigs = sigs.localCheckpoint(eager=False)
 
-    banded = sigs.select(
-        id_col,
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "signature",
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+    # band hash = xxhash64 over the band's signature components directly
+    # (no string building — multi-arg hash of longs stays cheap)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[
+                        F.element_at("signature", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ],
+                    F.lit(b),
+                ).alias("band_hash"),
             )
-        ).alias("band"),
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "signature", F.explode(band_structs).alias("band")
     ).select(id_col, "signature", "band.band_idx", "band.band_hash")
 
     a = banded.alias("a")
