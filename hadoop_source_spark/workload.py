@@ -2021,6 +2021,95 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs)
 
 
+_Q20_ORACLE = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%widget%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 100)
+"""
+
+
+@register("q20_excess_shippers", _Q20_ORACLE)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a HAVING-filtered aggregate subquery
+    (semi join against the aggregate; quantities integral → fp-safe)."""
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 100)
+    )
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_ORACLE = """
+WITH flags AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM flags GROUP BY l_orderkey)
+SELECT s.s_name, count(*) AS numwait
+FROM flags f
+JOIN per_order p ON p.l_orderkey = f.l_orderkey
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+WHERE f.is_late = 1 AND p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name
+"""
+
+
+@register("q21_suppliers_who_wait", _Q21_ORACLE)
+def q21_suppliers_who_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, re-expressed as aggregates instead of the classic
+    EXISTS/NOT-EXISTS self-joins: a supplier 'kept the order waiting' iff
+    it is the ONLY late supplier in a multi-supplier order. One pass over
+    lineitem⋈orders instead of three."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    flags = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        flags.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
