@@ -47,25 +47,55 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k of `corpus` rows for each query row.
 
-    queries: (query_id_col, vec_col). The query side is broadcast — ANN
-    workloads have few queries and huge corpora; the corpus is scanned
-    once, no shuffle until the final per-query top-k (TakeOrdered-style
-    via window over query_id, which partitions by query — bounded state).
-    Ties broken by ascending corpus id for determinism.
+    queries: (query_id_col, vec_col). The query side is small by ANN
+    convention (it ships to every scorer); the corpus is scanned once, no
+    shuffle until the final per-query top-k (window over query_id —
+    bounded state). Ties broken by ascending corpus id for determinism.
+
+    impl="arrow" (default) scores with a numpy matrix product inside
+    mapInPandas (BLAS, float64) — the vectorized path for wide fan-out;
+    impl="sql" keeps the pure-JVM zip_with fold.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    if impl == "arrow":
+        import numpy as np
+
+        qrows = queries.select(query_id_col, vec_col).collect()
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                cos = np.round((m / norms) @ qn.T, 6)  # rows x nq
+                nrow, nq = cos.shape
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.tile(qids, nrow),
+                        id_col: np.repeat(pdf[id_col].to_numpy(), nq),
+                        "cosine": cos.ravel(),
+                    }
+                )
+
+        scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            batches, f"{query_id_col} long, {id_col} long, cosine double"
         )
-    )
-    scored = corpus.crossJoin(q).select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
-    )
+    else:
+        q = F.broadcast(
+            queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        )
+        scored = corpus.crossJoin(q).select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

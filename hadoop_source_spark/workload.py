@@ -211,20 +211,6 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_ORACLE = """
-SELECT coalesce(r.r_name, 'ALL') AS region,
-       coalesce(n.n_name, 'ALL') AS nation,
-       count(*)                   AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n0  ON c.c_nationkey = n0.n_nationkey
-JOIN region r0  ON n0.n_regionkey = r0.r_regionkey,
-LATERAL (SELECT n0.n_name) n(n_name), LATERAL (SELECT r0.r_name) r(r_name)
-GROUP BY ROLLUP (r.r_name, n.n_name)
-"""
-
-# simpler, portable rollup oracle
-_ROLLUP_ORACLE = """
 WITH base AS (
   SELECT r.r_name, n.n_name, o.o_totalprice
   FROM orders o
