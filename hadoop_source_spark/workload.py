@@ -2096,6 +2096,76 @@ def q21_suppliers_who_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAPS_ORACLE = f"""
+SELECT user_id, event_id,
+       datediff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS gap_us_prev
+FROM events
+"""
+
+
+@register("events_gaps", _GAPS_ORACLE)
+def events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead surface: microsecond gap to each user's previous event
+    (NULL for the first — the inter-arrival metric MutableRate feeds on)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us_prev"
+        ),
+    )
+
+
+_TYPES_ORACLE = """
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(*) AS n
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("user_event_types", _TYPES_ORACLE)
+def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (ArrayWritable/EnumSetWritable analog §1.2):
+    sorted distinct event-type set per user."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT quartile, count(*) AS n,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM (
+  SELECT o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders) t
+GROUP BY quartile
+"""
+
+
+@register("orders_price_quartiles", _NTILE_ORACLE)
+def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (midKey/quantile partition hints, MapFile.java:527)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
