@@ -122,6 +122,51 @@ def bucket_code_expr(vec_col: str, num_planes: int, dim: int) -> Column:
     )
 
 
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) —
+    EXACT all-pairs, the ground truth for embedding dedup.
+
+    Scoring is a blocked BLAS product: each Arrow batch of rows is
+    multiplied against the full normalized corpus matrix (shipped in the
+    closure). Exact all-pairs is quadratic by definition — test-scale
+    ground truth, same role as ngram_jaccard_pairs; the 100 TB path routes
+    through lsh_topk/ivf_topk candidates + exact re-rank.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            bm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            bids = pdf[id_col].to_numpy()
+            cos = np.round(bn @ mn.T, 6)
+            rs, cs = np.where(cos >= threshold)
+            keep = bids[rs] < ids[cs]
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[rs][keep],
+                    "id_b": ids[cs][keep],
+                    "cosine": cos[rs, cs][keep],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batches, "id_a long, id_b long, cosine double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

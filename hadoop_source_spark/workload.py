@@ -802,6 +802,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
 
 
+_EMB_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at ≥ 0.4 (exact all-pairs ground
+    truth; scale path = LSH/IVF candidates + re-rank)."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.embedding_dup_pairs(e, threshold=0.4)
+
+
 @register("ann_cosine_ivf", None)
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer + nprobe cell search + exact
