@@ -2184,6 +2184,67 @@ def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_ORACLE = """
+SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_in_bin
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_value_histogram", _HIST_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the metrics2 sample-distribution view)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / 50).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_in_bin"),
+        )
+    )
+
+
+_REGEX_ORACLE = r"""
+SELECT CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register("regex_extract_props", _REGEX_ORACLE)
+def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract surface (StringUtils/Text parsing analog)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.regexp_extract("props", r"(\d+)", 1).cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_UNION_DISTINCT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+@register("union_distinct_segments", _UNION_DISTINCT_ORACLE)
+def union_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT (vs viewfs_union's UNION ALL)."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.union(b).distinct()
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
