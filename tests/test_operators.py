@@ -80,6 +80,42 @@ def test_asof_inner_drops_unmatched(spark):
     assert [(r.g, r.t, r.p) for r in rows] == [("a", 9, "x")]
 
 
+def test_asof_null_on_value_gets_no_match(spark):
+    """Null ordering key on the probe side: sorts before every build row
+    (nulls-first), so backward asof yields no match — documented."""
+    left = spark.createDataFrame([("a", None), ("a", 10)], "g string, t long")
+    right = spark.createDataFrame([("a", 5, "x")], "g string, t long, p string")
+    out = {
+        r.t: r.p
+        for r in asof.asof_join(left, right, on="t", by="g", how="left").collect()
+    }
+    assert out[10] == "x"
+    assert out[None] is None
+
+
+def test_asof_duplicate_build_ts_resolution(spark):
+    """Two build rows at the same (by, on): the kernel keeps exactly one
+    match per probe row (no row multiplication — unlike a range join)."""
+    left = spark.createDataFrame([("a", 10)], "g string, t long")
+    right = spark.createDataFrame(
+        [("a", 5, "x"), ("a", 5, "y")], "g string, t long, p string"
+    )
+    rows = asof.asof_join(left, right, on="t", by="g", how="left").collect()
+    assert len(rows) == 1 and rows[0].p in ("x", "y")
+
+
+def test_dedup_clusters_known_components(spark):
+    from hadoop_source_spark.llmops import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_snapshot_diff_classification(spark):
     v1 = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
