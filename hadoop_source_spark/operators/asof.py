@@ -60,7 +60,11 @@ def asof_join(
         out = c + suffix if (c in left_names or c == on) else c
         renamed[c] = out
 
-    r = right.select(
+    # A build row with a null ordering key can never be "the closest entry"
+    # (MapFile keys are total-ordered and non-null); dropping them up front
+    # also stops last(..., ignorenulls=True) from carrying their payload
+    # into probe rows while {on}{suffix} stays null.
+    r = right.filter(F.col(on).isNotNull()).select(
         *[F.col(c) for c in by_cols],
         *[F.col(c).alias(renamed[c]) for c in val_cols],
         F.lit(0).alias("__side"),
@@ -87,17 +91,17 @@ def asof_join(
         )
     )
 
+    # Null probe keys sort FIRST in both directions: nothing precedes them
+    # in the frame, so they match no build row (NULL out / dropped by
+    # how='inner') instead of accidentally pairing with the min/max key.
     if direction == "backward":
         # build rows sort before probe rows at equal `on` → inclusive match
-        order: list[Column] = [F.col(on).asc(), F.col("__side").asc()]
-        frame = Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        order: list[Column] = [F.col(on).asc_nulls_first(), F.col("__side").asc()]
     else:
-        order = [F.col(on).desc(), F.col("__side").asc()]
-        frame = Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        order = [F.col(on).desc_nulls_first(), F.col("__side").asc()]
+    frame = Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
 
     carried = unioned.select(
         "*",

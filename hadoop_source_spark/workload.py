@@ -585,7 +585,7 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTENT_SUMMARY_ORACLE = """
 SELECT source,
        count(*) AS file_count,
-       sum(n_chars) AS length,
+       CAST(sum(n_chars) AS BIGINT) AS length,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents
@@ -951,10 +951,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l.l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
   AND l.l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1118,7 +1118,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUOTA_ORACLE = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS used
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS used
 FROM documents
 GROUP BY source
 HAVING sum(n_chars) > 8000
@@ -1699,11 +1699,13 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q09_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       round(sum(amount_cents) / 100.0, 2) AS sum_profit
 FROM (
   SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount)
-           - 0.8 * p.p_retailprice * l.l_quantity AS amount
+         CAST(round((l.l_extendedprice * (1 - l.l_discount)
+           - 0.8 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+           AS amount_cents
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1723,10 +1725,17 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = F.broadcast(table(spark, sf_dir, "nation"))
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # Per-row cent rounding before the SUM makes the aggregate an exact
+    # integer total — double summation order (which differs between any
+    # two engines, and between partition counts) can no longer flip the
+    # rounded cent. Same trick on the oracle side.
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
@@ -1736,7 +1745,9 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(amount_cents) / 100.0, 2).alias("sum_profit")
+        )
     )
 
 
@@ -1822,14 +1833,15 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH value_by_part AS (
   SELECT l.l_partkey,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS cents
   FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
   WHERE s.s_nationkey < 5
   GROUP BY l.l_partkey
 )
-SELECT l_partkey, round(part_value, 2) AS part_value
+SELECT l_partkey, round(cents / 100.0, 2) AS part_value
 FROM value_by_part
-WHERE part_value > (SELECT 0.001 * sum(part_value) FROM value_by_part)
+WHERE cents > (SELECT 0.001 * sum(cents) FROM value_by_part)
 """
 
 
@@ -1839,20 +1851,24 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    # Exact integer cents (see q09): the 0.001*total threshold compare and
+    # the final rounding are both deterministic regardless of summation
+    # order on either engine.
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
     by_part = (
         l.join(s, l.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "part_value"
-            )
-        )
+        .agg(F.sum(cents).alias("cents"))
     )
     w = Window.partitionBy()
     return (
-        by_part.withColumn("__total", F.sum("part_value").over(w))
-        .filter(F.col("part_value") > 0.001 * F.col("__total"))
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        by_part.withColumn("__total", F.sum("cents").over(w))
+        .filter(F.col("cents") > 0.001 * F.col("__total"))
+        .select(
+            "l_partkey", F.round(F.col("cents") / 100.0, 2).alias("part_value")
+        )
     )
 
 
@@ -2139,7 +2155,9 @@ def events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TYPES_ORACLE = """
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(*) AS n
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       count(*) AS n
 FROM events
 GROUP BY user_id
 """
@@ -2151,7 +2169,9 @@ def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted distinct event-type set per user."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "types"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -93,6 +93,42 @@ def test_asof_null_on_value_gets_no_match(spark):
     assert out[None] is None
 
 
+def test_asof_null_probe_key_forward_gets_no_match(spark):
+    """Null probe key in direction='forward': nulls-first ordering means
+    nothing precedes it in the frame, so it must NOT pair with the minimum
+    build key (the round-1 leak)."""
+    left = spark.createDataFrame([("a", None), ("a", 4)], "g string, t long")
+    right = spark.createDataFrame([("a", 5, "x")], "g string, t long, p string")
+    out = {
+        r.t: (r.t_right, r.p)
+        for r in asof.asof_join(
+            left, right, on="t", by="g", direction="forward", how="left"
+        ).collect()
+    }
+    assert out[4] == (5, "x")
+    assert out[None] == (None, None)
+
+
+def test_asof_null_build_key_dropped_both_directions(spark):
+    """A build row with null ordering key is never 'the closest entry':
+    its payload must not be carried into probe rows (round-1 leak: payload
+    arrived via last(..., ignorenulls=True) while t_right stayed null)."""
+    left = spark.createDataFrame([("a", 10)], "g string, t long")
+    right = spark.createDataFrame(
+        [("a", None, "ghost")], "g string, t long, p string"
+    )
+    for direction in ("backward", "forward"):
+        rows = asof.asof_join(
+            left, right, on="t", by="g", direction=direction, how="left"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].t_right is None and rows[0].p is None, direction
+        inner = asof.asof_join(
+            left, right, on="t", by="g", direction=direction, how="inner"
+        ).collect()
+        assert inner == [], direction
+
+
 def test_asof_duplicate_build_ts_resolution(spark):
     """Two build rows at the same (by, on): the kernel keeps exactly one
     match per probe row (no row multiplication — unlike a range join)."""
