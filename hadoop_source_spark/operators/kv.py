@@ -78,14 +78,9 @@ def kv_membership(
 
 
 def with_position(df: DataFrame, order: Sequence[str], pos_col: str = "pos") -> DataFrame:
-    """ArrayFile: stable 0-based position keyed by a deterministic order.
+    """ArrayFile: stable 0-based position keyed by a deterministic order
+    (io/ArrayFile.java:38). Delegates to the distributed range-partition +
+    per-partition-offset kernel — no single-partition window, scales."""
+    from hadoop_source_spark.operators.relational import with_global_positions
 
-    Global row_number needs a total order; we window over a constant
-    partition — fine for bounded outputs, and documented as such. For
-    100 TB assign positions per-partition via zipWithIndex-style logic
-    instead (not needed by any current query).
-    """
-    from pyspark.sql import Window
-
-    w = Window.orderBy(*[F.col(c) for c in order])
-    return df.select((F.row_number().over(w) - F.lit(1)).alias(pos_col), "*")
+    return with_global_positions(df, order, pos_col)

@@ -44,6 +44,54 @@ def merge_sorted(dfs: Sequence[DataFrame], order: Sequence[str]) -> DataFrame:
     return union_all(dfs).repartitionByRange(*cols).sortWithinPartitions(*cols)
 
 
+def with_global_positions(
+    df: DataFrame, order: Sequence[str], pos_col: str = "pos"
+) -> DataFrame:
+    """Global 0-based row position in `order` — no driver row traffic, no
+    Python row path (replaces rdd.zipWithIndex, which deserializes every
+    row into Python).
+
+    ArrayFile semantics (io/ArrayFile.java:38: long position → value).
+
+    Plan: range-partition + sort within partitions (the merge_sorted
+    shape), pin partitions with a lazy localCheckpoint, then derive
+    pid/in-partition index from monotonically_increasing_id (which is
+    ``pid << 33 | local_index`` with local_index consecutive from 0 in
+    physical row order — exactly the sorted order here). One tiny count
+    job (one row per partition) builds the broadcast offset map; the
+    final job adds ``offset[pid] + local_index``. Zero extra shuffles
+    beyond the range exchange itself, at any scale.
+    """
+    cols = [F.col(c) for c in order]
+    ranged = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=False)
+    )
+    ided = ranged.select(
+        "*", F.monotonically_increasing_id().alias("__mid")
+    )
+    pid = F.shiftrightunsigned(F.col("__mid"), 33)
+    local_ix = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ided.groupBy(pid.alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    omap = F.create_map(
+        *[F.lit(x) for p, off in offsets.items() for x in (p, off)]
+    )
+    return ided.select(
+        (omap[pid] + local_ix).alias(pos_col), "*"
+    ).drop("__mid")
+
+
 def content_summary(
     df: DataFrame,
     group: Sequence[str] | str,

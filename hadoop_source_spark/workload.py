@@ -1206,18 +1206,13 @@ def merge_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
     runs = [l.filter(F.col("l_linenumber") % 3 == i) for i in range(3)]
-    merged = relational.merge_sorted(
-        runs, ["l_shipdate", "l_orderkey", "l_linenumber"]
-    ).select(
+    keys = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    merged = relational.with_global_positions(setops.union_all(runs), keys)
+    return merged.select(
+        "pos",
         "l_orderkey",
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
-    )
-    zipped = merged.rdd.zipWithIndex().map(
-        lambda t: (t[1], t[0][0], t[0][1], t[0][2])
-    )
-    return spark.createDataFrame(
-        zipped, "pos long, l_orderkey long, l_linenumber int, l_shipdate string"
     )
 
 
