@@ -167,6 +167,85 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ),
+    exact, with NO driver-side corpus materialization.
+
+    Block-pair decomposition: rows are hashed into ``num_blocks`` blocks;
+    each unordered block pair (i ≤ j) becomes one applyInPandas group
+    holding only those two blocks (≤ 2·N/B vectors), scored with one BLAS
+    product. Every unordered row pair lands in exactly one group, so the
+    result equals the all-pairs ground truth (embedding_dup_pairs) while
+    executor memory stays bounded by the block size and the driver ships
+    nothing but the B² block-pair list. Shuffle cost is B+1 copies of the
+    corpus — pick B ≈ sqrt(corpus_bytes / executor_budget) at scale.
+    Still O(N²) compute by definition of exact dedup; the sub-quadratic
+    path is lsh_topk/ivf_topk candidates + re-rank.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int",
+    )
+    blocked = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(num_blocks))
+        .cast("int")
+        .alias("__blk"),
+    )
+    side_a = blocked.join(
+        F.broadcast(pairs), on=blocked["__blk"] == pairs["bi"]
+    ).select("bi", "bj", "__id", "__vec", F.lit(0).alias("__side"))
+    side_b = blocked.join(
+        F.broadcast(pairs), on=blocked["__blk"] == pairs["bj"]
+    ).select("bi", "bj", "__id", "__vec", F.lit(1).alias("__side"))
+    both = side_a.unionByName(side_b)
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        bi, bj = key
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        am = np.array([list(v) for v in a["__vec"]], dtype=np.float64)
+        bm = np.array([list(v) for v in b["__vec"]], dtype=np.float64)
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        aids = a["__id"].to_numpy()
+        bids = b["__id"].to_numpy()
+        cos = np.round(am @ bm.T, 6)
+        rs, cs = np.where(cos >= threshold)
+        ia, ib = aids[rs], bids[cs]
+        if bi == bj:
+            # diagonal: every unordered pair appears twice (+ self-pairs);
+            # the a<b filter keeps exactly one orientation
+            keep = ia < ib
+            ia, ib, sc = ia[keep], ib[keep], cos[rs, cs][keep]
+        else:
+            # off-diagonal: blocks are disjoint, each unordered pair
+            # appears exactly once — orient by id, never drop
+            sc = cos[rs, cs]
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": sc})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

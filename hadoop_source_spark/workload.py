@@ -814,10 +814,12 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 
 @register("dedup_embedding_cosine", _EMB_DUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at ≥ 0.4 (exact all-pairs ground
-    truth; scale path = LSH/IVF candidates + re-rank)."""
+    """Embedding-cosine near-dup pairs at ≥ 0.4 — exact, via the blocked
+    block-pair kernel (bounded executor memory, zero driver-side corpus;
+    the closure-captured all-pairs version survives only as the pytest
+    ground truth)."""
     e = table(spark, sf_dir, "embeddings")
-    return sim.embedding_dup_pairs(e, threshold=0.4)
+    return sim.embedding_dup_pairs_blocked(e, threshold=0.4)
 
 
 @register("ann_cosine_ivf", None)

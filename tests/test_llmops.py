@@ -76,6 +76,24 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF top-k recall {recall}"
 
 
+def test_blocked_embedding_dedup_equals_all_pairs(spark):
+    """The blocked block-pair kernel (registered query, no driver corpus)
+    must emit exactly the same pair set + cosines as the closure-captured
+    all-pairs ground truth."""
+    e = table(spark, SF, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.embedding_dup_pairs(e, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.embedding_dup_pairs_blocked(
+            e, threshold=0.4, num_blocks=5
+        ).collect()
+    }
+    assert blocked == exact and len(exact) > 0
+
+
 def test_counting_bloom_multiplicity_and_delete(spark):
     from hadoop_source_spark.functions import bloom
 
