@@ -690,12 +690,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", None, headline=True)
+@register("dedup_minhash_lsh", _NGRAM_JACCARD_ORACLE, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidate pairs (approximate — no SQL oracle; validated
-    in tests against exact Jaccard ground truth)."""
+    """MinHash-LSH candidates + exact Jaccard verification — the
+    production near-dup pipeline (never quadratic: the exact check runs
+    only on band collisions). Oracle = all-pairs exact Jaccard; banding
+    recall at the driver scale factors is 1.0 (pytest-gated), so the
+    hash compare is exact."""
     d = table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(
+    return dd.minhash_lsh_verified_pairs(
         d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
     )
 

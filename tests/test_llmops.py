@@ -30,6 +30,21 @@ def test_minhash_recall_precision(spark, docs):
     assert precision >= 0.8, f"precision {precision}"
 
 
+def test_minhash_verified_equals_exact_jaccard(spark, docs):
+    """LSH candidates + exact verification must reproduce the all-pairs
+    exact Jaccard result bit-for-bit (this is what makes the registered
+    dedup_minhash_lsh query oracle-comparable)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert verified == exact and len(exact) > 0
+
+
 def test_simhash_identical_docs_collide(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
