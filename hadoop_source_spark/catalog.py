@@ -18,34 +18,81 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def glob_to_regex(pattern: str) -> str:
-    """Translate an fs glob (* ? [] {}) to an anchored Java/RE2 regex —
-    the semantics of common/fs/GlobPattern.java:32."""
-    out, i = [], 0
-    while i < len(pattern):
+def _glob_body(pattern: str) -> str:
+    """Recursive glob→regex translation (GlobPattern.java:32 semantics):
+    ``\\x`` escapes x literally, ``[!...]`` negates a class, ``{a,b}``
+    alternatives are themselves glob-translated (nested globs work)."""
+    out, i, n = [], 0, len(pattern)
+    while i < n:
         c = pattern[i]
-        if c == "*":
+        if c == "\\" and i + 1 < n:
+            out.append(re.escape(pattern[i + 1]))
+            i += 1
+        elif c == "*":
             out.append("[^/]*")
         elif c == "?":
             out.append("[^/]")
         elif c == "{":
-            j = pattern.index("}", i)
-            alts = pattern[i + 1 : j].split(",")
-            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
-            i = j
+            # matching close brace, honoring nesting and escapes
+            depth, j = 1, i + 1
+            alts, start = [], i + 1
+            while j < n and depth > 0:
+                if pattern[j] == "\\":
+                    j += 1
+                elif pattern[j] == "{":
+                    depth += 1
+                elif pattern[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif pattern[j] == "," and depth == 1:
+                    alts.append(pattern[start:j])
+                    start = j + 1
+                j += 1
+            if j >= n:  # unbalanced: literal brace, as GlobPattern errors->literal
+                out.append(re.escape(c))
+            else:
+                alts.append(pattern[start:j])
+                out.append("(" + "|".join(_glob_body(a) for a in alts) + ")")
+                i = j
         elif c == "[":
-            j = pattern.index("]", i + 1)
-            out.append(pattern[i : j + 1])
-            i = j
+            j = i + 1
+            if j < n and pattern[j] == "!":
+                j += 1
+            if j < n and pattern[j] == "]":  # ']' first is literal
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j >= n:
+                out.append(re.escape(c))
+            else:
+                body = pattern[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
         else:
             out.append(re.escape(c))
         i += 1
-    return "^" + "".join(out) + "$"
+    return "".join(out)
 
 
-def glob_filter(path_col: Column | str, pattern: str) -> Column:
-    """Globber.glob as a pushdown-friendly predicate."""
-    return F.col(path_col).rlike(glob_to_regex(pattern)) if isinstance(path_col, str) else path_col.rlike(glob_to_regex(pattern))
+def glob_to_regex(pattern: str) -> str:
+    """Anchored regex for an fs glob (* ? [] [!] {} \\-escape) —
+    common/fs/GlobPattern.java:32."""
+    return "^" + _glob_body(pattern) + "$"
+
+
+def glob_filter(
+    path_col: Column | str, pattern: str, case_insensitive: bool = False
+) -> Column:
+    """Globber.glob as a pushdown-friendly predicate; case_insensitive
+    gives find's ``-iname`` (shell/find/Name.java:29)."""
+    rx = glob_to_regex(pattern)
+    if case_insensitive:
+        rx = "(?i)" + rx
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return c.rlike(rx)
 
 
 def files_from_fs(spark, root: str) -> DataFrame:
@@ -89,13 +136,43 @@ def paginate(df: DataFrame, order: list[str], page_size: int):
         yield page
 
 
+def path_depth(path_col: Column | str) -> Column:
+    """Number of path components ('a/b/c' → 3)."""
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return F.size(F.split(c, "/", -1))
+
+
 def find(
     df: DataFrame,
     *predicates: Column,
+    prune: Column | None = None,
+    max_depth: int | None = None,
+    min_depth: int | None = None,
+    depth_col: str | Column | None = None,
 ) -> DataFrame:
-    """find-style composable predicate tree: AND of the given expressions
-    (shell/find/And.java:58 short-circuits; Catalyst's And does too)."""
+    """find-style composable predicate tree (shell/find/Find.java:102,
+    find/Result.java):
+
+    - predicates AND together (And.java:58 short-circuits; Catalyst's And
+      does too — PASS/FAIL).
+    - ``prune`` is the Result.STOP analog: rows in a pruned subtree are
+      excluded before any other predicate runs, the way -prune stops
+      descent (here: a predicate over the path, evaluated in the same
+      scan — still one pass, still pushdown-friendly).
+    - ``min_depth``/``max_depth`` are -mindepth/-maxdepth over the
+      component count of ``depth_col``.
+    """
     out = df
+    if prune is not None:
+        out = out.filter(~prune)
+    if max_depth is not None or min_depth is not None:
+        if depth_col is None:
+            raise ValueError("depth bounds need depth_col")
+        d = path_depth(depth_col)
+        if max_depth is not None:
+            out = out.filter(d <= max_depth)
+        if min_depth is not None:
+            out = out.filter(d >= min_depth)
     for p in predicates:
         out = out.filter(p)
     return out

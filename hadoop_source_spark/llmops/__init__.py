@@ -16,7 +16,12 @@ from hadoop_source_spark.llmops.dedup import (
     simhash_dup_pairs,
 )
 from hadoop_source_spark.llmops.similarity import brute_force_topk, lsh_topk
-from hadoop_source_spark.llmops.textstats import doc_stats, language_id, token_count
+from hadoop_source_spark.llmops.textstats import (
+    doc_profile,
+    doc_stats,
+    language_id,
+    token_count,
+)
 
 __all__ = [
     "exact_dedup",
@@ -27,6 +32,7 @@ __all__ = [
     "simhash_dup_pairs",
     "brute_force_topk",
     "lsh_topk",
+    "doc_profile",
     "doc_stats",
     "language_id",
     "token_count",

@@ -29,12 +29,8 @@ def token_count(text: Column) -> Column:
     )
 
 
-def doc_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document quality stats: token count, char classes, ratios, and a
-    deterministic quality score. Everything codegen-able, zero shuffles."""
-    text = F.col(text_col)
+def _stats_exprs(text: Column) -> list[Column]:
+    """The doc_stats output expressions (aliased), reusable in any select."""
     n_chars = F.length(text)
     n_tokens = token_count(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
@@ -52,15 +48,22 @@ def doc_stats(
         + alpha_ratio * F.lit(0.4)
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1)
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(avg_token_len, 6).alias("avg_token_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(quality, 6).alias("quality"),
-    )
+    ]
+
+
+def doc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality stats: token count, char classes, ratios, and a
+    deterministic quality score. Everything codegen-able, zero shuffles."""
+    return df.select(F.col(id_col), *_stats_exprs(F.col(text_col)))
 
 
 def _stopword_hits(text: Column, words: list[str]) -> Column:
@@ -73,30 +76,44 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
     return total
 
 
-def language_id(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _profile(
+    df: DataFrame, text_col: str, id_col: str, include_stats: bool
 ) -> DataFrame:
-    """Stopword-profile language ID: argmax over per-language whole-token
-    stopword hit counts; 'und' (undetermined) when no list scores > 0.
-    Ties resolved by language code order — deterministic."""
+    """Shared language-ID (+ optional quality-stats) projection: argmax
+    over per-language whole-token stopword hit counts; 'und' when no list
+    scores > 0. Ties resolved by language code order — deterministic.
+    Single scan, zero shuffles."""
     text = F.col(text_col)
-    scores = [
-        _stopword_hits(text, ws).alias(f"score_{lang}")
-        for lang, ws in sorted(STOPWORDS.items())
-    ]
-    scored = df.select(F.col(id_col), text, *scores)
     langs = sorted(STOPWORDS)
+    scores = [
+        _stopword_hits(text, STOPWORDS[l]).alias(f"score_{l}") for l in langs
+    ]
+    stats = _stats_exprs(text) if include_stats else []
+    stage1 = df.select(F.col(id_col), *stats, *scores)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit("und")
     for l in reversed(langs):
         pred = F.when(
             (best > 0) & (F.col(f"score_{l}") == best), F.lit(l)
         ).otherwise(pred)
-    return scored.select(
-        id_col,
-        *[F.col(f"score_{l}") for l in langs],
-        pred.alias("pred_lang"),
-    )
+    keep = [c for c in stage1.columns if c != id_col]
+    return stage1.select(id_col, *keep, pred.alias("pred_lang"))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-profile language ID (see _profile)."""
+    return _profile(df, text_col, id_col, include_stats=False)
+
+
+def doc_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """doc_stats + language_id in ONE projection — a single scan, still
+    pure codegen built-ins, zero shuffles. The per-document profile a
+    training-data pipeline computes in one pass."""
+    return _profile(df, text_col, id_col, include_stats=True)
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:

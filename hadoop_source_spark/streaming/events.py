@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -86,6 +86,56 @@ def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Typed inotify event classification (hdfs-client/inotify/Event.java:37-656
+# exposes CreateEvent/CloseEvent/AppendEvent/RenameEvent/UnlinkEvent/
+# MetadataUpdateEvent). The synthetic event_type values map onto those
+# classes; unknown types classify as OTHER rather than dropping.
+INOTIFY_CLASS = {
+    "signup": "CREATE",
+    "purchase": "CLOSE",
+    "click": "APPEND",
+    "error": "UNLINK",
+    "view": "METADATA_UPDATE",
+}
+
+
+def classify_events(col: Column | str = "event_type") -> Column:
+    """Event.EventType classifier column (works on streams and batches —
+    a pure CASE projection)."""
+    src = F.col(col) if isinstance(col, str) else col
+    c = F.lit("OTHER")
+    for k in sorted(INOTIFY_CLASS, reverse=True):
+        c = F.when(src == k, F.lit(INOTIFY_CLASS[k])).otherwise(c)
+    return c
+
+
+def typed_event_counts_stream(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Typed event classification + tumbling 1h windowed per-class counts:
+    the DFSInotifyEventInputStream consumer loop (poll → switch on
+    getEventType() → per-type handling) as a declarative watermarked
+    streaming agg. Bounded state: windows older than the watermark are
+    finalized and evicted."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour"),
+            classify_events().alias("event_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_class",
             "n_events",
             "sum_value",
         )

@@ -40,6 +40,44 @@ def test_glob_to_regex():
     assert g("[0-9]x") == "^[0-9]x$"
 
 
+def test_glob_to_regex_escapes_negation_nesting():
+    """GlobPattern.java corner semantics: \\-escape, [!...] negation,
+    glob metacharacters inside {} alternatives."""
+    g = catalog.glob_to_regex
+    assert g(r"\*.txt") == "^\\*\\.txt$"            # escaped * is literal
+    assert g("[!ab]x") == "^[^ab]x$"                # negated class
+    assert g("{a*,b?}.log") == "^(a[^/]*|b[^/])\\.log$"  # nested globs
+    assert g("{a,{b,c}}") == "^(a|(b|c))$"          # nested braces
+    rx = __import__("re").compile(g("{a*,b}"))
+    assert rx.match("aXY") and rx.match("b") and not rx.match("c")
+
+
+def test_glob_filter_iname_case_insensitive(spark, files):
+    upper = files.filter(
+        catalog.glob_filter("path", "/DATA/*/FILE1.TXT", case_insensitive=True)
+    )
+    assert upper.count() == 2
+    assert files.filter(catalog.glob_filter("path", "/DATA/*")).count() == 0
+
+
+def test_find_depth_and_prune(spark, files):
+    """-maxdepth prunes deep paths; prune (Result.STOP) excludes a
+    subtree even when other predicates match."""
+    shallow = catalog.find(
+        files, max_depth=3, depth_col=F.regexp_replace("path", "^/", "")
+    )
+    assert all(
+        r.path.strip("/").count("/") <= 2 for r in shallow.collect()
+    )
+    pruned = catalog.find(
+        files,
+        catalog.glob_filter("path", "/data/*/*"),
+        prune=catalog.glob_filter("path", "/data/a/*"),
+    )
+    paths = [r.path for r in pruned.collect()]
+    assert paths and all(not p.startswith("/data/a/") for p in paths)
+
+
 def test_glob_filter_components_dont_cross_slash(spark, files):
     # '*' must not match across path separators (GlobPattern semantics)
     got = files.filter(catalog.glob_filter("path", "/data/*/file1.txt"))

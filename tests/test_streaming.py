@@ -51,6 +51,34 @@ def test_hourly_counts_match_batch(spark, events_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_typed_counts_match_batch(spark, events_dir):
+    """Typed inotify-class classification (Event.java analog) over the
+    stream equals the same classification + window agg run as a batch."""
+    stream = se.events_stream(spark, events_dir)
+    out = se.run_to_memory(
+        se.typed_event_counts_stream(stream), "t_typed", output_mode="complete"
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour"), se.classify_events().alias("event_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_class",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(map(tuple, batch.collect()))
+    # every class present in the fixture's five event types
+    classes = {r[1] for r in got}
+    assert classes == {"CREATE", "CLOSE", "APPEND", "UNLINK", "METADATA_UPDATE"}
+
+
 def test_dedup_stream_drops_replays(spark, events_dir):
     """Replay duplicates (inotify resume) are dropped by keyed state."""
     stream = se.events_stream(spark, events_dir)
