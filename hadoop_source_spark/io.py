@@ -32,20 +32,73 @@ TEXT_CODECS = {"none", "gzip", "bzip2", "lz4", "deflate", "snappy"}
 PARQUET_CODECS = {"none", "snappy", "gzip", "zstd", "lz4", "uncompressed"}
 
 
-def write_sequence_file(df: DataFrame, path: str, key_col: str = "key",
-                        value_col: str = "value") -> None:
-    """Write a 2-column DataFrame as a REAL Hadoop SequenceFile
-    (Text/Text). Binary-compatible with the reference's readers."""
+# Writable class ↔ Spark SQL type (SURVEY §1.2 type map). The PySpark
+# Writable converters handle the Java-side boxing both directions.
+# Caveat (Pyrolite boxing): a Python int becomes java Integer when it fits
+# in 32 bits, else Long — so IntWritable is for int-range keys and
+# LongWritable for values beyond 2^31 (mixed-magnitude long columns should
+# write as Text or split; the reader side decodes either class fine).
+WRITABLE_SPARK_TYPE = {
+    "org.apache.hadoop.io.Text": "string",
+    "org.apache.hadoop.io.IntWritable": "int",
+    "org.apache.hadoop.io.LongWritable": "long",
+    "org.apache.hadoop.io.DoubleWritable": "double",
+    "org.apache.hadoop.io.BooleanWritable": "boolean",
+    "org.apache.hadoop.io.BytesWritable": "binary",
+}
+
+_SEQ_OUTPUT_FORMAT = "org.apache.hadoop.mapred.SequenceFileOutputFormat"
+
+
+def write_sequence_file(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    key_class: str = "org.apache.hadoop.io.Text",
+    value_class: str = "org.apache.hadoop.io.Text",
+    compression: str = "none",
+    codec: str = "org.apache.hadoop.io.compress.DefaultCodec",
+) -> None:
+    """Write a 2-column DataFrame as a REAL Hadoop SequenceFile —
+    binary-compatible with the reference's readers.
+
+    Fidelity options mirror SequenceFile.Writer creation
+    (common/io/SequenceFile.java:235 CompressionType NONE/RECORD/BLOCK;
+    :838 createWriter with key/value classes): `compression` picks the
+    writer variant (record-compressed / block-compressed), `codec` the
+    compression codec, and key/value Writable classes come from the
+    §1.2 type map (Text, Int/Long/Double/Boolean/BytesWritable)."""
+    kt = WRITABLE_SPARK_TYPE[key_class]
+    vt = WRITABLE_SPARK_TYPE[value_class]
     rdd = df.select(
-        F.col(key_col).cast("string"), F.col(value_col).cast("string")
+        F.col(key_col).cast(kt), F.col(value_col).cast(vt)
     ).rdd.map(tuple)
-    rdd.saveAsSequenceFile(path)
+    if compression == "none":
+        rdd.saveAsHadoopFile(path, _SEQ_OUTPUT_FORMAT, key_class, value_class)
+        return
+    if compression not in ("record", "block"):
+        raise ValueError(f"compression must be none|record|block, got {compression}")
+    conf = {
+        "mapreduce.output.fileoutputformat.compress": "true",
+        "mapreduce.output.fileoutputformat.compress.type": compression.upper(),
+        "mapreduce.output.fileoutputformat.compress.codec": codec,
+    }
+    rdd.saveAsHadoopFile(
+        path, _SEQ_OUTPUT_FORMAT, key_class, value_class,
+        conf=conf, compressionCodecClass=codec,
+    )
 
 
-def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
-    """Read a Hadoop SequenceFile into a (key, value) DataFrame."""
+def read_sequence_file(
+    spark: SparkSession, path: str, schema: str = "key string, value string"
+) -> DataFrame:
+    """Read a Hadoop SequenceFile into a (key, value) DataFrame. The
+    header's key/value classes + codec drive decoding on the Java side
+    (SequenceFile.Reader.init) — pass `schema` matching the Writable
+    types (see WRITABLE_SPARK_TYPE)."""
     rdd = spark.sparkContext.sequenceFile(path)
-    return spark.createDataFrame(rdd, "key string, value string")
+    return spark.createDataFrame(rdd, schema)
 
 
 def write_kv_sorted(df: DataFrame, path: str, key_col: str = "key",

@@ -29,6 +29,51 @@ def test_sequence_file_round_trip(spark, kv_df):
         )
 
 
+def test_sequence_file_typed_block_compressed_round_trip(spark):
+    """SequenceFile fidelity options (SequenceFile.java:235,:838):
+    block-compressed LongWritable/BytesWritable round trip, plus
+    record-compressed Int/Double — the Writable classes + CompressionType
+    surface a Hadoop-migration user needs."""
+    base = 1 << 32  # LongWritable needs past-int-range values (see io.py)
+    df = spark.range(base, base + 200).select(
+        F.col("id").alias("key"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "UTF-8").alias(
+            "value"
+        ),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        hio.write_sequence_file(
+            df, f"{d}/seq_block",
+            key_class="org.apache.hadoop.io.LongWritable",
+            value_class="org.apache.hadoop.io.BytesWritable",
+            compression="block",
+        )
+        back = hio.read_sequence_file(
+            spark, f"{d}/seq_block", schema="key long, value binary"
+        )
+        got = {r.key: bytes(r.value) for r in back.collect()}
+        assert got == {
+            i: f"payload-{i}".encode() for i in range(base, base + 200)
+        }
+
+    dbl = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("key"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        hio.write_sequence_file(
+            dbl, f"{d}/seq_rec",
+            key_class="org.apache.hadoop.io.IntWritable",
+            value_class="org.apache.hadoop.io.DoubleWritable",
+            compression="record",
+        )
+        back = hio.read_sequence_file(
+            spark, f"{d}/seq_rec", schema="key int, value double"
+        )
+        got = {r.key: r.value for r in back.collect()}
+        assert got == {i: i * 1.5 for i in range(50)}
+
+
 def test_kv_sorted_write_is_sorted_and_pruned(spark, kv_df):
     """MapFile analog: global key order across files + stats pruning."""
     with tempfile.TemporaryDirectory() as d:
