@@ -14,10 +14,16 @@ from pyspark.sql import functions as F
 
 
 def murmur3_32(*cols: Column | str, seed: int = 42) -> Column:
-    """Murmur3 32-bit (Spark's native hash; MurmurHash.java:33 analog)."""
-    return F.hash(*cols) if seed == 42 else F.expr(
-        f"hash({', '.join(str(c) for c in cols)}, {seed})"
-    )
+    """Murmur3 32-bit (Spark's native hash; MurmurHash.java:33 analog).
+
+    Spark exposes Murmur3 only with its fixed seed (42); SQL hash() takes
+    no seed argument, so any other seed cannot be honored and raises."""
+    if seed != 42:
+        raise ValueError(
+            "Spark's hash() is Murmur3 with fixed seed 42; "
+            f"seed={seed} is not expressible"
+        )
+    return F.hash(*cols)
 
 
 def xxhash64(*cols: Column | str) -> Column:

@@ -111,6 +111,10 @@ def bucket_code_expr(vec_col: str, num_planes: int, dim: int) -> Column:
     Planes are deterministic pseudo-random unit-cube vectors derived from
     xxhash64('plane', p, j) — constant-foldable, no side data to ship.
     SQL-expression form because the shift amount is a lambda variable.
+
+    `dim` MUST equal the embedding length: zip_with null-pads a shorter
+    side, nulling the plane dot products (callers should derive it from
+    the data, as lsh_topk does).
     """
     return F.expr(
         f"aggregate(sequence(0, {num_planes - 1}), 0L, (acc, p) -> "
@@ -327,12 +331,21 @@ def lsh_topk(
     query_id_col: str = "query_id",
     num_planes: int = 16,
     bands: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH banding for candidates, exact
     cosine re-rank. A candidate collides with the query on ≥1 band of
     sign bits. Recall < 1.0 by construction; verified against
-    brute_force_topk in tests."""
+    brute_force_topk in tests.
+
+    dim must equal the embedding length — zip_with would otherwise
+    null-pad and silently degrade the bucket codes. Left None (default),
+    it is derived from the corpus with one tiny first() job."""
+    if dim is None:
+        row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("empty corpus: cannot derive embedding dim")
+        dim = row["d"]
     bits_per_band = num_planes // bands
 
     band_expr = (

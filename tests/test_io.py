@@ -228,3 +228,50 @@ def test_file_checksum(spark):
     assert row.md5 == "900150983cd24fb0d6963f7d28e17f72"
     assert row.crc32 == 891568578  # zlib.crc32(b"abc")
     assert row.sha256.startswith("ba7816bf")
+
+
+def test_capacity_queue_hierarchy_pools():
+    """CapacityScheduler queue-tree parity (CapacityScheduler.java:211):
+    conf/capacity-queues.xml flattens the capacity hierarchy into FAIR
+    pools with proportional weights. Needs its own FAIR-mode context, so
+    runs in a subprocess: asserts the scheduler built every queue with
+    the configured weight/minShare and that two queues make progress
+    concurrently."""
+    import subprocess
+    import sys
+
+    script = r"""
+import threading, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("capacity-pools-test")
+         .config("spark.scheduler.mode", "FAIR")
+         .config("spark.scheduler.allocation.file",
+                 "/root/repo/conf/capacity-queues.xml")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+sc = spark.sparkContext
+expected = {"prod": (60, 16), "analytics": (30, 8),
+            "analytics.adhoc": (21, 4), "analytics.reports": (9, 2),
+            "dev": (10, 0)}
+for name, (w, ms) in expected.items():
+    pool = sc._jsc.sc().getPoolForName(name).get()
+    assert pool.weight() == w, (name, pool.weight())
+    assert pool.minShare() == ms, (name, pool.minShare())
+results = {}
+def run(pool):
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    results[pool] = spark.range(2_000_000).selectExpr("sum(id)").collect()[0][0]
+threads = [threading.Thread(target=run, args=(p,)) for p in ("prod", "dev")]
+[t.start() for t in threads]
+[t.join(120) for t in threads]
+assert results["prod"] == results["dev"] == 1999999000000
+print("POOLS-OK")
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "POOLS-OK" in out.stdout, out.stderr[-2000:]
