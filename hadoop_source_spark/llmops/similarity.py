@@ -259,16 +259,18 @@ def ivf_topk(
     query_id_col: str = "query_id",
     num_cells: int = 16,
     nprobe: int = 4,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans coarse quantizer → cell-partitioned
     corpus → probe the nprobe nearest cells per query → exact cosine
     re-rank inside them.
 
     The 100 TB shape: training samples the corpus (KMeans on a bounded
-    sample), assignment is one model.transform pass, and the search join
-    touches ~nprobe/num_cells of the corpus — an equi-join on cell id,
-    skew-safe via AQE. Centroid count scales with corpus size (rule of
-    thumb sqrt(N)); nprobe trades recall for cost.
+    sample — `train_fraction`, seeded/deterministic), assignment is one
+    model.transform pass, and the search join touches ~nprobe/num_cells
+    of the corpus — an equi-join on cell id, skew-safe via AQE. Centroid
+    count scales with corpus size (rule of thumb sqrt(N)); nprobe trades
+    recall for cost.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -277,7 +279,12 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("features"),
     )
-    model = KMeans(k=num_cells, seed=42, maxIter=10).fit(featurized)
+    train = (
+        featurized.sample(train_fraction, seed=42)
+        if train_fraction and train_fraction < 1.0
+        else featurized
+    )
+    model = KMeans(k=num_cells, seed=42, maxIter=10).fit(train)
     assigned = model.transform(featurized).select(
         id_col, vec_col, F.col("prediction").alias("cell")
     )

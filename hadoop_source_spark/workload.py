@@ -870,7 +870,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_dup_pairs_blocked(e, threshold=0.4)
 
 
-@register("ann_cosine_ivf", None)
+@register("ann_cosine_ivf", None, headline=True)
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer + nprobe cell search + exact
     re-rank (recall tested vs brute force)."""
@@ -878,7 +878,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.ivf_topk(e, q, k=10, num_cells=8, nprobe=3)
+    return sim.ivf_topk(e, q, k=10, num_cells=8, nprobe=3, train_fraction=0.25)
 
 
 @register("ann_cosine_lsh", None)
@@ -1991,13 +1991,18 @@ SELECT node, min(r) AS cluster FROM reach GROUP BY node
 """
 
 
-@register("dedup_connected_components", _CC_ORACLE)
+@register("dedup_connected_components", _CC_ORACLE, headline=True)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup canonicalization: connected components over near-dup pairs
     (min-label propagation; oracle = recursive-CTE transitive closure over
-    the same exact-Jaccard pair set)."""
+    the exact-Jaccard pair set). Pairs come from the LSH-candidates +
+    exact-verify pipeline — identical to all-pairs Jaccard on the test
+    corpora (oracle-proven via dedup_minhash_lsh) but never quadratic, so
+    the same query is bench-able at sf0.1 and sane at 100 TB."""
     d = table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    pairs = dd.minhash_lsh_verified_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    )
     return dd.dedup_clusters(pairs)
 
 
