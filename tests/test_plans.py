@@ -104,3 +104,48 @@ def test_sql_surface_matches_dataframe(spark):
     assert sorted(map(tuple, sql_df.collect())) == sorted(
         map(tuple, api_df.collect())
     )
+
+
+def test_head_tail_uses_bounded_topk_both_sides(spark):
+    """head and tail must BOTH lower to TakeOrderedAndProject (bounded
+    per-partition heaps) — no full-table single-partition window sort."""
+    df = workload.QUERIES["head_tail_lineitem"].fn(spark, SF)
+    plan = plans.executed_plan(df)
+    assert plan.count("TakeOrderedAndProject(limit=20") == 2
+    assert plans.shuffle_count(df) == 0  # windows run on the 20 survivors
+
+
+def test_ls_stat_uses_bounded_topk(spark):
+    df = workload.QUERIES["ls_stat_docs"].fn(spark, SF)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject(limit=50" in plan
+    assert plans.shuffle_count(df) == 0
+
+
+def test_string_hash_single_codegen_projection(spark):
+    """The scalar-function surface stays one whole-stage-codegen'd
+    projection over one scan: no shuffle, no Python."""
+    df = workload.QUERIES["string_hash_docs"].fn(spark, SF)
+    plan = plans.executed_plan(df)
+    assert plans.shuffle_count(df) == 0
+    # "*(1)" is the WholeStageCodegen stage marker in toString form
+    assert "*(1) Project" in plan and "Python" not in plan
+
+
+def test_blocked_embedding_dedup_plan_shape(spark):
+    """Blocked exact dedup: block-pair list broadcast, ONE hash exchange
+    on (bi,bj), Arrow-grouped BLAS kernel — and no driver-side corpus
+    (no collect happens at plan time; the closure ships only scalars)."""
+    df = workload.QUERIES["dedup_embedding_cosine"].fn(spark, SF)
+    plan = plans.executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("BroadcastExchange") == 2  # pair list, once per side
+    assert plans.shuffle_count(df) == 1  # the (bi,bj) group exchange
+
+
+def test_merge_sorted_runs_positions_stay_jvm_side(spark):
+    """Global positions come from partition offsets — no Python row path
+    (the round-1 rdd.zipWithIndex would show PythonRDD/BatchEval here)."""
+    df = workload.QUERIES["merge_sorted_runs"].fn(spark, SF)
+    plan = plans.executed_plan(df)
+    assert "Python" not in plan and "BatchEval" not in plan
