@@ -375,19 +375,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs (the oracle-checkable dedup).
 
     explode distinct shingles → self-equi-join on shingle → overlap counts.
-    At 100 TB, hot shingles skew the join; production path hashes shingles
-    to 64-bit first (done here) and drops stop-shingles above a document-
-    frequency cap (left to the caller's filter).
+    At 100 TB, hot shingles skew the join quadratically; `df_cap` drops
+    stop-shingles that appear in more than df_cap documents from the
+    universe BEFORE sizes and overlaps are computed (boilerplate carries
+    no dedup signal; the Jaccard is then exact over the capped universe —
+    the standard stop-shingle treatment). Default None = exact over all
+    shingles, the oracle configuration.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct().localCheckpoint(eager=False)  # referenced 3x below
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        # hot set is small by construction -> broadcast anti join
+        sh = sh.join(
+            F.broadcast(hot), "shingle", "left_anti"
+        ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -514,10 +529,18 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 16-bit chunks (any chunk equal
     → candidate; with 4 chunks this catches every pair within hamming 3),
-    then verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    then verify with bit_count(xor). Returns (id_a, id_b, hamming).
+
+    `bucket_cap` bounds hot-bucket blowup at extreme scale: (chunk_idx,
+    chunk) buckets holding more than bucket_cap docs (near-identical
+    boilerplate floods one bucket quadratically) are dropped before the
+    join. A pair survives if ANY of its 4 chunks stays under the cap, so
+    recall only degrades inside pathological boilerplate clusters —
+    exactly the rows a dedup pipeline wants coarser handling for."""
     sigs = simhash(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     chunk_expr = (
         "transform(sequence(0, 3), c -> named_struct("
@@ -529,6 +552,16 @@ def simhash_dup_pairs(
         "simhash",
         F.explode(F.expr(chunk_expr)).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    if bucket_cap is not None:
+        hot = (
+            chunked.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("chunk_idx", "chunk")
+        )
+        chunked = chunked.join(
+            F.broadcast(hot), ["chunk_idx", "chunk"], "left_anti"
+        )
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -2193,6 +2193,48 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_oracle() -> str:
+    return f"""
+WITH stats AS ({_DOC_STATS_ORACLE}),
+cc AS ({_CC_ORACLE}),
+exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+keep AS (
+  SELECT doc_id FROM exact
+  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
+)
+SELECT s.doc_id, s.n_tokens, s.quality
+FROM stats s JOIN keep USING (doc_id)
+WHERE s.quality >= 0.45
+"""
+
+
+@register("corpus_prep_training_set", _corpus_prep_oracle())
+def corpus_prep_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus preparation — the pipeline this engine
+    exists for, as one query: exact dedup (md5, keep min id) → near-dup
+    canonicalization (LSH-verified Jaccard pairs → connected components,
+    keep each cluster's min id) → quality gate (doc_stats score ≥ 0.45).
+    Every stage is the scale path: one hash shuffle, the bucketed
+    candidates→verify pipeline, iterative min-label propagation, and a
+    codegen'd quality projection. Oracle = same pipeline in SQL with a
+    recursive-CTE closure."""
+    d = table(spark, sf_dir, "documents")
+    exact_keep = dd.exact_dedup(d, "text", "doc_id").select("doc_id")
+    pairs = dd.minhash_lsh_verified_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    )
+    non_canonical = (
+        dd.dedup_clusters(pairs)
+        .filter(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    keep = exact_keep.join(non_canonical, "doc_id", "left_anti")
+    profile = ts.doc_stats(d, "text", "doc_id").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    return profile.join(keep, "doc_id").filter(F.col("quality") >= 0.45)
+
+
 _UNION_DISTINCT_ORACLE = """
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 UNION

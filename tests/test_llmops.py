@@ -91,6 +91,43 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF top-k recall {recall}"
 
 
+def test_skew_caps_identity_above_and_prune_below(spark, docs):
+    """df_cap (hot-shingle stop list) and bucket_cap (hot simhash bucket
+    drop) must be identity when the cap exceeds every frequency, and only
+    ever REMOVE pairs when binding — never invent them."""
+    base = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    hi = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.5, df_cap=10**6
+        ).collect()
+    }
+    assert hi == base
+    # a binding cap redefines the shingle universe, so the pair set can
+    # shift in either direction — assert it binds (fixture is stable)
+    lo = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=3).collect()
+    }
+    assert lo != base and len(lo) < len(base)
+
+    s_base = {
+        (r.id_a, r.id_b) for r in dd.simhash_dup_pairs(docs).collect()
+    }
+    assert {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_dup_pairs(docs, bucket_cap=10**6).collect()
+    } == s_base
+    s_lo = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_dup_pairs(docs, bucket_cap=2).collect()
+    }
+    assert s_lo <= s_base
+
+
 def test_blocked_embedding_dedup_equals_all_pairs(spark):
     """The blocked block-pair kernel (registered query, no driver corpus)
     must emit exactly the same pair set + cosines as the closure-captured
