@@ -66,6 +66,106 @@ def extract_meta(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return payloads.mapInPandas(batches, META_SCHEMA)
 
 
+def resize_images(
+    payloads: DataFrame, width: int = 64, height: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Thumbnail/resize step via mapInPandas — the real batch contract
+    (payload bytes in, resized bytes + dims out), with the pixel kernel
+    STUBBED: no codec libs in this container, so the 'thumbnail' is a
+    deterministic sha256-derived byte block. Swap `_fake_resize` for a
+    PIL/opencv call and nothing else changes (schema, batching,
+    partition-parallelism are the production shape)."""
+
+    def _fake_resize(b: bytes) -> bytes:  # STUB for Image.resize(...)
+        seed = hashlib.sha256(b + f"{width}x{height}".encode()).digest()
+        # tile the seed to a deterministic width*height/64-ish block
+        reps = max(1, (width * height) // (64 * len(seed)))
+        return seed * reps
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "thumbnail": pdf["payload"].map(
+                        lambda b: _fake_resize(bytes(b))
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(
+        batches, "doc_id long, width int, height int, thumbnail binary"
+    )
+
+
+def sample_frames(
+    payloads: DataFrame, num_frames: int = 4, frame_bytes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling via mapInPandas — a row-EXPANDING (UDTF-like)
+    batch kernel: each payload yields `num_frames` evenly spaced windows
+    as (doc_id, frame_idx, frame). The windowing arithmetic is the real
+    frame-sampler shape; the codec decode it would wrap is stubbed (the
+    'frames' are raw byte windows, not decoded pictures)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(b)
+                if not raw:
+                    continue
+                step = max(1, (len(raw) - frame_bytes) // max(1, num_frames - 1))
+                for i in range(num_frames):
+                    off = min(i * step, max(0, len(raw) - frame_bytes))
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return payloads.mapInPandas(
+        batches, "doc_id long, frame_idx int, frame binary"
+    )
+
+
+def embed_features(
+    payloads: DataFrame, dim: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction step: payload → fixed-dim float vector, batched
+    through Arrow. The embedding model is STUBBED with a deterministic
+    hash-seeded projection (a real encoder slots into the same kernel);
+    the output column composes directly with the similarity operators
+    (brute_force_topk / lsh_topk / ivf_topk)."""
+    import numpy as np
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            vecs = []
+            for b in pdf["payload"]:
+                seed = int.from_bytes(
+                    hashlib.sha256(bytes(b)).digest()[:8], "big"
+                ) % (2**32)
+                rs = np.random.RandomState(seed)
+                v = rs.standard_normal(dim).astype(np.float32)
+                vecs.append((v / np.linalg.norm(v)).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": vecs})
+
+    return payloads.mapInPandas(
+        batches, "doc_id long, features array<float>"
+    )
+
+
 def decode_image(payloads: DataFrame):  # pragma: no cover - stub
     """STUB: real image decode requires PIL/opencv (not in container).
 

@@ -180,6 +180,48 @@ def test_multimodal_meta_plumbing(spark, docs):
     assert 0 <= one.fake_width < 1920
 
 
+def test_multimodal_resize_frames_features(spark, docs):
+    """The full multimodal UDF surface: resize (bytes→thumbnail+dims),
+    frame sampling (row-expanding kernel), feature extraction (payload→
+    unit vector) — and the features compose with the ANN operators."""
+    payloads = mm.with_payload(docs.limit(40), "text", "doc_id")
+
+    thumbs = mm.resize_images(payloads, width=32, height=32)
+    rows = thumbs.collect()
+    assert len(rows) == 40
+    assert all(r.width == 32 and len(r.thumbnail) > 0 for r in rows)
+    again = {r.doc_id: bytes(r.thumbnail) for r in mm.resize_images(
+        payloads, width=32, height=32).collect()}
+    assert {r.doc_id: bytes(r.thumbnail) for r in rows} == again  # determinism
+
+    frames = mm.sample_frames(payloads, num_frames=4, frame_bytes=8)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 40 and all(r["count"] == 4 for r in per_doc)
+    assert all(
+        len(r.frame) <= 8 for r in frames.limit(20).collect()
+    )
+
+    feats = mm.embed_features(payloads, dim=16)
+    import numpy as np
+
+    vs = feats.collect()
+    assert len(vs) == 40 and all(len(r.features) == 16 for r in vs)
+    assert all(
+        abs(np.linalg.norm(r.features) - 1.0) < 1e-5 for r in vs
+    )
+    # composition: multimodal features drive the exact ANN operator
+    q = feats.limit(3).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("embedding")
+    )
+    corpus = feats.select("doc_id", F.col("features").alias("embedding"))
+    top = sim.brute_force_topk(
+        corpus, q, k=3, id_col="doc_id", vec_col="embedding"
+    )
+    got = {(r.query_id, r.rank): r.doc_id for r in top.collect()}
+    # rank 1 of each query is the query itself (cosine 1.0)
+    assert all(got[(qid, 1)] == qid for qid in {k[0] for k in got})
+
+
 def test_decode_image_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         mm.decode_image(mm.with_payload(docs))
