@@ -152,6 +152,19 @@ def test_dedup_clusters_known_components(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_clusters_long_chain_converges_fast(spark):
+    """Pointer halving: a 120-link chain must converge within the default
+    20 rounds (plain min-propagation would need ~120) — the O(log D)
+    guarantee that makes CC safe for pathological chains at scale."""
+    from hadoop_source_spark.llmops import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster for r in dd.dedup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(121)}
+
+
 def test_snapshot_diff_classification(spark):
     v1 = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
