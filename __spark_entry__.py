@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship query (TPC-H Q1 shape) at sf0.001.
-queries()     — every implemented operator from SURVEY.md §2 + llmops.
+queries()     — every implemented operator from SURVEY.md §2 + llmops,
+                ordered so all TPC-H shapes and one oracle-backed query
+                per operator family sit in the driver's verification
+                window (workload._WINDOW).
 oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
-                approximate operators: minhash LSH, simhash, hyperplane
-                LSH — validated in tests/ against ground truth instead).
+                approximate operators: simhash, hyperplane LSH, IVF,
+                bloom membership — validated in tests/ against ground
+                truth instead; minhash LSH is exact-verified and
+                oracle-backed).
 """
 
 from __future__ import annotations

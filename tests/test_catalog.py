@@ -163,3 +163,26 @@ def test_test_predicates(spark, files):
         (F.col("path") == "/data/a/file0.txt") & (F.col("length") > 0)
     ).count() > 0  # -s
     assert exists and isdir and nonzero
+
+
+def test_glob_to_regex_matches_fnmatch_on_simple_patterns():
+    """Property: for patterns using only * ? and literals, and paths with
+    no '/', glob matching agrees with Python's fnmatch (both implement
+    the same single-component glob semantics)."""
+    import fnmatch
+    import re as _re
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abcX.-_"
+    pat_st = st.text(alphabet=alphabet + "*?", min_size=0, max_size=8)
+    path_st = st.text(alphabet=alphabet, min_size=0, max_size=10)
+
+    @settings(max_examples=300, deadline=None)
+    @given(pat_st, path_st)
+    def check(pattern, path):
+        ours = bool(_re.match(catalog.glob_to_regex(pattern) , path))
+        ref = fnmatch.fnmatchcase(path, pattern)
+        assert ours == ref, (pattern, path)
+
+    check()
