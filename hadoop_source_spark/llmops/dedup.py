@@ -465,7 +465,7 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh_min = (
             edges.join(
                 labels.select(
@@ -476,8 +476,11 @@ def dedup_clusters(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nlabel").alias("minn"))
         )
+        # carry the pre-round label through the plan so convergence is a
+        # filter+count on this round's result — no extra old-vs-new join
         propagated = labels.join(neigh_min, "node", "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(
                 F.col("label"), F.coalesce("minn", F.col("label"))
             ).alias("label"),
@@ -491,21 +494,23 @@ def dedup_clusters(
             propagated.join(parent, "label", "left")
             .select(
                 "node",
+                "__old",
                 F.least(
                     F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.drop("__old")
+        # A round with zero changes is a fixed point (labels are monotone
+        # non-increasing), so only the LATEST round's delta matters for
+        # convergence — check every other round: half the driver actions,
+        # and the skipped round's lazy checkpoint piggybacks on the next
+        # count's job. Worst case runs one extra (idempotent) round.
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+            if changed == 0:
+                break
     return labels.select("node", F.col("label").alias("cluster"))
 
 

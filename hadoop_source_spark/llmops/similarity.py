@@ -250,6 +250,30 @@ def embedding_dup_pairs_blocked(
     )
 
 
+def _lloyd(x, k: int, iters: int = 10, seed: int = 42):
+    """Plain Lloyd's k-means on an in-memory sample (numpy, vectorized).
+
+    Deterministic (seeded init, stable argmax tie-break); empty cells are
+    re-seeded from the point farthest from its centroid so every cell id
+    stays live. Driver-side by design: the IVF coarse quantizer trains on
+    a bounded sample regardless of corpus size."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        dists = (x * x).sum(axis=1) - 2 * scores[np.arange(len(x)), assign]
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(axis=0)
+            else:
+                cent[j] = x[dists.argmax()]
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -261,38 +285,66 @@ def ivf_topk(
     nprobe: int = 4,
     train_fraction: float | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans coarse quantizer → cell-partitioned
-    corpus → probe the nprobe nearest cells per query → exact cosine
-    re-rank inside them.
+    """IVF (inverted-file) ANN: a coarse quantizer trained on a bounded
+    sample → cell-partitioned corpus → probe the nprobe nearest cells per
+    query → exact cosine re-rank inside them.
 
-    The 100 TB shape: training samples the corpus (KMeans on a bounded
-    sample — `train_fraction`, seeded/deterministic), assignment is one
-    model.transform pass, and the search join touches ~nprobe/num_cells
-    of the corpus — an equi-join on cell id, skew-safe via AQE. Centroid
-    count scales with corpus size (rule of thumb sqrt(N)); nprobe trades
-    recall for cost.
+    The 100 TB shape (the FAISS IVF recipe): the quantizer is Lloyd's
+    k-means run IN DRIVER MEMORY on a seeded bounded sample (a coarse
+    quantizer needs ~100s of points per centroid, never the corpus — one
+    numpy array, zero Spark jobs per iteration), centroids broadcast,
+    assignment is ONE Arrow-batched pass over the corpus, and the search
+    join touches ~nprobe/num_cells of the corpus — an equi-join on cell
+    id, skew-safe via AQE. Centroid count scales with corpus size (rule
+    of thumb sqrt(N)); nprobe trades recall for cost.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    featurized = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("features"),
-    )
-    train = (
-        featurized.sample(train_fraction, seed=42)
+    sample = (
+        corpus.sample(train_fraction, seed=42)
         if train_fraction and train_fraction < 1.0
-        else featurized
+        else corpus
     )
-    model = KMeans(k=num_cells, seed=42, maxIter=10).fit(train)
-    assigned = model.transform(featurized).select(
-        id_col, vec_col, F.col("prediction").alias("cell")
+    # deterministic, driver-bounded training set: ≳256 points per cell is
+    # plenty for a coarse quantizer (FAISS trains IVF the same way)
+    train_cap = max(num_cells * 256, 4096)
+    rows = (
+        sample.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+        .sort("__i")
+        .limit(train_cap)
+        .collect()
+    )
+    if len(rows) < num_cells:
+        raise ValueError(
+            f"IVF needs ≥ num_cells={num_cells} training vectors, got {len(rows)}"
+        )
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    cent = _lloyd(x, num_cells, iters=10, seed=42)
+
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def _nearest_cell_fn(vecs):
+        c = bc.value
+        m = np.asarray(list(vecs), dtype=np.float64)
+        # argmin ||v-c||² = argmax (v·c - ||c||²/2), batched BLAS
+        scores = m @ c.T - 0.5 * (c * c).sum(axis=1)
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    # module uses `from __future__ import annotations`, which stringifies
+    # hints; pandas_udf needs the real objects to infer the eval type
+    _nearest_cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _nearest_cell = pandas_udf(_nearest_cell_fn, "int")
+
+    assigned = corpus.select(
+        id_col, vec_col, _nearest_cell(F.col(vec_col)).alias("cell")
     )
 
     centroids = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            f"cell int, centroid array<double>",
+            [(i, [float(v) for v in c]) for i, c in enumerate(cent)],
+            "cell int, centroid array<double>",
         )
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
