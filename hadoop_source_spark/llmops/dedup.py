@@ -94,13 +94,25 @@ def exact_dedup(
     )
 
 
-def _arrow_minhash(num_hashes: int, shingle_n: int, text_col: str, id_col: str):
+def _arrow_minhash(
+    num_hashes: int,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    with_sets: bool = False,
+):
     """mapInPandas kernel: vectorized numpy minhash signatures.
 
     Measured ~10x the throughput of the interpreted Catalyst HOF pipeline
     on one core (pd.util.hash_array + polynomial gram combine +
     minimum.reduceat). Deterministic: fixed hash key and fixed mixer
-    constants (seed 42)."""
+    constants (seed 42).
+
+    with_sets=True additionally emits `shset`, the distinct (pre-mix)
+    gram hashes per document — the exact-Jaccard verify set — so a
+    candidates→verify pipeline needs ONE corpus pass, not two. Jaccard
+    over these hashes equals string-shingle Jaccard up to 64-bit
+    collisions, independent of hash family."""
     import numpy as np
 
     P = np.uint64(0x9E3779B97F4A7C15)
@@ -151,6 +163,7 @@ def _arrow_minhash(num_hashes: int, shingle_n: int, text_col: str, id_col: str):
                            dtype=np.uint64)
             # short docs (< n tokens): one gram = combine of all token hashes
             short = ~nonzero
+            short_at = {}
             if short.any():
                 short_grams = np.zeros(int(short.sum()), dtype=np.uint64)
                 si = 0
@@ -160,6 +173,7 @@ def _arrow_minhash(num_hashes: int, shingle_n: int, text_col: str, id_col: str):
                     for v in hh:
                         acc = acc * P + v
                     short_grams[si] = acc
+                    short_at[d_idx] = si
                     si += 1
             for i in range(num_hashes):
                 if nonzero.any():
@@ -167,12 +181,23 @@ def _arrow_minhash(num_hashes: int, shingle_n: int, text_col: str, id_col: str):
                     sigs[nonzero, i] = np.minimum.reduceat(hi, offsets[nonzero])
                 if short.any():
                     sigs[short, i] = mix(short_grams, mixers[i])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "signature": list(sigs.view(np.int64)),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "signature": list(sigs.view(np.int64)),
+            }
+            if with_sets:
+                shsets = []
+                for d_idx in range(len(pdf)):
+                    if gcounts[d_idx] > 0:
+                        seg = g[offsets[d_idx]: offsets[d_idx] + gcounts[d_idx]]
+                        shsets.append(np.unique(seg).view(np.int64))
+                    else:
+                        shsets.append(
+                            short_grams[short_at[d_idx]: short_at[d_idx] + 1]
+                            .view(np.int64)
+                        )
+                out["shset"] = shsets
+            yield pd.DataFrame(out)
 
     return batches
 
@@ -184,6 +209,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     impl: str = "arrow",
+    with_sets: bool = False,
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -206,12 +232,20 @@ def minhash_signatures(
     impl="arrow" (default) computes signatures in a vectorized numpy
     mapInPandas kernel — measured ~10x the JVM-interpreted HOF pipeline
     (higher-order functions don't participate in codegen). impl="sql"
-    keeps the pure-JVM path."""
+    keeps the pure-JVM path.
+
+    with_sets=True (arrow only) adds a `shset` column — the distinct gram
+    hashes per doc, for exact-Jaccard verification from the same pass."""
     if impl == "arrow":
+        schema = f"{id_col} long, signature array<long>"
+        if with_sets:
+            schema += ", shset array<long>"
         return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-            _arrow_minhash(num_hashes, shingle_n, text_col, id_col),
-            f"{id_col} long, signature array<long>",
+            _arrow_minhash(num_hashes, shingle_n, text_col, id_col, with_sets),
+            schema,
         )
+    if with_sets:
+        raise ValueError("with_sets requires impl='arrow'")
     hashed = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h"),
@@ -227,6 +261,68 @@ def minhash_signatures(
             id_col,
             F.array(*[f"__s{i}" for i in range(num_hashes)]).alias("signature"),
         )
+    )
+
+
+def _band_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    carry: str | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature table.
+
+    Explodes each signature into `bands` (band_idx, band_hash) keys and
+    self-equi-joins on them — the shuffle carries only the slim band keys
+    plus `carry` (optionally the signature, for estimated Jaccard; omit
+    it for a candidates-only join at minimum shuffle width). Returns
+    (id_a, id_b[, {carry}_a, {carry}_b]) with id_a < id_b, deduped."""
+    rows_per_band = num_hashes // bands
+    # band hash = xxhash64 over the band's signature components directly
+    # (no string building — multi-arg hash of longs stays cheap)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[
+                        F.element_at("signature", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ],
+                    F.lit(b),
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keep = [id_col] + ([carry] if carry else [])
+    banded = sigs.select(
+        *keep, F.explode(band_structs).alias("band")
+    ).select(*keep, "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    sel = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if carry:
+        sel += [
+            F.col(f"a.{carry}").alias(f"{carry[:3]}_a"),
+            F.col(f"b.{carry}").alias(f"{carry[:3]}_b"),
+        ]
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(*sel)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -259,45 +355,8 @@ def minhash_lsh_pairs(
     # persist-the-signature-table step.
     sigs = sigs.localCheckpoint(eager=False)
 
-    # band hash = xxhash64 over the band's signature components directly
-    # (no string building — multi-arg hash of longs stays cheap)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    *[
-                        F.element_at("signature", b * rows_per_band + j + 1)
-                        for j in range(rows_per_band)
-                    ],
-                    F.lit(b),
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        id_col, "signature", F.explode(band_structs).alias("band")
-    ).select(id_col, "signature", "band.band_idx", "band.band_hash")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _band_candidate_pairs(
+        sigs, id_col, num_hashes, bands, carry="signature"
     )
     est = (
         F.size(
@@ -333,26 +392,21 @@ def minhash_lsh_verified_pairs(
     at any scale it is the same candidates→verify shape, never quadratic:
     the verify join touches only band-colliding pairs. Candidates are NOT
     pre-filtered on estimated Jaccard — the exact filter decides.
+
+    ONE corpus pass: the Arrow kernel emits signature AND distinct
+    shingle-hash set together (checkpointed); the band join carries only
+    slim (band_idx, band_hash) keys, and the verify joins fetch the sets
+    by id from the same checkpoint — never through the band shuffle.
     """
-    cands = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n, threshold=0.0
-    ).select("id_a", "id_b")
-    # Distinct shingle-hash set per doc, computed once (lazy checkpoint:
-    # both re-rank joins reference it).
-    sets = (
-        df.select(
-            F.col(id_col),
-            F.array_distinct(
-                shingle_hashes(F.col(text_col), shingle_n)
-            ).alias("__sh"),
-        )
-        .localCheckpoint(eager=False)
+    sigsets = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, with_sets=True
+    ).localCheckpoint(eager=False)
+    cands = _band_candidate_pairs(sigsets, id_col, num_hashes, bands)
+    sa = sigsets.select(
+        F.col(id_col).alias("id_a"), F.col("shset").alias("__sh_a")
     )
-    sa = sets.select(
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
-    )
-    sb = sets.select(
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    sb = sigsets.select(
+        F.col(id_col).alias("id_b"), F.col("shset").alias("__sh_b")
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     union = (
