@@ -251,7 +251,8 @@ def embedding_dup_pairs_blocked(
 
 
 def _lloyd(x, k: int, iters: int = 10, seed: int = 42):
-    """Plain Lloyd's k-means on an in-memory sample (numpy, vectorized).
+    """Lloyd's k-means with k-means++ seeding on an in-memory sample
+    (numpy, vectorized).
 
     Deterministic (seeded init, stable argmax tie-break); empty cells are
     re-seeded from the point farthest from its centroid so every cell id
@@ -260,7 +261,18 @@ def _lloyd(x, k: int, iters: int = 10, seed: int = 42):
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    # k-means++: spread the seeds D²-proportionally — random init routinely
+    # merges nearby clusters, which a coarse quantizer can't afford
+    cent = np.empty((k, x.shape[1]), dtype=np.float64)
+    cent[0] = x[rng.randint(len(x))]
+    d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            cent[j] = x[rng.randint(len(x))]
+            continue
+        cent[j] = x[np.searchsorted(np.cumsum(d2 / total), rng.rand())]
+        d2 = np.minimum(d2, ((x - cent[j]) ** 2).sum(axis=1))
     for _ in range(iters):
         scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
         assign = scores.argmax(axis=1)

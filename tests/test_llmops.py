@@ -239,3 +239,77 @@ def test_fingerprint_stable_and_noise_robust(spark):
     fp = {r.id: r.f for r in df.select("id", fingerprint(F.col("text")).alias("f")).collect()}
     assert fp[1] == fp[2]  # whitespace-normalized
     assert fp[1] != fp[3]
+
+
+def test_lloyd_deterministic_and_covers_cells():
+    import numpy as np
+
+    from hadoop_source_spark.llmops.similarity import _lloyd
+
+    rng = np.random.RandomState(7)
+    # 4 well-separated blobs
+    x = np.concatenate(
+        [rng.randn(50, 8) * 0.05 + c for c in (0.0, 5.0, 10.0, 15.0)]
+    )
+    c1 = _lloyd(x, 4, iters=10, seed=42)
+    c2 = _lloyd(x, 4, iters=10, seed=42)
+    assert (c1 == c2).all()  # deterministic
+    # every blob center recovered to within its spread
+    means = np.array([x[i * 50:(i + 1) * 50].mean(axis=0) for i in range(4)])
+    d = ((means[:, None, :] - c1[None, :, :]) ** 2).sum(axis=2)
+    assert (d.min(axis=1) < 0.1).all()
+    # k > distinct blobs: empty-cell reseed keeps all centroids finite
+    c3 = _lloyd(x[:8], 8, iters=5, seed=42)
+    import math
+    assert all(math.isfinite(v) for v in c3.ravel())
+
+
+def test_minhash_with_sets_jaccard_matches_jvm_shingles(spark, docs):
+    """Exact Jaccard computed over the kernel's shset must equal Jaccard
+    over the JVM shingle_hashes sets (hash-family independence): same
+    verified pair set at the 0.5 threshold, same values to 6dp."""
+    via_kernel = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_verified_pairs(
+            docs, threshold=0.5
+        ).collect()
+    }
+    via_jvm = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert via_kernel == via_jvm
+
+
+def test_minhash_with_sets_short_docs(spark):
+    """Docs shorter than the shingle width still get a non-empty shset
+    (one whole-doc gram), and identical short docs get identical sets."""
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "yo there"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: list(r.shset)
+        for r in dd.minhash_signatures(df, with_sets=True).collect()
+    }
+    assert len(rows) == 4
+    assert all(len(v) >= 1 for v in rows.values())
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_band_candidate_pairs_slim_equals_carry(spark, docs):
+    """The slim (no-carry) band join must produce exactly the same
+    candidate id pairs as the signature-carrying variant."""
+    sigs = dd.minhash_signatures(docs).localCheckpoint()
+    slim = {
+        (r.id_a, r.id_b)
+        for r in dd._band_candidate_pairs(sigs, "doc_id", 64, 16).collect()
+    }
+    carried = {
+        (r.id_a, r.id_b)
+        for r in dd._band_candidate_pairs(
+            sigs, "doc_id", 64, 16, carry="signature"
+        ).collect()
+    }
+    assert slim == carried and len(slim) > 0
