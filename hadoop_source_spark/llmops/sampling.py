@@ -1,0 +1,105 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+A training-data pipeline needs REPRODUCIBLE splits: re-running the job on
+the same corpus (or an incrementally grown one) must route each document
+to the same split, with no driver-side state and no shuffle. Both
+operators here are pure per-row projections on a hashed id — zero
+shuffles, fully codegen'd, stable under repartitioning, insertion order,
+and cluster size, which `df.sample`/`randomSplit` are NOT (they depend on
+partition layout).
+
+Reference parity: Hadoop has no sampling surface; this is part of the
+LLM-data-pipeline extension (brief). The hash-bucket trick is the
+standard one (e.g. TFX/Beam's hash-mod split).
+
+Two hash families:
+- impl="xxhash" (default): Spark's xxhash64(id, seed) — production path.
+- impl="arith": multiplicative hashing in plain integer arithmetic,
+  expressible identically in any ANSI SQL engine — the oracle-comparable
+  path (cross-engine hash functions never agree, arithmetic does).
+  Intermediate products are bounded well inside int64 so ANSI-mode
+  overflow checking never trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant (2654435761 = 2^32 * phi) and a large
+# prime pre-mod keeping (id % P) * C < 2^63.
+_P = 1_000_003
+_C = 2_654_435_761
+_BUCKETS = 10_000
+
+
+def hash_bucket(
+    id_col: Column | str, seed: int = 42, impl: str = "xxhash"
+) -> Column:
+    """Deterministic bucket in [0, 10000) from an id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if impl == "xxhash":
+        return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    if impl == "arith":
+        # ((id % P + seed) * C) % BUCKETS — max intermediate ~2.7e15 < 2^63
+        return F.pmod(
+            (F.pmod(c.cast("long"), F.lit(_P)) + F.lit(seed)) * F.lit(_C),
+            F.lit(_BUCKETS),
+        )
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def _arith_bucket_sql(id_expr: str, seed: int = 42) -> str:
+    """The impl='arith' bucket as portable ANSI SQL (for oracles)."""
+    return f"((({id_expr}) % {_P} + {seed}) * {_C}) % {_BUCKETS}"
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    impl: str = "xxhash",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split, train/val/test style.
+
+    fractions maps split name -> fraction; they must sum to ≤ 1 (any
+    remainder is dropped, which doubles as deterministic subsampling).
+    Assignment = cumulative bucket ranges over hash_bucket, so it is
+    exact-per-bucket (a 0.8 fraction is exactly 8000 of the 10000
+    buckets), reproducible, and disjoint by construction.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(id_col, seed, impl)
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _BUCKETS))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    out = df.withColumn(split_col, expr)
+    return out.filter(F.col(split_col).isNotNull())
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    impl: str = "xxhash",
+) -> DataFrame:
+    """Keep a deterministic `fraction` of rows by hash threshold.
+
+    Unlike df.sample, membership depends only on (id, seed): stable
+    across runs, partitionings, and appends — the property an
+    incremental training-data pipeline needs.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return df.filter(
+        hash_bucket(id_col, seed, impl) < int(round(fraction * _BUCKETS))
+    )

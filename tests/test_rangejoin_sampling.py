@@ -1,0 +1,133 @@
+"""Range (interval) join semantics and deterministic sampling contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.data import table
+from hadoop_source_spark.llmops import sampling as smp
+from hadoop_source_spark.operators.rangejoin import range_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 15), (3, 100, 100), (4, 20, 10)],
+        "iv_id long, lo long, hi long",
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(10, 0), (11, 10), (12, 5), (13, 99), (14, 100), (15, 101), (16, 50)],
+        "pt_id long, v long",
+    )
+
+
+def _pairs(df):
+    return {(r.pt_id, r.iv_id) for r in df.collect()}
+
+
+def test_range_join_inclusive_bounds_and_overlap(spark, points, intervals):
+    got = _pairs(range_join(points, intervals, on="v", lo="lo", hi="hi", chunk=7))
+    assert got == {
+        (10, 1),           # v=0 at lo of [0,10]
+        (11, 1), (11, 2),  # v=10 at hi of [0,10] and inside [5,15]
+        (12, 1), (12, 2),  # v=5 in both
+        (14, 3),           # v=100 in the degenerate [100,100]
+    }
+    # inverted interval (lo > hi) matches nothing; v=99/101/50 match nothing
+
+
+def test_range_join_chunk_size_invariance(spark, points, intervals):
+    """The chunk width is a physical knob, never a semantic one."""
+    base = _pairs(range_join(points, intervals, on="v", lo="lo", hi="hi", chunk=7))
+    for chunk in (1, 3, 10, 1000):
+        assert (
+            _pairs(range_join(points, intervals, on="v", lo="lo", hi="hi", chunk=chunk))
+            == base
+        ), f"chunk={chunk}"
+
+
+def test_range_join_left_keeps_unmatched(spark, points, intervals):
+    out = range_join(points, intervals, on="v", lo="lo", hi="hi", chunk=7, how="left")
+    rows = {r.pt_id: r for r in out.filter(F.col("iv_id").isNull()).collect()}
+    assert set(rows) == {13, 15, 16}
+
+
+def test_range_join_equi_keys_and_no_nested_loop(spark):
+    p = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "pt_id long, k string, v long"
+    )
+    b = spark.createDataFrame(
+        [(7, "a", 0, 10)], "iv_id long, k string, lo long, hi long"
+    )
+    out = range_join(p, b, on="v", lo="lo", hi="hi", chunk=4, equi_keys=["k"])
+    assert {(r.pt_id, r.iv_id) for r in out.collect()} == {(1, 7)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_range_join_validates_args(spark, points, intervals):
+    with pytest.raises(ValueError):
+        range_join(points, intervals, on="v", lo="lo", hi="hi", chunk=0)
+    with pytest.raises(ValueError):
+        range_join(points, intervals, on="v", lo="lo", hi="hi", chunk=5, how="full")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF, "documents")
+
+
+@pytest.mark.parametrize("impl", ["xxhash", "arith"])
+def test_hash_split_partitions_the_corpus(spark, docs, impl):
+    out = smp.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, impl=impl
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # fractions sum to 1 -> total coverage
+    assert 0.7 * n <= counts["train"] <= 0.9 * n
+    # disjoint by construction: one row per doc
+    assert out.select("doc_id").distinct().count() == n
+
+
+def test_hash_split_deterministic_and_layout_independent(spark, docs):
+    a = {(r.doc_id, r.split) for r in smp.hash_split(docs, {"train": 0.5, "test": 0.5}).collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in smp.hash_split(
+            docs.repartition(13), {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hash_split_remainder_drops_rows(spark, docs):
+    out = smp.hash_split(docs, {"keep": 0.3})
+    n = docs.count()
+    assert 0.2 * n <= out.count() <= 0.4 * n
+
+
+def test_deterministic_sample_stable_under_append(spark, docs):
+    """Membership depends only on (id, seed): sampling a subset then the
+    full corpus agrees on the shared ids — the incremental-pipeline
+    contract df.sample cannot give."""
+    part = docs.filter(F.col("doc_id") % 2 == 0)
+    s_full = {r.doc_id for r in smp.deterministic_sample(docs, 0.3).collect()}
+    s_part = {r.doc_id for r in smp.deterministic_sample(part, 0.3).collect()}
+    assert s_part == {i for i in s_full if i % 2 == 0}
+
+
+def test_sampling_validates_args(spark, docs):
+    with pytest.raises(ValueError):
+        smp.deterministic_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        smp.hash_split(docs, {"a": 0.9, "b": 0.3})
+    with pytest.raises(ValueError):
+        smp.hash_bucket("doc_id", impl="nope")
