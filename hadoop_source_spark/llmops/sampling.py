@@ -85,6 +85,41 @@ def hash_split(
     return out.filter(F.col(split_col).isNotNull())
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    impl: str = "xxhash",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the class-balancing step of a
+    training mix (e.g. downsample 'en' to 20%, keep low-resource
+    languages whole).
+
+    Same zero-shuffle hash-threshold mechanics as deterministic_sample,
+    with the threshold looked up per stratum from an inline CASE (no join
+    — the fraction map is a literal in the plan). Strata missing from
+    `fractions` get `default_fraction` (0.0 = drop)."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction {frac} for stratum {name!r}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction {default_fraction}")
+    thr = None
+    for name, frac in fractions.items():
+        t = int(round(frac * _BUCKETS))
+        cond = F.col(strata_col) == name
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        thr.otherwise(int(round(default_fraction * _BUCKETS)))
+        if thr is not None
+        else F.lit(int(round(default_fraction * _BUCKETS)))
+    )
+    return df.filter(hash_bucket(id_col, seed, impl) < thr)
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

@@ -2420,6 +2420,26 @@ def split_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 1000003 + 42) * 2654435761) % 10000 <
+      CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 10000
+                WHEN 'es' THEN 5000 ELSE 2500 END
+"""
+
+
+@register("stratified_sample_docs", _STRATIFIED_ORACLE)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing training mix: per-language deterministic sampling
+    (downsample dominant 'en' to 20%, keep low-resource 'zh' whole) via
+    an inline CASE threshold — zero shuffle, no join, append-stable."""
+    d = table(spark, sf_dir, "documents")
+    return smp.stratified_sample(
+        d, "lang", {"en": 0.2, "zh": 1.0, "es": 0.5},
+        id_col="doc_id", seed=42, impl="arith", default_fraction=0.25,
+    ).select("doc_id", "lang")
+
+
 # The external driver hash-verifies a bounded prefix of queries() (round-1
 # evidence: CORRECTNESS_r01 held exactly the first 50 registered names).
 # Order the dict so every TPC-H shape and one oracle-backed query per

@@ -131,3 +131,24 @@ def test_sampling_validates_args(spark, docs):
         smp.hash_split(docs, {"a": 0.9, "b": 0.3})
     with pytest.raises(ValueError):
         smp.hash_bucket("doc_id", impl="nope")
+
+
+def test_stratified_sample_per_stratum_rates(spark, docs):
+    out = smp.stratified_sample(
+        docs, "lang", {"en": 0.1, "zh": 1.0}, default_fraction=0.5
+    )
+    n = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    k = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert k["zh"] == n["zh"]                      # kept whole
+    assert k.get("en", 0) <= 0.3 * n["en"]         # aggressively downsampled
+    for lang in set(n) - {"en", "zh"}:             # default rate strata
+        assert 0.2 * n[lang] <= k.get(lang, 0) <= 0.8 * n[lang]
+    # subset of the corpus, never invented rows
+    assert out.count() == out.join(docs, ["doc_id"], "left_semi").count()
+
+
+def test_stratified_sample_validates_args(spark, docs):
+    with pytest.raises(ValueError):
+        smp.stratified_sample(docs, "lang", {"en": 1.2})
+    with pytest.raises(ValueError):
+        smp.stratified_sample(docs, "lang", {}, default_fraction=-0.1)
