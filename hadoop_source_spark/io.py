@@ -233,3 +233,44 @@ def file_checksum(df: DataFrame, value_col: str) -> DataFrame:
         F.crc32(F.col(value_col).cast("binary")).alias("crc32"),
         F.sha2(F.col(value_col).cast("binary"), 256).alias("sha256"),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 512 * 1024 * 1024,
+    compression: str = "zstd",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~target_bytes each. Returns the number of output files.
+
+    The HDFS small-files problem (every file = NameNode heap + a map task
+    in the reference; every file = a scan task + footer fetch in Spark)
+    is THE recurring ops pain of long-running ingest at 100 TB — a
+    streaming sink writing a file per trigger per partition produces
+    millions. Compaction = one distributed read + repartition(ceil(
+    bytes/target)) + write; AQE-free deterministic file count so the
+    output layout is reproducible.
+
+    Scale note: repartition is a full shuffle of the data being
+    compacted — at 100 TB, compact per-partition-directory (date=...)
+    in independent jobs, not the whole table at once.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    jpath = jvm.Path(src)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jpath)
+    n_files = max(1, int(math.ceil(summary.getLength() / target_bytes)))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").option(
+        "compression", compression
+    ).parquet(dst)
+    return n_files

@@ -2440,6 +2440,20 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@register("approx_distinct_users", None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user sketch per event type (the §2.4 sketch family
+    next to the quantile sketch): approx_count_distinct at rsd=0.01 —
+    one map-side-mergeable sketch per group, constant memory per group at
+    any scale where exact COUNT(DISTINCT) needs a second shuffle. Bounded
+    relative error gated in pytest (approximate: no SQL oracle)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # The external driver hash-verifies a bounded prefix of queries() (round-1
 # evidence: CORRECTNESS_r01 held exactly the first 50 registered names).
 # Order the dict so every TPC-H shape and one oracle-backed query per

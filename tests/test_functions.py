@@ -163,3 +163,26 @@ def test_writable_type_map_round_trip(spark):
         back = spark.read.parquet(f"{d}/t")
         assert back.schema == schema
         assert back.count() == 1
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ sketch accuracy: within a few percent of exact distinct at
+    rsd=0.01 (the §2.4 sketch contract — test bounds, never equality)."""
+    from hadoop_source_spark.data import table
+
+    e = table(spark, "/root/testdata/sf0.01", "events")
+    approx = {
+        r.event_type: r.a
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.x
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, x in exact.items():
+        assert abs(approx[t] - x) <= max(0.05 * x, 2), (t, approx[t], x)

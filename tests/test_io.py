@@ -275,3 +275,26 @@ spark.stop()
         timeout=300,
     )
     assert "POOLS-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-files compaction: many tiny files in, ~target-sized files
+    out, content identical."""
+    from hadoop_source_spark import io as hio
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob as g
+    n_small = len(g.glob(src + "/*.parquet"))
+    assert n_small >= 32
+    n_out = hio.compact_parquet(spark, src, dst, target_bytes=10**9)
+    files = g.glob(dst + "/*.parquet")
+    assert len(files) == n_out <= 2  # total bytes << 1 GB -> one file
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hio.compact_parquet(spark, src, dst, target_bytes=0)
