@@ -349,11 +349,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # Materialize signatures once: the self-join would otherwise recompute
-    # the whole shingle→hash pipeline for BOTH sides (no exchange to reuse
-    # when the build side broadcasts). At 100 TB this is the standard
+    # Materialize signatures once — EAGERLY: the self-join references the
+    # table on both sides, and a lazy checkpoint re-runs the kernel per
+    # reference within its own first job. At 100 TB this is the standard
     # persist-the-signature-table step.
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = sigs.localCheckpoint(eager=True)
 
     pairs = _band_candidate_pairs(
         sigs, id_col, num_hashes, bands, carry="signature"
@@ -398,9 +398,13 @@ def minhash_lsh_verified_pairs(
     slim (band_idx, band_hash) keys, and the verify joins fetch the sets
     by id from the same checkpoint — never through the band shuffle.
     """
+    # EAGER checkpoint: the band join references this twice and the
+    # verify joins twice more — a lazy checkpoint would run the Arrow
+    # kernel once PER REFERENCE in the first job (lineage is only deduped
+    # after materialization). One blocking kernel pass, three cheap reads.
     sigsets = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, with_sets=True
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     cands = _band_candidate_pairs(sigsets, id_col, num_hashes, bands)
     sa = sigsets.select(
         F.col(id_col).alias("id_a"), F.col("shset").alias("__sh_a")
@@ -505,13 +509,24 @@ def dedup_clusters(
     chain of length D converges in O(log D) rounds, not O(D) — the
     standard large-graph CC acceleration (cf. the large-star/small-star
     formulation), making pathological long chains safe at 100 TB, not
-    just the short chains real dedup data produces. Lineage is cut per
-    round with localCheckpoint.
+    just the short chains real dedup data produces.
+
+    The pair set is EAGERLY localCheckpointed first: the edge build
+    references it twice, and a LAZY checkpoint does not dedupe lineage
+    within its own first job — both union branches would re-execute the
+    (expensive) pair-generation pipeline. One blocking pass here makes
+    every later reference a checkpoint read. Per-round lineage is cut
+    with lazy checkpoints (each is referenced only downstream), and
+    convergence is checked every other round (a zero-change round is a
+    fixed point regardless of history; the skipped round's work
+    piggybacks on the next count's job).
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    base = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=False)
@@ -556,11 +571,6 @@ def dedup_clusters(
             .localCheckpoint(eager=False)
         )
         labels = new_labels.drop("__old")
-        # A round with zero changes is a fixed point (labels are monotone
-        # non-increasing), so only the LATEST round's delta matters for
-        # convergence — check every other round: half the driver actions,
-        # and the skipped round's lazy checkpoint piggybacks on the next
-        # count's job. Worst case runs one extra (idempotent) round.
         if it % 2 == 1 or it == max_iter - 1:
             changed = new_labels.filter(F.col("label") != F.col("__old")).count()
             if changed == 0:

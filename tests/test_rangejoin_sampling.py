@@ -152,3 +152,42 @@ def test_stratified_sample_validates_args(spark, docs):
         smp.stratified_sample(docs, "lang", {"en": 1.2})
     with pytest.raises(ValueError):
         smp.stratified_sample(docs, "lang", {}, default_fraction=-0.1)
+
+
+def test_range_join_matches_naive_on_random_data(spark):
+    """Seeded randomized cross-check: chunked range join == naive
+    crossJoin+BETWEEN filter on 300 points x 80 intervals (overlaps,
+    degenerate and inverted intervals, negative values included)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    pts = [(int(i), int(v)) for i, v in enumerate(rng.randint(-50, 250, 300))]
+    ivs = []
+    for i in range(80):
+        lo = int(rng.randint(-60, 240))
+        ln = int(rng.randint(-5, 40))  # negative length -> inverted
+        ivs.append((int(i), lo, lo + ln))
+    p = spark.createDataFrame(pts, "pt_id long, v long")
+    b = spark.createDataFrame(ivs, "iv_id long, lo long, hi long")
+    naive = {
+        (r.pt_id, r.iv_id)
+        for r in p.crossJoin(b)
+        .filter(F.col("v").between(F.col("lo"), F.col("hi")))
+        .collect()
+    }
+    for chunk in (1, 13, 1000):
+        got = _pairs(range_join(p, b, on="v", lo="lo", hi="hi", chunk=chunk))
+        assert got == naive, f"chunk={chunk}"
+    assert len(naive) > 100  # the fixture actually exercises overlaps
+
+
+def test_sampling_queries_have_no_shuffle(spark, docs):
+    """The sampling operators must stay pure per-row projections — any
+    Exchange in the plan is a regression."""
+    for df in (
+        smp.hash_split(docs, {"a": 0.5, "b": 0.5}),
+        smp.deterministic_sample(docs, 0.3),
+        smp.stratified_sample(docs, "lang", {"en": 0.2}, default_fraction=0.5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
