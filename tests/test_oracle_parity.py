@@ -26,7 +26,7 @@ def test_nonempty_results(spark, sf_dir):
     """Queries should exercise real data — empty results would make the
     hash-compare vacuous. A few are allowed to be empty at tiny SF."""
     allowed_empty = {"dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-                     "anti_join_dormant_customers"}
+                     "dedup_jaccard_suite", "anti_join_dormant_customers"}
     empties = []
     for name, q in workload.QUERIES.items():
         n = q.fn(spark, sf_dir).count()
