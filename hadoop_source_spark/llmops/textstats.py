@@ -7,6 +7,8 @@ formulas are deterministic so every one of them is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,19 +79,25 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
 
 
 def _profile(
-    df: DataFrame, text_col: str, id_col: str, include_stats: bool
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    include_stats: bool,
+    extra_cols: Sequence[Column] | None = None,
 ) -> DataFrame:
     """Shared language-ID (+ optional quality-stats) projection: argmax
     over per-language whole-token stopword hit counts; 'und' when no list
     scores > 0. Ties resolved by language code order — deterministic.
-    Single scan, zero shuffles."""
+    Single scan, zero shuffles. `extra_cols` lets callers fuse more
+    per-row expressions into the same projection instead of paying a
+    self-join to widen the result later."""
     text = F.col(text_col)
     langs = sorted(STOPWORDS)
     scores = [
         _stopword_hits(text, STOPWORDS[l]).alias(f"score_{l}") for l in langs
     ]
     stats = _stats_exprs(text) if include_stats else []
-    stage1 = df.select(F.col(id_col), *stats, *scores)
+    stage1 = df.select(F.col(id_col), *stats, *scores, *(extra_cols or []))
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit("und")
     for l in reversed(langs):
@@ -108,12 +116,16 @@ def language_id(
 
 
 def doc_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[Column] | None = None,
 ) -> DataFrame:
     """doc_stats + language_id in ONE projection — a single scan, still
     pure codegen built-ins, zero shuffles. The per-document profile a
-    training-data pipeline computes in one pass."""
-    return _profile(df, text_col, id_col, include_stats=True)
+    training-data pipeline computes in one pass. `extra_cols` fuses
+    caller expressions (digests, string features) into the same scan."""
+    return _profile(df, text_col, id_col, include_stats=True, extra_cols=extra_cols)
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:

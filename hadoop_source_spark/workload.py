@@ -794,16 +794,15 @@ def _doc_profile_oracle() -> str:
 @register("doc_profile", None, headline=True)  # oracle attached below
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document featurization suite at one grain (doc_id): quality
-    stats + stopword-profile language ID (single codegen'd scan), the
-    Text/MD5Hash scalar+digest surface (string_hash_docs), and binary
-    payload metadata through the real mapInPandas multimodal plumbing
-    (multimodal_meta). Three scan-parallel branches joined on the key —
-    at scale each branch is shuffle-free and the join co-partitions on
-    doc_id once."""
-    profile = ts.doc_profile(table(spark, sf_dir, "documents"), "text", "doc_id")
-    strings = string_hash_docs(spark, sf_dir)
+    stats + stopword-profile language ID + the Text/MD5Hash scalar+digest
+    surface, all FUSED into one codegen'd scan (extra_cols — no
+    self-join to widen), then one join with the binary-payload metadata
+    branch, which must stay separate because it runs through the real
+    mapInPandas multimodal plumbing (multimodal_meta)."""
+    d = table(spark, sf_dir, "documents")
+    profile = ts.doc_profile(d, "text", "doc_id", extra_cols=_string_hash_cols())
     meta = multimodal_meta(spark, sf_dir)
-    return profile.join(strings, "doc_id").join(meta, "doc_id")
+    return profile.join(meta, "doc_id")
 
 
 def _langid_oracle() -> str:
@@ -1283,17 +1282,15 @@ FROM documents
 """
 
 
-@register("string_hash_docs", _STRING_HASH_ORACLE)
-def string_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Text.java + MD5Hash scalar surface in one projection:
-    substring / substring-search (1-based, 0 = absent, as Text.find+1) /
-    split / case map / concat (Text.java:136,144), regexp extraction
-    (StringUtils parsing analog), and content digests md5 + sha256 over
-    UTF-8 bytes (MD5Hash.java:35; Display.Checksum). Pure codegen
-    built-ins, zero shuffle."""
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
+def _string_hash_cols() -> list[Column]:
+    """The Text.java + MD5Hash scalar surface as a reusable expression
+    list: substring / substring-search (1-based, 0 = absent, as
+    Text.find+1) / split / case map / concat (Text.java:136,144), regexp
+    extraction (StringUtils parsing analog), and content digests md5 +
+    sha256 over UTF-8 bytes (MD5Hash.java:35; Display.Checksum). Pure
+    codegen built-ins, zero shuffle — doc_profile fuses these into its
+    single scan."""
+    return [
         F.md5(F.encode("text", "UTF-8")).alias("md5_hex"),
         F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256_hex"),
         F.substring("text", 1, 20).alias("prefix"),
@@ -1302,7 +1299,14 @@ def string_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("lang").alias("lang_upper"),
         F.concat_ws(":", "lang", "source").alias("tagged"),
         F.regexp_extract("text", r"([a-z]{6,})", 1).alias("first_long_word"),
-    )
+    ]
+
+
+@register("string_hash_docs", _STRING_HASH_ORACLE)
+def string_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone string/digest projection (see _string_hash_cols)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", *_string_hash_cols())
 
 
 _MULTIMODAL_ORACLE = """
