@@ -264,23 +264,18 @@ def minhash_signatures(
     )
 
 
-def _band_candidate_pairs(
+def _banded_keys(
     sigs: DataFrame,
     id_col: str,
     num_hashes: int,
     bands: int,
     carry: str | None = None,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs from a signature table.
-
-    Explodes each signature into `bands` (band_idx, band_hash) keys and
-    self-equi-joins on them — the shuffle carries only the slim band keys
-    plus `carry` (optionally the signature, for estimated Jaccard; omit
-    it for a candidates-only join at minimum shuffle width). Returns
-    (id_a, id_b[, {carry}_a, {carry}_b]) with id_a < id_b, deduped."""
+    """Explode a signature table into slim (id[, carry], band_idx,
+    band_hash) rows — the join key side of banded LSH. band hash =
+    xxhash64 over the band's signature components directly (no string
+    building — multi-arg hash of longs stays cheap)."""
     rows_per_band = num_hashes // bands
-    # band hash = xxhash64 over the band's signature components directly
-    # (no string building — multi-arg hash of longs stays cheap)
     band_structs = F.array(
         *[
             F.struct(
@@ -297,9 +292,27 @@ def _band_candidate_pairs(
         ]
     )
     keep = [id_col] + ([carry] if carry else [])
-    banded = sigs.select(
+    return sigs.select(
         *keep, F.explode(band_structs).alias("band")
     ).select(*keep, "band.band_idx", "band.band_hash")
+
+
+def _band_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    carry: str | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature table.
+
+    Explodes each signature into `bands` (band_idx, band_hash) keys and
+    self-equi-joins on them — the shuffle carries only the slim band keys
+    plus `carry` (optionally the signature, for estimated Jaccard; omit
+    it for a candidates-only join at minimum shuffle width). Returns
+    (id_a, id_b[, {carry}_a, {carry}_b]) with id_a < id_b, deduped."""
+    banded = _banded_keys(sigs, id_col, num_hashes, bands, carry=carry)
+    keep = [id_col] + ([carry] if carry else [])
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -665,3 +678,155 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: dedup a NEW batch against a canonical corpus through a
+# slim persisted state table — the continuously-ingesting pipeline shape.
+# ---------------------------------------------------------------------------
+
+
+def dedup_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable dedup state of a corpus: (id, text_hash, signature,
+    shset). ONE Arrow kernel pass emits signature + distinct shingle set;
+    the exact-dedup md5 joins in from a plain projection. Persist this as
+    parquet (partition count ~ corpus size); incremental batches then
+    dedup against the STATE — never against the corpus text again. The
+    state is ~1% of corpus bytes (64 longs + gram hashes vs full text),
+    and parquet column pruning lets each consumer read only the columns
+    its join needs."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, with_sets=True
+    )
+    hashes = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    return sigs.join(hashes, id_col)
+
+
+def _verified_jaccard(
+    cands: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: join the distinct
+    shingle sets by id (never through the band shuffle) and keep pairs at
+    >= threshold. cands: (id_a, id_b); sets_x: (id_x, __sh_x)."""
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (
+        F.size("__sh_a").cast("double") + F.size("__sh_b").cast("double")
+        - inter
+    )
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against a canonical corpus WITHOUT rescanning it.
+
+    Returns (kept, new_state):
+
+    - kept: batch rows surviving (1) exact dedup — text_hash already in
+      state drops the row, min id per hash wins within the batch; (2)
+      near-dup vs the corpus — LSH band collision against state
+      signatures, verified at exact Jaccard >= threshold (the corpus
+      always wins); (3) near-dup within the batch — verified pairs →
+      connected components, min id per cluster wins.
+    - new_state: state ∪ the kept rows' state — feed it to the next
+      batch. Rows already canonical stay canonical forever (stable ids).
+
+    Scale shape: each increment costs one signature pass over the BATCH
+    plus band equi-joins against the state's slim (band_idx, band_hash)
+    keys. The corpus text is never re-read; state reads prune to the
+    columns each join needs (text_hash / signature / shset). Nothing is
+    quadratic: cross and within-batch verification touch only band
+    collisions."""
+    bstate = dedup_state(
+        batch, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)  # referenced by every stage below
+
+    # (1) exact: corpus hash wins, then min id per hash within the batch
+    fresh = bstate.join(
+        state.select("text_hash"), "text_hash", "left_anti"
+    )
+    exact_keep_ids = (
+        fresh.groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    cand = bstate.join(exact_keep_ids, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+
+    # (2) near-dup vs corpus: batch × state band join (NOT a self-join —
+    # the state side is the build side; at scale both sides shuffle on
+    # the slim band key only)
+    nb = _banded_keys(cand, id_col, num_hashes, bands)
+    sb = _banded_keys(state, id_col, num_hashes, bands)
+    cross = (
+        nb.alias("n")
+        .join(
+            sb.alias("s"),
+            on=[
+                F.col("n.band_idx") == F.col("s.band_idx"),
+                F.col("n.band_hash") == F.col("s.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"s.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dup_vs_corpus = _verified_jaccard(
+        cross,
+        cand.select(F.col(id_col).alias("id_a"), F.col("shset").alias("__sh_a")),
+        state.select(F.col(id_col).alias("id_b"), F.col("shset").alias("__sh_b")),
+        threshold,
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    survivors = cand.join(dup_vs_corpus, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    # (3) near-dup within the batch: band self-join on survivors,
+    # verify, cluster, keep each cluster's min id
+    pairs = _verified_jaccard(
+        _band_candidate_pairs(survivors, id_col, num_hashes, bands),
+        survivors.select(
+            F.col(id_col).alias("id_a"), F.col("shset").alias("__sh_a")
+        ),
+        survivors.select(
+            F.col(id_col).alias("id_b"), F.col("shset").alias("__sh_b")
+        ),
+        threshold,
+    )
+    non_canonical = (
+        dedup_clusters(pairs)
+        .filter(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias(id_col))
+    )
+    kept_state = survivors.join(non_canonical, id_col, "left_anti")
+
+    kept = batch.join(kept_state.select(id_col), id_col, "left_semi")
+    new_state = state.unionByName(kept_state.select(*state.columns))
+    return kept, new_state

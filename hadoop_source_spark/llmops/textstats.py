@@ -31,6 +31,22 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pieces (the public BPE split regex, ASCII
+# form): contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs. Each match ≈ one BPE merge
+# seed, so the match count is the standard cheap token-budget estimator.
+BPE_SPLIT_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token estimate: count of GPT-2 pre-tokenizer pieces
+    (regexp_count is codegen'd JVM regex — no UDF). Estimates the token
+    budget a real BPE would produce to within the merge factor; exact
+    piece counting, deterministic, DuckDB-mirrorable
+    (len(regexp_extract_all(...)))."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_REGEX))
+
+
 def _stats_exprs(text: Column) -> list[Column]:
     """The doc_stats output expressions (aliased), reusable in any select."""
     n_chars = F.length(text)
@@ -53,6 +69,7 @@ def _stats_exprs(text: Column) -> list[Column]:
     return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        token_count_bpe(text).alias("n_tokens_bpe"),
         F.round(avg_token_len, 6).alias("avg_token_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),

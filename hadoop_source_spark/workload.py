@@ -760,12 +760,15 @@ WITH s AS (
          length(text) AS n_chars,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+           AS n_tokens_bpe,
          length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
   FROM documents
 )
-SELECT doc_id, n_chars, n_tokens,
+SELECT doc_id, n_chars, n_tokens, n_tokens_bpe,
        round(CASE WHEN n_tokens > 0
              THEN (n_chars - n_space) * 1.0 / n_tokens ELSE 0 END, 6) AS avg_token_len,
        round(CASE WHEN n_chars > 0
