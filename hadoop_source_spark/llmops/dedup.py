@@ -732,7 +732,7 @@ def _verified_jaccard(
     )
 
 
-def incremental_dedup(
+def incremental_dedup_delta(
     batch: DataFrame,
     state: DataFrame,
     text_col: str = "text",
@@ -742,25 +742,12 @@ def incremental_dedup(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
-    """Dedup a new batch against a canonical corpus WITHOUT rescanning it.
-
-    Returns (kept, new_state):
-
-    - kept: batch rows surviving (1) exact dedup — text_hash already in
-      state drops the row, min id per hash wins within the batch; (2)
-      near-dup vs the corpus — LSH band collision against state
-      signatures, verified at exact Jaccard >= threshold (the corpus
-      always wins); (3) near-dup within the batch — verified pairs →
-      connected components, min id per cluster wins.
-    - new_state: state ∪ the kept rows' state — feed it to the next
-      batch. Rows already canonical stay canonical forever (stable ids).
-
-    Scale shape: each increment costs one signature pass over the BATCH
-    plus band equi-joins against the state's slim (band_idx, band_hash)
-    keys. The corpus text is never re-read; state reads prune to the
-    columns each join needs (text_hash / signature / shset). Nothing is
-    quadratic: cross and within-batch verification touch only band
-    collisions."""
+    """Core of :func:`incremental_dedup`, returning (kept, state_delta)
+    where state_delta is ONLY the kept rows' state — the rows to APPEND
+    to the persisted state table. The append-only form is what a
+    continuously-ingesting pipeline wants: per-batch state maintenance is
+    an append of the survivors' slim rows, never a rewrite of the
+    accumulated corpus state (streaming/corpus.py builds on this)."""
     bstate = dedup_state(
         batch, text_col, id_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)  # referenced by every stage below
@@ -828,5 +815,42 @@ def incremental_dedup(
     kept_state = survivors.join(non_canonical, id_col, "left_anti")
 
     kept = batch.join(kept_state.select(id_col), id_col, "left_semi")
-    new_state = state.unionByName(kept_state.select(*state.columns))
-    return kept, new_state
+    return kept, kept_state.select(*state.columns)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against a canonical corpus WITHOUT rescanning it.
+
+    Returns (kept, new_state):
+
+    - kept: batch rows surviving (1) exact dedup — text_hash already in
+      state drops the row, min id per hash wins within the batch; (2)
+      near-dup vs the corpus — LSH band collision against state
+      signatures, verified at exact Jaccard >= threshold (the corpus
+      always wins); (3) near-dup within the batch — verified pairs →
+      connected components, min id per cluster wins.
+    - new_state: state ∪ the kept rows' state — feed it to the next
+      batch. Rows already canonical stay canonical forever (stable ids).
+
+    Scale shape: each increment costs one signature pass over the BATCH
+    plus band equi-joins against the state's slim (band_idx, band_hash)
+    keys. The corpus text is never re-read; state reads prune to the
+    columns each join needs (text_hash / signature / shset). Nothing is
+    quadratic: cross and within-batch verification touch only band
+    collisions. For a persisted state table, prefer
+    :func:`incremental_dedup_delta` + parquet append over rewriting the
+    union this function returns."""
+    kept, delta = incremental_dedup_delta(
+        batch, state, text_col, id_col, num_hashes, bands, shingle_n,
+        threshold,
+    )
+    return kept, state.unionByName(delta)

@@ -1,0 +1,148 @@
+"""Streaming dedup-on-ingest: the foreachBatch incremental-dedup loop
+over a file-source document stream must equal sequential batch
+incremental dedup, be idempotent under batch replay, and keep the state
+table append-only."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadoop_source_spark.llmops import dedup as dd
+from hadoop_source_spark.streaming import corpus as sc
+
+
+DOCS = [
+    # landing file 0 — the initial corpus
+    [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs before noon today ok"),
+        (2, "a completely different document about distributed query engines"),
+    ],
+    # landing file 1 — exact dup of 0, near dup of 1, one fresh
+    [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        (11, "pack my box with five dozen liquor jugs before noon tonight ok"),
+        (12, "entirely novel content that matches nothing in the corpus at all"),
+    ],
+    # landing file 2 — exact dup of 12 (prior batch!), internal near pair
+    [
+        (20, "entirely novel content that matches nothing in the corpus at all"),
+        (21, "spark catalyst optimizes logical plans into physical plans fast"),
+        (22, "spark catalyst optimizes logical plans into physical plans quickly"),
+    ],
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _write_landing(spark, landing, batches):
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"b{i}"))
+
+
+def _drain(spark, landing, root):
+    state_dir = os.path.join(root, "state")
+    kept_dir = os.path.join(root, "kept")
+    ckpt = os.path.join(root, "ckpt")
+    q = sc.start_dedup_ingest(
+        sc.documents_file_stream(spark, os.path.join(landing, "*")),
+        state_dir, kept_dir, ckpt, threshold=0.5,
+    )
+    q.awaitTermination()
+    return state_dir, kept_dir, ckpt
+
+
+def test_stream_equals_sequential_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_landing(spark, landing, DOCS)
+    state_dir, kept_dir, _ = _drain(spark, landing, str(tmp_path))
+
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    }
+    # sequential batch ground truth
+    state = spark.createDataFrame([], sc.state_schema())
+    expect = set()
+    for rows in DOCS:
+        batch = spark.createDataFrame(rows, SCHEMA)
+        kept, state = dd.incremental_dedup(batch, state, threshold=0.5)
+        state = state.localCheckpoint(eager=True)
+        expect |= {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == expect
+    # spot-check semantics: dups of earlier batches dropped across files
+    assert {10, 11, 20, 22}.isdisjoint(kept_ids)
+    assert {0, 1, 2, 12, 21} <= kept_ids
+
+    # state table mirrors the kept corpus and carries the slim columns
+    st = spark.read.parquet(state_dir)
+    assert {r.doc_id for r in st.select("doc_id").collect()} == kept_ids
+    assert set(st.columns) == {
+        "doc_id", "signature", "shset", "text_hash", "ingest_batch"
+    }
+
+
+def test_restart_is_exactly_once(spark, tmp_path):
+    """Re-running the drained stream with the same checkpoint discovers
+    no new files and changes nothing; adding a file processes ONLY it."""
+    landing = str(tmp_path / "landing")
+    _write_landing(spark, landing, DOCS)
+    state_dir, kept_dir, ckpt = _drain(spark, landing, str(tmp_path))
+    before = spark.read.parquet(kept_dir).count()
+
+    q = sc.start_dedup_ingest(
+        sc.documents_file_stream(spark, os.path.join(landing, "*")),
+        state_dir, kept_dir, ckpt, threshold=0.5,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(kept_dir).count() == before
+
+    # a new landing file with one dup-of-state and one fresh doc
+    spark.createDataFrame(
+        [(30, DOCS[0][0][1]), (31, "genuinely new closing document here ok")],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(landing, "b3")
+    )
+    q = sc.start_dedup_ingest(
+        sc.documents_file_stream(spark, os.path.join(landing, "*")),
+        state_dir, kept_dir, ckpt, threshold=0.5,
+    )
+    q.awaitTermination()
+    after = {
+        r.doc_id for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    }
+    assert 30 not in after and 31 in after
+    assert len(after) == before + 1
+
+
+def test_replayed_batch_overwrites_its_partition(spark, tmp_path):
+    """Simulate a crash-replay: run the same batch_id twice through the
+    sink body directly — output and state must be identical to one run
+    (dynamic partition overwrite + before_batch state pruning)."""
+    state_dir = str(tmp_path / "state")
+    kept_dir = str(tmp_path / "kept")
+    sink = sc.dedup_ingest_sink(state_dir, kept_dir, threshold=0.5)
+    b0 = spark.createDataFrame(DOCS[0], SCHEMA)
+    b1 = spark.createDataFrame(DOCS[1], SCHEMA)
+    sink(b0, 0)
+    sink(b1, 1)
+    once = sorted(
+        r.doc_id for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    )
+    sink(b1, 1)  # replay
+    twice = sorted(
+        r.doc_id for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    )
+    assert once == twice
+    st = spark.read.parquet(state_dir)
+    assert st.count() == st.select("doc_id").distinct().count()
+
+
+def test_empty_state_read(spark, tmp_path):
+    empty = sc.read_dedup_state(spark, str(tmp_path / "missing"))
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "signature", "shset", "text_hash"]
