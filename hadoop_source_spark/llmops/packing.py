@@ -1,0 +1,123 @@
+"""Training-sequence assembly: tokenize documents and pack the token
+streams into fixed-length sequences.
+
+The last mile of a training-data pipeline: after dedup/quality/sampling,
+documents become (doc_id, tokens) and then fixed-width rows an LLM
+trainer consumes. The packer is the part Spark's built-ins can't express
+(stateful accumulation across rows), so it is an Arrow-batched
+mapInPandas kernel — per-partition greedy packing, embarrassingly
+parallel, zero shuffles beyond whatever partitioning the caller chose.
+
+Scale shape: each partition packs independently and emits at most one
+partially-filled trailing sequence, so padding waste from
+parallelization is bounded by num_partitions × seq_len tokens — noise at
+100 TB (repartition the doc stream to taste first; a `repartition(N)` on
+the ingest side also load-balances doc length skew). Sequence ids are
+(partition, local index) pairs fused into one long, unique without any
+global coordination.
+
+Tokenization here is the deterministic stand-in a container without a
+real BPE vocabulary can verify: split with the public GPT-2 pre-tokenizer
+regex (textstats.BPE_SPLIT_REGEX), map each piece to a stable id by
+hashing into the vocab range. The packer is tokenizer-agnostic — feed it
+any (id, array<int>) table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.llmops.textstats import BPE_SPLIT_REGEX
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50257,
+) -> DataFrame:
+    """(id, tokens array<int>): BPE-piece split + hash-to-vocab ids.
+    Pure built-ins — regexp_extract_all then a linear transform; the
+    pmod(xxhash64) keeps ids in [0, vocab_size) deterministically."""
+    pieces = F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_REGEX), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            pieces,
+            lambda p: F.pmod(F.xxhash64(p), F.lit(vocab_size)).cast("int"),
+        ).alias("tokens"),
+    )
+
+
+def pack_sequences(
+    tokens_df: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eod_id: int | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """Greedy in-order packing of token streams into seq_len-wide rows.
+
+    Documents are concatenated in partition order (append ``eod_id``
+    after each when given), split at seq_len boundaries — a document
+    longer than the remaining room continues into the next sequence, so
+    NO tokens are dropped and none duplicated. The final sequence per
+    partition is right-padded with ``pad_id``.
+
+    Output: seq_id long (unique: partition_id << 32 | local index),
+    input_ids array<int> (exactly seq_len wide), n_tokens int (real
+    tokens, excluding padding), doc_ids array<long> (documents
+    contributing to this row, in order).
+    """
+    import pandas as pd
+
+    out_schema = (
+        "seq_id long, input_ids array<int>, n_tokens int, doc_ids array<long>"
+    )
+
+    def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid << 32
+        local = 0
+        buf: list[int] = []
+        buf_docs: list[int] = []
+
+        def flush(pad: bool):
+            nonlocal buf, buf_docs, local
+            rows = []
+            while len(buf) >= seq_len or (pad and buf):
+                chunk, buf = buf[:seq_len], buf[seq_len:]
+                n = len(chunk)
+                if n < seq_len:
+                    chunk = chunk + [pad_id] * (seq_len - n)
+                rows.append((base + local, chunk, n, list(dict.fromkeys(buf_docs))))
+                local += 1
+                # docs spanning into the remainder stay attributed there
+                buf_docs = buf_docs[-1:] if buf else []
+            return rows
+
+        for pdf in pdfs:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                buf.extend(int(t) for t in toks)
+                if eod_id is not None:
+                    buf.append(eod_id)
+                buf_docs.append(int(did))
+                rows.extend(flush(pad=False))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["seq_id", "input_ids", "n_tokens", "doc_ids"]
+                )
+        tail = flush(pad=True)
+        if tail:
+            yield pd.DataFrame(
+                tail, columns=["seq_id", "input_ids", "n_tokens", "doc_ids"]
+            )
+
+    return tokens_df.select(id_col, tokens_col).mapInPandas(pack, out_schema)

@@ -138,3 +138,23 @@ def deterministic_sample(
     return df.filter(
         hash_bucket(id_col, seed, impl) < int(round(fraction * _BUCKETS))
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Epoch shuffle for training order: global sort by xxhash64(id,
+    seed) — a pseudorandom permutation that is a pure function of (id,
+    seed), so it is reproducible across runs and partitionings, and each
+    epoch's seed yields an independent order. One range-partitioned sort
+    shuffle (Spark's sort is a sampled range exchange — hash values are
+    uniform by construction, so the ranges are balanced and skew-free);
+    `num_partitions` sets the output file count for the writer."""
+    out = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []),
+        F.xxhash64(F.col(id_col), F.lit(seed)),
+    ).sortWithinPartitions(F.xxhash64(F.col(id_col), F.lit(seed)))
+    return out

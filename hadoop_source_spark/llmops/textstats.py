@@ -78,11 +78,17 @@ def _stats_exprs(text: Column) -> list[Column]:
 
 
 def doc_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[Column] | None = None,
 ) -> DataFrame:
     """Per-document quality stats: token count, char classes, ratios, and a
-    deterministic quality score. Everything codegen-able, zero shuffles."""
-    return df.select(F.col(id_col), *_stats_exprs(F.col(text_col)))
+    deterministic quality score. Everything codegen-able, zero shuffles.
+    `extra_cols` fuses caller expressions into the same scan."""
+    return df.select(
+        F.col(id_col), *_stats_exprs(F.col(text_col)), *(extra_cols or [])
+    )
 
 
 def _stopword_hits(text: Column, words: list[str]) -> Column:
@@ -143,6 +149,47 @@ def doc_profile(
     training-data pipeline computes in one pass. `extra_cols` fuses
     caller expressions (digests, string features) into the same scan."""
     return _profile(df, text_col, id_col, include_stats=True, extra_cols=extra_cols)
+
+
+# PII span patterns, ordered: URL before email (a URL may embed an
+# '@'), email before phone (digits in mailbox names must not become
+# phone fragments). ASCII-class regexes only, valid in both Java regex
+# and RE2 so the DuckDB oracle and Python `re` ground truth can run the
+# exact same patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column, kinds: Sequence[str] | None = None) -> Column:
+    """Replace PII spans with typed placeholders — the scrubbing stage of
+    a training-data pipeline. A chain of codegen'd regexp_replace calls
+    (one scan each, zero shuffles, no UDF); order is load-bearing, see
+    PII_PATTERNS."""
+    out = text
+    for kind, pattern, token in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind PII span counts (audit columns), aliased n_pii_{kind}."""
+    return [
+        F.regexp_count(text, F.lit(pattern)).alias(f"n_pii_{kind}")
+        for kind, pattern, _ in PII_PATTERNS
+    ]
+
+
+def normalize_text(text: Column, lowercase: bool = True) -> Column:
+    """Canonical whitespace/case normalization: collapse all whitespace
+    runs to single spaces, trim, optionally lowercase. The usual prelude
+    to hashing/shingling so formatting differences don't defeat dedup."""
+    out = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.lower(out) if lowercase else out
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:

@@ -2226,6 +2226,17 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_redact_sql(col: str) -> str:
+    """DuckDB mirror of textstats.redact_pii: the same RE2-compatible
+    patterns chained in the same order ('g' = replace all, matching Java
+    regexp_replace's default)."""
+    out = col
+    for _, pattern, token in ts.PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{token}', 'g')"
+    return out
+
+
 def _corpus_prep_oracle() -> str:
     return f"""
 WITH stats AS ({_DOC_STATS_ORACLE}),
@@ -2234,9 +2245,13 @@ exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 keep AS (
   SELECT doc_id FROM exact
   WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
+),
+clean AS (
+  SELECT doc_id, length({_pii_redact_sql("text")}) AS clean_len
+  FROM documents
 )
-SELECT s.doc_id, s.n_tokens, s.quality
-FROM stats s JOIN keep USING (doc_id)
+SELECT s.doc_id, s.n_tokens, s.quality, c.clean_len
+FROM stats s JOIN keep USING (doc_id) JOIN clean c USING (doc_id)
 WHERE s.quality >= 0.45
 """
 
@@ -2262,9 +2277,12 @@ def corpus_prep_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     keep = exact_keep.join(non_canonical, "doc_id", "left_anti")
-    profile = ts.doc_stats(d, "text", "doc_id").select(
-        "doc_id", "n_tokens", "quality"
-    )
+    profile = ts.doc_stats(
+        d, "text", "doc_id",
+        extra_cols=[
+            F.length(ts.redact_pii(F.col("text"))).alias("clean_len")
+        ],
+    ).select("doc_id", "n_tokens", "quality", "clean_len")
     return profile.join(keep, "doc_id").filter(F.col("quality") >= 0.45)
 
 
