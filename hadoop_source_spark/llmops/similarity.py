@@ -459,3 +459,91 @@ def lsh_topk(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the storage/IO scale lever for ANN.
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(v * 127 /
+    max|v|), carried with its float32 scale — 4x smaller than float32
+    storage (the difference between an embedding store fitting executor
+    page cache at 100 TB or not). Pure built-ins, zero shuffles;
+    dequantized value = q * scale, scale = max|v| / 127. Vectors of all
+    zeros get scale 0 and an all-zero code (dequantizes exactly).
+
+    Cosine over quantized vectors is scale-INVARIANT: the per-vector
+    scale cancels in q·q' / (|q||q'|), so search needs only the int8
+    codes — scales matter only for dot-product/L2 reconstruction."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    qvec = F.when(amax > 0, F.transform(
+        v, lambda x: F.round(x.cast("double") * 127.0 / amax).cast("tinyint")
+    )).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        scale.cast("float").alias("scale"),
+    )
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """array<float> reconstruction of a quantized vector."""
+    return F.transform(qvec, lambda q: (q.cast("double") * scale).cast("float"))
+
+
+def brute_force_topk_quantized(
+    corpus_q: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k over an int8-quantized corpus (qvec, scale) —
+    same contract as brute_force_topk but the corpus scan reads 1/4 the
+    bytes. Scoring dequantizes per Arrow batch into one float32 matrix
+    and uses the same BLAS product; cosine is computed on the quantized
+    values (scale cancels), so results differ from the float path only
+    by the ±1/254 rounding of each component."""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            m = np.array([list(v) for v in pdf["qvec"]], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = np.round((m / norms) @ qn.T, 6)
+            nrow, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qids, nrow),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nq),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scored = corpus_q.select(F.col(id_col), F.col("qvec")).mapInPandas(
+        batches, f"{query_id_col} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
