@@ -297,12 +297,33 @@ def _banded_keys(
     ).select(*keep, "band.band_idx", "band.band_hash")
 
 
+def _cap_buckets(
+    banded: DataFrame, key_cols: list[str], bucket_cap: int
+) -> DataFrame:
+    """Drop LSH buckets holding more than bucket_cap members before the
+    pair join — the skew guard for boilerplate-heavy corpora, where one
+    hot bucket (N near-identical docs) would emit N² pairs into one
+    task. One extra count-aggregate + anti-join on the SAME key the pair
+    join shuffles on. A dropped bucket only loses a pair if NO other
+    bucket under the cap contains it; truly near-identical docs collide
+    in every band, so cap-dropped groups should be handled by the exact
+    stage upstream (identical docs) or a bigger cap."""
+    hot = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > bucket_cap)
+        .select(*key_cols)
+    )
+    return banded.join(hot, key_cols, "left_anti")
+
+
 def _band_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
     num_hashes: int,
     bands: int,
     carry: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a signature table.
 
@@ -310,8 +331,11 @@ def _band_candidate_pairs(
     self-equi-joins on them — the shuffle carries only the slim band keys
     plus `carry` (optionally the signature, for estimated Jaccard; omit
     it for a candidates-only join at minimum shuffle width). Returns
-    (id_a, id_b[, {carry}_a, {carry}_b]) with id_a < id_b, deduped."""
+    (id_a, id_b[, {carry}_a, {carry}_b]) with id_a < id_b, deduped.
+    ``bucket_cap`` drops hot buckets (see _cap_buckets)."""
     banded = _banded_keys(sigs, id_col, num_hashes, bands, carry=carry)
+    if bucket_cap is not None:
+        banded = _cap_buckets(banded, ["band_idx", "band_hash"], bucket_cap)
     keep = [id_col] + ([carry] if carry else [])
 
     a = banded.alias("a")
@@ -394,6 +418,7 @@ def minhash_lsh_verified_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH band collisions for
     candidate generation, EXACT n-gram-Jaccard verification on the
@@ -418,7 +443,9 @@ def minhash_lsh_verified_pairs(
     sigsets = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, with_sets=True
     ).localCheckpoint(eager=True)
-    cands = _band_candidate_pairs(sigsets, id_col, num_hashes, bands)
+    cands = _band_candidate_pairs(
+        sigsets, id_col, num_hashes, bands, bucket_cap=bucket_cap
+    )
     sa = sigsets.select(
         F.col(id_col).alias("id_a"), F.col("shset").alias("__sh_a")
     )

@@ -144,3 +144,31 @@ def test_token_count_bpe_matches_duckdb(spark, sf_dir):
         f"FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
     ).fetchall()
     assert spark_counts == {i: n for i, n in duck}
+
+
+def test_band_bucket_cap_bounds_boilerplate(spark):
+    """A corpus of near-identical boilerplate docs explodes the band
+    self-join quadratically; bucket_cap drops the hot buckets and keeps
+    the pair count bounded while distinct near-dup pairs elsewhere
+    survive."""
+    boiler = [
+        (i, "identical boilerplate legal disclaimer text repeated verbatim")
+        for i in range(40)
+    ]
+    pair = [
+        (100, "one genuinely real near duplicate document pair lives quite "
+              "happily inside this little test corpus today"),
+        (101, "one genuinely real near duplicate document pair lives quite "
+              "happily inside this little test corpus tonight"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    capped = dd.minhash_lsh_verified_pairs(
+        df, threshold=0.5, bucket_cap=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got
+    # every boilerplate bucket exceeds the cap in all bands -> no 40x40 blowup
+    assert all(a >= 100 for a, _ in got)
+    # uncapped control: the boilerplate clique is quadratic
+    full = dd.minhash_lsh_verified_pairs(df, threshold=0.5).count()
+    assert full >= 40 * 39 / 2
