@@ -174,3 +174,45 @@ def test_deterministic_shuffle(spark, sf_dir):
     assert o1 != o3  # epochs differ
     assert sorted(o1) == sorted(o3)  # both are permutations
     assert o1 != sorted(o1)  # actually shuffled
+
+
+# ---------------------------------------------------------------------------
+# property-based: packing invariants under random corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(1, 1000), min_size=0, max_size=70),
+        min_size=1,
+        max_size=30,
+    ),
+    seq_len=st.sampled_from([16, 32, 64]),
+    eod=st.sampled_from([None, -1]),
+)
+def test_packing_invariants_random(spark, docs, seq_len, eod):
+    """For any corpus and seq_len: (a) the concatenated non-pad token
+    stream per partition equals the input docs' streams in order, (b)
+    every row is exactly seq_len wide, (c) n_tokens accounts for eod
+    markers."""
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>"
+    ).coalesce(1)
+    out = sorted(
+        pk.pack_sequences(df, seq_len=seq_len, eod_id=eod).collect(),
+        key=lambda r: r.seq_id,
+    )
+    stream = [t for r in out for t in r.input_ids[: r.n_tokens]]
+    want = []
+    for _, d in rows:
+        want.extend(d)
+        if eod is not None:
+            want.append(eod)
+    assert stream == want
+    assert all(len(r.input_ids) == seq_len for r in out)
+    total = sum(len(d) for d in docs) + (len(docs) if eod is not None else 0)
+    assert sum(r.n_tokens for r in out) == total
