@@ -149,3 +149,39 @@ def test_merge_sorted_runs_positions_stay_jvm_side(spark):
     df = workload.QUERIES["merge_sorted_runs"].fn(spark, SF)
     plan = plans.executed_plan(df)
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_quantize_and_redact_zero_shuffle(spark):
+    """Quantization and PII redaction are pure projections — no exchange
+    anywhere in the plan."""
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import similarity as sim
+    from hadoop_source_spark.llmops import textstats as ts
+
+    emb = table(spark, SF, "embeddings")
+    assert plans.shuffle_count(sim.quantize_embeddings(emb)) == 0
+    docs = table(spark, SF, "documents")
+    red = docs.select(ts.redact_pii(F.col("text")).alias("t"))
+    assert plans.shuffle_count(red) == 0
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """deterministic_shuffle is exactly one range exchange (plus its
+    boundary-sampling pass) — no extra shuffles sneak in."""
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import sampling as sp
+
+    d = table(spark, SF, "documents").select("doc_id")
+    plan = plans.executed_plan(sp.deterministic_shuffle(d))
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_packing_is_single_stage(spark):
+    """pack_sequences adds no shuffle over its input partitioning."""
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import packing as pk
+
+    docs = table(spark, SF, "documents")
+    out = pk.pack_sequences(pk.tokenize(docs), seq_len=64)
+    assert plans.shuffle_count(out) == 0
