@@ -1,0 +1,82 @@
+"""Keyed upsert: latest-version-wins merge and partition-pruned rewrite
+(the fsimage + edit-log checkpoint analog)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from hadoop_source_spark.operators import upsert as up
+
+SCHEMA = "k long, day string, v string, txid long"
+
+BASE = [
+    (1, "d1", "a", 10),
+    (2, "d1", "b", 11),
+    (3, "d2", "c", 12),
+    (4, "d3", "d", 13),
+]
+UPDATES = [
+    (2, "d1", "b2", 20),   # update existing key
+    (5, "d2", "e", 21),    # insert new key
+    (3, "d2", "c0", 5),    # STALE update (lower txid) — must lose
+]
+
+
+def test_upsert_latest_wins(spark):
+    base = spark.createDataFrame(BASE, SCHEMA)
+    updates = spark.createDataFrame(UPDATES, SCHEMA)
+    got = {
+        r.k: (r.v, r.txid)
+        for r in up.upsert(base, updates, ["k"], "txid").collect()
+    }
+    assert got == {
+        1: ("a", 10), 2: ("b2", 20), 3: ("c", 12), 4: ("d", 13),
+        5: ("e", 21),
+    }
+
+
+def test_partitioned_upsert_rewrites_only_touched(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(BASE, SCHEMA)
+    base.write.partitionBy("day").parquet(tbl)
+    d3_files_before = sorted(os.listdir(os.path.join(tbl, "day=d3")))
+
+    updates = spark.createDataFrame(UPDATES, SCHEMA)
+    touched = up.partitioned_upsert(
+        spark, tbl, updates, ["k"], "txid", "day"
+    )
+    assert sorted(touched) == ["d1", "d2"]
+
+    got = {r.k: (r.v, r.txid) for r in spark.read.parquet(tbl).collect()}
+    assert got == {
+        1: ("a", 10), 2: ("b2", 20), 3: ("c", 12), 4: ("d", 13),
+        5: ("e", 21),
+    }
+    # the untouched partition's files were not rewritten
+    assert sorted(os.listdir(os.path.join(tbl, "day=d3"))) == d3_files_before
+
+
+def test_partitioned_upsert_empty_updates_is_noop(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame(BASE, SCHEMA).write.partitionBy("day").parquet(tbl)
+    touched = up.partitioned_upsert(
+        spark, tbl,
+        spark.createDataFrame([], SCHEMA), ["k"], "txid", "day",
+    )
+    assert touched == []
+    assert spark.read.parquet(tbl).count() == len(BASE)
+
+
+def test_tombstone_delete(spark):
+    """Deletes as tombstones: newest version carries a deleted flag the
+    reader filters — the edit-log convention."""
+    base = spark.createDataFrame(BASE, SCHEMA).withColumn(
+        "deleted", F.lit(False)
+    )
+    tomb = spark.createDataFrame([(4, "d3", "d", 30)], SCHEMA).withColumn(
+        "deleted", F.lit(True)
+    )
+    merged = up.upsert(base, tomb, ["k"], "txid").filter(~F.col("deleted"))
+    assert {r.k for r in merged.collect()} == {1, 2, 3}
