@@ -345,9 +345,11 @@ def _band_candidate_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
     ]
     if carry:
+        # Full-name aliases ({carry}_a) — a truncated prefix would
+        # collide for carried columns sharing the first characters.
         sel += [
-            F.col(f"a.{carry}").alias(f"{carry[:3]}_a"),
-            F.col(f"b.{carry}").alias(f"{carry[:3]}_b"),
+            F.col(f"a.{carry}").alias(f"{carry}_a"),
+            F.col(f"b.{carry}").alias(f"{carry}_b"),
         ]
     return (
         a.join(
@@ -398,7 +400,7 @@ def minhash_lsh_pairs(
     est = (
         F.size(
             F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                F.zip_with("signature_a", "signature_b", lambda x, y: x == y),
                 lambda m: m,
             )
         ).cast("double")

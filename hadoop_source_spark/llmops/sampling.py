@@ -70,6 +70,8 @@ def hash_split(
     exact-per-bucket (a 0.8 fraction is exactly 8000 of the 10000
     buckets), reproducible, and disjoint by construction.
     """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
@@ -152,9 +154,15 @@ def deterministic_shuffle(
     epoch's seed yields an independent order. One range-partitioned sort
     shuffle (Spark's sort is a sampled range exchange — hash values are
     uniform by construction, so the ranges are balanced and skew-free);
-    `num_partitions` sets the output file count for the writer."""
+    `num_partitions` sets the output file count for the writer.
+
+    ``id_col`` is a secondary sort key so rows with duplicate ids (or a
+    64-bit hash collision) still land in a deterministic relative order —
+    without it the epoch order would be reproducible only up to ties."""
     out = df.repartitionByRange(
         *([num_partitions] if num_partitions else []),
         F.xxhash64(F.col(id_col), F.lit(seed)),
-    ).sortWithinPartitions(F.xxhash64(F.col(id_col), F.lit(seed)))
+    ).sortWithinPartitions(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
     return out

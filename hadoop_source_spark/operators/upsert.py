@@ -27,10 +27,19 @@ from pyspark.sql import functions as F
 def latest_wins(
     df: DataFrame, key_cols: list[str], version_col: str
 ) -> DataFrame:
-    """One row per key: the highest version (ties broken arbitrarily but
-    deterministically by preferring later input order is NOT guaranteed —
-    make versions unique per key, as txids are)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    """One row per key: the highest version. Duplicate (key, version)
+    rows are resolved by a deterministic tiebreak over every remaining
+    column, so a replayed upsert always keeps the SAME surviving row —
+    the idempotence the fsimage/edit-log analog requires (txids are
+    unique in the reference; here we tolerate collisions instead)."""
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in df.columns
+        if c not in key_cols and c != version_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), *tiebreak
+    )
     return (
         df.select("*", F.row_number().over(w).alias("__rn"))
         .filter(F.col("__rn") == 1)

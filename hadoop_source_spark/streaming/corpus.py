@@ -29,12 +29,10 @@ hashes + one md5 per doc vs full text), partitioned by arrival batch;
 each stage's state read prunes to the columns it joins on (parquet
 column pruning: text_hash for the exact stage, signature for the band
 join, shset for verification). Compact old batch partitions with
-``io.compact_small_files`` when micro-batches are small.
+``io.compact_parquet`` when micro-batches are small.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +50,22 @@ def state_schema(id_col: str = "doc_id", id_type: str = "long") -> str:
     )
 
 
+def _state_exists(spark: SparkSession, state_dir: str) -> bool:
+    """Probe through the Hadoop FileSystem API so hdfs:///s3a:// state
+    dirs behave like file:// — an os.path probe would silently report an
+    empty state on any non-local scheme and re-admit every duplicate."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_dedup_state(
     spark: SparkSession,
     state_dir: str,
@@ -65,9 +79,7 @@ def read_dedup_state(
     failed attempt's rows (partition pruning on ingest_batch makes the
     filter free)."""
     schema = state_schema(id_col, id_type)
-    if not os.path.isdir(state_dir) or not any(
-        not n.startswith(("_", ".")) for n in os.listdir(state_dir)
-    ):
+    if not _state_exists(spark, state_dir):
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema + f", {_BATCH_COL} int").parquet(state_dir)
     if before_batch is not None:
