@@ -40,30 +40,46 @@ def main() -> None:
         except Exception as exc:  # warmup must never fail the bench
             print(f"# warmup {_name}: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    spreads: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in workload.headline_queries().items():
-        best, n = None, 0
-        for _rep in range(2):  # min-of-2: steady-state, not scheduler noise
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        reps: list[float] = []
+        n = 0
+        # min-of-3 with spread: steady-state, not scheduler noise; a broken
+        # query records null + its error and never kills the whole run.
+        for _rep in range(3):
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                reps.append(time.perf_counter() - t0)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                break
+        if reps:
+            timings[name] = round(min(reps), 3)
+            spreads[name] = round(max(reps) - min(reps), 3)
+            print(
+                f"# {name}: {timings[name]:.3f}s (+{spreads[name]:.3f}s spread, {n} rows)",
+                file=sys.stderr,
+            )
+        else:
+            timings[name] = None
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -55,11 +55,20 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in the parquet; with nanosAsLong it
-    # arrives as long nanos — truncate to micros (matches DuckDB).
+    # The driver's parquet timestamp physical type has changed across
+    # generations (TIMESTAMP(NANOS) → timestamp[us] no-tz). Normalize every
+    # shape to plain TIMESTAMP (LTZ) so downstream unix_micros()/interval
+    # arithmetic always analyzes:
+    #  - bigint: nanosAsLong rescue for TIMESTAMP(NANOS) footers — truncate
+    #    to micros (matches DuckDB's nanos→micros behavior).
+    #  - TIMESTAMP_NTZ: lossless cast under the UTC session pin (belt and
+    #    braces — tune() also disables NTZ inference, but the driver may
+    #    hand us a session whose reads predate that conf).
     for field in df.schema.fields:
         if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

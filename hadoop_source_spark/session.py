@@ -43,9 +43,16 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    # read as long nanos and convert in data.table() (truncation to micros,
-    # matching DuckDB's nanos→micros behavior).
+    # Testdata parquet stores timestamp[us] WITHOUT a timezone; left alone,
+    # Spark 4.x infers TIMESTAMP_NTZ and every unix_micros()/timestamp
+    # arithmetic call site fails analysis. With the session pinned UTC the
+    # NTZ→LTZ reading is lossless, so disable NTZ inference and read plain
+    # TIMESTAMP. (data.table() also casts defensively in case the driver
+    # session pre-dates this conf or the footer changes again.)
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Older generations of the testdata carried TIMESTAMP(NANOS), which
+    # vanilla Spark rejects; keep the long-nanos escape hatch so data.table()
+    # can rescue that shape too (truncation to micros, matching DuckDB).
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
