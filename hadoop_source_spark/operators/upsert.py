@@ -22,6 +22,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_orderable(dt: T.DataType) -> bool:
+    """Mirror Catalyst's RowOrdering.isOrderable: maps never sort; arrays
+    and structs are orderable iff their element/field types are."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def latest_wins(
@@ -29,13 +42,21 @@ def latest_wins(
 ) -> DataFrame:
     """One row per key: the highest version. Duplicate (key, version)
     rows are resolved by a deterministic tiebreak over every remaining
-    column, so a replayed upsert always keeps the SAME surviving row —
-    the idempotence the fsimage/edit-log analog requires (txids are
-    unique in the reference; here we tolerate collisions instead)."""
+    ORDERABLE column, so a replayed upsert always keeps the SAME surviving
+    row — the idempotence the fsimage/edit-log analog requires (txids are
+    unique in the reference; here we tolerate collisions instead).
+    Non-orderable columns (map<k,v>) are skipped: Spark cannot ORDER BY
+    them, and a key whose orderable columns tie is identical for the
+    caller's purposes anyway."""
+    orderable = {
+        f.name
+        for f in df.schema.fields
+        if _is_orderable(f.dataType)
+    }
     tiebreak = [
         F.col(c).desc_nulls_last()
         for c in df.columns
-        if c not in key_cols and c != version_col
+        if c not in key_cols and c != version_col and c in orderable
     ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(), *tiebreak

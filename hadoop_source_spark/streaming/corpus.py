@@ -53,10 +53,25 @@ def state_schema(id_col: str = "doc_id", id_type: str = "long") -> str:
 def _state_exists(spark: SparkSession, state_dir: str) -> bool:
     """Probe through the Hadoop FileSystem API so hdfs:///s3a:// state
     dirs behave like file:// — an os.path probe would silently report an
-    empty state on any non-local scheme and re-admit every duplicate."""
-    jvm = spark._jvm
+    empty state on any non-local scheme and re-admit every duplicate.
+
+    The Py4J gateway (spark._jvm) is absent under Spark Connect; there we
+    fall back to attempting the read itself, which is scheme-correct on
+    the server side (AnalysisException ⇒ no state)."""
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+    except AttributeError:
+        jvm = jsc = None
+    if jvm is None or jsc is None:  # Spark Connect session
+        from pyspark.errors import AnalysisException
+
+        try:
+            return bool(spark.read.parquet(state_dir).take(1))
+        except AnalysisException:
+            return False
     path = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
     if not fs.exists(path):
         return False
     for status in fs.listStatus(path):

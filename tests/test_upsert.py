@@ -80,3 +80,18 @@ def test_tombstone_delete(spark):
     )
     merged = up.upsert(base, tomb, ["k"], "txid").filter(~F.col("deleted"))
     assert {r.k for r in merged.collect()} == {1, 2, 3}
+
+
+def test_upsert_with_map_column(spark):
+    """map<k,v> columns are not orderable — the deterministic tiebreak
+    must skip them instead of raising AnalysisException (ADVICE r3)."""
+    rows = [
+        (1, 1, "a", {"x": "1"}),
+        (1, 2, "a2", {"x": "2"}),
+        (2, 1, "b", {"y": "9"}),
+    ]
+    schema = "k long, txid long, v string, props map<string,string>"
+    df = spark.createDataFrame(rows, schema)
+    out = up.latest_wins(df, ["k"], "txid")
+    got = {r.k: (r.txid, r.v) for r in out.collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b")}
