@@ -1143,7 +1143,12 @@ GROUP BY n.n_name
 
 @register("q22_global_sales_opportunity", _Q22_ORACLE)
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar subquery threshold + anti join."""
+    """TPC-H Q22 shape: scalar subquery threshold + anti join.
+
+    The avg-balance threshold stays IN the plan as a broadcast cross join
+    of a 1-row aggregate (the DataFrame spelling of a scalar subquery) —
+    one job, no mid-plan driver collect, so the whole query schedules as
+    a single plan even when chained under further transformations."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
@@ -1151,11 +1156,12 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(table(spark, sf_dir, "nation"))
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal"))
-        .collect()[0][0]
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .join(n, F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
@@ -1560,12 +1566,21 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_typed_oracle() -> str:
-    from hadoop_source_spark.streaming.events import INOTIFY_CLASS
+    from hadoop_source_spark.streaming.events import (
+        INOTIFY_CLASS,
+        INOTIFY_CLASS_ODD,
+    )
 
-    case = "CASE " + " ".join(
+    k_odd = "CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1"
+    odd_arms = " ".join(
+        f"WHEN event_type = '{k}' AND {k_odd} THEN '{v}'"
+        for k, v in sorted(INOTIFY_CLASS_ODD.items())
+    )
+    base_arms = " ".join(
         f"WHEN event_type = '{k}' THEN '{v}'"
         for k, v in sorted(INOTIFY_CLASS.items())
-    ) + " ELSE 'OTHER' END"
+    )
+    case = f"CASE {odd_arms} {base_arms} ELSE 'OTHER' END"
     return f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        {case} AS event_class,
