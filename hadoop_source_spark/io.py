@@ -101,6 +101,73 @@ def read_sequence_file(
     return spark.createDataFrame(rdd, schema)
 
 
+def write_sequence_file_map(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    key_class: str = "org.apache.hadoop.io.Text",
+) -> None:
+    """Composite-Writable write: a map<k,v> column as REAL MapWritable
+    values (common/io/MapWritable.java:37). Round-trips through any Hadoop
+    SequenceFile reader — MapWritable has the no-arg constructor the
+    reader's ReflectionUtils.newInstance needs, and Spark's Writable
+    converter boxes dict entries to typed Writables per MapWritable's
+    class-id table (MapWritable.java:152 readFields)."""
+    kt = WRITABLE_SPARK_TYPE[key_class]
+    rdd = df.select(
+        F.col(key_col).cast(kt).alias("k"), F.col(value_col).alias("v")
+    ).rdd.map(lambda r: (r.k, dict(r.v)))
+    rdd.saveAsHadoopFile(
+        path, _SEQ_OUTPUT_FORMAT, key_class, "org.apache.hadoop.io.MapWritable"
+    )
+
+
+def read_sequence_file_map(
+    spark: SparkSession, path: str, schema: str = "key string, value map<string,bigint>"
+) -> DataFrame:
+    """Read MapWritable-valued SequenceFiles back to a map column."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema)
+
+
+def write_sequence_file_array(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    key_class: str = "org.apache.hadoop.io.Text",
+) -> None:
+    """Composite-Writable write for array<T> columns
+    (common/io/ArrayWritable.java:46).
+
+    ArrayWritable itself has NO no-arg constructor, so even Hadoop's own
+    SequenceFile.Reader cannot re-instantiate it reflectively — every real
+    Hadoop pipeline writes a concrete subclass. From Python we cannot
+    define a Java subclass, so we use the interoperable encoding instead:
+    each array becomes a MapWritable of {IntWritable index → element},
+    readable by ANY Hadoop reader as a standard MapWritable (and by
+    ``read_sequence_file_array`` as the original array)."""
+    kt = WRITABLE_SPARK_TYPE[key_class]
+    rdd = df.select(
+        F.col(key_col).cast(kt).alias("k"), F.col(value_col).alias("v")
+    ).rdd.map(lambda r: (r.k, {i: v for i, v in enumerate(r.v)}))
+    rdd.saveAsHadoopFile(
+        path, _SEQ_OUTPUT_FORMAT, key_class, "org.apache.hadoop.io.MapWritable"
+    )
+
+
+def read_sequence_file_array(
+    spark: SparkSession, path: str, schema: str = "key string, value array<bigint>"
+) -> DataFrame:
+    """Read index-keyed MapWritable SequenceFiles back to an array column,
+    restoring element order from the integer keys."""
+    rdd = spark.sparkContext.sequenceFile(path).map(
+        lambda kv: (kv[0], [v for _, v in sorted(kv[1].items())])
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
 def write_kv_sorted(df: DataFrame, path: str, key_col: str = "key",
                     num_partitions: int | None = None) -> None:
     """MapFile analog: globally key-sorted parquet. Range partitioning
@@ -187,18 +254,63 @@ def write_bucketed(
     )
 
 
+def read_avro_text(spark: SparkSession, path: str) -> DataFrame:
+    """Display.Text's Avro branch (Display.java:124-164,
+    AvroFileInputStream:258): dump each Avro datum as one JSON line.
+
+    The SQL avro datasource is an external module; this path decodes the
+    object-container format with the pure-Python codec in
+    functions/avro_lite.py, fanned out one-file-per-task via the
+    binaryFile source + mapInPandas — the same per-file-stream
+    parallelism the shell command has, with Arrow batch transfer."""
+    import pandas as pd
+
+    from hadoop_source_spark.functions.avro_lite import records_to_json
+
+    def dump(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield pd.DataFrame({"value": records_to_json(bytes(content))})
+
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select("content").mapInPandas(dump, "value string")
+
+
+def _sniff_magic(p: str) -> str:
+    """Magic-byte dispatch, exactly Display.Text's order (Display.java:
+    124-164: gzip → SequenceFile → Avro → raw)."""
+    try:
+        with open(p, "rb") as f:
+            head = f.read(4)
+    except OSError:
+        return ""
+    if head[:2] == b"\x1f\x8b":
+        return "text"  # gzip: transparently decompressed by the text source
+    if head[:3] == b"SEQ":
+        return "sequence"
+    if head == b"Obj\x01":
+        return "avro"
+    if head == b"PAR1":
+        return "parquet"
+    return ""
+
+
 def cat(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Display.Cat/Text (common/fs/shell/Display.java:72,116): read any
-    supported container, auto-sniffing the format from the extension the
-    way Display.Text dispatches on magic bytes (:124-164). SequenceFile
-    dirs decode to (key, value) text — the `-text` behavior."""
+    supported container, auto-sniffing the format from magic bytes the
+    way Display.Text does (:124-164 — gzip/SequenceFile/Avro), falling
+    back to extension and directory-listing heuristics. SequenceFile dirs
+    decode to (key, value) text, Avro files to JSON lines — the `-text`
+    behavior."""
     if fmt is None:
         p = path.rstrip("/")
+        if os.path.isfile(p):
+            fmt = _sniff_magic(p)
         ext = p.rsplit(".", 1)[-1].lower() if "." in os.path.basename(p) else ""
-        fmt = {
+        fmt = fmt or {
             "parquet": "parquet", "csv": "csv", "json": "json",
             "txt": "text", "text": "text", "orc": "orc",
-            "gz": "text", "bz2": "text",
+            "gz": "text", "bz2": "text", "avro": "avro",
         }.get(ext, "")
         if not fmt:
             # directory: sniff by contained file names
@@ -210,6 +322,8 @@ def cat(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
                 fmt = "parquet"
             elif any(n.endswith(".orc") for n in names):
                 fmt = "orc"
+            elif any(n.endswith(".avro") for n in names):
+                fmt = "avro"
             elif any(n.endswith((".txt", ".json", ".csv", ".gz", ".bz2"))
                      for n in names):
                 fmt = "text"
@@ -219,6 +333,8 @@ def cat(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
                 fmt = "text"
     if fmt == "sequence":
         return read_sequence_file(spark, path)
+    if fmt == "avro":
+        return read_avro_text(spark, path)
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", True).option("inferSchema", True)

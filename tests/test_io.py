@@ -298,3 +298,82 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         hio.compact_parquet(spark, src, dst, target_bytes=0)
+
+
+def test_sequence_file_map_round_trip(spark):
+    """Composite Writable: map<string,long> column as REAL MapWritable
+    values (MapWritable.java:37) — write → read-back equality."""
+    df = spark.createDataFrame(
+        [("k1", {"a": 1, "b": 2}), ("k2", {"c": 3}), ("k3", {})],
+        "key string, value map<string,bigint>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/seqmap"
+        hio.write_sequence_file_map(df, path)
+        back = hio.read_sequence_file_map(spark, path)
+        assert sorted((r.key, dict(r.value)) for r in back.collect()) == sorted(
+            (r.key, dict(r.value)) for r in df.collect()
+        )
+
+
+def test_sequence_file_array_round_trip(spark):
+    """Composite Writable: array<long> column via the index-keyed
+    MapWritable encoding (ArrayWritable.java:46 has no no-arg ctor, so
+    raw ArrayWritable is unreadable even to Hadoop itself) — order must
+    survive the round trip."""
+    df = spark.createDataFrame(
+        [("k1", [3, 1, 2]), ("k2", [10]), ("k3", [])],
+        "key string, value array<bigint>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/seqarr"
+        hio.write_sequence_file_array(df, path)
+        back = hio.read_sequence_file_array(spark, path)
+        assert sorted((r.key, list(r.value)) for r in back.collect()) == sorted(
+            (r.key, list(r.value)) for r in df.collect()
+        )
+
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "note", "type": ["null", "string"]},
+    ],
+}
+AVRO_RECORDS = [
+    {"id": 1, "name": "a", "score": 1.5, "tags": ["x", "y"],
+     "attrs": {"n": 2}, "note": "hi"},
+    {"id": 2, "name": "b", "score": -0.25, "tags": [],
+     "attrs": {}, "note": None},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_round_trip(codec):
+    """Pure-Python Avro container: encode → decode identity for the core
+    schema surface, null and deflate codecs."""
+    from hadoop_source_spark.functions import avro_lite as al
+
+    blob = al.encode_container(AVRO_SCHEMA, AVRO_RECORDS, codec=codec)
+    assert list(al.decode_container(blob)) == AVRO_RECORDS
+
+
+def test_cat_sniffs_avro_magic(spark, tmp_path):
+    """Display.Text's Avro branch (Display.java:124-164): an Avro file
+    with NO extension is recognized by magic bytes and dumped as one
+    JSON line per datum."""
+    import json as _json
+
+    from hadoop_source_spark.functions import avro_lite as al
+
+    p = tmp_path / "noext_avro_file"
+    p.write_bytes(al.encode_container(AVRO_SCHEMA, AVRO_RECORDS, codec="deflate"))
+    out = hio.cat(spark, str(p))
+    rows = sorted(r.value for r in out.collect())
+    parsed = sorted((_json.loads(v)["id"], _json.loads(v)["name"]) for v in rows)
+    assert parsed == [(1, "a"), (2, "b")]
+    assert len(rows) == 2
