@@ -92,10 +92,15 @@ def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-# Typed inotify event classification (hdfs-client/inotify/Event.java:37-656
-# exposes CreateEvent/CloseEvent/AppendEvent/RenameEvent/UnlinkEvent/
-# MetadataUpdateEvent). The synthetic event_type values map onto those
-# classes; unknown types classify as OTHER rather than dropping.
+# Typed inotify event classification. hdfs-client/inotify/Event.java
+# exposes SEVEN event classes: CreateEvent(:102), CloseEvent(:37),
+# AppendEvent(:270), RenameEvent(:491), MetadataUpdateEvent(:316),
+# UnlinkEvent(:610), TruncateEvent(:656). The synthetic feed has five
+# event_type values, so two of them are subdivided by the parity of the
+# `k` key every props JSON carries: an error either removed the file
+# (UNLINK) or shortened it (TRUNCATE); a view either touched metadata
+# (METADATA_UPDATE) or moved the path (RENAME). Unknown types classify
+# as OTHER rather than dropping.
 INOTIFY_CLASS = {
     "signup": "CREATE",
     "purchase": "CLOSE",
@@ -104,14 +109,34 @@ INOTIFY_CLASS = {
     "view": "METADATA_UPDATE",
 }
 
+# (event_type, k is odd) → the subdivided class; even/missing k keeps the
+# base class above.
+INOTIFY_CLASS_ODD = {
+    "error": "TRUNCATE",
+    "view": "RENAME",
+}
 
-def classify_events(col: Column | str = "event_type") -> Column:
+
+def classify_events(
+    col: Column | str = "event_type", props: Column | str | None = None
+) -> Column:
     """Event.EventType classifier column (works on streams and batches —
-    a pure CASE projection)."""
+    a pure CASE projection, JVM-side json path extraction).
+
+    With ``props`` given, emits the full 7-class surface
+    (RenameEvent/TruncateEvent included); without it, the 5 base classes.
+    """
     src = F.col(col) if isinstance(col, str) else col
     c = F.lit("OTHER")
     for k in sorted(INOTIFY_CLASS, reverse=True):
         c = F.when(src == k, F.lit(INOTIFY_CLASS[k])).otherwise(c)
+    if props is not None:
+        p = F.col(props) if isinstance(props, str) else props
+        k_odd = F.get_json_object(p, "$.k").cast("bigint") % 2 == 1
+        for t in sorted(INOTIFY_CLASS_ODD, reverse=True):
+            c = F.when(
+                (src == t) & k_odd, F.lit(INOTIFY_CLASS_ODD[t])
+            ).otherwise(c)
     return c
 
 
@@ -127,7 +152,7 @@ def typed_event_counts_stream(
         stream.withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", "1 hour"),
-            classify_events().alias("event_class"),
+            classify_events(props="props").alias("event_class"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -60,7 +60,10 @@ def test_typed_counts_match_batch(spark, events_dir):
     )
     batch = (
         spark.read.parquet(events_dir)
-        .groupBy(F.window("ts", "1 hour"), se.classify_events().alias("event_class"))
+        .groupBy(
+            F.window("ts", "1 hour"),
+            se.classify_events(props="props").alias("event_class"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
@@ -74,9 +77,13 @@ def test_typed_counts_match_batch(spark, events_dir):
     )
     got = sorted(map(tuple, out.collect()))
     assert got == sorted(map(tuple, batch.collect()))
-    # every class present in the fixture's five event types
+    # ALL SEVEN Event.java classes appear (RenameEvent/TruncateEvent come
+    # from the props-parity subdivision of view/error)
     classes = {r[1] for r in got}
-    assert classes == {"CREATE", "CLOSE", "APPEND", "UNLINK", "METADATA_UPDATE"}
+    assert classes == {
+        "CREATE", "CLOSE", "APPEND", "UNLINK", "METADATA_UPDATE",
+        "RENAME", "TRUNCATE",
+    }
 
 
 def test_dedup_stream_drops_replays(spark, events_dir):
