@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas on mapInPandas.
 
-The decode/resize/frame-sample kernels need codec libraries that are NOT
-in this container — those steps are STUBBED (clearly marked) behind
-deterministic fakes, but the Spark-side plumbing is real and tested:
-schema contract, Arrow batch shape, partition-parallel mapInPandas, and
-the metadata extraction path.
+Decode and resize are REAL for the uncompressed image codecs (24-bit
+BMP, binary PPM — pure-numpy kernels in llmops/imagecodec.py).
+Compressed codecs (JPEG/PNG) and audio/video decode need libraries NOT
+in this container — those remain STUBBED (clearly marked): magic-sniffed
+and loudly NotImplementedError, with deterministic fakes where a
+fallback keeps the pipeline testable. The Spark-side plumbing is real
+and tested throughout: schema contract, Arrow batch shape,
+partition-parallel mapInPandas, and the metadata extraction path.
 
 Scale notes: mapInPandas streams Arrow record batches — no per-row Python
 overhead; binary payloads stay out of shuffles unless explicitly selected
@@ -70,18 +73,32 @@ def resize_images(
     payloads: DataFrame, width: int = 64, height: int = 64,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Thumbnail/resize step via mapInPandas — the real batch contract
-    (payload bytes in, resized bytes + dims out), with the pixel kernel
-    STUBBED: no codec libs in this container, so the 'thumbnail' is a
-    deterministic sha256-derived byte block. Swap `_fake_resize` for a
-    PIL/opencv call and nothing else changes (schema, batching,
-    partition-parallelism are the production shape)."""
+    """Thumbnail/resize step via mapInPandas — payload bytes in, resized
+    bytes + dims out. REAL for the uncompressed codecs: BMP/PPM payloads
+    decode (imagecodec.decode_any), nearest-neighbor resample to
+    width×height, and re-encode in their own format. Non-image payloads
+    (the text stand-ins used at test scale) keep the deterministic
+    sha256-derived fake so the pipeline shape is exercised end-to-end
+    even where no codec applies; compressed codecs raise in decode_any
+    and also fall back to the fake."""
 
-    def _fake_resize(b: bytes) -> bytes:  # STUB for Image.resize(...)
-        seed = hashlib.sha256(b + f"{width}x{height}".encode()).digest()
-        # tile the seed to a deterministic width*height/64-ish block
-        reps = max(1, (width * height) // (64 * len(seed)))
-        return seed * reps
+    from hadoop_source_spark.llmops.imagecodec import (
+        decode_any,
+        encode_bmp,
+        encode_ppm,
+        nn_resize,
+    )
+
+    def _resize(b: bytes) -> bytes:
+        try:
+            codec, arr = decode_any(b)
+        except (ValueError, NotImplementedError):
+            # fake thumbnail for non-image / compressed payloads
+            seed = hashlib.sha256(b + f"{width}x{height}".encode()).digest()
+            reps = max(1, (width * height) // (64 * len(seed)))
+            return seed * reps
+        small = nn_resize(arr, width, height)
+        return encode_bmp(small) if codec == "bmp" else encode_ppm(small)
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -93,7 +110,7 @@ def resize_images(
                     "width": width,
                     "height": height,
                     "thumbnail": pdf["payload"].map(
-                        lambda b: _fake_resize(bytes(b))
+                        lambda b: _resize(bytes(b))
                     ),
                 }
             )
@@ -166,14 +183,52 @@ def embed_features(
     )
 
 
-def decode_image(payloads: DataFrame):  # pragma: no cover - stub
-    """STUB: real image decode requires PIL/opencv (not in container).
+def decode_image(
+    payloads: DataFrame, id_col: str = "doc_id", on_error: str = "raise"
+) -> DataFrame:
+    """REAL image decode for the uncompressed codecs (24-bit BMP, binary
+    PPM — pure-numpy kernels in llmops/imagecodec.py), inside the same
+    mapInPandas batch contract as extract_meta: payload bytes in, RGB8
+    pixel tensor out as (width, height, flattened h*w*3 bytes).
 
-    The production implementation decodes inside mapInPandas with the same
-    batch contract as extract_meta (payload bytes in, pixel tensor or
-    thumbnail bytes out).
+    Compressed codecs (JPEG/PNG) remain STUBBED: their magic is sniffed
+    and raises NotImplementedError — a codec library would slot into
+    imagecodec.DECODERS and nothing else changes. on_error="skip" drops
+    undecodable payloads instead (the corrupt-file-tolerant corpus path).
     """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv which are not installed; "
-        "use extract_meta for the metadata path"
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+
+    from hadoop_source_spark.llmops.imagecodec import decode_any
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, codecs, widths, heights, pixels = [], [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    codec, arr = decode_any(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(doc_id)
+                codecs.append(codec)
+                heights.append(arr.shape[0])
+                widths.append(arr.shape[1])
+                pixels.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "codec": pd.Series(codecs, dtype="object"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pixels": pd.Series(pixels, dtype="object"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        batches,
+        "doc_id long, codec string, width int, height int, pixels binary",
     )

@@ -222,9 +222,17 @@ def test_multimodal_resize_frames_features(spark, docs):
     assert all(got[(qid, 1)] == qid for qid in {k[0] for k in got})
 
 
-def test_decode_image_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(mm.with_payload(docs))
+def test_decode_image_rejects_non_image_payloads(spark, docs):
+    """decode_image is REAL for BMP/PPM now (test_imagecodec.py); text
+    payloads have no image magic and must fail loudly in raise mode."""
+    with pytest.raises(Exception, match="unknown image payload"):
+        mm.decode_image(mm.with_payload(docs)).collect()
+    # compressed codecs remain stubbed: JPEG magic → NotImplementedError
+    jpeg = spark.createDataFrame(
+        [(1, b"\xff\xd8\xe0fake-jpeg-bytes")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="codec library"):
+        mm.decode_image(jpeg).collect()
 
 
 def test_fingerprint_stable_and_noise_robust(spark):
@@ -313,3 +321,22 @@ def test_band_candidate_pairs_slim_equals_carry(spark, docs):
         ).collect()
     }
     assert slim == carried and len(slim) > 0
+
+
+def test_ivf_topk_deterministic_with_train_fraction(spark):
+    """End-to-end IVF determinism THROUGH the sampled training path.
+    Guards a PySpark sample() footgun: a positional fraction in the
+    withReplacement slot silently drops an explicit seed, making the
+    quantizer (and thus the probe set) random per call."""
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    runs = [
+        {(r.query_id, r.vec_id, r.rank)
+         for r in sim.ivf_topk(
+             e, q, k=10, num_cells=8, nprobe=3, train_fraction=0.5
+         ).collect()}
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
