@@ -45,7 +45,10 @@ def merge_sorted(dfs: Sequence[DataFrame], order: Sequence[str]) -> DataFrame:
 
 
 def with_global_positions(
-    df: DataFrame, order: Sequence[str], pos_col: str = "pos"
+    df: DataFrame,
+    order: Sequence[str],
+    pos_col: str = "pos",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global 0-based row position in `order` — no driver row traffic, no
     Python row path (replaces rdd.zipWithIndex, which deserializes every
@@ -87,9 +90,48 @@ def with_global_positions(
     omap = F.create_map(
         *[F.lit(x) for p, off in offsets.items() for x in (p, off)]
     )
-    return ided.select(
+    out = ided.select(
         (omap[pid] + local_ix).alias(pos_col), "*"
     ).drop("__mid")
+    if total_col is not None:
+        # the offsets pass already knows the total — attach it as a
+        # literal instead of paying a second count job
+        out = out.withColumn(total_col, F.lit(acc))
+    return out
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[str],
+    buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY order)`` WITHOUT the
+    single-partition global window sort Spark would otherwise plan
+    (WindowExec warns 'Moving all data to a single partition').
+
+    Built on with_global_positions (range exchange + per-partition sort +
+    broadcast offsets), then the standard NTILE split arithmetic: with n
+    rows in k buckets, the first ``n % k`` buckets take ``n div k + 1``
+    rows. Same result as F.ntile, but every stage is partition-parallel —
+    the plan that still works when `order` spans 10^12 rows.
+
+    Note: positions are < 2^53, so the floor/ceil double arithmetic below
+    is exact at any realistic scale.
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    pos = with_global_positions(df, order, pos_col="__gpos", total_col="__n")
+    p = F.col("__gpos") + 1  # 1-based rank
+    n = F.col("__n")
+    base = F.floor(n / buckets)
+    rem = n % buckets
+    cut = rem * (base + 1)  # rows living in the size-(base+1) buckets
+    bucket = (
+        F.when(p <= cut, F.ceil(p / (base + 1)))
+        .otherwise(rem + F.ceil((p - cut) / F.greatest(base, F.lit(1))))
+    )
+    return pos.withColumn(bucket_col, bucket.cast("int")).drop("__gpos", "__n")
 
 
 def content_summary(

@@ -448,6 +448,116 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.snapshot_diff(v1, v2, keys=["o_orderkey"], compare=["o_totalprice"])
 
 
+_UPSERT_DIFF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderkey AS inode, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_orderkey, inode, 'R' AS change,
+       o_orderkey + 10000000 AS dst_o_orderkey
+FROM base WHERE o_orderkey % 1000 = 1
+UNION ALL
+SELECT o_orderkey, inode, '-' AS change, CAST(NULL AS BIGINT)
+FROM base WHERE o_orderkey % 1000 <> 1 AND o_orderkey % 17 = 3
+UNION ALL
+SELECT o_orderkey, inode, 'M' AS change, CAST(NULL AS BIGINT)
+FROM base WHERE o_orderkey % 1000 <> 1 AND o_orderkey % 17 <> 3
+  AND o_orderkey % 10 = 0 AND o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, o_orderkey AS inode, '+' AS change, CAST(NULL AS BIGINT)
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+"""
+
+
+@register("snapshot_diff_upsert_generations", _UPSERT_DIFF_ORACLE)
+def snapshot_diff_upsert_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 ∘ §2.11: snapshot-diff two REAL on-disk generations of a keyed
+    table produced by the partition-pruned upsert — the fsimage-checkpoint
+    (Checkpointer.java:206) feeding a SnapshotDiffReport
+    (SnapshotDiffReport.java:44-48), with all four diff types exercised:
+
+      gen0 = orders before 1997 (version 0), partitioned by order year;
+      gen1 = partitioned_upsert of a deterministic edit batch (version 1):
+        renames  (key % 1000 == 1): tombstone old key, create key+10⁷
+                 sharing the inode identity → 'R' with dst key
+        deletes  (else key % 17 == 3): tombstone → '-'
+        modifies (else key % 10 == 0, status 'O'): price × 1.1 → 'M'
+        inserts  (1997 Q1 orders, new keys) → '+'
+
+    The upsert physically rewrites only the touched year partitions; the
+    diff is one full-outer join keyed on (o_orderkey, inode)."""
+    import tempfile
+
+    from hadoop_source_spark.operators import upsert as up
+
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        key.alias("inode"),
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        F.lit(0).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+
+    is_r = key % 1000 == 1
+    is_d = ~is_r & (key % 17 == 3)
+    is_m = ~is_r & ~is_d & (key % 10 == 0) & (F.col("o_orderstatus") == "O")
+
+    upd = F.lit(1).alias("version")
+    rename_tombs = base.filter(is_r).select(
+        "o_orderkey", "inode", "o_totalprice", "o_orderstatus", "o_year",
+        upd, F.lit(True).alias("deleted"),
+    )
+    rename_creates = base.filter(is_r).select(
+        (key + 10_000_000).alias("o_orderkey"),
+        "inode", "o_totalprice", "o_orderstatus", "o_year",
+        upd, F.lit(False).alias("deleted"),
+    )
+    delete_tombs = base.filter(is_d).select(
+        "o_orderkey", "inode", "o_totalprice", "o_orderstatus", "o_year",
+        upd, F.lit(True).alias("deleted"),
+    )
+    modifies = base.filter(is_m).select(
+        "o_orderkey", "inode",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        "o_orderstatus", "o_year", upd, F.lit(False).alias("deleted"),
+    )
+    inserts = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select(
+        "o_orderkey", key.alias("inode"), "o_totalprice", "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        upd, F.lit(False).alias("deleted"),
+    )
+    updates = (
+        rename_tombs.unionByName(rename_creates)
+        .unionByName(delete_tombs)
+        .unionByName(modifies)
+        .unionByName(inserts)
+    )
+
+    d = tempfile.mkdtemp(prefix="hss_upsertdiff_")
+    base.write.mode("overwrite").partitionBy("o_year").parquet(d)
+    up.partitioned_upsert(spark, d, updates, ["o_orderkey"], "version", "o_year")
+
+    gen1 = spark.read.parquet(d).filter(~F.col("deleted"))
+    v1 = base.filter(~F.col("deleted")).select(
+        "o_orderkey", "inode", "o_totalprice"
+    )
+    v2 = gen1.select("o_orderkey", "inode", "o_totalprice")
+    return setops.snapshot_diff(
+        v1, v2, keys=["o_orderkey"], compare=["o_totalprice"], identity="inode"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: as-of join, windowed/session aggregation, quantiles
 # ---------------------------------------------------------------------------
@@ -2631,9 +2741,9 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.5): per-key running total, per-group top-N rank, global
     ntile bucketing (midKey/quantile hints, MapFile.java:527), and
     lag inter-arrival gaps (the MutableRate feed). running/rank/gap
-    shuffle once on their partition key; ntile's total order is the one
-    inherently-global branch (scale path: range-partition + per-partition
-    offsets, see relational.with_global_positions)."""
+    shuffle once on their partition key; the global-ntile branch uses
+    relational.global_ntile (range-partition + broadcast offsets), so
+    NO branch plans a single-partition window sort."""
     o = table(spark, sf_dir, "orders")
     w_run = (
         Window.partitionBy("o_custkey")
@@ -2659,12 +2769,16 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("fn", "k", "id", F.col("rn").cast("double").alias("val"))
     )
-    w_nt = Window.orderBy("o_totalprice", "o_orderkey")
-    nt = o.select(
+    # global ntile WITHOUT the single-partition window sort: range
+    # exchange + broadcast offsets (relational.global_ntile) — same
+    # result as F.ntile(4).over(Window.orderBy(...)), scale-safe plan
+    nt = relational.global_ntile(
+        o, ["o_totalprice", "o_orderkey"], 4, bucket_col="__b"
+    ).select(
         F.lit("ntile4").alias("fn"),
         F.col("o_custkey").alias("k"),
         F.col("o_orderkey").alias("id"),
-        F.ntile(4).over(w_nt).cast("double").alias("val"),
+        F.col("__b").cast("double").alias("val"),
     )
     e = table(spark, sf_dir, "events")
     w_gap = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2967,6 +3081,114 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.union_all([bl, hll, sh])
 
 
+_SKETCH_DET_ORACLE = """
+SELECT 'bloom_present' AS method, CAST(c_custkey AS VARCHAR) AS k, 1.0 AS v
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'hll_bound' AS method, event_type AS k, 1.0 AS v
+FROM (SELECT DISTINCT event_type FROM events) t
+UNION ALL
+SELECT 'recall_ok' AS method, 'ivf' AS k, 1.0 AS v
+UNION ALL
+SELECT 'recall_ok' AS method, 'lsh' AS k, 1.0 AS v
+"""
+
+
+@register("sketch_ann_deterministic", _SKETCH_DET_ORACLE)
+def sketch_ann_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC slices of the sketch/ANN families, oracle-backed
+    (sketch_suite / ann_cosine_approx stay rows-only for the genuinely
+    nondeterministic error-rate rows):
+
+    - bloom_present: probing keys KNOWN present must all pass — a Bloom
+      filter has no false negatives (BloomMapFile.java:264's probe-first
+      contract). The oracle enumerates the present keys; a single false
+      negative drops a row and fails the hash compare.
+    - hll_bound: the HLL++ estimate per event_type is a deterministic
+      function of the data; the row is emitted only when it lands within
+      3·rsd of the exact distinct count, so the oracle row existing IS
+      the bound check.
+    - recall_ok: seeded hyperplanes / kmeans++ make IVF and LSH top-k
+      deterministic; each emits its row only when recall vs the exact
+      brute-force top-k clears the same gate pytest enforces
+      (ivf ≥ 0.6, lsh ≥ 0.5)."""
+    from hadoop_source_spark.functions import bloom
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    # keys known present: customers that actually placed orders
+    present = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select(F.col("c_custkey").alias("key"))
+    filt = bloom.bloom_build(o.select(F.col("o_custkey").alias("key")), "key")
+    bl = (
+        bloom.bloom_probe(filt, present, "key")
+        .filter(F.col("might_contain"))  # false negative ⇒ row vanishes
+        .select(
+            F.lit("bloom_present").alias("method"),
+            F.col("key").cast("string").alias("k"),
+            F.lit(1.0).alias("v"),
+        )
+    )
+
+    e = table(spark, sf_dir, "events")
+    rsd = 0.01
+    hll = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .filter(
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 3 * rsd * F.col("exact")
+        )
+        .select(
+            F.lit("hll_bound").alias("method"),
+            F.col("event_type").alias("k"),
+            F.lit(1.0).alias("v"),
+        )
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(emb, q, k=10).select(
+        "query_id", "vec_id"
+    )
+    n_exact = exact.count()
+
+    def recall_row(approx: DataFrame, name: str, gate: float) -> DataFrame:
+        hits = approx.select("query_id", "vec_id").join(
+            exact, ["query_id", "vec_id"], "left_semi"
+        )
+        return (
+            hits.agg((F.count(F.lit(1)) / F.lit(n_exact)).alias("recall"))
+            .filter(F.col("recall") >= gate)
+            .select(
+                F.lit("recall_ok").alias("method"),
+                F.lit(name).alias("k"),
+                F.lit(1.0).alias("v"),
+            )
+        )
+
+    ivf = recall_row(
+        sim.ivf_topk(emb, q, k=10, num_cells=8, nprobe=4, train_fraction=0.5),
+        "ivf", 0.6,
+    )
+    lsh = recall_row(
+        sim.lsh_topk(
+            emb, q, k=10, id_col="vec_id", vec_col="embedding",
+            num_planes=16, bands=8,
+        ),
+        "lsh", 0.5,
+    )
+    return setops.union_all([bl, hll, ivf, lsh])
+
+
 _SAMPLING_SUITE_ORACLE = f"""
 SELECT 'hash_split' AS method, doc_id, split AS label
 FROM ({_SPLIT_SAMPLE_ORACLE}) s
@@ -3027,17 +3249,18 @@ _WINDOW: list[str] = [
     # sampling_suite = hash split + stratified.
     "limit_family", "merge_sorted_runs", "find_ls_stat_docs",
     "semi_anti_customers", "range_join_attribution", "sampling_suite",
-    "set_algebra", "snapshot_diff_orders", "asof_purchase_click",
+    "set_algebra", "snapshot_diff_orders",
+    "snapshot_diff_upsert_generations", "asof_purchase_click",
     "kv_suite", "content_summary_docs", "dist_stats_by_type",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter", "doc_profile",
     "dedup_exact", "dedup_jaccard_suite", "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
-    "sketch_suite",
+    "sketch_suite", "sketch_ann_deterministic",
 ]
 
-assert len(_WINDOW) == 50, len(_WINDOW)
+assert len(_WINDOW) == 52, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

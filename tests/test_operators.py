@@ -257,3 +257,34 @@ def test_with_position_is_dense(spark):
     assert [(r.pos, r.k) for r in sorted(rows, key=lambda r: r.pos)] == [
         (0, "a"), (1, "b"), (2, "c"),
     ]
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """relational.global_ntile must reproduce F.ntile(k) over a global
+    order exactly — without the single-partition window sort."""
+    from pyspark.sql import Window
+
+    from hadoop_source_spark.operators import relational as rel
+
+    # n=1003, k=4 → uneven buckets (3 buckets of 251, 1 of 250)
+    df = spark.range(1003).select(
+        (F.col("id") * 7919 % 1003).alias("v"), "id"
+    )
+    want = {
+        (r.id, r.nt)
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("nt")
+        ).collect()
+    }
+    got = {
+        (r.id, r.bucket)
+        for r in rel.global_ntile(df, ["v", "id"], 4).collect()
+    }
+    assert got == want
+
+    # k > n edge: every row its own bucket, in order
+    small = spark.range(3).select(F.col("id").alias("v"), "id")
+    got_small = {
+        (r.v, r.bucket) for r in rel.global_ntile(small, ["v"], 8).collect()
+    }
+    assert got_small == {(0, 1), (1, 2), (2, 3)}
