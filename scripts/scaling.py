@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Empirical scaling evidence: derive sf1 from sf0.1 (10x union with
+FK-consistent re-keying), run the headline queries at both scales, and
+report per-query wall-clock ratios.
+
+A near-linear ratio (~10x data -> <=~10x time on the same cores, usually
+much less while cores are underutilized at the small scale) is the
+empirical backing for the plan-shape claims: no operator hides a
+quadratic candidate explosion, a driver-side loop, or a broadcast that
+stops fitting.
+
+Re-keying rules (why the derived corpus is a fair 10x):
+- region/nation stay single-copy: they are geography-bounded dimensions
+  (TPC-H fixes them at 5/25 rows at EVERY scale factor).
+- fact/dim keys shift by copy*OFFSET so keys stay unique and every FK
+  (orders->customer, lineitem->orders/part/supplier) lands on exactly
+  one copy -- join fan-outs are preserved, not multiplied.
+- events shift user_id too: per-user series (windows, as-of, sessions)
+  keep their length; there are 10x more users, not 10x denser users.
+- documents get a per-copy Caesar rotation of the text: within-copy
+  duplicate structure is preserved exactly (dedup output rows scale
+  10x), while copies don't become cross-copy near-duplicates that would
+  quadratically inflate LSH buckets -- the scaling we measure is the
+  engine's, not an artifact of replicating the corpus verbatim.
+- embeddings keep their vectors (cost is dimension x rows, value-blind).
+
+Usage: python scripts/scaling.py [--force-derive]
+Writes SCALING.md at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_source_spark import get_spark, workload  # noqa: E402
+from hadoop_source_spark.data import table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "sf1")
+COPIES = 10
+
+# key offsets, > max key of the corresponding sf1 domain
+OFF = {
+    "cust": 10**9,
+    "supp": 10**9,
+    "part": 10**9,
+    "order": 10**10,
+    "event": 10**10,
+    "user": 10**9,
+    "doc": 10**9,
+    "vec": 10**9,
+}
+
+
+def _caesar_cols(i: int) -> tuple[str, str]:
+    """Per-copy letter rotation (identity for copy 0)."""
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    rot = i % 26
+    return lower + upper, lower[rot:] + lower[:rot] + upper[rot:] + upper[:rot]
+
+
+def derive(spark) -> None:
+    copies = list(range(COPIES))
+
+    def shifted(name: str, shifts: dict[str, str], text_col: str | None = None):
+        base = table(spark, SRC, name)
+        parts = []
+        for i in copies:
+            df = base
+            for col, fam in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * OFF[fam]))
+            if text_col is not None and i > 0:
+                src_abc, dst_abc = _caesar_cols(i)
+                df = df.withColumn(
+                    text_col, F.translate(F.col(text_col), src_abc, dst_abc)
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
+
+    # geography-bounded dims: single copy
+    for name in ("region", "nation"):
+        table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(DST, f"{name}.parquet")
+        )
+    shifted("customer", {"c_custkey": "cust"})
+    shifted("supplier", {"s_suppkey": "supp"})
+    shifted("part", {"p_partkey": "part"})
+    shifted("orders", {"o_orderkey": "order", "o_custkey": "cust"})
+    shifted("lineitem", {"l_orderkey": "order", "l_partkey": "part",
+                         "l_suppkey": "supp"})
+    shifted("events", {"event_id": "event", "user_id": "user"})
+    shifted("documents", {"doc_id": "doc"}, text_col="text")
+    shifted("embeddings", {"vec_id": "vec"})
+
+
+def bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name, fn in workload.headline_queries().items():
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# {os.path.basename(sf_dir)} {name}: {best:.3f}s ({n} rows)",
+              file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    force = "--force-derive" in sys.argv
+    spark = get_spark(app_name="hss-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    if force or not os.path.isdir(os.path.join(DST, "lineitem.parquet")):
+        print("# deriving sf1 ...", file=sys.stderr)
+        derive(spark)
+
+    # warmup (codegen per plan shape)
+    for _name, _fn in workload.headline_queries().items():
+        try:
+            _fn(spark, "/root/testdata/sf0.01").count()
+        except Exception as exc:
+            print(f"# warmup {_name}: {exc}", file=sys.stderr)
+
+    t01 = bench(spark, SRC)
+    t1 = bench(spark, DST)
+    ratios = {
+        q: (round(t1[q] / t01[q], 2) if t01[q] > 0 else None) for q in t01
+    }
+    out = {
+        "metric": "scaling_ratio_sf1_over_sf0.1",
+        "data_ratio": COPIES,
+        "sf0.1": t01,
+        "sf1": t1,
+        "ratio": ratios,
+        "total_sf0.1": round(sum(t01.values()), 3),
+        "total_sf1": round(sum(t1.values()), 3),
+    }
+
+    lines = [
+        "# Empirical scaling: sf0.1 -> sf1 (10x data, same local[N] cores)",
+        "",
+        f"Derived corpus: {DST} (see scripts/scaling.py for the",
+        "FK-consistent re-keying rules). min-of-3 wall clock per query,",
+        "shared session, codegen warmed at sf0.01.",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |",
+        "|---|---|---|---|",
+    ]
+    for q in t01:
+        lines.append(f"| {q} | {t01[q]:.3f} | {t1[q]:.3f} | {ratios[q]:.2f}x |")
+    lines += [
+        f"| **total** | **{out['total_sf0.1']:.3f}** | **{out['total_sf1']:.3f}** "
+        f"| **{out['total_sf1']/out['total_sf0.1']:.2f}x** |",
+        "",
+        "Reading: ratios at or under ~10x on fixed cores indicate the",
+        "operator's work grows at most linearly with the data (sub-10x =",
+        "fixed overheads amortizing / cores filling up). Anything well",
+        "above 10x would flag a superlinear candidate blowup or a",
+        "broadcast/collect that stopped fitting -- none observed." if all(
+            (r or 0) <= 12 for r in ratios.values()
+        ) else "Ratios >12x above flag superlinear behavior: investigate.",
+    ]
+    # SCALING.md is the hand-written design doc; the measured evidence
+    # lives beside it.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING_EMPIRICAL.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
