@@ -314,8 +314,11 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # NB: fraction must be passed by KEYWORD — PySpark's sample() arg
+    # shuffling drops an explicit seed when fraction arrives positionally
+    # in the withReplacement slot, silently making the sample random.
     sample = (
-        corpus.sample(train_fraction, seed=42)
+        corpus.sample(fraction=train_fraction, seed=42)
         if train_fraction and train_fraction < 1.0
         else corpus
     )
