@@ -183,6 +183,90 @@ def embed_features(
     )
 
 
+def decode_audio(
+    payloads: DataFrame, id_col: str = "doc_id", on_error: str = "raise"
+) -> DataFrame:
+    """REAL audio decode for uncompressed WAV/PCM16 (pure-numpy kernel in
+    llmops/audiocodec.py), same mapInPandas batch contract as
+    decode_image: payload bytes in, (sample_rate, n_samples, channels,
+    interleaved int16 pcm bytes) out. Compressed audio (MP3/OGG/FLAC) is
+    magic-sniffed and stays STUBBED with a loud NotImplementedError."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+
+    from hadoop_source_spark.llmops.audiocodec import decode_wav, sniff_audio
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, rates, ns, chs, pcms = [], [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(b)
+                codec = sniff_audio(raw)
+                try:
+                    if codec in ("mp3", "ogg", "flac"):
+                        raise NotImplementedError(
+                            f"{codec} decode requires a codec library "
+                            "not in this container"
+                        )
+                    rate, pcm = decode_wav(raw)
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(pcm.shape[0])
+                chs.append(pcm.shape[1])
+                pcms.append(pcm.astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pcm": pd.Series(pcms, dtype="object"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        batches,
+        "doc_id long, sample_rate int, n_samples long, channels int, pcm binary",
+    )
+
+
+def audio_features(
+    payloads: DataFrame,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WAV payload → log band-energy feature vector (audiocodec.
+    band_energies): the deterministic cheap audio fingerprint. Output
+    composes directly with the similarity operators, like
+    embed_features does for images."""
+    import numpy as np
+
+    from hadoop_source_spark.llmops.audiocodec import band_energies, decode_wav
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, vecs = [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                _rate, pcm = decode_wav(bytes(b))
+                v = band_energies(pcm, n_bands=n_bands)
+                norm = float(np.linalg.norm(v))
+                ids.append(doc_id)
+                vecs.append((v / norm if norm > 0 else v).tolist())
+            yield pd.DataFrame({"doc_id": ids, "features": vecs})
+
+    return payloads.mapInPandas(
+        batches, "doc_id long, features array<float>"
+    )
+
+
 def decode_image(
     payloads: DataFrame, id_col: str = "doc_id", on_error: str = "raise"
 ) -> DataFrame:
