@@ -166,3 +166,67 @@ def deterministic_shuffle(
         F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
     )
     return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    impl: str = "xxhash",
+    default_weight: float = 0.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Training-data MIXTURE: per-stratum weights that may EXCEED 1 —
+    the standard LLM curation op ("2.5 epochs of low-resource zh, 0.3
+    epochs of crawl en").
+
+    weight w per stratum ⇒ each row appears floor(w) times, plus one
+    more copy for the deterministic hash-fraction (w - floor(w)) of ids
+    — so expected multiplicity is exactly w, membership of the
+    fractional copy is a pure function of (id, seed), and w ≤ 1
+    degenerates to stratified_sample. Copies carry a 1-based ``copy``
+    index so a downstream deterministic_shuffle with per-epoch seeds
+    spreads repeats instead of clustering them.
+
+    Scale shape: one JVM-side CASE for the copy count, one
+    explode(sequence(...)) — a narrow rowwise expansion, no shuffle, no
+    Python; output size is Σ w_s·|stratum_s| by construction.
+    """
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight {w} for stratum {name!r}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight {default_weight}")
+
+    def n_copies(w: float):
+        base = int(w)
+        frac_thr = int(round((w - base) * _BUCKETS))
+        # +1 copy when the id's (seed-offset) bucket falls under the
+        # fractional threshold; offset keeps this independent of any
+        # other sampling decision made with the same base seed
+        extra = (hash_bucket(id_col, seed + 7919, impl) < frac_thr).cast("int")
+        return F.lit(base) + extra
+
+    copies = None
+    for name, w in weights.items():
+        cond = F.col(strata_col) == name
+        copies = (
+            F.when(cond, n_copies(w))
+            if copies is None
+            else copies.when(cond, n_copies(w))
+        )
+    copies = (
+        copies.otherwise(n_copies(default_weight))
+        if copies is not None
+        else n_copies(default_weight)
+    )
+    return (
+        df.withColumn("__n_copies", copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies")))
+        )
+        .drop("__n_copies")
+    )

@@ -2614,6 +2614,44 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_MIXTURE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'zh' THEN 2 WHEN 'de' THEN 1 WHEN 'es' THEN 1
+                   ELSE 0 END
+         + CASE WHEN ((doc_id % 1000003 + 7961) * 2654435761) % 10000 <
+                     CASE lang WHEN 'zh' THEN 5000 WHEN 'de' THEN 2500
+                               WHEN 'es' THEN 0 WHEN 'fr' THEN 6000
+                               ELSE 3000 END
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+FROM w WHERE n_copies > 0
+"""
+
+
+@register("corpus_mixture_sample", _MIXTURE_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXTURE with oversampling (llmops/sampling.
+    mixture_sample): per-language epoch weights that may exceed 1 —
+    2.5 epochs of low-resource zh, 1.25 of de, 1.0 of es, 0.6 of fr,
+    0.3 of crawl-dominant en. floor(w) full copies + a deterministic
+    hash-fraction extra copy ⇒ expected multiplicity exactly w, stable
+    under repartitioning/appends; the 1-based copy index lets per-epoch
+    shuffles spread repeats. Zero shuffle: CASE + explode(sequence)."""
+    d = table(spark, sf_dir, "documents")
+    return smp.mixture_sample(
+        d,
+        {"zh": 2.5, "de": 1.25, "es": 1.0, "fr": 0.6},
+        strata_col="lang",
+        id_col="doc_id",
+        seed=42,
+        impl="arith",
+        default_weight=0.3,
+    ).select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+
+
 @register("approx_distinct_users", None)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-user sketch per event type (the §2.4 sketch family
@@ -3257,10 +3295,10 @@ _WINDOW: list[str] = [
     "dedup_exact", "dedup_jaccard_suite", "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
-    "sketch_suite", "sketch_ann_deterministic",
+    "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
 ]
 
-assert len(_WINDOW) == 52, len(_WINDOW)
+assert len(_WINDOW) == 53, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

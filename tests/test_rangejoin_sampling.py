@@ -191,3 +191,38 @@ def test_sampling_queries_have_no_shuffle(spark, docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_mixture_sample_multiplicities(spark, docs):
+    """mixture_sample: floor(w) guaranteed copies per row + hash-fraction
+    extra; weights ≤ 1 degenerate to stratified_sample membership; copy
+    indices are 1..n; zero shuffle."""
+    w = {"zh": 2.5, "en": 0.3}
+    out = smp.mixture_sample(
+        docs, w, strata_col="lang", id_col="doc_id",
+        seed=42, impl="arith", default_weight=1.0,
+    )
+    rows = out.select("doc_id", "lang", "copy").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.lang), []).append(r.copy)
+    n_docs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    for (doc, lang), copies in per_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        lo = int(w.get(lang, 1.0))
+        assert lo <= len(copies) <= lo + 1
+    # every zh doc appears (weight 2.5 >= 1); en appears ~30%
+    zh_docs = [d for d, lang in n_docs.items() if lang == "zh"]
+    assert zh_docs and all((d, "zh") in per_doc for d in zh_docs)
+    en_docs = [d for d, lang in n_docs.items() if lang == "en"]
+    en_kept = sum(1 for d in en_docs if (d, "en") in per_doc)
+    assert 0 < en_kept < len(en_docs)
+    # default_weight=1.0 strata appear exactly once per doc
+    fr = [(d, lang) for d, lang in n_docs.items() if lang not in w]
+    assert all(len(per_doc[key]) == 1 for key in fr if key in per_doc)
+    # expected multiplicity over the zh stratum is ~2.5
+    zh_total = sum(len(per_doc[(d, "zh")]) for d in zh_docs)
+    assert 2 * len(zh_docs) <= zh_total <= 3 * len(zh_docs)
+    # narrow rowwise expansion: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
