@@ -168,6 +168,52 @@ def read_sequence_file_array(
     return spark.createDataFrame(rdd, schema)
 
 
+def write_sequence_file_2darray(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    key_class: str = "org.apache.hadoop.io.Text",
+) -> None:
+    """TwoDArrayWritable analog (common/io/TwoDArrayWritable.java:30) for
+    array<array<T>> columns: nested index-keyed MapWritables
+    ({row → {col → element}}). MapWritable nests cleanly — its per-entry
+    class-id table covers map values, and it has the no-arg constructor
+    ArrayWritable lacks — so the file reads back through any Hadoop
+    SequenceFile reader."""
+    kt = WRITABLE_SPARK_TYPE[key_class]
+    rdd = df.select(
+        F.col(key_col).cast(kt).alias("k"), F.col(value_col).alias("v")
+    ).rdd.map(
+        lambda r: (
+            r.k,
+            {i: {j: x for j, x in enumerate(row)} for i, row in enumerate(r.v)},
+        )
+    )
+    rdd.saveAsHadoopFile(
+        path, _SEQ_OUTPUT_FORMAT, key_class, "org.apache.hadoop.io.MapWritable"
+    )
+
+
+def read_sequence_file_2darray(
+    spark: SparkSession,
+    path: str,
+    schema: str = "key string, value array<array<bigint>>",
+) -> DataFrame:
+    """Read nested index-keyed MapWritables back to array<array<T>>,
+    restoring row/column order from the integer keys."""
+    rdd = spark.sparkContext.sequenceFile(path).map(
+        lambda kv: (
+            kv[0],
+            [
+                [x for _, x in sorted(row.items())]
+                for _, row in sorted(kv[1].items())
+            ],
+        )
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
 def write_kv_sorted(df: DataFrame, path: str, key_col: str = "key",
                     num_partitions: int | None = None) -> None:
     """MapFile analog: globally key-sorted parquet. Range partitioning

@@ -377,3 +377,19 @@ def test_cat_sniffs_avro_magic(spark, tmp_path):
     parsed = sorted((_json.loads(v)["id"], _json.loads(v)["name"]) for v in rows)
     assert parsed == [(1, "a"), (2, "b")]
     assert len(rows) == 2
+
+
+def test_sequence_file_2darray_round_trip(spark):
+    """TwoDArrayWritable analog (TwoDArrayWritable.java:30): nested
+    index-keyed MapWritables preserve row/column order exactly."""
+    df = spark.createDataFrame(
+        [("k1", [[1, 2, 3], [4]]), ("k2", [[], [7, 8]]), ("k3", [])],
+        "key string, value array<array<bigint>>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/seq2d"
+        hio.write_sequence_file_2darray(df, path)
+        back = hio.read_sequence_file_2darray(spark, path)
+        assert sorted(
+            (r.key, [list(x) for x in r.value]) for r in back.collect()
+        ) == sorted((r.key, [list(x) for x in r.value]) for r in df.collect())
