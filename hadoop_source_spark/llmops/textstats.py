@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -204,3 +204,102 @@ def fingerprint(text: Column, window: int = 8) -> Column:
         )
     )
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def tokenize_words(text: Column) -> Column:
+    """Lowercased word tokens (split on non-alphanumeric runs, empties
+    dropped) — the shared tokenizer for tf_idf / decontamination, chosen
+    because every ANSI engine can reproduce it (regexp split + filter)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: the classic corpus-keyword
+    operator (search indexing, topic tagging, quality filtering).
+
+    Shape at scale: tokenize + explode (narrow), one groupBy
+    (doc, term) shuffle for term frequencies, one groupBy (term) for
+    document frequencies — the DF table is |vocab|-sized and joined back
+    by term (AQE broadcasts it when small). Smooth idf = ln(N/df), raw tf
+    (no length normalization) keeps the oracle exact in integer+ln
+    arithmetic. Ties break lexicographically for determinism.
+    """
+    n_docs = df.count()  # scalar: corpus cardinality, metadata-sized
+    terms = df.select(
+        F.col(id_col),
+        F.explode(tokenize_words(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train/test DECONTAMINATION: flag training docs sharing ≥min_hits
+    distinct word n-grams with a held-out evaluation set — the standard
+    contamination scrub every LLM data pipeline runs before training.
+
+    Shape at scale: both sides explode to (doc, ngram) with distinct
+    n-grams per doc; the heldout n-gram set is corpus-independent and
+    small (eval sets are thousands of docs), so the join is a broadcast
+    semi-ish join on the ngram hash; one groupBy counts hits per training
+    doc. Long n-grams (default 8 words) make coincidental overlap
+    vanishingly rare — hits mean real leakage.
+
+    Returns (id, n_hits) for CONTAMINATED docs; anti-join the result
+    against the corpus to scrub.
+    """
+
+    def ngrams(df: DataFrame, keep_id: bool):
+        toks = df.select(
+            *([F.col(id_col)] if keep_id else []),
+            tokenize_words(F.col(text_col)).alias("__t"),
+        )
+        # sliding word windows -> space-joined n-gram strings (guard:
+        # sequence(0, stop) with stop < 0 would generate DESCENDING values,
+        # so short docs get an explicit empty array instead)
+        windows = F.transform(
+            F.sequence(F.lit(0), F.size("__t") - ngram_n),
+            lambda i: F.array_join(F.slice("__t", i + 1, ngram_n), " "),
+        )
+        expr = F.when(F.size("__t") >= ngram_n, windows).otherwise(
+            F.array().cast("array<string>")
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return toks.select(*cols, F.explode(expr).alias("ngram")).distinct()
+
+    train_grams = ngrams(corpus, keep_id=True)
+    held_grams = F.broadcast(ngrams(heldout, keep_id=False))
+    return (
+        train_grams.join(held_grams, "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

@@ -2614,6 +2614,80 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS docfreq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.docfreq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (llmops/textstats.
+    tf_idf_top_terms): tokenize+explode, (doc,term) and (term) aggregates,
+    vocab-sized idf table joined back by term. The corpus-keyword operator
+    of a search/tagging pipeline, oracle-exact because tf and df are
+    integers and the tokenizer is ANSI-reproducible."""
+    d = table(spark, sf_dir, "documents")
+    out = ts.tf_idf_top_terms(d, "text", "doc_id", top_k=3)
+    return out.select(
+        "doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS ngram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+),
+held AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 20 = 7)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN held USING (ngram)
+WHERE g.doc_id % 20 <> 7
+GROUP BY g.doc_id
+"""
+
+
+@register("decontamination_check", _DECONTAM_ORACLE)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (llmops/textstats.decontaminate): flag
+    training docs sharing ≥1 distinct 8-word n-gram with the held-out
+    split (doc_id % 20 == 7 plays the eval set). The contamination scrub
+    every LLM pipeline runs before training: heldout n-grams are
+    eval-set-sized (broadcast), the hit count is one groupBy. The
+    synthetic corpus's duplicate cliques guarantee real cross-split
+    leakage to catch."""
+    d = table(spark, sf_dir, "documents")
+    heldout = d.filter(F.col("doc_id") % 20 == 7)
+    corpus = d.filter(F.col("doc_id") % 20 != 7)
+    return ts.decontaminate(
+        corpus, heldout, "text", "doc_id", ngram_n=8, min_hits=1
+    )
+
+
 _MIXTURE_ORACLE = """
 WITH w AS (
   SELECT doc_id, lang,
@@ -3296,9 +3370,10 @@ _WINDOW: list[str] = [
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
+    "tfidf_top_terms", "decontamination_check",
 ]
 
-assert len(_WINDOW) == 53, len(_WINDOW)
+assert len(_WINDOW) == 55, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -216,3 +216,48 @@ def test_packing_invariants_random(spark, docs, seq_len, eod):
     assert all(len(r.input_ids) == seq_len for r in out)
     total = sum(len(d) for d in docs) + (len(docs) if eod is not None else 0)
     assert sum(r.n_tokens for r in out) == total
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """The doc-specific term outranks corpus-wide terms; ubiquitous terms
+    get idf ln(1)=0."""
+    from hadoop_source_spark.llmops import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "common common zebra"),
+         (2, "common yak yak"),
+         (3, "common plain words")],
+        "doc_id long, text string",
+    )
+    rows = ts.tf_idf_top_terms(df, top_k=1).collect()
+    top = {r.doc_id: (r.term, r.tfidf) for r in rows}
+    assert top[1][0] == "zebra" and top[2][0] == "yak"
+    # 'common' appears in all 3 docs -> tfidf exactly 0 everywhere
+    all_rows = ts.tf_idf_top_terms(df, top_k=10).collect()
+    assert all(r.tfidf == 0.0 for r in all_rows if r.term == "common")
+    # doc 2: tf('yak')=2, df=1 -> 2*ln(3)
+    import math
+    yak = next(r for r in all_rows if r.term == "yak")
+    assert abs(yak.tfidf - round(2 * math.log(3), 6)) < 1e-9
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from hadoop_source_spark.llmops import textstats as ts
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    corpus = spark.createDataFrame(
+        [(1, f"prefix words {shared} suffix words"),
+         (2, "completely unrelated training document with other content here"),
+         (3, "short doc")],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, f"the eval question mentions {shared} verbatim")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in
+           ts.decontaminate(corpus, heldout, ngram_n=8).collect()}
+    # doc 1 shares the 9-word run -> two distinct 8-grams; others clean
+    assert got == {1: 2}
+    # n-gram longer than every doc -> nothing flagged, no crash
+    assert ts.decontaminate(corpus, heldout, ngram_n=50).count() == 0

@@ -212,3 +212,30 @@ def test_tail_follow_picks_up_appends(spark):
         q2.awaitTermination()
         n2 = spark.sql("SELECT count(*) FROM t_tail2").collect()[0][0]
         assert n2 == 3
+
+
+def test_stream_static_broadcast_join(spark, events_dir):
+    """Stream-static join: a streaming fact source enriched against a
+    static dimension (the classic lookup-on-ingest). The static side is
+    re-read per micro-batch by Structured Streaming; broadcast keeps it
+    off the shuffle path. Drained result must equal the batch join."""
+    static_dim = F.broadcast(
+        spark.read.parquet(events_dir)
+        .select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold")
+                    .otherwise("standard"))
+    )
+    stream = se.events_stream(spark, events_dir)
+    enriched = (
+        stream.join(static_dim, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = se.run_to_memory(enriched, "t_static_join", output_mode="complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(static_dim, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
