@@ -303,3 +303,134 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_distinct_ratio: float = 0.35,
+    max_top_word_frac: float = 0.15,
+    max_dup_3gram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style per-document repetition/quality metrics (Rae et al.
+    2021 §A.1.1, public): distinct-word ratio, most-frequent-word
+    fraction, duplicated-3-gram fraction, mean word length, plus a
+    combined keep flag. The standard pre-training repetition scrub.
+
+    Shape at scale: n-gram metrics are PER-ROW array ops (split +
+    transform + array_distinct — whole-stage codegen, zero shuffle,
+    linear in doc length); word metrics need the per-(doc,word) counts,
+    which is explode + two-level groupBy with map-side partial
+    aggregation (shuffle carries word-count pairs, not text). The two
+    sides meet in one equi-join on the id — both already hash-partitioned
+    by it after their aggs. No Python UDFs anywhere.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            id_col,
+            "ws",
+            (F.size("ws") - 2).alias("n_grams"),
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(ws)-3),"
+                        " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+                    )
+                )
+            ).alias("nd_grams"),
+        )
+    )
+    wc = (
+        base.select(id_col, F.explode("ws").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.col("c") * F.length("w")).alias("sum_len"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    top_frac = F.col("top_cnt") / F.col("n_words")
+    dup3 = 1 - F.col("nd_grams") / F.col("n_grams")
+    return (
+        base.drop("ws")
+        .join(wstats, id_col)
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(distinct_ratio, 6).alias("distinct_word_ratio"),
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(dup3, 6).alias("dup_3gram_frac"),
+            F.round(F.col("sum_len") / F.col("n_words"), 6).alias("mean_word_len"),
+            (
+                (distinct_ratio >= min_distinct_ratio)
+                & (top_frac <= max_top_word_frac)
+                & (dup3 <= max_dup_3gram_frac)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_df: int = 2,
+    max_boiler_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (CCNet-style, Wenzek et al.
+    2020, public — shared headers/footers/templates): a word n-gram
+    appearing in >= min_df DISTINCT documents is boilerplate; each doc is
+    scored by the fraction of its distinct n-grams that are boilerplate.
+
+    Shape at scale: per-row gram arrays (codegen) → explode DISTINCT
+    (doc, gram) pairs → groupBy(gram) for document frequency (map-side
+    partials; the gram table is vocabulary-sized, far smaller than the
+    corpus) → one equi-join back on gram → per-doc count agg. The join
+    fans out exactly df times per boilerplate gram — skew is bounded by
+    the very quantity being measured, and AQE's skew-join split covers
+    pathological templates. No driver collect, no UDF.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(ws)-{n}),"
+                        f" i -> concat_ws(' ', {', '.join(f'ws[i+{j}]' for j in range(n))}))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    boiler = dfreq.filter(F.col("df") >= min_df).select("gram")
+    scored = (
+        grams.join(boiler.withColumn("is_boiler", F.lit(1)), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler") / F.col("n_grams")
+    return scored.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.round(frac, 6).alias("boiler_frac"),
+        (frac <= max_boiler_frac).cast("int").alias("keep"),
+    )

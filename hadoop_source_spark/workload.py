@@ -3339,6 +3339,88 @@ QUERIES["doc_profile"].oracle = _doc_profile_suite_oracle()
 # — every TPC-H shape plus one (possibly consolidated) oracle-backed query
 # per SURVEY §2 / llmops operator family. The full registry stays intact
 # for pytest, bench headline selection, and direct API use.
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), toks3 AS (
+  SELECT doc_id, ws, len(ws) - 2 AS n_grams,
+         len(list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS nd_grams
+  FROM toks WHERE len(ws) >= 3
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM toks3)
+  GROUP BY doc_id, w
+), wstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+         max(c) AS top_cnt, CAST(sum(c * len(w)) AS BIGINT) AS sum_len
+  FROM wc GROUP BY doc_id
+)
+SELECT t.doc_id, n_words,
+       round(n_distinct * 1.0 / n_words, 6)   AS distinct_word_ratio,
+       round(top_cnt * 1.0 / n_words, 6)      AS top_word_frac,
+       round(1 - nd_grams * 1.0 / n_grams, 6) AS dup_3gram_frac,
+       round(sum_len * 1.0 / n_words, 6)      AS mean_word_len,
+       CASE WHEN n_distinct * 1.0 / n_words >= 0.35
+             AND top_cnt * 1.0 / n_words <= 0.15
+             AND 1 - nd_grams * 1.0 / n_grams <= 0.05
+            THEN 1 ELSE 0 END AS keep
+FROM toks3 t JOIN wstats USING (doc_id)
+"""
+
+
+@register("quality_repetition_filter", _REPETITION_ORACLE)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scrub (llmops/textstats.repetition_stats):
+    distinct-word ratio, top-word fraction, duplicated-3-gram fraction,
+    mean word length + combined keep flag, per document. The n-gram
+    metrics are per-row array codegen (zero shuffle); the word metrics
+    are one explode + two-level partial agg; one id-equi-join ties them.
+    Thresholds (0.35/0.15/0.05) split this corpus both ways, so the flag
+    itself is hash-verified, not just the metrics."""
+    d = table(spark, sf_dir, "documents")
+    return ts.repetition_stats(d, "text", "doc_id")
+
+
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, u.i, u.i + 4), ' ') AS gram
+  FROM toks, UNNEST(range(1, len(ws) - 3)) AS u(i)
+  WHERE len(ws) >= 5
+), dfreq AS (
+  SELECT gram, count(*) AS df FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS boiler_frac,
+       CASE WHEN sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+                 <= 0.5
+            THEN 1 ELSE 0 END AS keep
+FROM g JOIN dfreq d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("boilerplate_prune", _BOILERPLATE_ORACLE)
+def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus boilerplate scoring (llmops/textstats.
+    boilerplate_ngrams): a 5-gram in >= 2 distinct docs is boilerplate;
+    each doc scored by its boilerplate-gram fraction. distinct (doc,gram)
+    explode → vocabulary-sized df agg → one gram-equi-join back → per-doc
+    count agg. Join fan-out per gram == its df (the measured quantity);
+    AQE skew split covers template pathologies. The synthetic dup cliques
+    give real boilerplate to catch."""
+    d = table(spark, sf_dir, "documents")
+    return ts.boilerplate_ngrams(d, "text", "doc_id", n=5, min_df=2)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3371,9 +3453,10 @@ _WINDOW: list[str] = [
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check",
+    "quality_repetition_filter", "boilerplate_prune",
 ]
 
-assert len(_WINDOW) == 55, len(_WINDOW)
+assert len(_WINDOW) == 57, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -340,3 +340,60 @@ def test_ivf_topk_deterministic_with_train_fraction(spark):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_repetition_stats_ground_truth(spark):
+    """repetition_stats metrics == a pure-Python recompute on crafted docs
+    spanning keep=1 (varied) and keep=0 (repetitive)."""
+    from collections import Counter
+
+    from hadoop_source_spark.llmops import textstats as ts
+
+    docs = [
+        (0, "a quick brown fox jumps over the lazy dog near my river bank"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a b c a b c a b c a b c a b c"),
+    ]
+    sdf = ts.repetition_stats(
+        spark.createDataFrame(docs, ["doc_id", "text"]), "text", "doc_id"
+    )
+    got = {r["doc_id"]: r.asDict() for r in sdf.collect()}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        c = Counter(w)
+        grams = [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+        r = got[doc_id]
+        assert r["n_words"] == len(w)
+        assert r["distinct_word_ratio"] == round(len(c) / len(w), 6)
+        assert r["top_word_frac"] == round(max(c.values()) / len(w), 6)
+        assert r["dup_3gram_frac"] == round(1 - len(set(grams)) / len(grams), 6)
+        assert r["mean_word_len"] == round(
+            sum(len(x) for x in w) / len(w), 6
+        )
+    assert got[0]["keep"] == 1 and got[1]["keep"] == 0 and got[2]["keep"] == 0
+
+
+def test_boilerplate_ngrams_ground_truth(spark):
+    """boilerplate_ngrams: a 5-gram shared by >=2 docs is boilerplate;
+    per-doc fractions and keep flags match a hand computation."""
+    from hadoop_source_spark.llmops import textstats as ts
+
+    shared = "one two three four five"
+    docs = [
+        (0, shared + " alpha beta gamma delta epsilon zeta"),
+        (1, shared + " zeta epsilon delta gamma beta alpha"),
+        (2, "u v w x y z aa bb cc dd"),
+    ]
+    sdf = ts.boilerplate_ngrams(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        "text", "doc_id", n=5, min_df=2,
+    )
+    got = {r["doc_id"]: r.asDict() for r in sdf.collect()}
+    # docs 0/1: 11 words -> 7 distinct 5-grams each; only the pure
+    # `shared` gram (positions 0..4) is common to both.
+    assert got[0]["n_grams"] == 7 and got[0]["n_boiler"] == 1
+    assert got[1]["n_boiler"] == 1
+    assert got[0]["boiler_frac"] == round(1 / 7, 6)
+    assert got[0]["keep"] == 1
+    # doc 2 shares nothing
+    assert got[2]["n_boiler"] == 0 and got[2]["keep"] == 1
