@@ -1,0 +1,101 @@
+"""Time-series resample + gap-fill: the hypertable-rollup / time_bucket
+operator family (TimescaleDB's time_bucket_gapfill + locf/interpolate,
+public semantics; in the reference world this is the rolling-window
+metrics pass of hadoop-common's metrics2 sinks, e.g.
+common/metrics2/lib/MutableRollingAverages.java:52 — fixed-width time
+buckets with carry-forward over empty windows).
+
+Spark-first shape: the raw stream collapses to (series, bucket)
+aggregates FIRST (map-side partial agg — the shuffle carries one row per
+observed bucket, never raw events); the dense bucket spine is generated
+from each series' own [min, max] span via sequence()+explode (pure
+codegen, spine size = buckets, data-independent of event count); one
+left equi-join marks gaps; LOCF and linear interpolation are window
+functions partitioned BY SERIES (no global sort — parallelism = number
+of series, and each partition holds bucket-count rows, bounded and
+small, regardless of raw data volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    series_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    agg: str = "avg",
+) -> DataFrame:
+    """Bucket `ts_col` to fixed windows per `series_col`, densify each
+    series' span, and fill value gaps two ways: LOCF (carry last
+    observation forward) and linear interpolation between the bracketing
+    observations (trailing gaps fall back to LOCF).
+
+    Returns one row per (series, bucket) with:
+      n_events (0 on gaps), value_locf, value_interp, is_gap.
+    """
+    agg_expr: Column = {
+        "avg": F.round(F.avg(value_col), 6),
+        "sum": F.round(F.sum(value_col), 6),
+        "min": F.round(F.min(value_col), 6),
+        "max": F.round(F.max(value_col), 6),
+    }[agg]
+    observed = (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bkt"),
+            F.col(value_col),
+        )
+        .groupBy("series", "bkt")
+        .agg(F.count(F.lit(1)).alias("n_events"), agg_expr.alias("val"))
+    )
+    spine = (
+        observed.groupBy("series")
+        .agg(F.min("bkt").alias("mn"), F.max("bkt").alias("mx"))
+        .select(
+            "series",
+            F.explode(
+                F.expr(f"sequence(mn, mx, interval 1 {bucket})")
+            ).alias("bkt"),
+        )
+    )
+    dense = spine.join(observed, ["series", "bkt"], "left")
+
+    w_prev = (
+        Window.partitionBy("series")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("series")
+        .orderBy("bkt")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    epoch = F.unix_timestamp("bkt").cast("double")
+    prev_val = F.last("val", ignorenulls=True).over(w_prev)
+    next_val = F.first("val", ignorenulls=True).over(w_next)
+    prev_t = F.last(
+        F.when(F.col("val").isNotNull(), epoch), ignorenulls=True
+    ).over(w_prev)
+    next_t = F.first(
+        F.when(F.col("val").isNotNull(), epoch), ignorenulls=True
+    ).over(w_next)
+    interp = F.when(F.col("val").isNotNull(), F.col("val")).otherwise(
+        F.when(
+            next_val.isNotNull() & prev_val.isNotNull(),
+            prev_val
+            + (next_val - prev_val) * (epoch - prev_t) / (next_t - prev_t),
+        ).otherwise(F.coalesce(prev_val, next_val))
+    )
+    return dense.select(
+        "series",
+        "bkt",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round(prev_val, 6).alias("value_locf"),
+        F.round(interp, 6).alias("value_interp"),
+        F.col("val").isNull().cast("int").alias("is_gap"),
+    )

@@ -288,3 +288,39 @@ def test_global_ntile_matches_window_ntile(spark):
         (r.v, r.bucket) for r in rel.global_ntile(small, ["v"], 8).collect()
     }
     assert got_small == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_resample_gapfill_locf_and_interp(spark):
+    """Hand-built hourly series with interior and trailing gaps: LOCF
+    carries the last value, interpolation is exactly linear, leading
+    rows are observed by construction (spine spans observed min..max)."""
+    from datetime import datetime
+
+    from hadoop_source_spark.operators import timeseries as tsr
+
+    rows = [
+        # series "a": hours 0,1,4,5 observed -> gaps at 2,3 (interior)
+        ("a", datetime(2024, 1, 1, 0), 10.0),
+        ("a", datetime(2024, 1, 1, 1), 20.0),
+        ("a", datetime(2024, 1, 1, 4), 50.0),
+        ("a", datetime(2024, 1, 1, 5), 60.0),
+        # series "b": hours 0,2 observed, two points same bucket
+        ("b", datetime(2024, 1, 1, 0), 1.0),
+        ("b", datetime(2024, 1, 1, 0, 30), 3.0),
+        ("b", datetime(2024, 1, 1, 2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    out = tsr.resample_gapfill(df, "ts", "series", "value")
+    got = {
+        (r.series, r.bkt.hour): (r.n_events, r.value_locf, r.value_interp, r.is_gap)
+        for r in out.collect()
+    }
+    assert len(got) == 6 + 3
+    # interior gap of "a": linear 20 -> 50 over hours 1..4
+    assert got[("a", 2)] == (0, 20.0, 30.0, 1)
+    assert got[("a", 3)] == (0, 20.0, 40.0, 1)
+    assert got[("a", 4)] == (1, 50.0, 50.0, 0)
+    # "b": bucket 0 averages two events; gap at 1 interpolates 2 -> 7
+    assert got[("b", 0)] == (2, 2.0, 2.0, 0)
+    assert got[("b", 1)] == (0, 2.0, 4.5, 1)
+    assert got[("b", 2)] == (1, 7.0, 7.0, 0)
