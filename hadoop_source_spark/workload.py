@@ -3478,6 +3478,126 @@ def time_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id % 20 AS bucket,
+         round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+         round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+         round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+         round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+  FROM events GROUP BY 1
+)
+SELECT bucket, click, error, purchase, signup, view,
+       round(coalesce(click, 0) + coalesce(error, 0) + coalesce(purchase, 0)
+             + coalesce(signup, 0) + coalesce(view, 0), 2) AS total
+FROM wide
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register("pivot_event_matrix", _PIVOT_ORACLE)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event stream → wide per-bucket matrix (one column per
+    event type, explicit value list so Spark skips the extra distinct
+    job). One partial-agg shuffle on (bucket) — the pivot itself is just
+    column routing inside the aggregate, no second pass. The row total
+    is recomposed from the ROUNDED per-type sums on both sides so fp
+    summation order can't flip the hash. Unpivot round-trip is asserted
+    in tests (df.unpivot == original long aggregates)."""
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy((F.col("user_id") % 20).alias("bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    total = F.round(
+        sum(F.coalesce(F.col(t), F.lit(0.0)) for t in _EVENT_TYPES), 2
+    )
+    return wide.select("bucket", *_EVENT_TYPES, total.alias("total"))
+
+
+_CORR_ORACLE = """
+SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity)                AS n,
+       round(corr(l_quantity, l_extendedprice), 4)            AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2)      AS covar_s,
+       round(covar_pop(l_quantity, l_extendedprice), 2)       AS covar_p,
+       round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2)  AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_corr_suite", _CORR_ORACLE)
+def stats_corr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregate family: corr, covar_samp/pop and
+    the regr_* regression aggregates (slope/intercept/r2/count) of
+    extendedprice on quantity per returnflag. All JVM built-ins with
+    map-side partial co-moment merging — one shuffle of 3 groups × a
+    fixed co-moment tuple regardless of row count. Rounding per column
+    is sized to each statistic's magnitude so engine-order fp noise
+    can't flip the hash."""
+    l = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.corr(x, y), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp(x, y), 2).alias("covar_s"),
+        F.round(F.covar_pop(x, y), 2).alias("covar_p"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+_DISTCP_ORACLE = """
+WITH src AS (
+  SELECT source || '/' || doc_id || '.txt' AS path, n_chars AS bytes
+  FROM documents WHERE doc_id % 19 <> 2
+), dst AS (
+  SELECT source || '/' || doc_id || '.txt' AS path,
+         CASE WHEN doc_id % 13 = 5 THEN n_chars - 7 ELSE n_chars END AS bytes
+  FROM documents WHERE doc_id % 17 <> 3
+)
+SELECT coalesce(s.path, d.path) AS path,
+       CASE WHEN d.path IS NULL THEN 'COPY'
+            WHEN s.path IS NULL THEN 'DELETE'
+            WHEN s.bytes = d.bytes THEN 'SKIP'
+            ELSE 'UPDATE' END AS op,
+       s.bytes AS src_bytes, d.bytes AS dst_bytes
+FROM src s FULL OUTER JOIN dst d USING (path)
+"""
+
+
+@register("distcp_sync_plan", _DISTCP_ORACLE)
+def distcp_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCp -update -delete sync planning (operators/distcp.sync_plan;
+    reference hadoop-tools/hadoop-distcp CopyMapper.skip + -delete
+    pass): source tree = docs minus upstream deletions (id%19==2), dest
+    tree = docs minus not-yet-copied (id%17==3) with stale sizes at
+    id%13==5. One full-outer path join + CASE classifies every file into
+    COPY/UPDATE/SKIP/DELETE — all four classes non-empty in this data.
+    No listing collect; both trees stay distributed."""
+    from hadoop_source_spark.operators import distcp
+
+    d = table(spark, sf_dir, "documents")
+    path = F.concat_ws("/", F.col("source"), F.concat(F.col("doc_id"), F.lit(".txt")))
+    src = d.filter(F.col("doc_id") % 19 != 2).select(
+        path.alias("path"), F.col("n_chars").alias("bytes")
+    )
+    dst = d.filter(F.col("doc_id") % 17 != 3).select(
+        path.alias("path"),
+        F.when(F.col("doc_id") % 13 == 5, F.col("n_chars") - 7)
+        .otherwise(F.col("n_chars"))
+        .alias("bytes"),
+    )
+    return distcp.sync_plan(src, dst, "path", "bytes")
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3511,10 +3631,11 @@ _WINDOW: list[str] = [
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check",
     "quality_repetition_filter", "boilerplate_prune",
-    "time_resample_gapfill",
+    "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
+    "distcp_sync_plan",
 ]
 
-assert len(_WINDOW) == 58, len(_WINDOW)
+assert len(_WINDOW) == 61, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -324,3 +324,52 @@ def test_resample_gapfill_locf_and_interp(spark):
     assert got[("b", 0)] == (2, 2.0, 2.0, 0)
     assert got[("b", 1)] == (0, 2.0, 4.5, 1)
     assert got[("b", 2)] == (1, 7.0, 7.0, 0)
+
+
+def test_pivot_unpivot_round_trip(spark):
+    """unpivot(pivot(long)) recovers the original long aggregates —
+    the melt direction of the pivot operator."""
+    long = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (1, "b", 4.0), (2, "b", 5.0)],
+        ["k", "t", "v"],
+    )
+    wide = long.groupBy("k").pivot("t", ["a", "b"]).agg(F.sum("v"))
+    back = {
+        (r.k, r.t, r.v)
+        for r in wide.unpivot("k", ["a", "b"], "t", "v")
+        .filter(F.col("v").isNotNull())
+        .collect()
+    }
+    want = {
+        (r.k, r.t, r.v)
+        for r in long.groupBy("k", "t").agg(F.sum("v").alias("v")).collect()
+    }
+    assert back == want
+
+
+def test_distcp_sync_plan_flags(spark):
+    """COPY/UPDATE/SKIP/DELETE classification, and the -update/-delete
+    flag semantics from the reference CLI."""
+    from hadoop_source_spark.operators import distcp
+
+    src = spark.createDataFrame(
+        [("new", 10), ("stale", 20), ("same", 30)], ["path", "bytes"]
+    )
+    dst = spark.createDataFrame(
+        [("stale", 15), ("same", 30), ("gone", 40)], ["path", "bytes"]
+    )
+    plan = {
+        r.path: r.op for r in distcp.sync_plan(src, dst).collect()
+    }
+    assert plan == {
+        "new": "COPY", "stale": "UPDATE", "same": "SKIP", "gone": "DELETE"
+    }
+    blind = {
+        r.path: r.op
+        for r in distcp.sync_plan(src, dst, update=False, delete=False).collect()
+    }
+    # without -update every source file re-copies; without -delete the
+    # target-only file is left alone
+    assert blind == {
+        "new": "COPY", "stale": "COPY", "same": "COPY", "gone": "SKIP"
+    }
