@@ -286,30 +286,17 @@ def _lloyd(x, k: int, iters: int = 10, seed: int = 42):
     return cent
 
 
-def ivf_topk(
+def _train_and_assign_cells(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    num_cells: int = 16,
-    nprobe: int = 4,
+    id_col: str,
+    vec_col: str,
+    num_cells: int,
     train_fraction: float | None = None,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: a coarse quantizer trained on a bounded
-    sample → cell-partitioned corpus → probe the nprobe nearest cells per
-    query → exact cosine re-rank inside them.
-
-    The 100 TB shape (the FAISS IVF recipe): the quantizer is Lloyd's
-    k-means run IN DRIVER MEMORY on a seeded bounded sample (a coarse
-    quantizer needs ~100s of points per centroid, never the corpus — one
-    numpy array, zero Spark jobs per iteration), centroids broadcast,
-    assignment is ONE Arrow-batched pass over the corpus, and the search
-    join touches ~nprobe/num_cells of the corpus — an equi-join on cell
-    id, skew-safe via AQE. Centroid count scales with corpus size (rule
-    of thumb sqrt(N)); nprobe trades recall for cost.
-    """
+):
+    """Shared IVF front half: train the coarse quantizer on a seeded,
+    driver-bounded sample and assign every corpus vector to its nearest
+    cell in one Arrow-batched pass. Returns (centroids ndarray, assigned
+    DataFrame with a `cell` column)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -354,6 +341,97 @@ def ivf_topk(
 
     assigned = corpus.select(
         id_col, vec_col, _nearest_cell(F.col(vec_col)).alias("cell")
+    )
+    return cent, assigned
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    threshold: float = 0.95,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
+    pruning by clustering embeddings and dropping, within each cluster,
+    every vector whose cosine to a LOWER-id cluster member reaches the
+    threshold — the greedy keep-first rule, so the kept set is pairwise
+    sub-threshold inside every cell and the output is deterministic.
+
+    The scale shape is the SemDeDup paper's own: k-means restricts the
+    quadratic similarity check to within-cluster pairs (cells ~ N/k; pick
+    k ~ sqrt(N) like IVF so per-cell work stays bounded), the quantizer
+    trains on a driver-bounded seeded sample, assignment is one Arrow
+    pass, and the per-cell check is applyInPandas over cell groups with
+    row-blocked BLAS (memory O(block × cell), never cell²  at once).
+
+    Returns (id, cell, nn_sim, keep): nn_sim = max cosine to an earlier
+    cell member (-1.0 for the cell's first/loneliest vectors), keep ∈
+    {0,1}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, assigned = _train_and_assign_cells(
+        corpus, id_col, vec_col, num_cells, train_fraction
+    )
+
+    def prune(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        xn = x / n[:, None]
+        nn = np.full(len(pdf), -1.0)
+        for lo in range(1, len(pdf), 1024):
+            hi = min(lo + 1024, len(pdf))
+            # rows lo..hi vs ALL earlier rows (0..hi-1, masked triangular)
+            g = xn[lo:hi] @ xn[:hi].T
+            mask = np.arange(hi)[None, :] >= np.arange(lo, hi)[:, None]
+            g[mask] = -1.0
+            nn[lo:hi] = g.max(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "nn_sim": np.round(nn, 6),
+                "keep": (nn < threshold).astype("int32"),
+            }
+        )
+
+    prune.__annotations__ = {}
+    return assigned.groupBy("cell").applyInPandas(
+        prune, f"{id_col} long, cell int, nn_sim double, keep int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer trained on a bounded
+    sample → cell-partitioned corpus → probe the nprobe nearest cells per
+    query → exact cosine re-rank inside them.
+
+    The 100 TB shape (the FAISS IVF recipe): the quantizer is Lloyd's
+    k-means run IN DRIVER MEMORY on a seeded bounded sample (a coarse
+    quantizer needs ~100s of points per centroid, never the corpus — one
+    numpy array, zero Spark jobs per iteration), centroids broadcast,
+    assignment is ONE Arrow-batched pass over the corpus, and the search
+    join touches ~nprobe/num_cells of the corpus — an equi-join on cell
+    id, skew-safe via AQE. Centroid count scales with corpus size (rule
+    of thumb sqrt(N)); nprobe trades recall for cost.
+    """
+    cent, assigned = _train_and_assign_cells(
+        corpus, id_col, vec_col, num_cells, train_fraction
     )
 
     centroids = F.broadcast(

@@ -3598,6 +3598,22 @@ def distcp_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distcp.sync_plan(src, dst, "path", "bytes")
 
 
+@register("semdedup_prune", None)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (llmops/similarity.semdedup;
+    Abbas et al. 2023): cluster embeddings with the seeded IVF coarse
+    quantizer, then greedily drop within-cell vectors whose cosine to a
+    lower-id member reaches the threshold. Deterministic but k-means is
+    not SQL-expressible, so the driver check is rows-only; quality is
+    pytest-gated instead (planted near-identical dups recalled 1.0,
+    kept set pairwise sub-threshold per cell, determinism)."""
+    e = table(spark, sf_dir, "embeddings")
+    out = sim.semdedup(e, num_cells=10, threshold=0.4)
+    return out.select(
+        "vec_id", "cell", F.round("nn_sim", 4).alias("nn_sim"), "keep"
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3632,10 +3648,10 @@ _WINDOW: list[str] = [
     "tfidf_top_terms", "decontamination_check",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
-    "distcp_sync_plan",
+    "distcp_sync_plan", "semdedup_prune",
 ]
 
-assert len(_WINDOW) == 61, len(_WINDOW)
+assert len(_WINDOW) == 62, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -397,3 +397,56 @@ def test_boilerplate_ngrams_ground_truth(spark):
     assert got[0]["keep"] == 1
     # doc 2 shares nothing
     assert got[2]["n_boiler"] == 0 and got[2]["keep"] == 1
+
+
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup's contract case: near-identical embeddings (the paper
+    dedups at cosine ~0.95+) MUST co-cluster and be dropped — recall 1.0
+    on planted dups, zero false drops, keep-lowest-id."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-identical copies of vectors 0..9 at ids 100..109
+    for i in range(10):
+        v = base[i] + rng.randn(16) * 1e-3
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup(df, num_cells=4, threshold=0.98).collect()
+    dropped = {r.vec_id for r in out if r.keep == 0}
+    assert dropped == {100 + i for i in range(10)}
+    # planted copies report their twin's similarity
+    sims = {r.vec_id: r.nn_sim for r in out}
+    assert all(sims[100 + i] >= 0.98 for i in range(10))
+
+
+def test_semdedup_kept_set_invariant_and_determinism(spark):
+    """Within every cell the kept set is pairwise sub-threshold (the
+    greedy keep-first guarantee), and the operator is deterministic."""
+    import numpy as np
+
+    emb = table(spark, SF, "embeddings")
+    out1 = sorted(
+        (r.vec_id, r.cell, r.keep)
+        for r in sim.semdedup(emb, num_cells=8, threshold=0.4).collect()
+    )
+    out2 = sorted(
+        (r.vec_id, r.cell, r.keep)
+        for r in sim.semdedup(emb, num_cells=8, threshold=0.4).collect()
+    )
+    assert out1 == out2
+    vecs = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    from collections import defaultdict
+
+    kept = defaultdict(list)
+    for vid, cell, keep in out1:
+        if keep:
+            kept[cell].append(vid)
+    for cell, ids in kept.items():
+        x = np.asarray([vecs[i] for i in ids])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        g = np.tril(xn @ xn.T, -1)
+        assert (g < 0.4).all(), f"cell {cell} kept a near-dup pair"
