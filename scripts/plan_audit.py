@@ -62,8 +62,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hss-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # headline set + the round-4 beyond-reference operators: same receipts
+    audited = dict(workload.headline_queries())
+    for extra in (
+        "quality_repetition_filter", "boilerplate_prune",
+        "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
+        "distcp_sync_plan", "semdedup_prune",
+    ):
+        audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
-    for name, fn in workload.headline_queries().items():
+    for name, fn in audited.items():
         try:
             rows[name] = audit(spark, fn, sf_dir)
         except Exception as exc:

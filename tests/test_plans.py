@@ -185,3 +185,38 @@ def test_packing_is_single_stage(spark):
     docs = table(spark, SF, "documents")
     out = pk.pack_sequences(pk.tokenize(docs), seq_len=64)
     assert plans.shuffle_count(out) == 0
+
+
+def test_repetition_filter_plan_shape(spark):
+    """n-gram metrics per-row, word metrics one partial-agg chain, one
+    id join: word-count exchange + wstats stays on the same keying, plus
+    the final id join — and never a cartesian."""
+    df = workload.QUERIES["quality_repetition_filter"].fn(spark, SF)
+    assert plans.join_counts(df)["cartesian"] == 0
+    assert plans.shuffle_count(df) <= 3
+
+
+def test_gapfill_windows_are_partitioned(spark):
+    """Gap-fill windows must be keyed by series — a global (empty
+    partition) window would serialize the whole spine through one task."""
+    df = workload.QUERIES["time_resample_gapfill"].fn(spark, SF)
+    plan = plans.executed_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plans.join_counts(df)["cartesian"] == 0
+
+
+def test_pivot_single_aggregation_pass(spark):
+    """PIVOT with an explicit value list skips the distinct-values job:
+    one (bucket,type) partial-agg exchange + the pivotfirst exchange that
+    carries only #buckets × #types cells — nothing data-sized after the
+    first aggregate."""
+    df = workload.QUERIES["pivot_event_matrix"].fn(spark, SF)
+    assert plans.shuffle_count(df) == 2
+
+
+def test_distcp_plan_one_join(spark):
+    """The sync plan is one full-outer equi-join on path: a single
+    co-partitioning of both listings, no cartesian, no driver listing."""
+    df = workload.QUERIES["distcp_sync_plan"].fn(spark, SF)
+    assert plans.join_counts(df)["cartesian"] == 0
+    assert plans.shuffle_count(df) <= 2  # one exchange per listing side
