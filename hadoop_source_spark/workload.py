@@ -3614,6 +3614,108 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FSCK_ORACLE = """
+WITH files AS (
+  SELECT source AS dir, n_chars,
+         doc_id % 53 = 0 AS missing,
+         doc_id % 53 <> 0 AND doc_id % 41 = 0 AS corrupt,
+         CASE WHEN doc_id % 53 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS repl
+  FROM documents
+)
+SELECT dir, count(*) AS total_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN NOT missing AND NOT corrupt AND repl >= 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS healthy,
+       CAST(sum(CASE WHEN NOT missing AND NOT corrupt AND repl < 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS under_replicated,
+       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS corrupt,
+       CAST(sum(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+       CAST(sum(3 - least(repl, 3)) AS BIGINT) AS missing_replicas,
+       round(sum(CASE WHEN NOT missing AND NOT corrupt AND repl >= 3
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS health_pct,
+       CASE WHEN sum(CASE WHEN corrupt OR missing THEN 1 ELSE 0 END) > 0
+            THEN 'CORRUPT' ELSE 'HEALTHY' END AS status
+FROM files GROUP BY dir
+"""
+
+
+@register("fsck_report", _FSCK_ORACLE)
+def fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fsck block-health rollup (operators/fsck.block_health_report;
+    reference hdfs/server/namenode/NamenodeFsck.java): classify every
+    file healthy/under-replicated/corrupt/missing (missing wins over
+    corrupt, zero live replicas), roll up per directory with health pct
+    and the HEALTHY/CORRUPT verdict. One conditional aggregation over
+    the block report — the only data-sized pass."""
+    from hadoop_source_spark.operators import fsck
+
+    d = table(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source"),
+        F.col("n_chars"),
+        (F.col("doc_id") % 53 == 0).alias("is_missing"),
+        (F.col("doc_id") % 41 == 0).alias("is_corrupt"),
+        F.when(F.col("doc_id") % 53 == 0, F.lit(0))
+        .otherwise(1 + F.col("doc_id") % 3)
+        .alias("repl"),
+    )
+    return fsck.block_health_report(
+        files, "source", "n_chars", "repl", "is_corrupt", "is_missing",
+        target_repl=3,
+    )
+
+
+_BALANCER_ORACLE = """
+WITH util AS (
+  SELECT CAST(floor(sqrt(doc_id % 169)) AS BIGINT) AS node,
+         CAST(sum(n_chars) AS BIGINT) AS used
+  FROM documents GROUP BY 1
+), a AS (SELECT CAST(floor(avg(used)) AS BIGINT) AS avg FROM util),
+over_n AS (
+  SELECT node, used - avg AS amt FROM util, a WHERE used > avg * 1.1
+), under_n AS (
+  SELECT node, avg - used AS amt FROM util, a WHERE used < avg * 0.9
+), o AS (
+  SELECT node AS src,
+         coalesce(sum(amt) OVER (ORDER BY amt DESC, node
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS olo,
+         coalesce(sum(amt) OVER (ORDER BY amt DESC, node
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + amt AS ohi
+  FROM over_n
+), u AS (
+  SELECT node AS dst,
+         coalesce(sum(amt) OVER (ORDER BY amt DESC, node
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ulo,
+         coalesce(sum(amt) OVER (ORDER BY amt DESC, node
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + amt AS uhi
+  FROM under_n
+)
+SELECT src, dst,
+       CAST(least(ohi, uhi) - greatest(olo, ulo) AS BIGINT) AS move_bytes
+FROM o JOIN u ON olo < uhi AND ulo < ohi
+WHERE least(ohi, uhi) - greatest(olo, ulo) > 0
+"""
+
+
+@register("balancer_move_plan", _BALANCER_ORACLE)
+def balancer_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balancer move planning (operators/balancer.move_plan; reference
+    hdfs/server/balancer/Balancer.java): nodes laid out by
+    floor(sqrt(doc_id % 169)) — a triangular utilization profile with
+    real over- and under-utilized nodes at the 10% band. The greedy
+    source→target pairing becomes cumulative-interval overlap: excess
+    and deficit bytes stacked on one number line with window cumsums;
+    every interval overlap is one move. Data-sized work is one groupBy;
+    the pairing runs on the node-count-sized table (global windows
+    there are deliberate and bounded)."""
+    from hadoop_source_spark.operators import balancer
+
+    d = table(spark, sf_dir, "documents").select(
+        F.floor(F.sqrt(F.col("doc_id") % 169)).alias("node"), "n_chars"
+    )
+    return balancer.move_plan(d, "node", "n_chars", threshold=0.1)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3648,10 +3750,11 @@ _WINDOW: list[str] = [
     "tfidf_top_terms", "decontamination_check",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
-    "distcp_sync_plan", "semdedup_prune",
+    "distcp_sync_plan", "semdedup_prune", "fsck_report",
+    "balancer_move_plan",
 ]
 
-assert len(_WINDOW) == 62, len(_WINDOW)
+assert len(_WINDOW) == 64, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

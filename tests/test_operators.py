@@ -373,3 +373,31 @@ def test_distcp_sync_plan_flags(spark):
     assert blind == {
         "new": "COPY", "stale": "COPY", "same": "COPY", "gone": "SKIP"
     }
+
+
+def test_balancer_moves_restore_balance(spark):
+    """Conservation + convergence: total moved bytes == total excess,
+    and applying the plan puts every node exactly at the floored average
+    (over-nodes shed to avg, under-nodes fill to avg)."""
+    from collections import defaultdict
+
+    from hadoop_source_spark.operators import balancer
+
+    rows = [("n%d" % (i % 5), 100 * (i % 5) + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, ["node", "bytes"])
+    util = {r.node: r.used for r in balancer.utilization(df, "node", "bytes").collect()}
+    avg = sum(util.values()) // len(util)
+    moves = balancer.move_plan(df, "node", "bytes", threshold=0.1).collect()
+    assert moves, "skewed fixture must need moves"
+    excess = sum(u - avg for u in util.values() if u > avg * 1.1)
+    assert sum(m.move_bytes for m in moves) == excess
+    delta = defaultdict(int)
+    for m in moves:
+        delta[m.src] -= m.move_bytes
+        delta[m.dst] += m.move_bytes
+    for node, used in util.items():
+        after = used + delta[node]
+        if used > avg * 1.1:
+            assert after == avg, (node, used, after, avg)
+        elif used < avg * 0.9:
+            assert after <= avg, (node, used, after, avg)
