@@ -3716,6 +3716,87 @@ def balancer_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balancer.move_plan(d, "node", "n_chars", threshold=0.1)
 
 
+_EC_ORACLE = """
+SELECT CAST(floor(doc_id / 4) AS BIGINT) AS stripe_id,
+       CAST(doc_id % 4 AS INTEGER) AS block_idx,
+       md5(text) AS payload_md5
+FROM documents
+WHERE doc_id % 4 = CAST(floor(doc_id / 4) AS BIGINT) % 4
+"""
+
+
+@register("ec_reconstruct_check", _EC_ORACLE)
+def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XOR(4,1) erasure-coding reconstruction (functions/erasure;
+    reference io/erasurecode/rawcoder/XORRawEncoder.java): stripe the
+    corpus into 4-block stripes, encode one parity per stripe, DESTROY
+    block (stripe % 4) of every stripe, reconstruct it from survivors +
+    parity, and emit md5 of each rebuilt block. The oracle hashes the
+    ORIGINAL blocks straight from the table — the hashes can only match
+    if recovery is byte-exact, so the XOR algebra is hash-verified
+    without the oracle doing any XOR. Stripes parallelize by hash; both
+    kernels are Arrow-batched numpy, never per-row Python."""
+    from hadoop_source_spark.functions import erasure
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    blocks = erasure.stripe_blocks(d, "doc_id", "payload", k=4)
+    parity = erasure.encode_parity(blocks)
+    lost = blocks.select(
+        "stripe_id",
+        F.col("block_idx").alias("lost_idx"),
+        F.length("payload").alias("lost_len"),
+    ).filter(F.col("lost_idx") == (F.col("stripe_id") % 4).cast("int"))
+    survivors = (
+        blocks.unionByName(parity)
+        .join(lost, "stripe_id")
+        .filter(F.col("block_idx") != F.col("lost_idx"))
+    )
+    rebuilt = erasure.reconstruct(survivors)
+    return rebuilt.select(
+        "stripe_id", "block_idx", F.md5("payload").alias("payload_md5")
+    )
+
+
+_ZORDER_ORACLE = (
+    """
+WITH s AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS xmn, CAST(max(user_id) AS DOUBLE) AS xmx,
+         CAST(min(value) AS DOUBLE)  AS ymn, CAST(max(value) AS DOUBLE)  AS ymx
+  FROM events
+), q AS (
+  SELECT event_id,
+    CAST(floor(CASE WHEN xmx > xmn THEN (CAST(user_id AS DOUBLE) - xmn) / (xmx - xmn) * 65535 ELSE 0 END) AS BIGINT) AS xq,
+    CAST(floor(CASE WHEN ymx > ymn THEN (CAST(value  AS DOUBLE) - ymn) / (ymx - ymn) * 65535 ELSE 0 END) AS BIGINT) AS yq
+  FROM events, s
+)
+SELECT event_id, ("""
+    + " | ".join(
+        f"(((xq >> {i}) & 1) << {2 * i}) | (((yq >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    + """) AS z
+FROM q
+"""
+)
+
+
+@register("zorder_curve", _ZORDER_ORACLE)
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (user_id, value) (layout.with_z): min-max
+    quantize each dimension to 16 bits against a one-row broadcast of
+    the table extremes (no window, no rank), then an unrolled
+    shiftleft/or interleave — all whole-stage codegen. This is the sort
+    key behind layout.zorder_write, whose file-skipping property is
+    asserted in tests/test_io.py; the oracle recomputes the exact bit
+    algebra in SQL."""
+    e = table(spark, sf_dir, "events")
+    from hadoop_source_spark import layout
+
+    return layout.with_z(e, "user_id", "value", bits=16).select("event_id", "z")
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3751,10 +3832,10 @@ _WINDOW: list[str] = [
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
-    "balancer_move_plan",
+    "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
 ]
 
-assert len(_WINDOW) == 64, len(_WINDOW)
+assert len(_WINDOW) == 66, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -186,3 +186,51 @@ def test_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for t, x in exact.items():
         assert abs(approx[t] - x) <= max(0.05 * x, 2), (t, approx[t], x)
+
+
+def test_xor_erasure_round_trip(spark):
+    """XOR(k,1) erasure coding (ref XORRawEncoder/Decoder): encode one
+    parity per 4-block stripe over real variable-length text payloads,
+    destroy one data block per stripe, reconstruct from survivors +
+    parity, and require byte-exact recovery."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.functions import erasure
+
+    docs = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .filter(F.col("doc_id") < 40)
+    )
+    blocks = erasure.stripe_blocks(docs, "doc_id", "payload", k=4)
+    parity = erasure.encode_parity(blocks)
+
+    # lose block (stripe_id % 4) from every stripe
+    lost = blocks.select(
+        "stripe_id", "block_idx", F.length("payload").alias("n")
+    ).filter(F.col("block_idx") == F.col("stripe_id") % 4)
+    survivors = (
+        blocks.unionByName(parity)
+        .join(
+            lost.select(
+                "stripe_id",
+                F.col("block_idx").alias("lost_idx"),
+                F.col("n").alias("lost_len"),
+            ),
+            "stripe_id",
+        )
+        .filter(F.col("block_idx") != F.col("lost_idx"))
+    )
+    rebuilt = {
+        (r.stripe_id, r.block_idx): bytes(r.payload)
+        for r in erasure.reconstruct(survivors).collect()
+    }
+    original = {
+        (r.stripe_id, r.block_idx): bytes(r.payload)
+        for r in blocks.join(
+            lost.select("stripe_id", F.col("block_idx").alias("li")),
+            "stripe_id",
+        ).filter(F.col("block_idx") == F.col("li")).drop("li").collect()
+    }
+    assert len(original) == 10 and rebuilt == original

@@ -393,3 +393,59 @@ def test_sequence_file_2darray_round_trip(spark):
         assert sorted(
             (r.key, [list(x) for x in r.value]) for r in back.collect()
         ) == sorted((r.key, [list(x) for x in r.value]) for r in df.collect())
+
+
+def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
+    """The point of z-ordering: for a 2-D box predicate, the number of
+    files whose min/max stats overlap the box (what a stats-pruning scan
+    must read) is much smaller under z-order layout than under a 1-D
+    sort layout — for boxes selective on the SECOND dimension, which a
+    linear sort cannot cluster."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark import layout
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        F.floor(F.col("id") / 128).alias("y"),
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    layout.zorder_write(df, zdir, "x", "y", num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlapping(path, lo, hi):
+        import glob as g
+
+        hit = 0
+        for f in sorted(g.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fxmn = fymn = float("inf")
+            fxmx = fymx = float("-inf")
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(c).path_in_schema: row.column(c).statistics
+                        for c in range(row.num_columns)}
+                fxmn = min(fxmn, cols["x"].min); fxmx = max(fxmx, cols["x"].max)
+                fymn = min(fymn, cols["y"].min); fymx = max(fymx, cols["y"].max)
+            if fxmx >= lo[0] and fxmn <= hi[0] and fymx >= lo[1] and fymn <= hi[1]:
+                hit += 1
+        return hit
+
+    # box selective in y (the dimension the linear layout ignores)
+    z_hits = overlapping(zdir, (0, 0), (127, 15))
+    l_hits = overlapping(ldir, (0, 0), (127, 15))
+    assert l_hits == 16, l_hits  # linear: every file spans all of y
+    assert z_hits <= l_hits // 2, (z_hits, l_hits)
+    # and both layouts return identical data
+    assert (
+        spark.read.parquet(zdir).filter("y <= 15").count()
+        == spark.read.parquet(ldir).filter("y <= 15").count()
+        == 16 * 128
+    )
