@@ -434,3 +434,67 @@ def boilerplate_ngrams(
         F.round(frac, 6).alias("boiler_frac"),
         (frac <= max_boiler_frac).cast("int").alias("keep"),
     )
+
+
+def perplexity_score(
+    corpus: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, public):
+    score every document by the perplexity of an add-one-smoothed
+    BIGRAM model trained on a reference corpus — low perplexity ≈
+    looks like the clean reference, high ≈ noise. The real pipeline
+    uses KenLM; the bigram model keeps the same semantics while every
+    count and logarithm stays ANSI-SQL-reproducible.
+
+    logp(w2|w1) = ln((c(w1,w2) + 1) / (c(w1) + V)),
+    ppl(doc) = exp(-avg logp over its bigrams).
+
+    Shape at scale: training is two groupBys over the reference corpus
+    (vocab-sized outputs); scoring explodes each doc's bigrams once and
+    joins the two count tables (AQE broadcasts them when small, hash
+    join otherwise), then one per-doc aggregate. All built-ins.
+    """
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = tokenize_words(F.col(text_col))
+        return (
+            df.select(F.col(id_col), toks.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t)-2),"
+                        " i -> struct(t[i] as w1, t[i+1] as w2))"
+                    )
+                ).alias("bg"),
+            )
+            .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+
+    tr = bigrams(train)
+    uni = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    v = tr.select(
+        F.countDistinct("w1").alias("__v")
+    )  # vocabulary of bigram heads, single-row broadcast
+
+    scored = (
+        bigrams(corpus)
+        .join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce("cb", F.lit(0)) + 1).cast("double")
+                / (F.coalesce("cu", F.lit(0)) + F.col("__v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("logp")), 4).alias("perplexity"),
+    )

@@ -3797,6 +3797,47 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.with_z(e, "user_id", "value", bits=16).select("event_id", "z")
 
 
+_PERPLEXITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), tr AS (
+  SELECT w1, w2 FROM bg WHERE doc_id % 5 <> 0
+), uni AS (
+  SELECT w1, count(*) AS cu FROM tr GROUP BY w1
+), bi AS (
+  SELECT w1, w2, count(*) AS cb FROM tr GROUP BY w1, w2
+), v AS (SELECT count(DISTINCT w1) AS vsz FROM tr)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(exp(-avg(ln((coalesce(cb, 0) + 1) * 1.0
+                         / (coalesce(cu, 0) + vsz)))), 4) AS perplexity
+FROM bg b LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1), v
+GROUP BY b.doc_id
+"""
+
+
+@register("perplexity_quality_filter", _PERPLEXITY_ORACLE)
+def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring (llmops/textstats.
+    perplexity_score; Wenzek et al. 2020): an add-one-smoothed bigram
+    model trained on the doc_id%5!=0 reference split scores EVERY doc;
+    low perplexity ≈ resembles the clean reference. Training is two
+    vocab-sized groupBys; scoring is one bigram explode + two count-table
+    joins (AQE-broadcast when small) + one per-doc aggregate. The real
+    pipeline's KenLM becomes exact integer counts + ln — fully
+    hash-verified against SQL."""
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    return ts.perplexity_score(d, train, "text", "doc_id")
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3833,9 +3874,10 @@ _WINDOW: list[str] = [
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
     "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
+    "perplexity_quality_filter",
 ]
 
-assert len(_WINDOW) == 66, len(_WINDOW)
+assert len(_WINDOW) == 67, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
