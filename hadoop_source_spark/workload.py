@@ -3838,6 +3838,130 @@ def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.perplexity_score(d, train, "text", "doc_id")
 
 
+_RETENTION_ORACLE = """
+WITH parts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS part,
+         count(*) AS n_events,
+         round(sum(value), 2) AS bytes_approx,
+         max(date_trunc('day', ts)) AS d
+  FROM events GROUP BY 1
+), hwm AS (SELECT max(d) AS mx FROM parts)
+SELECT part, n_events, bytes_approx,
+       CAST(date_diff('day', d, mx) AS BIGINT) AS age_days,
+       CASE WHEN date_diff('day', d, mx) > 20 THEN 'EXPIRE'
+            WHEN date_diff('day', d, mx) > 13 THEN 'CHECKPOINT'
+            ELSE 'KEEP' END AS action
+FROM parts, hwm
+"""
+
+
+@register("retention_expiry_plan", _RETENTION_ORACLE)
+def retention_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trash/checkpoint retention planning (reference fs/
+    TrashPolicyDefault.java — age-bucketed checkpoint dirs, deletion
+    after the retention interval): daily partitions of the event stream
+    classified KEEP / CHECKPOINT (grace window) / EXPIRE against the
+    table's own high-water mark. One partial-agg groupBy + a single-row
+    broadcast of the max — the retention sweep over a 100 TB table costs
+    one scan-shaped aggregate, no listing loop."""
+    e = table(spark, sf_dir, "events")
+    parts = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("bytes_approx"),
+    )
+    hwm = parts.agg(F.max("d").alias("mx"))
+    age = F.datediff("mx", "d").cast("long")
+    return parts.crossJoin(F.broadcast(hwm)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("part"),
+        "n_events",
+        "bytes_approx",
+        age.alias("age_days"),
+        F.when(age > 20, F.lit("EXPIRE"))
+        .when(age > 13, F.lit("CHECKPOINT"))
+        .otherwise(F.lit("KEEP"))
+        .alias("action"),
+    )
+
+
+_WINDOW2_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS tss
+  FROM events WHERE user_id % 100 = 7
+)
+SELECT 'percent_rank' AS fn, user_id AS k, event_id AS id,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS val
+FROM e
+UNION ALL
+SELECT 'cume_dist', user_id, event_id,
+       round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+FROM e
+UNION ALL
+SELECT 'nth_value_3', user_id, event_id,
+       round(coalesce(nth_value(value, 3) OVER (
+         PARTITION BY user_id ORDER BY tss, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 6)
+FROM e
+UNION ALL
+SELECT 'first_nonneg', user_id, event_id,
+       round(coalesce(first_value(CASE WHEN value >= 0 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY tss, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 6)
+FROM e
+"""
+
+
+@register("window_suite_2", _WINDOW2_ORACLE)
+def window_suite_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window-function family: percent_rank, cume_dist,
+    running nth_value, and first_value(... IGNORE NULLS) — the
+    conditional-carry idiom behind gap-fill. All windows PARTITIONED by
+    user (never global); the user_id%100 slice keeps the driver compare
+    small while every frame shape still executes."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 7)
+        .select(
+            "event_id", "user_id", "value",
+            F.date_format("ts", TS_FMT).alias("tss"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("tss", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    branch = lambda fn, col: e.select(  # noqa: E731
+        F.lit(fn).alias("fn"),
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("id"),
+        F.round(col, 6).alias("val"),
+    )
+    return (
+        branch("percent_rank", F.percent_rank().over(wv))
+        .unionByName(branch("cume_dist", F.cume_dist().over(wv)))
+        .unionByName(
+            branch(
+                "nth_value_3",
+                F.coalesce(F.nth_value("value", 3).over(wt), F.lit(-1.0)),
+            )
+        )
+        .unionByName(
+            branch(
+                "first_nonneg",
+                F.coalesce(
+                    F.first(
+                        F.when(F.col("value") >= 0, F.col("value")),
+                        ignorenulls=True,
+                    ).over(wt),
+                    F.lit(-1.0),
+                ),
+            )
+        )
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3874,10 +3998,10 @@ _WINDOW: list[str] = [
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
     "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
-    "perplexity_quality_filter",
+    "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
 ]
 
-assert len(_WINDOW) == 67, len(_WINDOW)
+assert len(_WINDOW) == 69, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
