@@ -106,9 +106,26 @@ def derive(spark) -> None:
     shifted("embeddings", {"vec_id": "vec"})
 
 
+# beyond-headline operators whose scale behavior the round-4 additions
+# claim: corpus-wide n-gram df, LM scoring, clustered semantic dedup,
+# per-row metric fusion, gap-fill windows, stripe-parallel EC, z-values
+EXTRA = (
+    "quality_repetition_filter", "boilerplate_prune",
+    "perplexity_quality_filter", "semdedup_prune",
+    "time_resample_gapfill", "ec_reconstruct_check", "zorder_curve",
+)
+
+
+def _bench_set() -> dict:
+    qs = dict(workload.headline_queries())
+    for name in EXTRA:
+        qs.setdefault(name, workload.QUERIES[name].fn)
+    return qs
+
+
 def bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name, fn in workload.headline_queries().items():
+    for name, fn in _bench_set().items():
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -130,7 +147,7 @@ def main() -> None:
         derive(spark)
 
     # warmup (codegen per plan shape)
-    for _name, _fn in workload.headline_queries().items():
+    for _name, _fn in _bench_set().items():
         try:
             _fn(spark, "/root/testdata/sf0.01").count()
         except Exception as exc:

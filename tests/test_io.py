@@ -449,3 +449,36 @@ def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
         == spark.read.parquet(ldir).filter("y <= 15").count()
         == 16 * 128
     )
+
+
+def test_z_value_matches_python_interleave(spark):
+    """layout.z_value's unrolled shift/or chain == a literal Python bit
+    interleave for random 16-bit pairs, plus locality sanity: nearby
+    points in both dims land in the same z-quadrant."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark import layout
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(300)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535)]
+    df = spark.createDataFrame(pts, ["xq", "yq"])
+    got = {
+        (r.xq, r.yq): r.z
+        for r in df.select(
+            "xq", "yq", layout.z_value(F.col("xq"), F.col("yq")).alias("z")
+        ).collect()
+    }
+
+    def py_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): py_z(x, y) for x, y in pts}
+    # top-bit quadrant: both dims' high bits decide the top two z bits
+    assert py_z(0, 0) >> 30 == 0 and py_z(65535, 65535) >> 30 == 3
