@@ -220,3 +220,16 @@ def test_distcp_plan_one_join(spark):
     df = workload.QUERIES["distcp_sync_plan"].fn(spark, SF)
     assert plans.join_counts(df)["cartesian"] == 0
     assert plans.shuffle_count(df) <= 2  # one exchange per listing side
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Global invariant behind every scale claim: NO registered query
+    plans a row-at-a-time (pickled) Python UDF. Python appears only as
+    Arrow-batched operators (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas), which are the documented llmops kernels."""
+    offenders = []
+    for name, q in workload.QUERIES.items():
+        plan = plans.executed_plan(q.fn(spark, SF))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
