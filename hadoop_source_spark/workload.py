@@ -3962,6 +3962,55 @@ def window_suite_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_ORACLE = """
+WITH seeds AS (SELECT unnest(range(0, 3)) AS seed),
+lanes AS (
+  SELECT ((user_id % 1000003 + s.seed * 7961 + 17) * 2654435761) % 256 AS slot,
+         s.seed
+  FROM events, seeds s
+),
+counters AS (SELECT seed, slot, count(*) AS cnt FROM lanes GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id FROM events),
+plane AS (
+  SELECT p.user_id, s.seed,
+         ((p.user_id % 1000003 + s.seed * 7961 + 17) * 2654435761) % 256 AS slot
+  FROM probes p, seeds s
+),
+est AS (
+  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+  FROM plane LEFT JOIN counters USING (seed, slot) GROUP BY user_id
+),
+exact AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT e.user_id, n, est,
+       CASE WHEN est >= n THEN 1 ELSE 0 END AS never_under
+FROM exact e JOIN est USING (user_id)
+"""
+
+
+@register("sketch_cms_user_counts", _CMS_ORACLE)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries vs exact counts (functions/cms;
+    completes the bloom/counting-bloom/HLL sketch family). d=3, w=256 is
+    deliberately tight so real collisions appear — the never_under
+    column is the sketch's one-sided error CONTRACT and must be 1
+    everywhere, which the oracle recomputes exactly because the row hash
+    is the SQL-safe Knuth multiplicative scheme, not xxhash. Sketch =
+    d×w-row DataFrame; build is explode(3)+partial-agg groupBy; probe is
+    one (seed,slot) equi-join."""
+    from hadoop_source_spark.functions import cms
+
+    e = table(spark, sf_dir, "events")
+    sketch = cms.cms_build(e, "user_id", width=256, depth=3)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = cms.cms_estimate(
+        sketch, exact.select("user_id"), "user_id", width=256, depth=3
+    )
+    return exact.join(est, "user_id").select(
+        "user_id", "n", "est",
+        (F.col("est") >= F.col("n")).cast("int").alias("never_under"),
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -3999,9 +4048,10 @@ _WINDOW: list[str] = [
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
     "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
+    "sketch_cms_user_counts",
 ]
 
-assert len(_WINDOW) == 69, len(_WINDOW)
+assert len(_WINDOW) == 70, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

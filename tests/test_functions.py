@@ -234,3 +234,36 @@ def test_xor_erasure_round_trip(spark):
         ).filter(F.col("block_idx") == F.col("li")).drop("li").collect()
     }
     assert len(original) == 10 and rebuilt == original
+
+
+def test_cms_contract_and_merge(spark):
+    """CMS one-sided error (never under-estimates), exactness when the
+    sketch is wide enough to avoid collisions, and monoid merge ==
+    sketch-of-union."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.functions import cms
+
+    a = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    b = spark.range(500).select((F.col("id") % 5).alias("k"))
+    wide = {"width": 4096, "depth": 3}
+    sa, sb = cms.cms_build(a, "k", **wide), cms.cms_build(b, "k", **wide)
+    probes = a.select("k").distinct()
+
+    est_a = {r.k: r.est for r in cms.cms_estimate(sa, probes, "k", **wide).collect()}
+    assert est_a == {k: 100 for k in range(10)}  # wide sketch: exact
+
+    merged = cms.cms_merge(sa, sb)
+    est_m = {r.k: r.est for r in cms.cms_estimate(merged, probes, "k", **wide).collect()}
+    union_sketch = cms.cms_build(a.unionByName(b), "k", **wide)
+    est_u = {r.k: r.est for r in cms.cms_estimate(union_sketch, probes, "k", **wide).collect()}
+    assert est_m == est_u
+    assert est_m == {k: (200 if k < 5 else 100) for k in range(10)}
+
+    # tight sketch: collisions may inflate but NEVER deflate
+    tight = {"width": 8, "depth": 2}
+    st = cms.cms_build(a, "k", **tight)
+    est_t = {r.k: r.est for r in cms.cms_estimate(st, probes, "k", **tight).collect()}
+    assert all(est_t[k] >= 100 for k in range(10))
+    # sketch size is d*w rows regardless of input
+    assert st.count() <= 8 * 2
