@@ -146,3 +146,68 @@ def test_empty_state_read(spark, tmp_path):
     empty = sc.read_dedup_state(spark, str(tmp_path / "missing"))
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "signature", "shset", "text_hash"]
+
+
+def test_streaming_cms_maintenance_equals_batch(spark, tmp_path):
+    """Count-min sketch maintained incrementally over a file stream
+    (foreachBatch: sketch-of-batch, monoid-merged into durable state)
+    == the sketch built over the whole corpus in one batch — the
+    mergeability that makes the sketch streamable and shardable."""
+    from hadoop_source_spark.functions import cms
+
+    landing = str(tmp_path / "landing")
+    batches = [
+        [(i, "x") for i in range(30)],
+        [(i % 7, "x") for i in range(40)],
+        [(i % 3, "x") for i in range(20)],
+    ]
+    _write_landing(spark, landing, batches)
+    state_dir = str(tmp_path / "cms_state")
+    W, D = 64, 3
+
+    def upd(batch_df, batch_id):
+        delta = cms.cms_build(batch_df, "doc_id", width=W, depth=D)
+        try:
+            prior = batch_df.sparkSession.read.parquet(state_dir)
+            merged = cms.cms_merge(prior, delta)
+        except Exception:
+            merged = delta
+        merged.coalesce(1).write.mode("overwrite").parquet(state_dir + ".next")
+        # atomic-ish swap for the test: rewrite state from .next
+        batch_df.sparkSession.read.parquet(state_dir + ".next").coalesce(
+            1
+        ).write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = stream.writeStream.foreachBatch(upd).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    streamed = {
+        (r.seed, r.slot): r.cnt
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    full = spark.createDataFrame(
+        [x for b in batches for x in b], SCHEMA
+    )
+    batch_sketch = {
+        (r.seed, r.slot): r.cnt
+        for r in cms.cms_build(full, "doc_id", width=W, depth=D).collect()
+    }
+    assert streamed == batch_sketch
+    probes = full.select("doc_id").distinct()
+    est = {
+        r.doc_id: r.est
+        for r in cms.cms_estimate(
+            spark.read.parquet(state_dir), probes, "doc_id", width=W, depth=D
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r["count"] for r in full.groupBy("doc_id").count().collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
