@@ -117,3 +117,28 @@ def partitioned_upsert(
         .parquet(base_dir)
     )
     return touched
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE-style CDC apply (the Delta/Iceberg MERGE INTO semantics,
+    public; in reference terms this is one edit-log replay onto an
+    fsimage — OP_ADD/OP_CLOSE upserts and OP_DELETE tombstones applied
+    in a single pass, hdfs/server/namenode/FSEditLogLoader.java):
+
+      op = 'D'        → key removed from the result
+      op = 'I' / 'U'  → change row replaces/creates the key's row
+
+    One pass, two hash-joins on the key (anti to drop D/U-shadowed base
+    rows, union of surviving change rows) — at scale the change feed is
+    usually batch-sized, so AQE broadcasts it; the base table is never
+    rewritten beyond the keys it must lose. Change rows must be
+    key-unique (one op per key per apply, the CDC batch contract)."""
+    keyed = changes.select(*key_cols, op_col)
+    survivors = base.join(keyed, key_cols, "left_anti")
+    applied = changes.filter(F.col(op_col) != "D").drop(op_col)
+    return survivors.unionByName(applied)

@@ -4011,6 +4011,104 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_ORACLE = """
+WITH base0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice + 1000, 2) AS o_totalprice, 'U' AS op
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice, 2), 'D'
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 900000000, o_custkey, 'N',
+         round(1.0, 2), 'I'
+  FROM orders WHERE o_orderkey % 17 = 0
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base0 b LEFT JOIN changes c USING (o_orderkey)
+WHERE c.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM changes WHERE op <> 'D'
+"""
+
+
+@register("cdc_merge_apply", _CDC_ORACLE)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply (operators/upsert.apply_changes; edit-log
+    replay semantics, ref FSEditLogLoader): a derived change feed with
+    updates (keys %11==0, price +1000), deletes (%13==0), and inserts
+    (shifted new keys) applied to orders in ONE pass — left-anti join
+    drops deleted/shadowed base rows, surviving change rows union in.
+    The feed is batch-sized → AQE broadcasts the anti join at scale."""
+    from hadoop_source_spark.operators import upsert as ups
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1000, 2)
+    ).withColumn("op", F.lit("U"))
+    dels = o.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 11 != 0)
+    ).withColumn("op", F.lit("D"))
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.round(F.lit(1.0), 2).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return ups.apply_changes(o, changes, ["o_orderkey"], "op")
+
+
+_SLIDING_ORACLE = """
+WITH lanes AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - (o.k * INTERVAL 1 HOUR) AS win_start
+  FROM events, (SELECT unnest(range(0, 2)) AS k) o
+)
+SELECT event_type,
+       strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM lanes GROUP BY event_type, win_start
+"""
+
+
+@register("events_sliding_windows", _SLIDING_ORACLE)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-hour windows every 1 hour via the
+    built-in window(ts, '2 hours', '1 hour') — each event lands in
+    exactly two windows; the expansion happens inside the aggregate
+    (Expand node), then one partial-agg shuffle, same cost shape as any
+    groupBy. The oracle replays the two-lane expansion explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -4048,10 +4146,10 @@ _WINDOW: list[str] = [
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
     "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
-    "sketch_cms_user_counts",
+    "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 70, len(_WINDOW)
+assert len(_WINDOW) == 72, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

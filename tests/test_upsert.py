@@ -95,3 +95,22 @@ def test_upsert_with_map_column(spark):
     out = up.latest_wins(df, ["k"], "txid")
     got = {r.k: (r.txid, r.v) for r in out.collect()}
     assert got == {1: (2, "a2"), 2: (1, "b")}
+
+
+def test_apply_changes_merge_semantics(spark):
+    """CDC MERGE contract: D removes, U replaces, I inserts, untouched
+    rows pass through bit-identical; change feed is key-unique."""
+    from hadoop_source_spark.operators import upsert as ups
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 25.0, "U"), (3, "c", 30.0, "D"), (9, "z", 99.0, "I")],
+        ["k", "s", "v", "op"],
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in ups.apply_changes(base, changes, ["k"], "op").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 9: ("z", 99.0)}
