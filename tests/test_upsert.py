@@ -114,3 +114,47 @@ def test_apply_changes_merge_semantics(spark):
         for r in ups.apply_changes(base, changes, ["k"], "op").collect()
     }
     assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 9: ("z", 99.0)}
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Materialized-rollup maintenance: folding N append batches into the
+    on-disk rollup (delta-agg + monoid merge, touched day partitions
+    only) must equal the rollup recomputed from all events at once, and
+    each fold must rewrite only the days its batch touches."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators import rollup as ru
+
+    rdir = str(tmp_path / "rollup")
+    batches = [
+        [("a", datetime(2024, 1, 1, 3, 5), 1.0),
+         ("a", datetime(2024, 1, 1, 3, 40), 2.0),
+         ("b", datetime(2024, 1, 1, 9, 0), 5.0)],
+        [("a", datetime(2024, 1, 1, 3, 50), 4.0),   # same hour as batch 0!
+         ("b", datetime(2024, 1, 2, 10, 0), 7.0)],
+        [("a", datetime(2024, 1, 3, 0, 1), 9.0)],
+    ]
+    schema = "event_type string, ts timestamp, value double"
+    expected_touched = [["2024-01-01"], ["2024-01-01", "2024-01-02"], ["2024-01-03"]]
+    for rows, exp in zip(batches, expected_touched):
+        touched = ru.maintain(spark, rdir, spark.createDataFrame(rows, schema))
+        assert touched == exp
+
+    maintained = {
+        (r.series, r.hr, r.n, r.sum_v)
+        for r in spark.read.parquet(rdir).select("series", "hr", "n", "sum_v").collect()
+    }
+    full = ru.hourly_rollup(
+        spark.createDataFrame([x for b in batches for x in b], schema),
+        "ts", "event_type",
+    )
+    recomputed = {
+        (r.series, r.hr, r.n, r.sum_v)
+        for r in full.select("series", "hr", "n", "sum_v").collect()
+    }
+    assert maintained == recomputed
+    # the merged hour accumulated across batches
+    merged_hour = next(x for x in maintained if x[0] == "a" and x[1].hour == 3)
+    assert merged_hour[2] == 3 and merged_hour[3] == 7.0
