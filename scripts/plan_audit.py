@@ -82,7 +82,8 @@ def main() -> None:
         "distcp_sync_plan", "semdedup_prune", "fsck_report",
         "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
         "perplexity_quality_filter", "retention_expiry_plan",
-        "window_suite_2",
+        "window_suite_2", "sketch_cms_user_counts", "cdc_merge_apply",
+        "events_sliding_windows",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
