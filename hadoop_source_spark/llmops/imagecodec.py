@@ -3,9 +3,10 @@ binary PPM) plus nearest-neighbor resampling.
 
 These are the real pixel kernels behind llmops.multimodal's decode /
 resize steps: no codec libraries exist in this container, but the
-uncompressed container formats are just headers + raster order, so the
-decode is exact. Compressed codecs (JPEG/PNG) remain stubbed in
-multimodal.decode_image — sniffed by magic and reported loudly.
+uncompressed container formats are just headers + raster order, and
+PNG's compression is stdlib zlib + per-scanline prediction filters, so
+all three decodes are exact. JPEG (DCT entropy coding) remains stubbed
+in multimodal.decode_image — sniffed by magic and reported loudly.
 
 Everything here operates on a single payload (bytes ↔ uint8 ndarray
 (height, width, 3) RGB); batch fan-out across the cluster is the
@@ -120,17 +121,126 @@ def decode_ppm(b: bytes) -> np.ndarray:
     )
 
 
-DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm}
+# ----------------------------------------------------------------- PNG
+#
+# PNG's compression is stdlib zlib; the rest of the format is chunk
+# framing + per-scanline prediction filters (png.org spec, public).
+# Supported: 8-bit greyscale(0)/RGB(2)/RGBA(6), non-interlaced — the
+# overwhelming real-world cases. Paletted/16-bit/interlaced stay loud.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG → uint8 (h, w, 3) RGB (alpha dropped, grey broadcast)."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth} color={color} "
+                    f"interlace={interlace}): only 8-bit grey/RGB/RGBA, "
+                    "non-interlaced"
+                )
+            nch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    assert len(raw) == h * (stride + 1), "PNG raster size mismatch"
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        ftype = raw[y * (stride + 1)]
+        if ftype == 1:  # Sub — sequential in x, vectorize per channel lag
+            for x in range(nch, stride):
+                row[x] = (int(row[x]) + int(row[x - nch])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                ul = int(prev[x - nch]) if x >= nch else 0
+                row[x] = (
+                    int(row[x]) + _paeth(left, int(prev[x]), ul)
+                ) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → PNG (filter 0 rows, one zlib stream)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raster = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
 
 
 def decode_any(b: bytes) -> tuple[str, np.ndarray]:
-    """Sniff + decode an uncompressed payload; (codec, pixels)."""
+    """Sniff + decode a payload; (codec, pixels)."""
     codec = sniff_codec(b)
     if codec in DECODERS:
         return codec, DECODERS[codec](b)
-    if codec in ("jpeg", "png"):
+    if codec == "jpeg":
         raise NotImplementedError(
-            f"{codec} decode requires a codec library not in this container"
+            "jpeg decode requires a codec library not in this container"
         )
     raise ValueError("unknown image payload (no BMP/PPM/JPEG/PNG magic)")
 

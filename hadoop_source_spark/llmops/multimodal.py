@@ -270,13 +270,14 @@ def audio_features(
 def decode_image(
     payloads: DataFrame, id_col: str = "doc_id", on_error: str = "raise"
 ) -> DataFrame:
-    """REAL image decode for the uncompressed codecs (24-bit BMP, binary
-    PPM — pure-numpy kernels in llmops/imagecodec.py), inside the same
-    mapInPandas batch contract as extract_meta: payload bytes in, RGB8
-    pixel tensor out as (width, height, flattened h*w*3 bytes).
+    """REAL image decode for BMP (24-bit), binary PPM, and PNG (8-bit
+    grey/RGB/RGBA, non-interlaced — stdlib zlib + numpy unfiltering;
+    pure kernels in llmops/imagecodec.py), inside the same mapInPandas
+    batch contract as extract_meta: payload bytes in, RGB8 pixel tensor
+    out as (width, height, flattened h*w*3 bytes).
 
-    Compressed codecs (JPEG/PNG) remain STUBBED: their magic is sniffed
-    and raises NotImplementedError — a codec library would slot into
+    JPEG remains STUBBED: its magic is sniffed and raises
+    NotImplementedError — a codec library would slot into
     imagecodec.DECODERS and nothing else changes. on_error="skip" drops
     undecodable payloads instead (the corrupt-file-tolerant corpus path).
     """

@@ -115,3 +115,100 @@ def test_bmp_corpus_decode_resize_embed_topk(spark):
     for r in top.collect():
         assert r.vec_id == r.query_id  # self is always the nearest
         assert abs(r.cosine - 1.0) < 1e-6
+
+
+def _png_with_filters(arr, filters):
+    """Hand-build a PNG whose row y uses filter filters[y % len] — the
+    encode side of the spec's five prediction filters, so decode_png's
+    every unfiltering branch gets exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = arr.shape
+    stride = w * nch
+    flat = arr.reshape(h, stride).astype(np.int16)
+    rows = []
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        raw = flat[y]
+        f = filters[y % len(filters)]
+        enc = np.empty(stride, dtype=np.int16)
+        for x in range(stride):
+            left = int(raw[x - nch]) if x >= nch else 0
+            up = int(prev[x])
+            ul = int(prev[x - nch]) if x >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                from hadoop_source_spark.llmops.imagecodec import _paeth
+
+                pred = _paeth(left, up, ul)
+            enc[x] = (int(raw[x]) - pred) & 0xFF
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = raw
+    raster = b"".join(rows)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+
+
+def test_png_round_trip_and_all_filters():
+    import numpy as np
+
+    from hadoop_source_spark.llmops import imagecodec as ic
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 7, 3), dtype=np.uint8)
+    # encoder round-trip (filter 0 path)
+    assert (ic.decode_png(ic.encode_png(img)) == img).all()
+    codec, px = ic.decode_any(ic.encode_png(img))
+    assert codec == "png" and (px == img).all()
+    # every filter type unfilteres exactly
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        b = _png_with_filters(img, filters)
+        assert (ic.decode_png(b) == img).all(), filters
+
+
+def test_png_grey_rgba_and_unsupported():
+    import numpy as np
+    import pytest as pt
+
+    from hadoop_source_spark.llmops import imagecodec as ic
+
+    rng = np.random.RandomState(5)
+    grey = rng.randint(0, 256, (6, 9, 1), dtype=np.uint8)
+    got = ic.decode_png(_png_with_filters(grey, [2]))
+    assert got.shape == (6, 9, 3) and (got[:, :, 0] == grey[:, :, 0]).all()
+    rgba = rng.randint(0, 256, (5, 4, 4), dtype=np.uint8)
+    got = ic.decode_png(_png_with_filters(rgba, [1, 4]))
+    assert got.shape == (5, 4, 3) and (got == rgba[:, :, :3]).all()
+    # 16-bit stays loud
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
+    with pt.raises(NotImplementedError):
+        ic.decode_png(bad)

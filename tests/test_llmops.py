@@ -475,3 +475,27 @@ def test_perplexity_separates_reference_like_from_gibberish(spark):
     # V-sized denominator) and deliberately not asserted
     assert ppl[100] < ppl[101] and ppl[100] < ppl[102]
     assert ppl[100] < 5 and ppl[101] > 15 and ppl[102] > 5
+
+
+def test_decode_image_png_through_spark_pipeline(spark):
+    """PNG payloads flow through the full decode → resize → features
+    Spark surface exactly like BMP/PPM: the compressed codec is now a
+    first-class member of the corpus path."""
+    import numpy as np
+
+    from hadoop_source_spark.llmops import imagecodec as ic
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (int(i), bytearray(ic.encode_png(
+            rng.randint(0, 256, (12 + i, 10, 3), dtype=np.uint8)
+        )))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mm.decode_image(df).collect()}
+    assert len(out) == 6
+    assert all(r.codec == "png" and r.width == 10 for r in out.values())
+    assert out[3].height == 15
+    thumbs = mm.resize_images(df, width=4, height=4).collect()
+    assert len(thumbs) == 6 and all(len(r.thumbnail) > 0 for r in thumbs)
