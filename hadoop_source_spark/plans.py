@@ -61,3 +61,56 @@ def audit(df: DataFrame) -> dict:
         "shuffles": shuffle_count(df),
         "take_ordered": has_take_ordered(df),
     }
+
+
+def advise(df: DataFrame) -> list[str]:
+    """Actionable scale warnings for a DataFrame's physical plan — the
+    .explain() review the 100-TB design rules prescribe, as an API.
+    Empty list = no known anti-pattern. Rules:
+
+    - CartesianProduct: O(n·m) row explosion.
+    - Exchange SinglePartition feeding anything but a grand-total scalar
+      aggregate (keys=[]): a global window/sort serializing data-sized
+      input through one task.
+    - BatchEvalPython: row-at-a-time pickled Python UDF on the hot path.
+    - BroadcastNestedLoopJoin: theta join — fine for metadata-sized
+      sides, fatal for data-sized ones.
+    - A Filter above a parquet scan with NO pushed filters: the
+      predicate never reached the reader (cast/UDF in the predicate?).
+    """
+    plan = executed_plan(df)
+    lines = plan.splitlines()
+    out: list[str] = []
+    if "CartesianProduct" in plan:
+        out.append(
+            "cartesian product: give the join an equi-key, or broadcast a "
+            "provably bounded side"
+        )
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            parent = lines[i - 1] if i else ""
+            if not re.search(r"HashAggregate\(keys=\[\]", parent):
+                out.append(
+                    "single-partition exchange feeding a non-scalar stage: "
+                    "a global Window/Sort is serializing data through one "
+                    "task — partition the window or bound its input"
+                )
+                break
+    if "BatchEvalPython" in plan:
+        out.append(
+            "row-at-a-time Python UDF: rewrite with built-ins or an "
+            "Arrow-batched pandas_udf/mapInPandas"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        out.append(
+            "broadcast nested-loop (theta) join: acceptable only when one "
+            "side is metadata-sized by construction"
+        )
+    if "Filter (" in plan or re.search(r"\bFilter\b", plan):
+        pushed = pushed_filters(df)
+        if pushed and all(p.strip() == "" for p in pushed):
+            out.append(
+                "filter present but nothing pushed to the parquet scan: "
+                "check for casts/UDFs wrapping the predicate column"
+            )
+    return out

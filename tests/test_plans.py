@@ -233,3 +233,38 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_advise_flags_antipatterns_and_clears_clean_plans(spark):
+    """plans.advise: each rule fires on a crafted offender and stays
+    silent on the engine's own clean plans."""
+    from pyspark.sql import Window
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+
+    # small sides auto-broadcast into a nested-loop; disable that to
+    # exercise the true cartesian branch
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = a.join(b)  # no condition
+        assert any("cartesian" in w for w in plans.advise(cart))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    glob = a.select(F.sum("x").over(Window.orderBy("x")).alias("r"))
+    assert any("single-partition" in w for w in plans.advise(glob))
+
+    from pyspark.sql.functions import udf
+
+    slow = a.select(udf(lambda v: v + 1, "long")(F.col("x")).alias("x2"))
+    assert any("row-at-a-time" in w for w in plans.advise(slow))
+
+    theta = a.join(F.broadcast(b), a.x < b.y)
+    assert any("nested-loop" in w for w in plans.advise(theta))
+
+    # the engine's own headline plans advise clean
+    for name in ("q01_pricing_summary", "q05_local_supplier",
+                 "quality_repetition_filter", "time_resample_gapfill"):
+        df = workload.QUERIES[name].fn(spark, SF)
+        assert plans.advise(df) == [], (name, plans.advise(df))
