@@ -69,6 +69,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif field.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif field.dataType.simpleString() == "date" and field.name in (
+            "ts", "o_orderdate", "l_shipdate",
+        ):
+            # date32 drift would break unix_micros()/interval arithmetic
+            # exactly like the NTZ incident; midnight-UTC cast is lossless
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

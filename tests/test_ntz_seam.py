@@ -119,3 +119,32 @@ def test_ntz_inference_disabled_in_tuned_session(spark, tmp_path):
     tune(spark)
     raw = spark.read.parquet(str(d / "events.parquet"))
     assert isinstance(raw.schema["ts"].dataType, TimestampType)
+
+
+def test_date32_footer_drift_normalizes_to_timestamp(spark, tmp_path):
+    """If a future testdata generation stores a timestamp column as
+    date32, the seam casts it to TIMESTAMP (midnight UTC) so
+    unix_micros/interval arithmetic still analyzes — same incident
+    class as the round-3 NTZ break, caught here first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "date32"
+    d.mkdir()
+    arr = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)],
+                pa.date32(),
+            ),
+            "user_id": pa.array([10, 10], pa.int64()),
+            "event_type": pa.array(["click", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    pq.write_table(arr, str(d / "events.parquet"))
+    e = data.table(spark, str(d), "events")
+    assert isinstance(e.schema["ts"].dataType, TimestampType)
+    us = sorted(r.us for r in e.select(F.unix_micros("ts").alias("us")).collect())
+    assert us[0] == 1704067200000000  # 2024-01-01T00:00:00Z
