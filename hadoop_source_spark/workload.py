@@ -3759,6 +3759,93 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EC_RS_ORACLE = """
+WITH s AS (
+  SELECT CAST(floor(doc_id / 4) AS BIGINT) AS stripe_id,
+         CAST(doc_id % 4 AS INTEGER) AS block_idx, text
+  FROM documents
+), full_s AS (
+  SELECT stripe_id FROM s GROUP BY stripe_id HAVING count(*) = 4
+)
+SELECT s.stripe_id, s.block_idx, md5(s.text) AS payload_md5
+FROM s JOIN full_s USING (stripe_id)
+WHERE s.block_idx = CAST(s.stripe_id % 6 AS INTEGER)
+   OR s.block_idx = CAST((s.stripe_id % 6 + 1 + s.stripe_id % 5) % 6
+                         AS INTEGER)
+"""
+
+
+@register("ec_rs_reconstruct_check", _EC_RS_ORACLE)
+def ec_rs_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reed-Solomon RS(4,2) reconstruction — the reference's DEFAULT EC
+    family (io/erasurecode/rawcoder/RSRawEncoder.java behind RS-6-3 /
+    RS-3-2; GF(256) per rawcoder/util/GF256.java), scaled to the 4-block
+    stripes of this corpus. Unlike the XOR(4,1) row above, RS survives
+    ANY two losses: every stripe here loses TWO blocks — a rotating
+    pattern over all 6 positions (data and parity both) — and the
+    decoder recovers the lost data blocks via one Cauchy-submatrix
+    inversion per stripe. The oracle md5-hashes the ORIGINAL blocks, so
+    a single wrong byte anywhere in the GF algebra fails the hash
+    compare. Kernels are Arrow-batched numpy table-lookup GF multiplies;
+    stripes parallelize by hash exactly like the reference's striped
+    reconstruction work spreads across datanodes."""
+    from hadoop_source_spark.functions import erasure
+
+    k, m = 4, 2
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    blocks = erasure.stripe_blocks(d, "doc_id", "payload", k=k)
+    full = blocks.groupBy("stripe_id").agg(F.count(F.lit(1)).alias("nb")).filter(
+        F.col("nb") == k
+    )
+    blocks = blocks.join(full.select("stripe_id"), "stripe_id", "left_semi")
+    parity = erasure.rs_encode(blocks, k=k, m=m)
+    l1 = (F.col("stripe_id") % 6).cast("int")
+    l2 = ((F.col("stripe_id") % 6 + 1 + F.col("stripe_id") % 5) % 6).cast("int")
+    lost_long = (
+        blocks.select("stripe_id")
+        .distinct()
+        .select("stripe_id", F.explode(F.array(l1, l2)).alias("li"))
+    )
+    # true byte length for lost data blocks; -1 (= stripe max) for parity
+    meta = (
+        lost_long.join(
+            blocks.select(
+                "stripe_id",
+                F.col("block_idx").alias("li"),
+                F.length("payload").alias("blen"),
+            ),
+            ["stripe_id", "li"],
+            "left",
+        )
+        .groupBy("stripe_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("li"), F.coalesce("blen", F.lit(-1)).alias("ln")
+                    )
+                )
+            ).alias("lm")
+        )
+        .select(
+            "stripe_id",
+            F.expr("transform(lm, x -> x.li)").alias("lost_idx"),
+            F.expr("transform(lm, x -> CAST(x.ln AS INT))").alias("lost_len"),
+        )
+    )
+    survivors = (
+        blocks.unionByName(parity)
+        .join(meta, "stripe_id")
+        .filter(~F.expr("array_contains(lost_idx, block_idx)"))
+    )
+    rebuilt = erasure.rs_reconstruct(survivors, k=k, m=m)
+    return rebuilt.filter(F.col("block_idx") < k).select(
+        "stripe_id", "block_idx", F.md5("payload").alias("payload_md5")
+    )
+
+
 _ZORDER_ORACLE = (
     """
 WITH s AS (
@@ -4144,12 +4231,13 @@ _WINDOW: list[str] = [
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
-    "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
+    "balancer_move_plan", "ec_reconstruct_check", "ec_rs_reconstruct_check",
+    "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 72, len(_WINDOW)
+assert len(_WINDOW) == 73, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -267,3 +267,89 @@ def test_cms_contract_and_merge(spark):
     assert all(est_t[k] >= 100 for k in range(10))
     # sketch size is d*w rows regardless of input
     assert st.count() <= 8 * 2
+
+
+def test_gf256_field_axioms():
+    """The GF(256) tables behind RS coding are a field: exp/log inverse,
+    commutative multiply, multiplicative inverses, distributivity over
+    XOR (sampled), and 1 is the identity."""
+    import numpy as np
+
+    from hadoop_source_spark.functions.erasure import _gf_tables
+
+    exp, log, mul = _gf_tables()
+    # exp/log are mutually inverse on nonzero elements
+    nz = np.arange(1, 256)
+    assert np.array_equal(exp[log[nz]], nz.astype(np.uint8))
+    # identity + zero annihilates
+    assert np.array_equal(mul[1][nz], nz.astype(np.uint8))
+    assert int(mul[0].sum()) == 0 and int(mul[:, 0].sum()) == 0
+    # commutativity (full table)
+    assert np.array_equal(mul, mul.T)
+    # every nonzero element has an inverse
+    inv = exp[255 - log[nz]]
+    assert np.array_equal(mul[nz, inv], np.ones(255, dtype=np.uint8))
+    # distributivity a*(b^c) == a*b ^ a*c on a deterministic sample
+    rng = np.random.default_rng(7)
+    a, b, c = (rng.integers(0, 256, 200) for _ in range(3))
+    assert np.array_equal(mul[a, b ^ c], mul[a, b] ^ mul[a, c])
+
+
+def test_rs_erasure_all_loss_patterns(spark):
+    """RS(3,2) recovers EVERY loss pattern of size <= m byte-exactly —
+    the Cauchy-matrix decodability guarantee, exercised exhaustively:
+    one stripe per pattern (5 single losses + 10 double losses over the
+    5 blocks, data AND parity), variable-length payloads, one encode job
+    and one reconstruct job for all 15 patterns."""
+    import itertools
+
+    from hadoop_source_spark.functions import erasure
+
+    k, m = 3, 2
+    patterns = [
+        list(p)
+        for size in (1, 2)
+        for p in itertools.combinations(range(k + m), size)
+    ]
+    payload = lambda s, i: (f"stripe{s}-block{i}-" * (i + 1 + s % 3)).encode()
+    rows = [
+        (s, i, payload(s, i)) for s in range(len(patterns)) for i in range(k)
+    ]
+    blocks = spark.createDataFrame(
+        rows, "stripe_id long, block_idx int, payload binary"
+    )
+    parity = erasure.rs_encode(blocks, k=k, m=m)
+    # per-stripe lost metadata: true lengths for data blocks, -1 (stripe
+    # max) for parity blocks, as the reference's block headers would carry
+    meta = [
+        (
+            s,
+            patterns[s],
+            [len(payload(s, i)) if i < k else -1 for i in patterns[s]],
+        )
+        for s in range(len(patterns))
+    ]
+    meta_df = spark.createDataFrame(
+        meta, "stripe_id long, lost_idx array<int>, lost_len array<int>"
+    )
+    survivors = (
+        blocks.unionByName(parity)
+        .join(meta_df, "stripe_id")
+        .filter(~F.expr("array_contains(lost_idx, block_idx)"))
+    )
+    rebuilt = {
+        (r.stripe_id, r.block_idx): bytes(r.payload)
+        for r in erasure.rs_reconstruct(survivors, k=k, m=m).collect()
+    }
+    # every lost DATA block must equal the original bytes; every lost
+    # PARITY block must equal the originally encoded parity bytes
+    orig_parity = {
+        (r.stripe_id, r.block_idx): bytes(r.payload) for r in parity.collect()
+    }
+    n_checked = 0
+    for s, lost, _ in meta:
+        for i in lost:
+            want = payload(s, i) if i < k else orig_parity[(s, i)]
+            assert rebuilt[(s, i)] == want, (s, i)
+            n_checked += 1
+    assert n_checked == 5 * 1 + 10 * 2
