@@ -74,6 +74,81 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def span_hashes(text: Column, k: int = 8) -> Column:
+    """ALL k-token span hashes of ``text``, positional and non-distinct
+    (array<long>) — the per-position variant of :func:`shingle_hashes`
+    (same string-free xxhash64 chain). Documents shorter than k tokens
+    yield an EMPTY array: a duplicated span is only meaningful at full
+    window length."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    acc = hashes
+    for j in range(1, k):
+        shifted = F.slice(
+            hashes, j + 1, F.greatest(F.size(hashes) - j, F.lit(0))
+        )
+        acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+    return F.slice(acc, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Exact duplicate-SPAN statistics per document — the distributed
+    k-gram formulation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": their
+    suffix-array finds duplicated substrings of >= k tokens; hashing
+    every k-token window finds exactly the same spans for window length
+    k, with no global suffix array to build). A span position counts as
+    duplicated iff its k-gram occurs in >= 2 DISTINCT documents
+    (within-doc repetition is the repetition_stats family's job).
+
+    Returns (id, n_spans, n_dup_spans, dup_frac, keep) where
+    keep = dup_frac <= max_dup_frac.
+
+    Scale shape: one explode (fan-out = tokens/doc), one groupBy on the
+    span hash (map-side partial count), one hash equi-join back, one
+    doc-level re-group — never a doc-pair join, so boilerplate shared by
+    thousands of docs costs its position count, not a quadratic clique.
+    """
+    spans = df.select(
+        F.col(id_col), span_hashes(F.col(text_col), k).alias("__spans")
+    )
+    pos = spans.select(id_col, F.explode("__spans").alias("__h"))
+    shared = (
+        pos.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    dup_counts = (
+        pos.join(shared, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__ndup"))
+    )
+    return (
+        spans.select(id_col, F.size("__spans").cast("long").alias("n_spans"))
+        .join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("__ndup", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.col("n_spans") > 0,
+                    F.coalesce("__ndup", F.lit(0)) / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .withColumn("keep", F.col("dup_frac") <= max_dup_frac)
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

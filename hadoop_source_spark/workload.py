@@ -845,6 +845,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
+_SPAN_DEDUP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(lower(regexp_replace(text, '[^\w\s]', ' ', 'g'))),
+           '\s+') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+  FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+  WHERE len(toks) >= 8
+),
+shared AS (
+  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+dupc AS (
+  SELECT sp.doc_id, count(*) AS n_dup
+  FROM sp JOIN shared USING (span) GROUP BY sp.doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       round(CASE WHEN len(toks) >= 8
+                  THEN coalesce(d.n_dup, 0) * 1.0 / (len(toks) - 7)
+                  ELSE 0.0 END, 6) AS dup_frac,
+       (CASE WHEN len(toks) >= 8
+             THEN coalesce(d.n_dup, 0) * 1.0 / (len(toks) - 7)
+             ELSE 0.0 END) <= 0.5 AS keep
+FROM t LEFT JOIN dupc d USING (doc_id)
+"""
+
+
+@register("dedup_span_exact", _SPAN_DEDUP_ORACLE)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (llmops/dedup.duplicate_span_stats)
+    — the distributed k-gram form of Lee et al. 2022's suffix-array
+    substring dedup: every 8-token window is hashed (string-free
+    xxhash64 chain, pure codegen), a window position is duplicated iff
+    its hash occurs in >= 2 distinct docs, and docs above 50% duplicated
+    positions are dropped. The oracle recomputes span STRINGS in SQL —
+    agreement proves the hash-chain is faithful to the string windows.
+    Never forms doc pairs: boilerplate shared by N docs costs N span
+    rows, not N^2 comparisons."""
+    d = table(spark, sf_dir, "documents")
+    return dd.duplicate_span_stats(d, "text", "doc_id", k=8, max_dup_frac=0.5)
+
+
 @register("dedup_minhash_lsh", _NGRAM_JACCARD_ORACLE, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact Jaccard verification — the
@@ -4223,7 +4271,8 @@ _WINDOW: list[str] = [
     "kv_suite", "content_summary_docs", "dist_stats_by_type",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter", "doc_profile",
-    "dedup_exact", "dedup_jaccard_suite", "dedup_connected_components",
+    "dedup_exact", "dedup_span_exact", "dedup_jaccard_suite",
+    "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
@@ -4237,7 +4286,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 73, len(_WINDOW)
+assert len(_WINDOW) == 74, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -499,3 +499,40 @@ def test_decode_image_png_through_spark_pipeline(spark):
     assert out[3].height == 15
     thumbs = mm.resize_images(df, width=4, height=4).collect()
     assert len(thumbs) == 6 and all(len(r.thumbnail) > 0 for r in thumbs)
+
+
+def test_duplicate_span_stats_planted(spark):
+    """duplicate_span_stats finds exactly the planted shared 8-token
+    windows: a run shared across two docs marks each covered position in
+    both; a full copy marks every position; short docs have zero spans;
+    within-doc repetition alone does NOT count (cross-doc only)."""
+    from hadoop_source_spark.llmops import dedup as dd
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    docs = [
+        (0, shared + " one two three four five six seven eight"),
+        (1, "nine ten eleven twelve " + shared),
+        (2, "unique words only here nothing shared at all today friend"),
+        (3, "too short to span"),
+        (4, docs_4 := "copy copy copy copy copy copy copy copy copy"),
+        (5, docs_4),
+        (6, "solo solo solo solo solo solo solo solo solo solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in dd.duplicate_span_stats(df, "text", "doc_id", k=8).collect()
+    }
+    # doc0: 16 toks -> 9 spans; only the span starting at pos 1 is the
+    # shared run (later windows mix in unique tail tokens)
+    assert out[0]["n_spans"] == 9 and out[0]["n_dup_spans"] == 1
+    # doc1: 12 toks -> 5 spans; only the final window is the shared run
+    assert out[1]["n_spans"] == 5 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 0 and out[2]["keep"]
+    assert out[3]["n_spans"] == 0 and out[3]["dup_frac"] == 0.0 and out[3]["keep"]
+    # full copies: every position duplicated in both -> dropped
+    for i in (4, 5):
+        assert out[i]["n_spans"] == 2 and out[i]["n_dup_spans"] == 2
+        assert out[i]["dup_frac"] == 1.0 and not out[i]["keep"]
+    # doc6 repeats a token within itself but shares nothing cross-doc
+    assert out[6]["n_dup_spans"] == 0 and out[6]["keep"]
