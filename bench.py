@@ -79,8 +79,67 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    try:
+        out["control_plane"] = control_plane_open_bench(spark)
+    except Exception as exc:  # auxiliary metric must never fail the bench
+        print(f"# control_plane: FAILED {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
+
+
+def control_plane_open_bench(spark, n_files: int = 100_000, n_ops: int = 100_000):
+    """Analog of the reference's only published number: NNThroughputBenchmark
+    `open` (BASELINE.md: 10,515 ops/s resolving 100,000 paths with 1000
+    threads). Here the namespace is a cached metadata DataFrame and the
+    100,000 opens are resolved as ONE batched hash join — the engine-native
+    way to do metadata ops at scale (a driver-side loop of 100k jobs would
+    measure the scheduler, not the catalog). The create phase (namespace
+    build) is untimed, matching the benchmark's -op open which times only
+    the opens against a pre-created namespace."""
+    from pyspark.sql import functions as F
+
+    def path_expr(file_id):
+        return F.concat_ws(
+            "/",
+            F.lit("/ThroughputBenchDir"),
+            (file_id % 250).cast("string"),
+            F.concat(F.lit("f"), file_id.cast("string")),
+        )
+
+    cat = (
+        spark.range(n_files)
+        .select(
+            path_expr(F.col("id")).alias("path"),
+            (F.col("id") * 137 % 10_000_000).alias("length"),
+            (F.col("id") % 3 + 1).alias("repl"),
+            (F.col("id") % 64).alias("block_id"),
+        )
+        .repartition(32, "path")
+        .cache()
+    )
+    cat.count()  # untimed create phase
+    t0 = time.perf_counter()
+    # deterministic pseudo-random access order (48271 coprime to n_files)
+    req = spark.range(n_ops).select(
+        path_expr(F.col("id") * 48271 % n_files).alias("path")
+    )
+    row = (
+        req.join(cat, "path")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("length").alias("bytes"))
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    cat.unpersist()
+    assert row.n == n_ops, f"unresolved opens: {n_ops - row.n}"
+    return {
+        "metric": "open_ops_per_sec",
+        "value": round(n_ops / wall, 1),
+        "ops": n_ops,
+        "wall_sec": round(wall, 3),
+        "baseline_ref_ops_per_sec": 10515.25,
+        "note": "batched metadata resolution (one hash join) vs "
+        "NNThroughputBenchmark -op open -threads 1000 -files 100000",
+    }
 
 
 if __name__ == "__main__":
