@@ -25,6 +25,7 @@ from hadoop_source_spark.llmops import dedup as dd
 from hadoop_source_spark.llmops import similarity as sim
 from hadoop_source_spark.llmops import textstats as ts
 from hadoop_source_spark.llmops import sampling as smp
+from hadoop_source_spark.llmops import selection as dsel
 from hadoop_source_spark.operators import asof, kv, relational, setops
 from hadoop_source_spark.operators.rangejoin import range_join
 from hadoop_source_spark.operators import timeseries as tsr
@@ -843,6 +844,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     against at sf0.01."""
     d = table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
+_DSIR_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(lower(regexp_replace(text, '[^\w\s]', ' ', 'g'))),
+           '\s+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+),
+posf AS (SELECT doc_id, tok FROM pos WHERE tok <> ''),
+raw AS (SELECT tok, count(*) AS rc FROM posf GROUP BY tok),
+tgt AS (
+  SELECT tok, count(*) AS tc
+  FROM posf JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY tok
+),
+f AS (
+  SELECT r.tok, r.rc, coalesce(g.tc, 0) AS tc
+  FROM raw r LEFT JOIN tgt g USING (tok)
+),
+s AS (SELECT sum(rc) AS t_raw, sum(tc) AS t_tgt, count(*) AS vocab FROM f),
+lr AS (
+  SELECT tok,
+         ln((tc + 1.0) / (t_tgt + vocab)) - ln((rc + 1.0) / (t_raw + vocab))
+           AS lr
+  FROM f, s
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_toks, avg(lr) AS w
+  FROM posf JOIN lr USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_toks, 0) AS BIGINT) AS n_toks,
+       round(coalesce(pd.w, 0.0), 6) AS dsir_logratio,
+       round(coalesce(pd.w, 0.0), 6) > 0 AS selected
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@register("dsir_selection", _DSIR_ORACLE)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for training-data selection
+    (llmops/selection.dsir_weights; Xie et al. 2023): target
+    distribution = the English slice of the corpus, raw = everything;
+    each doc scores the mean smoothed log-likelihood ratio of its
+    tokens and is selected when more target-like than corpus-like.
+    Exact string-unigram features here so DuckDB recomputes the
+    identical statistic; the hashed-feature variant (the bounded-width
+    100 TB path, log-ratio table broadcast-sized at any vocab) is
+    pytest-gated against this one."""
+    d = table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en").select("doc_id")
+    return dsel.dsir_weights(d, target, "text", "doc_id")
 
 
 _SPAN_DEDUP_ORACLE = r"""
@@ -4271,7 +4329,8 @@ _WINDOW: list[str] = [
     "kv_suite", "content_summary_docs", "dist_stats_by_type",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter", "doc_profile",
-    "dedup_exact", "dedup_span_exact", "dedup_jaccard_suite",
+    "dedup_exact", "dedup_span_exact", "dsir_selection",
+    "dedup_jaccard_suite",
     "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
@@ -4286,7 +4345,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 74, len(_WINDOW)
+assert len(_WINDOW) == 75, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -536,3 +536,45 @@ def test_duplicate_span_stats_planted(spark):
         assert out[i]["dup_frac"] == 1.0 and not out[i]["keep"]
     # doc6 repeats a token within itself but shares nothing cross-doc
     assert out[6]["n_dup_spans"] == 0 and out[6]["keep"]
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR weights must separate the target slice from the rest: mean
+    weight of English docs strictly above mean weight of non-English
+    docs, and the hashed-feature scale path (bounded feature width) must
+    agree with exact string features on nearly all selections."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import selection as dsel
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    target = d.filter(F.col("lang") == "en").select("doc_id")
+    exact = dsel.dsir_weights(d, target, "text", "doc_id")
+    by_lang = {
+        r.is_en: r.w
+        for r in exact.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_logratio").alias("w"))
+        .collect()
+    }
+    assert by_lang[True] > by_lang[False]
+
+    sel_exact = {
+        r.doc_id for r in exact.filter("selected").collect()
+    }
+    assert sel_exact, "selection must be non-trivial"
+    hashed = dsel.dsir_weights(
+        d, target, "text", "doc_id", hash_buckets=4096
+    )
+    sel_hash = {r.doc_id for r in hashed.filter("selected").collect()}
+    jac = len(sel_exact & sel_hash) / len(sel_exact | sel_hash)
+    assert jac >= 0.9, jac
+    # deterministic: identical on re-run
+    again = {
+        r.doc_id
+        for r in dsel.dsir_weights(
+            d, target, "text", "doc_id", hash_buckets=4096
+        ).filter("selected").collect()
+    }
+    assert again == sel_hash
