@@ -1,0 +1,115 @@
+"""Rack-aware replica placement planning (reference:
+hdfs/server/blockmanagement/BlockPlacementPolicyDefault.java — the
+default HDFS policy: 1st replica on the writer's node, 2nd on a node in a
+DIFFERENT rack, 3rd on a DIFFERENT node in the SAME rack as the 2nd; at
+most one replica per node and, with enough racks, at most two per rack).
+
+The NameNode resolves this against its in-memory topology; the Spark-first
+equivalent collapses the topology (thousands of rows even at 100 TB) into
+ONE broadcast array row and picks each block's replicas with per-row
+higher-order functions — filter + min-by-key aggregate over the array. The
+physical plan is scan → project → explode: ZERO shuffles, O(nodes) work
+per block exactly like the NameNode's chooseTarget loop. Where the
+reference draws replicas randomly, this planner minimizes a deterministic
+per-(block, node) mixing key, so plans are reproducible and SQL-checkable
+while still spreading load across nodes like a seeded random choice (the
+key varies per block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOPO_T = "struct<node:string,node_id:bigint,rack:string>"
+
+
+def _mk(x: str) -> str:
+    """Deterministic per-(block, node) spread key in plain arithmetic
+    (expressible identically in any SQL engine — no engine hash):
+    Knuth-style multiplicative mix mod a prime, tie-broken by node_id."""
+    return (
+        f"((block_id * 1000003 + {x}.node_id * 7919) % 104729) * 64"
+        f" + {x}.node_id"
+    )
+
+
+def _pick_min(arr: str) -> str:
+    """min-by-mixing-key over a candidate struct array (null if empty)."""
+    return (
+        f"aggregate({arr}, cast(null as {_TOPO_T}), (acc, x) -> "
+        f"CASE WHEN acc IS NULL THEN x "
+        f"WHEN ({_mk('x')}) < ({_mk('acc')}) THEN x ELSE acc END)"
+    )
+
+
+def plan_replicas(
+    blocks: DataFrame,
+    topology: DataFrame,
+    block_col: str = "block_id",
+    writer_col: str = "writer",
+) -> DataFrame:
+    """Three-replica placement plan per block.
+
+    ``blocks``: (block_col, writer_col) — writer is a node name present
+    in ``topology``. ``topology``: (node, node_id, rack). Returns long
+    format (block_id, replica_idx 1|2|3, node, rack). Blocks whose
+    writer is unknown, or clusters with a single rack, emit only the
+    placeable replicas (nulls are dropped, as chooseTarget degrades)."""
+    topo_row = topology.agg(
+        F.collect_list(
+            F.struct(
+                F.col("node"),
+                F.col("node_id").cast("long").alias("node_id"),
+                F.col("rack"),
+            )
+        ).alias("__topo")
+    )
+    b = blocks.select(
+        F.col(block_col).alias("block_id"), F.col(writer_col).alias("writer")
+    ).crossJoin(F.broadcast(topo_row))
+    picked = b.select(
+        "block_id",
+        F.expr(
+            "element_at(filter(__topo, t -> t.node = writer), 1)"
+        ).alias("r1"),
+        F.col("__topo").alias("__topo"),
+    ).select(
+        "block_id",
+        "r1",
+        F.expr(
+            _pick_min(
+                "filter(__topo, t -> t.rack != r1.rack AND t.node != r1.node)"
+            )
+        ).alias("r2"),
+        "__topo",
+    ).select(
+        "block_id",
+        "r1",
+        "r2",
+        F.expr(
+            _pick_min(
+                "filter(__topo, t -> t.rack = r2.rack AND t.node != r2.node)"
+            )
+        ).alias("r3"),
+    )
+    return (
+        picked.select(
+            "block_id",
+            F.explode(
+                F.expr(
+                    "filter(array("
+                    "struct(1 as replica_idx, r1.node as node, r1.rack as rack),"
+                    "struct(2 as replica_idx, r2.node as node, r2.rack as rack),"
+                    "struct(3 as replica_idx, r3.node as node, r3.rack as rack)"
+                    "), s -> s.node IS NOT NULL)"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "block_id",
+            F.col("s.replica_idx").alias("replica_idx"),
+            F.col("s.node").alias("node"),
+            F.col("s.rack").alias("rack"),
+        )
+    )

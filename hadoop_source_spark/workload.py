@@ -3865,6 +3865,72 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLACEMENT_ORACLE = """
+WITH topo AS (
+  SELECT 'n' || CAST(i AS VARCHAR) AS node, CAST(i AS BIGINT) AS node_id,
+         'r' || CAST(i % 4 AS VARCHAR) AS rack
+  FROM range(13) t(i)
+),
+b AS (
+  SELECT doc_id AS block_id,
+         'n' || CAST(doc_id % 13 AS VARCHAR) AS writer
+  FROM documents
+),
+r1 AS (
+  SELECT block_id, writer, rack AS rack1 FROM b JOIN topo ON node = writer
+),
+cand AS (
+  SELECT block_id, writer, rack1, node, rack,
+         ((block_id * 1000003 + node_id * 7919) % 104729) * 64 + node_id AS mk
+  FROM r1 CROSS JOIN topo WHERE node <> writer
+),
+r2 AS (
+  SELECT block_id, arg_min(node, mk) AS node2, arg_min(rack, mk) AS rack2
+  FROM cand WHERE rack <> rack1 GROUP BY block_id
+),
+r3 AS (
+  SELECT c.block_id, arg_min(c.node, c.mk) AS node3,
+         arg_min(c.rack, c.mk) AS rack3
+  FROM cand c JOIN r2 USING (block_id)
+  WHERE c.rack = r2.rack2 AND c.node <> r2.node2
+  GROUP BY c.block_id
+)
+SELECT block_id, CAST(1 AS INTEGER) AS replica_idx, writer AS node,
+       rack1 AS rack FROM r1
+UNION ALL
+SELECT block_id, CAST(2 AS INTEGER), node2, rack2 FROM r2
+UNION ALL
+SELECT block_id, CAST(3 AS INTEGER), node3, rack3 FROM r3
+"""
+
+
+@register("block_placement_plan", _PLACEMENT_ORACLE)
+def block_placement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rack-aware 3-replica placement (operators/placement.plan_replicas;
+    reference BlockPlacementPolicyDefault.java): 13 nodes across 4
+    racks, one block per document, writer = node doc_id % 13. Replica 1
+    local to the writer, replica 2 off-rack, replica 3 on replica 2's
+    rack but a different node — the random draws replaced by a
+    deterministic per-(block, node) mixing key so the whole plan is
+    SQL-checkable while spreading load like a seeded choice. Topology
+    is a broadcast dim; the block side never shuffles."""
+    from hadoop_source_spark.operators import placement
+
+    d = table(spark, sf_dir, "documents")
+    blocks = d.select(
+        F.col("doc_id").alias("block_id"),
+        F.concat(F.lit("n"), (F.col("doc_id") % 13).cast("string")).alias(
+            "writer"
+        ),
+    )
+    topo = spark.range(13).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node"),
+        F.col("id").alias("node_id"),
+        F.concat(F.lit("r"), (F.col("id") % 4).cast("string")).alias("rack"),
+    )
+    return placement.plan_replicas(blocks, topo)
+
+
 _EC_RS_ORACLE = """
 WITH s AS (
   SELECT CAST(floor(doc_id / 4) AS BIGINT) AS stripe_id,
@@ -4339,13 +4405,14 @@ _WINDOW: list[str] = [
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
-    "balancer_move_plan", "ec_reconstruct_check", "ec_rs_reconstruct_check",
+    "balancer_move_plan", "block_placement_plan",
+    "ec_reconstruct_check", "ec_rs_reconstruct_check",
     "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 75, len(_WINDOW)
+assert len(_WINDOW) == 76, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -401,3 +401,41 @@ def test_balancer_moves_restore_balance(spark):
             assert after == avg, (node, used, after, avg)
         elif used < avg * 0.9:
             assert after <= avg, (node, used, after, avg)
+
+
+def test_block_placement_policy_invariants(spark):
+    """plan_replicas upholds BlockPlacementPolicyDefault's contract on
+    every block: 3 replicas on 3 distinct nodes, replica 1 on the
+    writer, replica 2 on a different rack than 1, replica 3 on replica
+    2's rack but another node, never more than 2 replicas per rack —
+    and the plan actually SPREADS (no single node hoards replica 2)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators import placement
+
+    blocks = spark.range(300).select(
+        F.col("id").alias("block_id"),
+        F.concat(F.lit("n"), (F.col("id") % 11).cast("string")).alias("writer"),
+    )
+    topo = spark.range(11).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node"),
+        F.col("id").alias("node_id"),
+        F.concat(F.lit("r"), (F.col("id") % 3).cast("string")).alias("rack"),
+    )
+    plan = placement.plan_replicas(blocks, topo).collect()
+    by_block = {}
+    for r in plan:
+        by_block.setdefault(r.block_id, {})[r.replica_idx] = (r.node, r.rack)
+    assert len(by_block) == 300
+    second_nodes = set()
+    for bid, reps in by_block.items():
+        assert set(reps) == {1, 2, 3}, bid
+        nodes = [reps[i][0] for i in (1, 2, 3)]
+        racks = [reps[i][1] for i in (1, 2, 3)]
+        assert len(set(nodes)) == 3, bid
+        assert racks[1] != racks[0], bid
+        assert racks[2] == racks[1], bid
+        assert max(racks.count(x) for x in racks) <= 2, bid
+        assert reps[1][0] == f"n{bid % 11}", bid
+        second_nodes.add(nodes[1])
+    assert len(second_nodes) >= 5, second_nodes
