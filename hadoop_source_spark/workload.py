@@ -3865,6 +3865,49 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENCZONE_ORACLE = """
+SELECT doc_id,
+       md5(text) AS payload_md5,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       TRUE AS cipher_differs
+FROM documents
+"""
+
+
+@register("encryption_zone_roundtrip", _ENCZONE_ORACLE)
+def encryption_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent-encryption round trip (functions/crypto; reference
+    crypto/AesCtrCryptoCodec.java + KeyProviderCryptoExtension.java —
+    HDFS encryption zones): every document payload is AES-128-CTR
+    encrypted under its own derived per-file DEK, then decrypted, and
+    the oracle md5-matches the ORIGINAL text — one wrong keystream byte
+    anywhere fails the hash compare. cipher_differs additionally pins
+    that the ciphertext is never the plaintext (the oracle's constant
+    TRUE only matches if encryption actually transformed every payload;
+    zero-length payloads are vacuously true). CTR preserves length
+    (n_bytes). The production paths are single mapInPandas passes with
+    zero shuffles — the verification join here is harness, not
+    pipeline. Real AES: FIPS-197 + SP 800-38A vectors pytest-gated."""
+    from hadoop_source_spark.functions import crypto
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    enc = crypto.encrypt_zone(d, "doc_id", "payload")
+    dec = crypto.decrypt_zone(enc, "doc_id", "ciphertext")
+    return (
+        enc.join(dec, "doc_id")
+        .select(
+            "doc_id",
+            F.md5("plaintext").alias("payload_md5"),
+            F.length("plaintext").cast("long").alias("n_bytes"),
+            F.when(F.length("plaintext") == 0, F.lit(True))
+            .otherwise(F.md5("ciphertext") != F.md5("plaintext"))
+            .alias("cipher_differs"),
+        )
+    )
+
+
 _PLACEMENT_ORACLE = """
 WITH topo AS (
   SELECT 'n' || CAST(i AS VARCHAR) AS node, CAST(i AS BIGINT) AS node_id,
@@ -4406,13 +4449,14 @@ _WINDOW: list[str] = [
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "semdedup_prune", "fsck_report",
     "balancer_move_plan", "block_placement_plan",
+    "encryption_zone_roundtrip",
     "ec_reconstruct_check", "ec_rs_reconstruct_check",
     "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 76, len(_WINDOW)
+assert len(_WINDOW) == 77, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
