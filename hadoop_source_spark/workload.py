@@ -610,6 +610,77 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_NEAREST_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, min(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.ts, c.ts AS cts, c.click_id,
+         abs(datediff('microsecond', c.ts, p.ts)) AS d
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(datediff('microsecond', c.ts, p.ts)) <= 30 * 60 * 1000000
+),
+best AS (
+  SELECT purchase_id, user_id, ts,
+         arg_min(click_id,
+                 d * 2 + (CASE WHEN cts > ts THEN 1 ELSE 0 END)) AS click_id,
+         arg_min(cts,
+                 d * 2 + (CASE WHEN cts > ts THEN 1 ELSE 0 END)) AS cts
+  FROM j GROUP BY purchase_id, user_id, ts
+)
+SELECT purchase_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       click_id,
+       strftime(cts, '{TS_FMT_DUCK}') AS click_ts,
+       datediff('microsecond', ts, cts) AS gap_us
+FROM best
+"""
+
+
+@register("asof_nearest_tolerance", _ASOF_NEAREST_ORACLE)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with a 30-minute tolerance — the
+    pandas merge_asof completion of the getClosest kernel
+    (operators/asof; MapFile.java:699's before=True/False picked per row
+    by distance, ties backward). Same one-shuffle union+window plan as
+    the backward row above, plus a second window pass over the SAME
+    sort; the oracle brute-forces argmin-by-distance per purchase in
+    SQL, so the window formulation is verified against the definition.
+    gap_us is signed (positive = matched click after the purchase)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    j = asof.asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        direction="nearest",
+        how="inner",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        "click_id",
+        F.date_format("ts_right", TS_FMT).alias("click_ts"),
+        (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
 _HOURLY_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
@@ -4435,6 +4506,7 @@ _WINDOW: list[str] = [
     "semi_anti_customers", "range_join_attribution", "sampling_suite",
     "set_algebra", "snapshot_diff_orders",
     "snapshot_diff_upsert_generations", "asof_purchase_click",
+    "asof_nearest_tolerance",
     "kv_suite", "content_summary_docs", "dist_stats_by_type",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter", "doc_profile",
@@ -4456,7 +4528,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 77, len(_WINDOW)
+assert len(_WINDOW) == 78, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -54,3 +54,68 @@ def test_asof_matches_model(spark, left, right, direction):
     }
     want = model_asof(left, right_payload or [("_", -999, "_")], direction)
     assert got == want
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """asof_join == pandas.merge_asof on a randomized keyed corpus, for
+    every direction x tolerance x how combination — pandas is the
+    de-facto reference semantics for as-of joins (ties to nearest go
+    backward, tolerance is inclusive, unmatched rows null/drop)."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_source_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "t": rng.integers(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r),
+            "t": rng.choice(1000, n_r, replace=False).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64") + 10_000,
+        }
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 25):
+            want = pd.merge_asof(
+                lpdf.sort_values("t"),
+                rpdf.sort_values("t"),
+                on="t",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+                suffixes=("", "_right"),
+            ).sort_values("lid")
+            got = (
+                asof_join(
+                    ldf, rdf, on="t", by="k", direction=direction,
+                    how="left", tolerance=tol,
+                )
+                .orderBy("lid")
+                .toPandas()
+            )
+            g = got["rid"].astype("float64").fillna(-1).to_numpy()
+            w = want["rid"].astype("float64").fillna(-1).to_numpy()
+            assert (g == w).all(), (direction, tol, int((g != w).sum()))
+            # matched ordering value comes back as t_right
+            gm = got["t_right"].astype("float64").fillna(-1).to_numpy()
+            # pandas keeps the left `t`; recompute the matched right t
+            rt = rpdf.set_index("rid")["t"]
+            wm = want["rid"].map(rt).astype("float64").fillna(-1).to_numpy()
+            assert (gm == wm).all(), (direction, tol)
+            # inner == left minus the unmatched rows
+            n_inner = asof_join(
+                ldf, rdf, on="t", by="k", direction=direction,
+                how="inner", tolerance=tol,
+            ).count()
+            assert n_inner == int((w >= 0).sum()), (direction, tol)
