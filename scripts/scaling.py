@@ -114,7 +114,7 @@ EXTRA = (
     "perplexity_quality_filter", "semdedup_prune",
     "time_resample_gapfill", "ec_reconstruct_check", "zorder_curve",
     "ec_rs_reconstruct_check", "dedup_span_exact", "dsir_selection",
-    "block_placement_plan",
+    "block_placement_plan", "encryption_zone_roundtrip",
 )
 
 
