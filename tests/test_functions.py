@@ -436,3 +436,58 @@ def test_encryption_zone_round_trip(spark):
     bad = crypto.decrypt_zone(enc, "doc_id", "ciphertext", b"other-key")
     garbled = {r.doc_id: bytes(r.plaintext) for r in bad.collect()}
     assert all(garbled[i] != orig[i] for i in orig if orig[i])
+
+
+def test_udtf_parse_props(spark):
+    """The Python UDTF surface (SURVEY §2.9): parse_props lateral-joins a
+    JSON props column into (key, value) rows and must agree with the
+    JVM-side from_json + explode formulation on real events data."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.functions import udx
+
+    udx.register_udtfs(spark)
+    e = table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_id") < 500
+    )
+    e.select("event_id", "props").createOrReplaceTempView("__udtf_events")
+    got = spark.sql(
+        "SELECT event_id, p.key, p.value "
+        "FROM __udtf_events, LATERAL parse_props(props) p"
+    )
+    want = e.select(
+        "event_id",
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("key", "value"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_pandas_udaf_geo_mean(spark):
+    """The grouped-agg pandas UDAF surface (SURVEY §2.9): geo_mean per
+    event_type equals the exact SQL identity exp(avg(ln(x))) over the
+    positive values."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.functions.udx import geo_mean
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r.event_type: r.gm
+        for r in e.groupBy("event_type").agg(geo_mean("value").alias("gm")).collect()
+    }
+    want = {
+        r.event_type: r.gm
+        for r in e.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.exp(F.avg(F.log("value"))).alias("gm"))
+        .collect()
+    }
+    assert set(got) >= set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9 * max(1.0, abs(v)), k
