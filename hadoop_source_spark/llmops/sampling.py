@@ -230,3 +230,33 @@ def mixture_sample(
         )
         .drop("__n_copies")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    impl: str = "xxhash",
+    key_dp: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-Spirakis
+    exponential-sort trick (A-ES, 2006): each row draws a deterministic
+    u in (0,1) from its id and takes priority u^(1/w); the k largest
+    priorities are EXACTLY a weight-proportional draw without
+    replacement. Distributed shape: one projection + global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort), so a
+    100 TB corpus pays a scan and a k-row reduce, never a shuffle of
+    itself. Keys are compared as ln(u)/w (monotone in u^(1/w)), rounded
+    to ``key_dp`` with the id as tiebreak so the selection boundary is
+    engine-reproducible; impl='arith' makes u portable ANSI SQL for
+    oracle checks (same dual-impl contract as hash_split)."""
+    u = (hash_bucket(id_col, seed, impl) + F.lit(0.5)) / F.lit(_BUCKETS)
+    key = F.round(F.log(u) / F.col(weight_col), key_dp)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )

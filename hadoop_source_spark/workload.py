@@ -917,6 +917,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         round(ln((((doc_id % 1000003 + 42) * 2654435761) % 10000 + 0.5)
+                  / 10000.0) / n_chars, 6) AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, sample_key
+FROM w ORDER BY sample_key DESC, doc_id LIMIT 200
+"""
+
+
+@register("weighted_sample_docs", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement
+    (llmops/sampling.weighted_sample; Efraimidis-Spirakis A-ES): 200
+    docs drawn with probability proportional to n_chars — the standard
+    way to sample training data by token mass rather than doc count.
+    Global top-k by priority compiles to TakeOrderedAndProject
+    (per-partition heaps), so the corpus is scanned once and never
+    shuffled. impl='arith' here so the priority is recomputed exactly
+    in the SQL oracle (the xxhash64 impl is the production default;
+    statistical behavior pytest-gated)."""
+    d = table(spark, sf_dir, "documents")
+    return smp.weighted_sample(
+        d.select("doc_id", "n_chars"), "n_chars", 200, "doc_id", impl="arith"
+    )
+
+
 _DSIR_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
@@ -4514,6 +4543,7 @@ _WINDOW: list[str] = [
     "dedup_jaccard_suite",
     "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
+    "weighted_sample_docs",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check",
@@ -4528,7 +4558,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 78, len(_WINDOW)
+assert len(_WINDOW) == 79, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

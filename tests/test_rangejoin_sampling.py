@@ -226,3 +226,42 @@ def test_mixture_sample_multiplicities(spark, docs):
     # narrow rowwise expansion: no Exchange in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """weighted_sample (A-ES): exactly k rows, deterministic per seed,
+    different across seeds, plan is TakeOrderedAndProject (no full
+    sort/shuffle of the corpus), and inclusion is genuinely
+    weight-proportional: on a planted corpus where 10% of rows carry
+    100x weight, the heavy rows dominate the sample."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import sampling as smp
+
+    d = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "n_chars"
+    )
+    s1 = smp.weighted_sample(d, "n_chars", 100, "doc_id", seed=1)
+    rows1 = {r.doc_id for r in s1.collect()}
+    assert len(rows1) == 100
+    assert rows1 == {r.doc_id for r in smp.weighted_sample(
+        d, "n_chars", 100, "doc_id", seed=1).collect()}
+    s2 = {r.doc_id for r in smp.weighted_sample(
+        d, "n_chars", 100, "doc_id", seed=2).collect()}
+    assert rows1 != s2
+    plan = smp.weighted_sample(d, "n_chars", 100, "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    planted = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 900, F.lit(100)).otherwise(F.lit(1)).alias("w"),
+    )
+    heavy_counts = []
+    for seed in range(5):
+        samp = smp.weighted_sample(planted, "w", 100, "doc_id", seed=seed)
+        heavy_counts.append(samp.filter(F.col("w") == 100).count())
+    # heavy rows are 10% of the corpus but carry ~92% of the weight mass:
+    # they must dominate every draw
+    assert min(heavy_counts) > 60, heavy_counts
