@@ -83,7 +83,10 @@ def main() -> None:
         "balancer_move_plan", "ec_reconstruct_check", "zorder_curve",
         "perplexity_quality_filter", "retention_expiry_plan",
         "window_suite_2", "sketch_cms_user_counts", "cdc_merge_apply",
-        "events_sliding_windows",
+        "events_sliding_windows", "ec_rs_reconstruct_check",
+        "dedup_span_exact", "dsir_selection", "block_placement_plan",
+        "encryption_zone_roundtrip", "asof_nearest_tolerance",
+        "weighted_sample_docs",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
