@@ -917,6 +917,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
+@register("bpe_tokenize_stats", None)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING + distributed application (llmops/bpe;
+    Sennrich et al. 2016): learn 200 merges from the corpus's bounded
+    top-20k word-frequency table (driver-side O(V) state, the same
+    documented pattern as IVF centroid training), broadcast the merge
+    ranks, tokenize every document in one mapInPandas pass with
+    per-batch word caching. Deterministic (lexicographic-min tie rule),
+    but inherently iterative — no SQL oracle; conservation and
+    compression properties are pytest-gated (test_bpe_learn_and_apply).
+    Emits (doc_id, n_words, n_pieces, pieces_per_word)."""
+    from hadoop_source_spark.llmops import bpe
+
+    d = table(spark, sf_dir, "documents")
+    wf = bpe.word_frequencies(d, "text", top_v=20_000)
+    merges = bpe.learn_bpe(wf, 200)
+    return bpe.apply_bpe(d, merges)
+
+
 _WEIGHTED_SAMPLE_ORACLE = """
 WITH w AS (
   SELECT doc_id, n_chars,
@@ -4543,7 +4562,7 @@ _WINDOW: list[str] = [
     "dedup_jaccard_suite",
     "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
-    "weighted_sample_docs",
+    "weighted_sample_docs", "bpe_tokenize_stats",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check",
@@ -4558,7 +4577,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 79, len(_WINDOW)
+assert len(_WINDOW) == 80, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

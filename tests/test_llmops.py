@@ -578,3 +578,51 @@ def test_dsir_selects_target_like_docs(spark):
         ).filter("selected").collect()
     }
     assert again == sel_hash
+
+
+def test_bpe_learn_and_apply(spark):
+    """BPE training + distributed application: learned merges are
+    deterministic, reconstruct words exactly (concatenating a word's
+    pieces == word + </w>), compress monotonically with more merges,
+    and after enough merges the most frequent word becomes ONE piece.
+    The classic toy corpus pins the first merge: 'es', 'st' and 't</w>'
+    all tie at count 9 and the lexicographic-min tie rule picks
+    ('e', 's') — the merge the original paper's example makes."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import bpe
+
+    # Sennrich-style toy: 'es' dominates pair counts
+    toy = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.learn_bpe(toy, 10)
+    assert merges == bpe.learn_bpe(toy, 10)
+    assert merges[0] == ("e", "s"), merges[0]
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in toy:
+        pieces = bpe.encode_word(w, ranks)
+        assert "".join(pieces) == w + "</w>", (w, pieces)
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    wf = bpe.word_frequencies(d, "text", top_v=5000)
+    assert wf == bpe.word_frequencies(d, "text", top_v=5000)
+    m50 = bpe.learn_bpe(wf, 50)
+    m400 = bpe.learn_bpe(wf, 400)
+    assert m400[:50] == m50  # merge list is a prefix-stable sequence
+    out50 = {r.doc_id: r.n_pieces for r in bpe.apply_bpe(d, m50).collect()}
+    out400 = {r.doc_id: r.n_pieces for r in bpe.apply_bpe(d, m400).collect()}
+    assert all(out400[i] <= out50[i] for i in out50)
+    assert sum(out400.values()) < sum(out50.values())
+    # the most frequent word collapses to a single piece
+    top_word = wf[0][0]
+    assert bpe.encode_word(top_word, {p: i for i, p in enumerate(m400)}) == [
+        top_word + "</w>"
+    ]
+    # words-per-doc from the kernel equals the JVM tokenizer's count
+    nw = {r.doc_id: r.n_words for r in bpe.apply_bpe(d, m50).collect()}
+    from hadoop_source_spark.llmops.dedup import tokens
+    want = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).collect()
+    }
+    assert nw == want
