@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Full-surface timing sweep: run EVERY registered query once at
+$SPARK_GRAFT_SF_DIR (default sf0.1), cold codegen, and write
+SWEEP_SF01.md sorted slowest-first. The driver correctness-checks at
+sf0.01 and benches 14 headliners at sf0.1; this proves no non-headline
+operator hides a blowup at 10x the correctness SF."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hadoop_source_spark import get_spark, workload  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hss-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    failed = []
+    t_all = time.perf_counter()
+    for name, fn in workload.queries().items():
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, sf_dir).count()
+            rows.append((name, time.perf_counter() - t0, n))
+        except Exception as exc:
+            failed.append((name, str(exc)[:200]))
+        print(f"# {name}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    total = time.perf_counter() - t_all
+    rows.sort(key=lambda r: -r[1])
+    lines = [
+        "# Full-surface sweep at sf0.1 (all registered queries, single cold run)",
+        "",
+        "The driver correctness-checks every query at sf0.01 and benches the",
+        f"14 headliners at sf0.1; this sweep runs the ENTIRE {len(rows)}-query surface",
+        "at sf0.1 once (cold codegen — first queries carry JIT cost) to prove",
+        "no non-headline operator hides a blowup at 10x the correctness SF.",
+        "Regenerate: `python scripts/sweep.py`.",
+        "",
+        f"Total: {total:.1f} s for {len(rows)} queries; "
+        f"{len(failed)} failures; max single query {rows[0][1]:.1f} s.",
+        "",
+        "| query | sec | rows |",
+        "|---|---|---|",
+    ]
+    lines += [f"| {n} | {t:.2f} | {c} |" for n, t, c in rows]
+    if failed:
+        lines += ["", "## FAILURES", ""] + [f"- {n}: {e}" for n, e in failed]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SWEEP_SF01.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"total {total:.1f}s, {len(failed)} failures")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
