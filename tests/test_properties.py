@@ -172,3 +172,41 @@ def test_gapfill_single_observation_series(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_events, r.value_locf, r.value_interp, r.is_gap) == (1, 42.0, 42.0, 0)
+
+
+@given(
+    k=st.integers(min_value=2, max_value=10),
+    m=st.integers(min_value=1, max_value=4),
+    length=st.integers(min_value=0, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_rs_algebra_recovers_any_loss_pattern(k, m, length, seed):
+    """Reed-Solomon GF(256) algebra property (no Spark — the raw
+    kernels): for random k, m, payload length (including zero-length
+    blocks) and a random loss pattern of size <= m over data AND parity
+    positions, inverting the survivor rows recovers every lost block
+    byte-exactly."""
+    import numpy as np
+
+    from hadoop_source_spark.functions.erasure import (
+        _gf_mat_inv,
+        _gf_matvec_blocks,
+        _rs_rows,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = _rs_rows(k, m)
+    data = rng.integers(0, 256, size=(k, length), dtype=np.uint8)
+    coded = _gf_matvec_blocks(rows, data)  # k data rows + m parity rows
+    n_lost = int(rng.integers(1, m + 1))
+    lost = sorted(rng.choice(k + m, size=n_lost, replace=False).tolist())
+    survive = [i for i in range(k + m) if i not in lost][:k]
+    inv = _gf_mat_inv(rows[survive])
+    recovered_data = _gf_matvec_blocks(inv, coded[survive])
+    assert np.array_equal(recovered_data, data)
+    # lost parity re-encodes identically from the recovered data
+    for li in lost:
+        if li >= k:
+            re = _gf_matvec_blocks(rows[li : li + 1], recovered_data)[0]
+            assert np.array_equal(re, coded[li])
