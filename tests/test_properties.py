@@ -210,3 +210,25 @@ def test_rs_algebra_recovers_any_loss_pattern(k, m, length, seed):
         if li >= k:
             re = _gf_matvec_blocks(rows[li : li + 1], recovered_data)[0]
             assert np.array_equal(re, coded[li])
+
+
+@given(
+    data=st.binary(min_size=0, max_size=300),
+    key=st.binary(min_size=16, max_size=16),
+    iv=st.binary(min_size=16, max_size=16),
+    lo=st.integers(min_value=0, max_value=300),
+    hi=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=50, deadline=None)
+def test_aes_ctr_properties(data, key, iv, lo, hi):
+    """AES-CTR stream properties (no Spark): involution, length
+    preservation, and the positioned-read law — decrypting any slice at
+    its true stream offset equals slicing the full decryption (the
+    property HDFS TDE positioned reads depend on)."""
+    from hadoop_source_spark.functions.crypto import aes_ctr_transform
+
+    ct = aes_ctr_transform(data, key, iv)
+    assert len(ct) == len(data)
+    assert aes_ctr_transform(ct, key, iv) == data
+    a, b = sorted((min(lo, len(data)), min(hi, len(data))))
+    assert aes_ctr_transform(ct[a:b], key, iv, offset=a) == data[a:b]
