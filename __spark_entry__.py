@@ -5,11 +5,14 @@ queries()     — every implemented operator from SURVEY.md §2 + llmops,
                 ordered so all TPC-H shapes and one oracle-backed query
                 per operator family sit in the driver's verification
                 window (workload._WINDOW).
-oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
-                approximate operators: simhash, hyperplane LSH, IVF,
-                bloom membership — validated in tests/ against ground
-                truth instead; minhash LSH is exact-verified and
-                oracle-backed).
+oracle_sql()  — DuckDB-equivalent SQL per query. Omitted only for the
+                genuinely non-SQL rows: the approximate sketch/ANN
+                suites (sketch_suite, ann_cosine_approx — error bounds
+                pytest-gated; their deterministic slices ARE
+                oracle-backed via sketch_ann_deterministic), semdedup
+                (clustered greedy pruning), and bpe_tokenize_stats
+                (iterative tokenizer training) — each validated in
+                tests/ against ground truth instead.
 """
 
 from __future__ import annotations
