@@ -54,3 +54,30 @@ def sync_plan(
         .otherwise(F.lit("UPDATE" if update else "COPY"))
     )
     return j.select("path", op.alias("op"), "src_bytes", "dst_bytes")
+
+
+def sync_plan_from_diff(diff: DataFrame, change_col: str = "change") -> DataFrame:
+    """Incremental DistCp from a snapshot diff — `distcp -diff s1 s2`
+    (reference hadoop-tools/hadoop-distcp DistCpSync.java): instead of
+    -update's full source+target namespace scan-and-compare
+    (:func:`sync_plan`), the copy plan is derived from the snapshot
+    diff report alone, so the work is proportional to the CHANGE SET:
+
+      '+' -> COPY    (new file: copy data)
+      'M' -> UPDATE  (content changed: re-copy)
+      '-' -> DELETE  (remove on target)
+      'R' -> RENAME  (apply the rename on the TARGET without moving any
+                      data across — DistCpSync's entire reason to exist)
+
+    At 100 TB namespaces with 0.1% churn this is a 1000x smaller job
+    than the full sync scan; the diff itself comes from
+    setops.snapshot_diff (one full-outer join of the two versions, or —
+    against a real snapshotting store — straight from its report)."""
+    c = F.col(change_col)
+    return diff.withColumn(
+        "op",
+        F.when(c == "+", "COPY")
+        .when(c == "-", "DELETE")
+        .when(c == "M", "UPDATE")
+        .when(c == "R", "RENAME"),
+    )

@@ -450,6 +450,103 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.snapshot_diff(v1, v2, keys=["o_orderkey"], compare=["o_totalprice"])
 
 
+_DISTCP_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT '/w1/p' || CAST(o_orderkey AS VARCHAR) AS path, o_orderkey,
+         o_totalprice AS size
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+v2 AS (
+  SELECT (CASE WHEN o_orderkey % 10 = 1 THEN '/w1/moved/p'
+               ELSE '/w1/p' END) || CAST(o_orderkey AS VARCHAR) AS path,
+         o_orderkey,
+         CASE WHEN o_orderkey % 10 = 2 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS size
+  FROM orders
+  WHERE (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 10 <> 0)
+     OR (o_orderdate >= TIMESTAMP '1998-01-01'
+         AND o_orderdate < TIMESTAMP '1999-01-01')
+),
+pre AS (
+  SELECT coalesce(v1.path, v2.path) AS path,
+         coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         CASE WHEN v1.path IS NULL THEN '+'
+              WHEN v2.path IS NULL THEN '-'
+              WHEN v1.size IS DISTINCT FROM v2.size THEN 'M' END AS change
+  FROM v1 FULL JOIN v2
+    ON v1.path = v2.path AND v1.o_orderkey = v2.o_orderkey
+  WHERE v1.path IS NULL OR v2.path IS NULL
+     OR v1.size IS DISTINCT FROM v2.size
+),
+ren AS (
+  SELECT m.path, m.o_orderkey, 'R' AS change, p.path AS dst_path
+  FROM pre m JOIN pre p ON m.o_orderkey = p.o_orderkey
+  WHERE m.change = '-' AND p.change = '+'
+),
+rep AS (
+  SELECT path, o_orderkey, change, CAST(NULL AS VARCHAR) AS dst_path
+  FROM pre WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ren)
+  UNION ALL
+  SELECT * FROM ren
+)
+SELECT path, o_orderkey, change, dst_path,
+       CASE change WHEN '+' THEN 'COPY' WHEN '-' THEN 'DELETE'
+            WHEN 'M' THEN 'UPDATE' ELSE 'RENAME' END AS op
+FROM rep
+"""
+
+
+@register("distcp_incremental_plan", _DISTCP_DIFF_ORACLE)
+def distcp_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DistCp from a snapshot diff — `distcp -diff s1 s2`
+    (operators/distcp.sync_plan_from_diff; reference DistCpSync.java),
+    composed with setops.snapshot_diff's inode-identity rename
+    detection: two derived namespace versions with planted deletes
+    (key%10=0), RENAMES (key%10=1 — path moves, same inode, no data
+    copied), content modifications (key%10=2) and a band of new files.
+    The plan is proportional to the change set, never the namespace —
+    the reason -diff exists vs -update's full scan. RENAME rows carry
+    the destination path; the oracle rebuilds the full classify+pair
+    pipeline in SQL."""
+    from hadoop_source_spark.operators import distcp
+
+    o = table(spark, sf_dir, "orders")
+    old_band = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    new_band = (
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    v1 = o.filter(old_band).select(
+        F.concat(F.lit("/w1/p"), F.col("o_orderkey").cast("string")).alias(
+            "path"
+        ),
+        "o_orderkey",
+        F.col("o_totalprice").alias("size"),
+    )
+    v2 = o.filter(
+        (old_band & (F.col("o_orderkey") % 10 != 0)) | new_band
+    ).select(
+        F.concat(
+            F.when(
+                F.col("o_orderkey") % 10 == 1, F.lit("/w1/moved/p")
+            ).otherwise(F.lit("/w1/p")),
+            F.col("o_orderkey").cast("string"),
+        ).alias("path"),
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 2,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("size"),
+    )
+    diff = setops.snapshot_diff(
+        v1, v2, keys=["path"], compare=["size"], identity="o_orderkey"
+    )
+    return distcp.sync_plan_from_diff(diff).select(
+        "path", "o_orderkey", "change", "dst_path", "op"
+    )
+
+
 _UPSERT_DIFF_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderkey AS inode, o_totalprice, o_orderstatus
@@ -4568,7 +4665,8 @@ _WINDOW: list[str] = [
     "tfidf_top_terms", "decontamination_check",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
-    "distcp_sync_plan", "semdedup_prune", "fsck_report",
+    "distcp_sync_plan", "distcp_incremental_plan",
+    "semdedup_prune", "fsck_report",
     "balancer_move_plan", "block_placement_plan",
     "encryption_zone_roundtrip",
     "ec_reconstruct_check", "ec_rs_reconstruct_check",
@@ -4577,7 +4675,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 80, len(_WINDOW)
+assert len(_WINDOW) == 81, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

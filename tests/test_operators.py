@@ -439,3 +439,22 @@ def test_block_placement_policy_invariants(spark):
         assert reps[1][0] == f"n{bid % 11}", bid
         second_nodes.add(nodes[1])
     assert len(second_nodes) >= 5, second_nodes
+
+
+def test_distcp_incremental_all_op_classes(spark):
+    """The -diff incremental plan exercises every op class on the
+    planted scenario, and RENAME rows carry a destination path while
+    copying no data (dst differs only by the planted prefix)."""
+    from hadoop_source_spark import workload
+
+    rows = workload.QUERIES["distcp_incremental_plan"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ops = {}
+    for r in rows:
+        ops.setdefault(r.op, []).append(r)
+    assert set(ops) == {"COPY", "DELETE", "UPDATE", "RENAME"}, set(ops)
+    for r in ops["RENAME"]:
+        assert r.dst_path == r.path.replace("/w1/p", "/w1/moved/p")
+    assert all(r.dst_path is None for op in ("COPY", "DELETE", "UPDATE")
+               for r in ops[op])
