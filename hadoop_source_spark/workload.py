@@ -4081,6 +4081,89 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOVER_ORACLE = """
+WITH f AS (
+  SELECT '/corpus/' || source || '/' || lang || '/doc'
+         || CAST(doc_id AS VARCHAR) AS path, doc_id
+  FROM documents
+),
+r AS (
+  SELECT f.path, f.doc_id, i AS replica_idx,
+         (['DISK','SSD','ARCHIVE'])[CAST((doc_id + i) % 3 + 1 AS INTEGER)]
+           AS tier
+  FROM f, unnest([1, 2, 3]) AS t(i)
+),
+pol(prefix, policy) AS (
+  VALUES ('/corpus', 'WARM'), ('/corpus/src1', 'COLD'),
+         ('/corpus/src1/en', 'ALL_SSD'), ('/corpus/src2', 'ONE_SSD')
+),
+eff AS (
+  SELECT p2.path, arg_max(policy, length(prefix)) AS policy
+  FROM (SELECT DISTINCT path FROM f) p2
+  JOIN pol ON p2.path LIKE prefix || '/%'
+  GROUP BY p2.path
+),
+tmpl(policy, slots) AS (
+  VALUES ('HOT', ['DISK','DISK','DISK']),
+         ('WARM', ['DISK','ARCHIVE','ARCHIVE']),
+         ('COLD', ['ARCHIVE','ARCHIVE','ARCHIVE']),
+         ('ALL_SSD', ['SSD','SSD','SSD']),
+         ('ONE_SSD', ['SSD','DISK','DISK'])
+)
+SELECT r.path, r.replica_idx, e.policy, r.tier AS from_tier,
+       t.slots[least(r.replica_idx, 3)] AS to_tier
+FROM r JOIN eff e ON r.path = e.path JOIN tmpl t ON t.policy = e.policy
+WHERE r.tier <> t.slots[least(r.replica_idx, 3)]
+"""
+
+
+@register("storage_mover_plan", _MOVER_ORACLE)
+def storage_mover_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-policy resolution + mover migration plan
+    (operators/mover; reference BlockStoragePolicySuite.java templates,
+    FSDirAttrOp.setStoragePolicy namespace inheritance, Mover.java
+    migration): policies set on directory prefixes — including the
+    nested override '/corpus/src1/en' inside COLD '/corpus/src1', and
+    the component-boundary trap (src1 must NOT govern src10..src19) —
+    are resolved per file by a longest-prefix-match join (ancestor
+    explode, bounded by path depth, against the broadcast policy dim),
+    then every replica whose current tier differs from its policy
+    template slot becomes a move. Work is one bounded fan-out join +
+    projection; moves are proportional to the drift."""
+    from hadoop_source_spark.operators import mover
+
+    d = table(spark, sf_dir, "documents")
+    files = d.select(
+        F.concat(
+            F.lit("/corpus/"), "source", F.lit("/"), "lang",
+            F.lit("/doc"), F.col("doc_id").cast("string"),
+        ).alias("path"),
+        "doc_id",
+    )
+    replicas = files.select(
+        "path",
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("replica_idx"),
+    ).select(
+        "path",
+        "replica_idx",
+        F.element_at(
+            F.array(F.lit("DISK"), F.lit("SSD"), F.lit("ARCHIVE")),
+            ((F.col("doc_id") + F.col("replica_idx")) % 3 + 1).cast("int"),
+        ).alias("tier"),
+    )
+    policies = spark.createDataFrame(
+        [
+            ("/corpus", "WARM"),
+            ("/corpus/src1", "COLD"),
+            ("/corpus/src1/en", "ALL_SSD"),
+            ("/corpus/src2", "ONE_SSD"),
+        ],
+        "prefix string, policy string",
+    )
+    return mover.mover_plan(replicas, policies)
+
+
 _ENCZONE_ORACLE = """
 SELECT doc_id,
        md5(text) AS payload_md5,
@@ -4668,14 +4751,14 @@ _WINDOW: list[str] = [
     "distcp_sync_plan", "distcp_incremental_plan",
     "semdedup_prune", "fsck_report",
     "balancer_move_plan", "block_placement_plan",
-    "encryption_zone_roundtrip",
+    "encryption_zone_roundtrip", "storage_mover_plan",
     "ec_reconstruct_check", "ec_rs_reconstruct_check",
     "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 81, len(_WINDOW)
+assert len(_WINDOW) == 82, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -458,3 +458,51 @@ def test_distcp_incremental_all_op_classes(spark):
         assert r.dst_path == r.path.replace("/w1/p", "/w1/moved/p")
     assert all(r.dst_path is None for op in ("COPY", "DELETE", "UPDATE")
                for r in ops[op])
+
+
+def test_storage_policy_longest_prefix_semantics(spark):
+    """resolve_policies: deepest ancestor wins, component boundaries are
+    respected (/a/src1 never governs /a/src10), unmatched files fall
+    back to the default, and mover_plan only moves mismatched replicas."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators import mover
+
+    files = spark.createDataFrame(
+        [
+            ("/a/src1/en/doc1",),
+            ("/a/src1/de/doc2",),
+            ("/a/src10/en/doc3",),
+            ("/b/doc4",),
+        ],
+        "path string",
+    )
+    policies = spark.createDataFrame(
+        [("/a", "COLD"), ("/a/src1", "WARM"), ("/a/src1/en", "ALL_SSD")],
+        "prefix string, policy string",
+    )
+    got = {
+        r.path: r.policy
+        for r in mover.resolve_policies(files, policies).collect()
+    }
+    assert got == {
+        "/a/src1/en/doc1": "ALL_SSD",   # deepest override
+        "/a/src1/de/doc2": "WARM",      # parent override
+        "/a/src10/en/doc3": "COLD",     # src1 must NOT match src10
+        "/b/doc4": "HOT",               # default
+    }
+    replicas = spark.createDataFrame(
+        [("/a/src1/en/doc1", 1, "SSD"), ("/a/src1/en/doc1", 2, "DISK"),
+         ("/b/doc4", 1, "DISK"), ("/b/doc4", 4, "ARCHIVE")],
+        "path string, replica_idx int, tier string",
+    )
+    plan = {
+        (r.path, r.replica_idx): (r.from_tier, r.to_tier)
+        for r in mover.mover_plan(replicas, policies).collect()
+    }
+    # replica already on the right tier is not moved
+    assert ("/a/src1/en/doc1", 1) not in plan
+    assert plan[("/a/src1/en/doc1", 2)] == ("DISK", "SSD")
+    assert ("/b/doc4", 1) not in plan  # HOT slot 1 = DISK
+    # replica beyond slot 3 takes the last template slot (HOT -> DISK)
+    assert plan[("/b/doc4", 4)] == ("ARCHIVE", "DISK")
