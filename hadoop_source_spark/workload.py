@@ -4164,6 +4164,72 @@ def storage_mover_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mover.mover_plan(replicas, policies)
 
 
+_CACHE_ORACLE = """
+WITH f AS (
+  SELECT '/corpus/' || source || '/' || lang || '/doc'
+         || CAST(doc_id AS VARCHAR) AS path, n_chars AS size
+  FROM documents
+),
+d(directive_id, prefix, repl, pool) AS (
+  VALUES (1, '/corpus/src1', 3, 'poolA'), (2, '/corpus/src2', 2, 'poolA'),
+         (3, '/corpus/src3', 1, 'poolB'), (4, '/corpus/src1/en', 2, 'poolB')
+),
+p(pool, limit_bytes) AS (VALUES ('poolA', 20000), ('poolB', 8000)),
+m AS (
+  SELECT d.directive_id, f.path, d.pool,
+         f.size * d.repl AS charge_bytes
+  FROM f JOIN d ON f.path LIKE d.prefix || '/%'
+),
+c AS (
+  SELECT *, sum(charge_bytes) OVER (
+           PARTITION BY pool ORDER BY directive_id, path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM m
+)
+SELECT directive_id, path, pool,
+       CAST(charge_bytes AS BIGINT) AS charge_bytes,
+       CAST(cum_bytes AS BIGINT) AS cum_bytes,
+       CASE WHEN cum_bytes <= p.limit_bytes THEN 'CACHED'
+            ELSE 'PENDING' END AS state
+FROM c JOIN p USING (pool)
+"""
+
+
+@register("cache_directive_plan", _CACHE_ORACLE)
+def cache_directive_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centralized cache admission planning (operators/cacheadmin;
+    reference CacheManager.java / CacheAdmin): two pools with byte
+    limits, four directives (prefix + cache replication), files charged
+    size x repl pool-by-pool in deterministic directive order —
+    admission flips to PENDING (insufficient quota) exactly where the
+    pool's cumulative charge crosses its limit. Window cumsum per pool
+    mirrors the CacheManager's serialized per-pool admission; the
+    directive/pool dims broadcast."""
+    from hadoop_source_spark.operators import cacheadmin
+
+    d = table(spark, sf_dir, "documents")
+    files = d.select(
+        F.concat(
+            F.lit("/corpus/"), "source", F.lit("/"), "lang",
+            F.lit("/doc"), F.col("doc_id").cast("string"),
+        ).alias("path"),
+        F.col("n_chars").alias("size"),
+    )
+    directives = spark.createDataFrame(
+        [
+            (1, "/corpus/src1", 3, "poolA"),
+            (2, "/corpus/src2", 2, "poolA"),
+            (3, "/corpus/src3", 1, "poolB"),
+            (4, "/corpus/src1/en", 2, "poolB"),
+        ],
+        "directive_id int, prefix string, repl long, pool string",
+    )
+    pools = spark.createDataFrame(
+        [("poolA", 20000), ("poolB", 8000)], "pool string, limit_bytes long"
+    )
+    return cacheadmin.cache_plan(files, directives, pools)
+
+
 _ENCZONE_ORACLE = """
 SELECT doc_id,
        md5(text) AS payload_md5,
@@ -4752,13 +4818,14 @@ _WINDOW: list[str] = [
     "semdedup_prune", "fsck_report",
     "balancer_move_plan", "block_placement_plan",
     "encryption_zone_roundtrip", "storage_mover_plan",
+    "cache_directive_plan",
     "ec_reconstruct_check", "ec_rs_reconstruct_check",
     "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 82, len(_WINDOW)
+assert len(_WINDOW) == 83, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
