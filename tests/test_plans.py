@@ -268,3 +268,30 @@ def test_advise_flags_antipatterns_and_clears_clean_plans(spark):
                  "quality_repetition_filter", "time_resample_gapfill"):
         df = workload.QUERIES[name].fn(spark, SF)
         assert plans.advise(df) == [], (name, plans.advise(df))
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Catalyst's dynamic partition pruning: a fact table partitioned by
+    event_type joined to a FILTERED tiny dim must plan a dynamicpruning
+    subquery on the fact scan, so only the surviving partitions are
+    read at runtime — the partition-pruning story for star joins whose
+    pruning key arrives via a dim filter, not a literal."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+
+    fact_dir = str(tmp_path / "events_by_type")
+    (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .write.partitionBy("event_type")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("error", 4)],
+        "event_type string, type_dim int",
+    ).filter(F.col("type_dim") == 1)
+    joined = fact.join(dim, "event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.collect()[0].n > 0
