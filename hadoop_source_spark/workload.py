@@ -1014,6 +1014,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
+@register("quality_classifier_scores", None)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (llmops/quality_model; the
+    fasttext-style logistic filter of GPT-3/CCNet data pipelines):
+    weak labels = the English slice, features = hashed unigram bags,
+    training driver-side on a bounded deterministic sample (fixed
+    iterations — a pure function of the sample), scoring distributed
+    via a broadcast (bucket, weight) join. Deterministic but iterative
+    — rows-only at the driver; held-out accuracy and scorer fidelity
+    are pytest-gated (test_quality_classifier_separates_planted_corpora).
+    Complements dsir_selection: discriminative vs generative."""
+    from hadoop_source_spark.llmops import quality_model as qm
+
+    d = table(spark, sf_dir, "documents")
+    labels = d.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    w, b = qm.train_quality_classifier(d, labels)
+    return qm.score_quality(d, w, b)
+
+
 @register("bpe_tokenize_stats", None)
 def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING + distributed application (llmops/bpe;
@@ -4809,6 +4830,7 @@ _WINDOW: list[str] = [
     "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "weighted_sample_docs", "bpe_tokenize_stats",
+    "quality_classifier_scores",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check",
@@ -4825,7 +4847,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 83, len(_WINDOW)
+assert len(_WINDOW) == 84, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
