@@ -10,9 +10,10 @@ oracle_sql()  — DuckDB-equivalent SQL per query. Omitted only for the
                 suites (sketch_suite, ann_cosine_approx — error bounds
                 pytest-gated; their deterministic slices ARE
                 oracle-backed via sketch_ann_deterministic), semdedup
-                (clustered greedy pruning), and bpe_tokenize_stats
-                (iterative tokenizer training) — each validated in
-                tests/ against ground truth instead.
+                (clustered greedy pruning), bpe_tokenize_stats
+                (iterative tokenizer training), and
+                quality_classifier_scores (iterative GD training) —
+                each validated in tests/ against ground truth instead.
 """
 
 from __future__ import annotations

@@ -58,24 +58,41 @@ def snapshot_diff(
     if not identity:
         return base
 
-    # Pair up (-) and (+) rows sharing the identity → RENAME.
-    minus = base.filter(F.col("change") == "-").select(
-        *[F.col(k).alias(f"__src_{k}") for k in keys], identity
+    # Pair up (-) and (+) rows sharing the identity → RENAME. ONE
+    # groupBy on the identity (a group is a rename iff it holds both a
+    # '-' and a '+'), not a minus/plus/anti self-join spider — the diff
+    # feeds a single exchange instead of being recomputed per branch
+    # (the audit showed 15 exchanges for the join formulation).
+    packed = base.groupBy(identity).agg(
+        F.collect_list(F.struct("change", *keys)).alias("__cs")
     )
-    plus = base.filter(F.col("change") == "+").select(
-        *[F.col(k).alias(f"__dst_{k}") for k in keys], identity
+    # try_element_at: most groups hold no '-' or no '+' (ANSI element_at
+    # throws on the empty filter result)
+    src = F.try_element_at(
+        F.filter("__cs", lambda c: c["change"] == "-"), F.lit(1)
     )
-    renames = minus.join(plus, identity, "inner")
-    rename_rows = renames.select(
-        *[F.col(f"__src_{k}").alias(k) for k in keys],
+    dst = F.try_element_at(
+        F.filter("__cs", lambda c: c["change"] == "+"), F.lit(1)
+    )
+    is_ren = src.isNotNull() & dst.isNotNull()
+    rename_rows = packed.filter(is_ren).select(
+        *[src[k].alias(k) for k in keys],
         F.col(identity),
         F.lit("R").alias("change"),
-        *[F.col(f"__dst_{k}").alias(f"dst_{k}") for k in keys],
+        *[dst[k].alias(f"dst_{k}") for k in keys],
     )
-    renamed_ids = renames.select(identity)
-    rest = base.join(renamed_ids, identity, "left_anti").select(
-        *keys, identity, "change",
-        *[F.lit(None).cast(a.schema[k].dataType).alias(f"dst_{k}") for k in keys],
+    rest = (
+        packed.filter(~is_ren)
+        .select(F.col(identity), F.explode("__cs").alias("__c"))
+        .select(
+            *[F.col("__c")[k].alias(k) for k in keys],
+            identity,
+            F.col("__c")["change"].alias("change"),
+            *[
+                F.lit(None).cast(a.schema[k].dataType).alias(f"dst_{k}")
+                for k in keys
+            ],
+        )
     )
     return rest.unionByName(rename_rows)
 

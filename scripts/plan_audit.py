@@ -86,7 +86,10 @@ def main() -> None:
         "events_sliding_windows", "ec_rs_reconstruct_check",
         "dedup_span_exact", "dsir_selection", "block_placement_plan",
         "encryption_zone_roundtrip", "asof_nearest_tolerance",
-        "weighted_sample_docs",
+        "weighted_sample_docs", "distcp_incremental_plan",
+        "storage_mover_plan", "cache_directive_plan",
+        "quality_classifier_scores", "bpe_tokenize_stats",
+        "dsir_selection",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
