@@ -148,3 +148,41 @@ def test_date32_footer_drift_normalizes_to_timestamp(spark, tmp_path):
     assert isinstance(e.schema["ts"].dataType, TimestampType)
     us = sorted(r.us for r in e.select(F.unix_micros("ts").alias("us")).collect())
     assert us[0] == 1704067200000000  # 2024-01-01T00:00:00Z
+
+
+def test_decimal_price_footer_drift_still_analyzes(spark, tmp_path):
+    """If a future testdata generation stores the TPC-H money columns as
+    DECIMAL(15,2) (their canonical spec type) instead of double, every
+    numeric pipeline must still analyze and execute — the decimal
+    arithmetic path through q01's sum/avg/round chain is exercised
+    end-to-end here. Same incident class as the round-3 NTZ break:
+    footer type drift under an unchanged logical schema."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_source_spark import workload
+    from hadoop_source_spark.data import table as load
+
+    src = load(spark, "/root/testdata/sf0.001", "lineitem").limit(200)
+    pdf = src.toPandas()
+    cols = {}
+    for name in pdf.columns:
+        if name in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+            cols[name] = pa.array(
+                [decimal.Decimal(str(round(v, 2))) for v in pdf[name]],
+                pa.decimal128(15, 2),
+            )
+        elif name == "l_shipdate":
+            cols[name] = pa.Array.from_pandas(
+                pdf[name], type=pa.timestamp("us")
+            )
+        else:
+            cols[name] = pa.Array.from_pandas(pdf[name])
+    d = tmp_path / "dec"
+    d.mkdir()
+    pq.write_table(pa.table(cols), str(d / "lineitem.parquet"))
+    out = workload.QUERIES["q01_pricing_summary"].fn(spark, str(d)).collect()
+    assert 0 < len(out) <= 6
+    assert all(r.sum_qty is not None for r in out)
