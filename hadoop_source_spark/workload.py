@@ -4102,6 +4102,83 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TABLE_STATS_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(DISTINCT l_quantity) AS ndv_qty,
+         round(min(l_quantity), 4) AS min_qty,
+         round(max(l_quantity), 4) AS max_qty,
+         count(DISTINCT l_extendedprice) AS ndv_price,
+         round(min(l_extendedprice), 4) AS min_price,
+         round(max(l_extendedprice), 4) AS max_price,
+         count(DISTINCT l_returnflag) AS ndv_flag,
+         round(avg(strlen(l_returnflag)), 4) AS avglen_flag,
+         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'table' AS col, 'rows' AS stat, CAST(n AS VARCHAR) AS value FROM a
+  UNION ALL SELECT 'l_quantity', 'ndv', CAST(ndv_qty AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_quantity', 'min', CAST(min_qty AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_quantity', 'max', CAST(max_qty AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_extendedprice', 'ndv', CAST(ndv_price AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_extendedprice', 'min', CAST(min_price AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_extendedprice', 'max', CAST(max_price AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_returnflag', 'ndv', CAST(ndv_flag AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_returnflag', 'avg_len', CAST(avglen_flag AS VARCHAR) FROM a
+  UNION ALL SELECT 'l_shipdate', 'min', min_ship FROM a
+  UNION ALL SELECT 'l_shipdate', 'max', max_ship FROM a
+)
+"""
+
+
+@register("table_stats_report", _TABLE_STATS_ORACLE)
+def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS analog (the
+    Hive-metastore column statistics the reference ecosystem feeds CBO
+    with): rowcount, exact NDV, min/max and string lengths for a
+    representative column set — ONE scan, one partial-agg reduce, then
+    a stack() melt to long format. These are the numbers a catalog
+    would persist for join-reorder/broadcast decisions; emitting them
+    as a query makes the stats themselves oracle-checkable."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_quantity").alias("ndv_qty"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        F.countDistinct("l_extendedprice").alias("ndv_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.countDistinct("l_returnflag").alias("ndv_flag"),
+        F.round(F.avg(F.length("l_returnflag")), 4).alias("avglen_flag"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "min_ship"
+        ),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_ship"
+        ),
+    )
+    return a.select(
+        F.expr(
+            "stack(11,"
+            " 'table', 'rows', CAST(n AS STRING),"
+            " 'l_quantity', 'ndv', CAST(ndv_qty AS STRING),"
+            " 'l_quantity', 'min', CAST(min_qty AS STRING),"
+            " 'l_quantity', 'max', CAST(max_qty AS STRING),"
+            " 'l_extendedprice', 'ndv', CAST(ndv_price AS STRING),"
+            " 'l_extendedprice', 'min', CAST(min_price AS STRING),"
+            " 'l_extendedprice', 'max', CAST(max_price AS STRING),"
+            " 'l_returnflag', 'ndv', CAST(ndv_flag AS STRING),"
+            " 'l_returnflag', 'avg_len', CAST(avglen_flag AS STRING),"
+            " 'l_shipdate', 'min', min_ship,"
+            " 'l_shipdate', 'max', max_ship"
+            ") AS (col, stat, value)"
+        )
+    )
+
+
 _MOVER_ORACLE = """
 WITH f AS (
   SELECT '/corpus/' || source || '/' || lang || '/doc'
@@ -4823,6 +4900,7 @@ _WINDOW: list[str] = [
     "snapshot_diff_upsert_generations", "asof_purchase_click",
     "asof_nearest_tolerance",
     "kv_suite", "content_summary_docs", "dist_stats_by_type",
+    "table_stats_report",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter", "doc_profile",
     "dedup_exact", "dedup_span_exact", "dsir_selection",
@@ -4847,7 +4925,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 84, len(_WINDOW)
+assert len(_WINDOW) == 85, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
