@@ -88,14 +88,23 @@ def main() -> None:
 
 
 def control_plane_open_bench(spark, n_files: int = 100_000, n_ops: int = 100_000):
-    """Analog of the reference's only published number: NNThroughputBenchmark
-    `open` (BASELINE.md: 10,515 ops/s resolving 100,000 paths with 1000
-    threads). Here the namespace is a cached metadata DataFrame and the
-    100,000 opens are resolved as ONE batched hash join — the engine-native
-    way to do metadata ops at scale (a driver-side loop of 100k jobs would
-    measure the scheduler, not the catalog). The create phase (namespace
-    build) is untimed, matching the benchmark's -op open which times only
-    the opens against a pre-created namespace."""
+    """Analog of the reference's NNThroughputBenchmark op matrix
+    (Benchmarking.md:52-62; the guide publishes a number only for `open`:
+    10,515 ops/s resolving 100,000 paths with 1000 threads — BASELINE.md).
+    Here the namespace is a cached metadata DataFrame and each op class
+    runs as ONE batched job — the engine-native way to do metadata ops at
+    scale (a driver-side loop of 100k jobs would measure the scheduler,
+    not the catalog):
+
+      create      — build + materialize the 100k-file namespace
+      mkdirs      — derive the distinct parent-directory set
+      open        — resolve 100k paths in pseudo-random order (hash join)
+      fileStatus  — same resolution returning the full metadata row
+      rename      — rewrite 100k paths against a broadcast rename map
+      delete      — anti-join a 50k delete list, count survivors
+      blockReport — explode 64 blocks/file (6.4M block records), roll up
+                    per block-pool (reported as block records/s)
+    """
     from pyspark.sql import functions as F
 
     def path_expr(file_id):
@@ -106,39 +115,103 @@ def control_plane_open_bench(spark, n_files: int = 100_000, n_ops: int = 100_000
             F.concat(F.lit("f"), file_id.cast("string")),
         )
 
+    def timed(fn):
+        t0 = time.perf_counter()
+        n = fn()
+        return n, time.perf_counter() - t0
+
+    ops: dict[str, dict] = {}
+
+    def record(name, n_ops_done, wall, unit="ops"):
+        ops[name] = {
+            "ops_per_sec": round(n_ops_done / wall, 1),
+            "ops": n_ops_done,
+            "wall_sec": round(wall, 3),
+            "unit": unit,
+        }
+
     cat = (
         spark.range(n_files)
         .select(
             path_expr(F.col("id")).alias("path"),
             (F.col("id") * 137 % 10_000_000).alias("length"),
             (F.col("id") % 3 + 1).alias("repl"),
-            (F.col("id") % 64).alias("block_id"),
+            (F.col("id") % 64).alias("n_blocks"),
         )
         .repartition(32, "path")
         .cache()
     )
-    cat.count()  # untimed create phase
-    t0 = time.perf_counter()
+    _, w = timed(cat.count)
+    record("create", n_files, w)
+
+    _, w = timed(
+        lambda: cat.select(
+            F.expr("substring_index(path, '/', 3)").alias("dir")
+        ).distinct().count()
+    )
+    record("mkdirs", n_files, w)
+
     # deterministic pseudo-random access order (48271 coprime to n_files)
     req = spark.range(n_ops).select(
         path_expr(F.col("id") * 48271 % n_files).alias("path")
     )
-    row = (
-        req.join(cat, "path")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("length").alias("bytes"))
-        .collect()[0]
+    n, w = timed(
+        lambda: req.join(cat, "path")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("length"))
+        .collect()[0].n
     )
-    wall = time.perf_counter() - t0
+    assert n == n_ops, f"unresolved opens: {n_ops - n}"
+    record("open", n_ops, w)
+
+    _, w = timed(
+        lambda: req.join(cat, "path")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum("length"),
+            F.sum("repl"),
+            F.sum("n_blocks"),
+            F.max("path"),
+        )
+        .collect()
+    )
+    record("fileStatus", n_ops, w)
+
+    _, w = timed(
+        lambda: cat.select(
+            F.concat(F.lit("/renamed"), F.col("path")).alias("path"),
+            "length",
+        ).agg(F.count(F.lit(1)), F.max("path")).collect()
+    )
+    record("rename", n_files, w)
+
+    dels = spark.range(n_files // 2).select(
+        path_expr(F.col("id") * 2).alias("path")
+    )
+    _, w = timed(
+        lambda: cat.join(dels, "path", "left_anti").count()
+    )
+    record("delete", n_files // 2, w)
+
+    n_blocks, w = timed(
+        lambda: cat.select(
+            "path", F.explode(F.sequence(F.lit(1), F.col("n_blocks"))).alias("b")
+        )
+        .groupBy(F.col("b") % 8)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    record("blockReport", int(n_blocks), w, unit="block_records")
+
     cat.unpersist()
-    assert row.n == n_ops, f"unresolved opens: {n_ops - row.n}"
     return {
-        "metric": "open_ops_per_sec",
-        "value": round(n_ops / wall, 1),
-        "ops": n_ops,
-        "wall_sec": round(wall, 3),
-        "baseline_ref_ops_per_sec": 10515.25,
-        "note": "batched metadata resolution (one hash join) vs "
-        "NNThroughputBenchmark -op open -threads 1000 -files 100000",
+        "metric": "nn_throughput_analog_ops_per_sec",
+        "open_ops_per_sec": ops["open"]["ops_per_sec"],
+        "op_matrix": ops,
+        "baseline_ref_open_ops_per_sec": 10515.25,
+        "note": "batched metadata ops (one job per op class) vs "
+        "NNThroughputBenchmark -threads 1000 -files 100000; the guide "
+        "publishes a reference number only for `open`",
     }
 
 
