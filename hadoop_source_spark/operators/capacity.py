@@ -1,0 +1,126 @@
+"""Capacity-scheduler allocation planning (reference:
+yarn/server/resourcemanager/scheduler/capacity/CapacityScheduler.java —
+queues own a GUARANTEED share of the cluster (capacity) and may grow to
+an elastic MAXIMUM (maximum-capacity) from other queues' unused share;
+within a queue, apps are served in FIFO submission order).
+
+The scheduler's iterative heartbeat loop has a closed form for a single
+allocation round, which is what this planner computes — entirely as
+window cumsums, no iteration:
+
+  phase 1 (guaranteed): within each queue in app order, an app receives
+    min(demand, guaranteed_remaining). Cumulative form: the queue's
+    allocated-so-far before app i is min(cum_prev_demand, guaranteed),
+    so alloc1_i = clamp(min(demand_i, guaranteed - that), >= 0).
+  phase 2 (elastic): residual demands are first capped by the queue's
+    elastic headroom (max - phase-1 use) with the same cumulative-min
+    trick, then admitted against the CLUSTER's leftover capacity by one
+    GLOBAL cumsum in (queue, app) order.
+
+Both phases are data-sized window passes partitioned by queue plus one
+ordered pass over the app table (apps ~ thousands — control-plane
+scale; the windows never touch task-level data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def allocate(
+    apps: DataFrame,
+    queues: DataFrame,
+    cluster_total: int,
+    app_col: str = "app_id",
+    queue_col: str = "queue",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """One allocation round. ``apps``: (app_id, queue, demand);
+    ``queues``: (queue, cap_pct, max_pct) with fractions in [0, 1].
+    Returns (app_id, queue, demand, alloc_guaranteed, alloc_elastic,
+    total_alloc, state FULLY|PARTIAL|PENDING)."""
+    a = apps.join(F.broadcast(queues), queue_col).select(
+        app_col,
+        queue_col,
+        F.col(demand_col).cast("long").alias("demand"),
+        F.floor(F.lit(cluster_total) * F.col("cap_pct")).alias("guar"),
+        F.floor(F.lit(cluster_total) * F.col("max_pct")).alias("qmax"),
+    )
+    wq = (
+        Window.partitionBy(queue_col)
+        .orderBy(app_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = a.withColumn(
+        "alloc_guaranteed",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("demand"),
+                F.col("guar")
+                - F.least(
+                    F.coalesce(F.sum("demand").over(wq), F.lit(0)),
+                    F.col("guar"),
+                ),
+            ),
+        ),
+    ).withColumn("resid", F.col("demand") - F.col("alloc_guaranteed"))
+    # per-queue phase-1 consumption and elastic headroom
+    wq_all = Window.partitionBy(queue_col)
+    a = a.withColumn(
+        "headroom",
+        F.greatest(
+            F.lit(0),
+            F.col("qmax") - F.sum("alloc_guaranteed").over(wq_all),
+        ),
+    )
+    # queue-capped elastic candidate (cumulative-min trick on residuals)
+    a = a.withColumn(
+        "qcand",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("resid"),
+                F.col("headroom")
+                - F.least(
+                    F.coalesce(F.sum("resid").over(wq), F.lit(0)),
+                    F.col("headroom"),
+                ),
+            ),
+        ),
+    )
+    # global admission against the cluster leftover, in (queue, app) order
+    leftover = F.lit(cluster_total) - F.sum("alloc_guaranteed").over(
+        Window.partitionBy()
+    )
+    wg = (
+        Window.partitionBy()
+        .orderBy(queue_col, app_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = a.withColumn(
+        "alloc_elastic",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("qcand"),
+                leftover
+                - F.least(
+                    F.coalesce(F.sum("qcand").over(wg), F.lit(0)), leftover
+                ),
+            ),
+        ),
+    )
+    total = F.col("alloc_guaranteed") + F.col("alloc_elastic")
+    return a.select(
+        app_col,
+        queue_col,
+        "demand",
+        "alloc_guaranteed",
+        "alloc_elastic",
+        total.alias("total_alloc"),
+        F.when(total >= F.col("demand"), "FULLY")
+        .when(total > 0, "PARTIAL")
+        .otherwise("PENDING")
+        .alias("state"),
+    )

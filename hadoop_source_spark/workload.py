@@ -4102,6 +4102,92 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAPACITY_ORACLE = """
+WITH apps AS (
+  SELECT user_id AS app_id, 'q' || CAST(user_id % 4 AS VARCHAR) AS queue,
+         count(*) AS demand
+  FROM events GROUP BY 1, 2
+),
+q(queue, cap_pct, max_pct) AS (
+  VALUES ('q0', 0.3, 0.5), ('q1', 0.2, 0.4),
+         ('q2', 0.1, 0.2), ('q3', 0.1, 0.15)
+),
+a AS (
+  SELECT app_id, queue, demand,
+         CAST(floor(5000 * cap_pct) AS BIGINT) AS guar,
+         CAST(floor(5000 * max_pct) AS BIGINT) AS qmax
+  FROM apps JOIN q USING (queue)
+),
+p1 AS (
+  SELECT *, greatest(0, least(demand, guar - least(coalesce(
+           sum(demand) OVER (PARTITION BY queue ORDER BY app_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), guar)))
+           AS alloc_guaranteed
+  FROM a
+),
+p2 AS (
+  SELECT *, demand - alloc_guaranteed AS resid,
+         greatest(0, qmax - sum(alloc_guaranteed) OVER (PARTITION BY queue))
+           AS headroom
+  FROM p1
+),
+p3 AS (
+  SELECT *, greatest(0, least(resid, headroom - least(coalesce(
+           sum(resid) OVER (PARTITION BY queue ORDER BY app_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           headroom))) AS qcand,
+         5000 - sum(alloc_guaranteed) OVER () AS leftover
+  FROM p2
+),
+p4 AS (
+  SELECT *, greatest(0, least(qcand, leftover - least(coalesce(
+           sum(qcand) OVER (ORDER BY queue, app_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           leftover))) AS alloc_elastic
+  FROM p3
+)
+SELECT app_id, queue, CAST(demand AS BIGINT) AS demand,
+       CAST(alloc_guaranteed AS BIGINT) AS alloc_guaranteed,
+       CAST(alloc_elastic AS BIGINT) AS alloc_elastic,
+       CAST(alloc_guaranteed + alloc_elastic AS BIGINT) AS total_alloc,
+       CASE WHEN alloc_guaranteed + alloc_elastic >= demand THEN 'FULLY'
+            WHEN alloc_guaranteed + alloc_elastic > 0 THEN 'PARTIAL'
+            ELSE 'PENDING' END AS state
+FROM p4
+"""
+
+
+@register("capacity_scheduler_allocation", _CAPACITY_ORACLE)
+def capacity_scheduler_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-scheduler allocation round (operators/capacity;
+    reference yarn CapacityScheduler.java): four queues with guaranteed
+    and elastic maximum shares of a 5000-container cluster, one app per
+    (user, queue) with demand = event count, FIFO within queue. Phase 1
+    serves guaranteed shares, phase 2 grows queues into the cluster's
+    leftover up to their maximum — both as closed-form window cumsums
+    (the cumulative-min trick), no scheduler loop. The windows run on
+    the APP table (control-plane scale, like the balancer's — the
+    data-sized work is one partial-agg groupBy building demands).
+    FULLY/PARTIAL/PENDING all exercised at sf0.01."""
+    from hadoop_source_spark.operators import capacity
+
+    e = table(spark, sf_dir, "events")
+    apps = e.groupBy(
+        F.col("user_id").alias("app_id"),
+        F.concat(F.lit("q"), (F.col("user_id") % 4).cast("string")).alias(
+            "queue"
+        ),
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    queues = spark.createDataFrame(
+        [
+            ("q0", 0.3, 0.5), ("q1", 0.2, 0.4),
+            ("q2", 0.1, 0.2), ("q3", 0.1, 0.15),
+        ],
+        "queue string, cap_pct double, max_pct double",
+    )
+    return capacity.allocate(apps, queues, cluster_total=5000)
+
+
 _TABLE_STATS_ORACLE = """
 WITH a AS (
   SELECT count(*) AS n,
@@ -4902,7 +4988,8 @@ _WINDOW: list[str] = [
     "kv_suite", "content_summary_docs", "dist_stats_by_type",
     "table_stats_report",
     "events_hourly", "events_sessionize", "events_stats_json",
-    "streaming_typed_events", "timeline_entity_filter", "doc_profile",
+    "streaming_typed_events", "timeline_entity_filter",
+    "capacity_scheduler_allocation", "doc_profile",
     "dedup_exact", "dedup_span_exact", "dsir_selection",
     "dedup_jaccard_suite",
     "dedup_connected_components",
@@ -4925,7 +5012,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 85, len(_WINDOW)
+assert len(_WINDOW) == 86, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -506,3 +506,47 @@ def test_storage_policy_longest_prefix_semantics(spark):
     assert ("/b/doc4", 1) not in plan  # HOT slot 1 = DISK
     # replica beyond slot 3 takes the last template slot (HOT -> DISK)
     assert plan[("/b/doc4", 4)] == ("ARCHIVE", "DISK")
+
+
+def test_capacity_allocation_invariants(spark):
+    """capacity.allocate: never over-allocates the cluster, never
+    exceeds a queue's elastic maximum, serves guaranteed shares FIFO
+    (no later app gets guaranteed capacity while an earlier app in the
+    same queue is still short of it), and every allocation is within
+    [0, demand]."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators import capacity
+
+    apps = spark.createDataFrame(
+        [(i, f"q{i % 3}", 50 + (i * 37) % 200) for i in range(60)],
+        "app_id long, queue string, demand long",
+    )
+    queues = spark.createDataFrame(
+        [("q0", 0.4, 0.6), ("q1", 0.2, 0.5), ("q2", 0.1, 0.15)],
+        "queue string, cap_pct double, max_pct double",
+    )
+    total = 3000
+    rows = sorted(
+        capacity.allocate(apps, queues, total).collect(),
+        key=lambda r: (r.queue, r.app_id),
+    )
+    assert sum(r.total_alloc for r in rows) <= total
+    caps = {"q0": int(total * 0.6), "q1": int(total * 0.5), "q2": int(total * 0.15)}
+    guar = {"q0": int(total * 0.4), "q1": int(total * 0.2), "q2": int(total * 0.1)}
+    by_q = {}
+    for r in rows:
+        assert 0 <= r.alloc_guaranteed and 0 <= r.alloc_elastic
+        assert r.total_alloc <= r.demand
+        by_q.setdefault(r.queue, []).append(r)
+    for q, rs in by_q.items():
+        assert sum(r.total_alloc for r in rs) <= caps[q], q
+        assert sum(r.alloc_guaranteed for r in rs) <= guar[q], q
+        # FIFO: once an app is left short of guaranteed, no later app
+        # in the queue receives any guaranteed allocation
+        short_seen = False
+        for r in rs:
+            if short_seen:
+                assert r.alloc_guaranteed == 0, (q, r.app_id)
+            if r.alloc_guaranteed < r.demand:
+                short_seen = True
