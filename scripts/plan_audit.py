@@ -89,7 +89,8 @@ def main() -> None:
         "weighted_sample_docs", "distcp_incremental_plan",
         "storage_mover_plan", "cache_directive_plan",
         "quality_classifier_scores", "bpe_tokenize_stats",
-        "dsir_selection",
+        "dsir_selection", "capacity_scheduler_allocation",
+        "table_stats_report",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
@@ -127,11 +128,14 @@ def main() -> None:
             else f"SinglePartition exchanges found in: {', '.join(bad)} — fix."
         ),
         "",
-        "Exception, by design: balancer_move_plan's cumulative-interval",
+        "Exceptions, by design: balancer_move_plan's cumulative-interval",
         "pairing windows run on the NODE-COUNT-sized utilization table",
-        "(rows == datanodes, metadata scale), after the only data-sized",
-        "pass (one partial-agg groupBy) has reduced the input — the",
-        "total order there is the algorithm, and it is bounded.",
+        "(rows == datanodes, metadata scale), and",
+        "capacity_scheduler_allocation's global admission cumsum runs on",
+        "the APP table (rows == running apps) — in both, the only",
+        "data-sized pass (one partial-agg groupBy) has already reduced",
+        "the input, and the total order IS the algorithm (the scheduler /",
+        "balancer serializes there too), bounded by control-plane scale.",
         "",
         "Caveats: iterative queries (dedup_connected_components) cut",
         "lineage with localCheckpoint between rounds, so the audited plan",
