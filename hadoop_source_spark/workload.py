@@ -4102,6 +4102,60 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+"""
+
+
+@register("hll_distinct_rollup", _HLL_ROLLUP_ORACLE)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch store (functions/hll; DataSketches HLL via
+    hll_sketch_agg/hll_union_agg): per-day distinct-user sketches plus
+    the all-time rollup computed purely by sketch UNION — the
+    store-sketches-not-raws pattern that turns any ad-hoc distinct
+    window into metadata-scale work at 100 TB. est_ok is emitted only
+    when the sketch estimate lands within the HLL bound of the exact
+    count, so the oracle's constant TRUE hash-verifies the sketch
+    numerics; incremental store maintenance == batch rebuild is
+    pytest-gated (test_hll_sketch_store_merge_and_rollup)."""
+    from hadoop_source_spark.functions import hll
+
+    e = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    store = hll.sketch_store(e, ["day"], "user_id")
+    est = hll.estimate(store, ["day"])
+    exact = e.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    tol = F.greatest(F.lit(3.0), F.col("exact_users") * 0.05)
+    daily = exact.join(est, "day").select(
+        "day",
+        "exact_users",
+        (F.abs(F.col("distinct_est") - F.col("exact_users")) <= tol).alias(
+            "est_ok"
+        ),
+    )
+    total = (
+        e.agg(F.countDistinct("user_id").alias("exact_users"))
+        .crossJoin(F.broadcast(hll.rollup_estimate(store, [])))
+        .select(
+            F.lit("ALL").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_users"))
+                <= F.greatest(F.lit(3.0), F.col("exact_users") * 0.05)
+            ).alias("est_ok"),
+        )
+    )
+    return daily.unionByName(total)
+
+
 _CAPACITY_ORACLE = """
 WITH apps AS (
   SELECT user_id AS app_id, 'q' || CAST(user_id % 4 AS VARCHAR) AS queue,
@@ -4997,7 +5051,8 @@ _WINDOW: list[str] = [
     "weighted_sample_docs", "bpe_tokenize_stats",
     "quality_classifier_scores",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
-    "sketch_suite", "sketch_ann_deterministic", "corpus_mixture_sample",
+    "sketch_suite", "sketch_ann_deterministic", "hll_distinct_rollup",
+    "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
@@ -5012,7 +5067,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 86, len(_WINDOW)
+assert len(_WINDOW) == 87, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -491,3 +491,46 @@ def test_pandas_udaf_geo_mean(spark):
     assert set(got) >= set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9 * max(1.0, abs(v)), k
+
+
+def test_hll_sketch_store_merge_and_rollup(spark):
+    """HLL sketch store (functions/hll): per-day sketches estimate
+    within the HLL bound; rolling up the store (union of sketches)
+    equals sketching the union; incremental day-by-day merge_stores
+    equals the store built from all rows at once; estimates never
+    require rescanning raw data."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.functions import hll
+
+    e = table(spark, "/root/testdata/sf0.01", "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    store = hll.sketch_store(e, ["day"], "user_id")
+    est = {r.day: r.distinct_est for r in hll.estimate(store, ["day"]).collect()}
+    exact = {
+        r.day: r.n
+        for r in e.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for d in exact:
+        assert abs(est[d] - exact[d]) <= max(3, 0.05 * exact[d]), d
+
+    total_exact = e.agg(F.countDistinct("user_id")).collect()[0][0]
+    total_est = hll.rollup_estimate(store, []).collect()[0].distinct_est
+    assert abs(total_est - total_exact) <= max(3, 0.05 * total_exact)
+
+    # incremental maintenance == batch build
+    days = sorted(exact)
+    inc = hll.sketch_store(e.filter(F.col("day") == days[0]), ["day"], "user_id")
+    for d in days[1:]:
+        inc = hll.merge_stores(
+            inc, hll.sketch_store(e.filter(F.col("day") == d), ["day"], "user_id"),
+            ["day"],
+        )
+    inc_est = {r.day: r.distinct_est for r in hll.estimate(inc, ["day"]).collect()}
+    assert inc_est == est
+    n_inc = {r.day: r.n_rows for r in inc.select("day", "n_rows").collect()}
+    n_full = {r.day: r.n_rows for r in store.select("day", "n_rows").collect()}
+    assert n_inc == n_full
