@@ -1014,6 +1014,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
+_SHARD_MANIFEST_ORACLE = """
+WITH o AS (
+  SELECT doc_id,
+         ((doc_id % 1000003 + 42) * 2654435761) % 10000 AS hk
+  FROM documents
+),
+p AS (
+  SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM o
+),
+s AS (
+  SELECT doc_id, pos, CAST(floor(pos / 100) AS BIGINT) AS shard_id FROM p
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(pos) AS BIGINT) AS min_pos,
+       CAST(max(pos) AS BIGINT) AS max_pos,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY shard_id
+"""
+
+
+@register("shard_manifest", _SHARD_MANIFEST_ORACLE)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard writer + manifest (llmops/shards —
+    the WebDataset/tfrecord-shards last mile): docs are laid out in a
+    reproducible shuffled order (SQL-portable arith key here so the
+    oracle can replay the exact permutation; xxhash64 is the production
+    key), cut into 100-row shards, physically written one parquet
+    partition per shard, and summarized as (shard, rows, position
+    range, id-sum checksum). The global positions come from the
+    range-exchange + offset-map kernel (no SinglePartition window);
+    losslessness and write-determinism are pytest-gated."""
+    import tempfile
+
+    from hadoop_source_spark.llmops import sampling as smp
+    from hadoop_source_spark.llmops import shards
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", smp.hash_bucket("doc_id", 42, "arith").alias("hk")
+    )
+    out = tempfile.mkdtemp(prefix="hss_shards_")
+    return shards.write_shards(d, out, ["hk", "doc_id"], 100).select(
+        "shard_id", "n_rows", "min_pos", "max_pos", "id_sum"
+    )
+
+
 @register("quality_classifier_scores", None)
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (llmops/quality_model; the
@@ -5049,7 +5094,7 @@ _WINDOW: list[str] = [
     "dedup_connected_components",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "weighted_sample_docs", "bpe_tokenize_stats",
-    "quality_classifier_scores",
+    "quality_classifier_scores", "shard_manifest",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "hll_distinct_rollup",
     "corpus_mixture_sample",
@@ -5067,7 +5112,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 87, len(_WINDOW)
+assert len(_WINDOW) == 88, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -694,3 +694,44 @@ def hash_bucket_py(tok: str) -> int:
         except NameError:
             _BUCKET_CACHE = {tok: val}
         return val
+
+
+def test_shard_writer_bounded_deterministic_lossless(spark, tmp_path):
+    """write_shards: every shard except the last holds exactly
+    rows_per_shard rows, reading the directory back recovers the exact
+    row set, two writes produce identical shard membership, and the
+    manifest's id_sum checksums match a recomputation from the files."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import sampling as smp
+    from hadoop_source_spark.llmops import shards
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", smp.hash_bucket("doc_id", 7).alias("hk")
+    )
+    n = d.count()
+    order = ["hk", "doc_id"]
+    out1 = str(tmp_path / "s1")
+    m1 = {r.shard_id: r for r in shards.write_shards(d, out1, order, 16).collect()}
+    sizes = [m1[s].n_rows for s in sorted(m1)]
+    assert all(x == 16 for x in sizes[:-1]) and 0 < sizes[-1] <= 16
+    assert sum(sizes) == n
+    back = spark.read.parquet(out1)
+    assert back.count() == n
+    assert {r.doc_id for r in back.collect()} == {r.doc_id for r in d.collect()}
+    per_shard = {
+        r.shard_id: r.s
+        for r in back.groupBy("shard_id").agg(F.sum("doc_id").alias("s")).collect()
+    }
+    assert per_shard == {s: m1[s].id_sum for s in m1}
+    # contiguous position ranges
+    for s in sorted(m1):
+        assert m1[s].min_pos == s * 16
+        assert m1[s].max_pos == s * 16 + m1[s].n_rows - 1
+    # deterministic across writes
+    out2 = str(tmp_path / "s2")
+    m2 = {r.shard_id: r for r in shards.write_shards(d, out2, order, 16).collect()}
+    assert {s: (m2[s].n_rows, m2[s].id_sum) for s in m2} == {
+        s: (m1[s].n_rows, m1[s].id_sum) for s in m1
+    }
