@@ -56,7 +56,9 @@ def merge_stores(
     one — full-outer on the group, pairwise hll_union of the sketches,
     counts added. merge_stores(store, sketch_store(new_day_rows, ...))
     is the store maintenance step; by HLL mergeability it equals
-    rebuilding from all raw rows (pytest-gated)."""
+    rebuilding from all raw rows (pytest-gated). Both stores must have
+    been built with the same ``lgk`` (hll_union requires matching
+    lgConfigK; mixed-precision stores should be rebuilt, not merged)."""
     an = a.select(
         *group_cols,
         F.col("sketch").alias("__sa"),

@@ -28,7 +28,11 @@ def shard_assignments(
 ) -> DataFrame:
     """Attach (pos_col, shard_col): contiguous global position in the
     given deterministic order, and shard = pos div rows_per_shard —
-    every shard except the last holds exactly rows_per_shard rows."""
+    every shard except the last holds exactly rows_per_shard rows.
+
+    ``order`` must be a TOTAL order (include a unique id as the final
+    key): ties would make shard membership depend on physical row
+    order and break write determinism."""
     pos = relational.with_global_positions(df, order, pos_col)
     return pos.withColumn(
         shard_col,

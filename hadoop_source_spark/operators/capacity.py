@@ -38,7 +38,11 @@ def allocate(
     """One allocation round. ``apps``: (app_id, queue, demand);
     ``queues``: (queue, cap_pct, max_pct) with fractions in [0, 1].
     Returns (app_id, queue, demand, alloc_guaranteed, alloc_elastic,
-    total_alloc, state FULLY|PARTIAL|PENDING)."""
+    total_alloc, state FULLY|PARTIAL|PENDING).
+
+    Apps naming a queue absent from ``queues`` are dropped (the real
+    scheduler rejects submission to an unknown queue at the RM door;
+    validate upstream if you need them surfaced)."""
     a = apps.join(F.broadcast(queues), queue_col).select(
         app_col,
         queue_col,
