@@ -423,15 +423,33 @@ def compact_parquet(
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     import math
 
-    from py4j.java_gateway import java_import
-
-    jvm = spark.sparkContext._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    jpath = jvm.Path(src)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(jpath)
-    n_files = max(1, int(math.ceil(summary.getLength() / target_bytes)))
     df = spark.read.parquet(src)
+    try:  # classic session: exact byte size via the Hadoop FileSystem
+        from py4j.java_gateway import java_import
+
+        jvm = spark.sparkContext._jvm
+        java_import(jvm, "org.apache.hadoop.fs.Path")
+        jpath = jvm.Path(src)
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        total_bytes = fs.getContentSummary(jpath).getLength()
+    except AttributeError:  # Spark Connect: no Py4J gateway — size the
+        # local/file inputs directly (public inputFiles API)
+        import os
+        from urllib.parse import urlparse
+
+        total_bytes = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            if p.scheme in ("file", ""):
+                total_bytes += os.path.getsize(p.path)
+        if total_bytes == 0:
+            raise NotImplementedError(
+                "compact_parquet under Spark Connect supports file: "
+                "sources only (no FileSystem gateway to size others)"
+            )
+    n_files = max(1, int(math.ceil(total_bytes / target_bytes)))
     df.repartition(n_files).write.mode("overwrite").option(
         "compression", compression
     ).parquet(dst)

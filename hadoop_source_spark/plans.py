@@ -16,7 +16,23 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical-plan text. Classic sessions read it off the JVM
+    queryExecution; under Spark Connect (no Py4J `_jdf`) fall back to
+    capturing df.explain(), which the Connect client does support."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except AttributeError:
+        return _plan_via_explain(df)
+
+
+def _plan_via_explain(df: DataFrame) -> str:
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
