@@ -42,7 +42,16 @@ def allocate(
 
     Apps naming a queue absent from ``queues`` are dropped (the real
     scheduler rejects submission to an unknown queue at the RM door;
-    validate upstream if you need them surfaced)."""
+    validate upstream if you need them surfaced). Guaranteed shares
+    must sum to <= 1 — the scheduler refuses configurations whose child
+    capacities oversubscribe the parent (CapacityScheduler validates
+    this at refresh), and phase 1 would otherwise over-allocate."""
+    cap_sum = sum(r.cap_pct for r in queues.select("cap_pct").collect())
+    if cap_sum > 1.0 + 1e-9:
+        raise ValueError(
+            f"queue cap_pct sum {cap_sum:.4f} > 1: guaranteed shares "
+            "oversubscribe the cluster (invalid scheduler config)"
+        )
     a = apps.join(F.broadcast(queues), queue_col).select(
         app_col,
         queue_col,

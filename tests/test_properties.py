@@ -232,3 +232,106 @@ def test_aes_ctr_properties(data, key, iv, lo, hi):
     assert aes_ctr_transform(ct, key, iv) == data
     a, b = sorted((min(lo, len(data)), min(hi, len(data))))
     assert aes_ctr_transform(ct[a:b], key, iv, offset=a) == data[a:b]
+
+
+# -------------------------------------------------- Spark-level edges
+
+
+def test_capacity_allocation_random_conservation(spark):
+    """capacity.allocate conservation under randomized demands/queue
+    shares (one Spark run, many seeds driver-side): total <= cluster,
+    per-queue totals <= elastic max, every app within [0, demand] —
+    the invariants that make a scheduler a scheduler."""
+    import random
+
+    from hadoop_source_spark.operators import capacity
+
+    rng = random.Random(17)
+    for _ in range(3):
+        n_q = rng.randint(2, 5)
+        # valid scheduler config: guaranteed shares sum to <= 1 (the
+        # operator rejects oversubscribed configs, as the RM does)
+        raw = [rng.uniform(0.05, 0.3) for _ in range(n_q)]
+        scale = min(1.0, 0.95 / sum(raw))
+        caps = [c * scale for c in raw]
+        queues = spark.createDataFrame(
+            [
+                (f"q{i}", caps[i], min(1.0, caps[i] + rng.uniform(0.0, 0.3)))
+                for i in range(n_q)
+            ],
+            "queue string, cap_pct double, max_pct double",
+        )
+        apps = spark.createDataFrame(
+            [
+                (i, f"q{rng.randrange(n_q)}", rng.randint(1, 400))
+                for i in range(40)
+            ],
+            "app_id long, queue string, demand long",
+        )
+        total = rng.randint(500, 4000)
+        rows = capacity.allocate(apps, queues, total).collect()
+        assert sum(r.total_alloc for r in rows) <= total
+        qmax = {
+            r.queue: int(total * r.max_pct) for r in queues.collect()
+        }
+        per_q: dict[str, int] = {}
+        for r in rows:
+            assert 0 <= r.total_alloc <= r.demand
+            per_q[r.queue] = per_q.get(r.queue, 0) + r.total_alloc
+        for q, used in per_q.items():
+            assert used <= qmax[q], (q, used, qmax[q])
+
+
+def test_placement_invariants_random_topologies(spark):
+    """plan_replicas policy invariants hold on randomized topologies
+    (node/rack counts vary): distinct nodes, rack-spread contract,
+    writer-local first replica."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators import placement
+
+    rng = random.Random(23)
+    for _ in range(3):
+        n_nodes = rng.randint(4, 20)
+        n_racks = rng.randint(2, max(2, n_nodes // 2))
+        topo = spark.createDataFrame(
+            [(f"n{i}", i, f"r{i % n_racks}") for i in range(n_nodes)],
+            "node string, node_id long, rack string",
+        )
+        blocks = spark.createDataFrame(
+            [(b, f"n{rng.randrange(n_nodes)}") for b in range(80)],
+            "block_id long, writer string",
+        )
+        writer_of = {r.block_id: r.writer for r in blocks.collect()}
+        plan = placement.plan_replicas(blocks, topo).collect()
+        by_block: dict[int, dict] = {}
+        for r in plan:
+            by_block.setdefault(r.block_id, {})[r.replica_idx] = (r.node, r.rack)
+        for bid, reps in by_block.items():
+            assert set(reps) == {1, 2, 3}
+            nodes = [reps[i][0] for i in (1, 2, 3)]
+            racks = [reps[i][1] for i in (1, 2, 3)]
+            assert len(set(nodes)) == 3
+            assert reps[1][0] == writer_of[bid]
+            assert racks[1] != racks[0] and racks[2] == racks[1]
+
+
+def test_capacity_rejects_oversubscribed_config(spark):
+    """Guaranteed shares summing over 100% are an invalid scheduler
+    config (the RM refuses the refresh); allocate must raise, not
+    silently over-allocate."""
+    import pytest
+
+    from hadoop_source_spark.operators import capacity
+
+    queues = spark.createDataFrame(
+        [("q0", 0.7, 0.8), ("q1", 0.6, 0.9)],
+        "queue string, cap_pct double, max_pct double",
+    )
+    apps = spark.createDataFrame(
+        [(1, "q0", 10)], "app_id long, queue string, demand long"
+    )
+    with pytest.raises(ValueError, match="oversubscribe"):
+        capacity.allocate(apps, queues, 1000)
