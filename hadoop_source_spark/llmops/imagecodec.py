@@ -3,10 +3,11 @@ binary PPM) plus nearest-neighbor resampling.
 
 These are the real pixel kernels behind llmops.multimodal's decode /
 resize steps: no codec libraries exist in this container, but the
-uncompressed container formats are just headers + raster order, and
-PNG's compression is stdlib zlib + per-scanline prediction filters, so
-all three decodes are exact. JPEG (DCT entropy coding) remains stubbed
-in multimodal.decode_image — sniffed by magic and reported loudly.
+uncompressed container formats are just headers + raster order, PNG's
+compression is stdlib zlib + per-scanline prediction filters, and
+baseline JPEG is an exact 8x8 DCT + Huffman coding implemented in
+llmops/jpegcodec.py — so all four decodes are real. Only the exotic
+JPEG variants (progressive, 12-bit, arithmetic) stay loud.
 
 Everything here operates on a single payload (bytes ↔ uint8 ndarray
 (height, width, 3) RGB); batch fan-out across the cluster is the
@@ -230,7 +231,34 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    from hadoop_source_spark.llmops.jpegcodec import decode_jpeg
+
+    return decode_jpeg(b)
+
+
+DECODERS = {
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "png": decode_png,
+    "jpeg": _decode_jpeg,
+}
+
+
+def _encode_jpeg(arr: np.ndarray) -> bytes:
+    from hadoop_source_spark.llmops.jpegcodec import encode_jpeg
+
+    # 4:4:4 for re-encoding: thumbnails are small, so chroma decimation
+    # would dominate the error while saving almost nothing
+    return encode_jpeg(arr, quality=85, subsampling="4:4:4")
+
+
+ENCODERS = {
+    "bmp": encode_bmp,
+    "ppm": encode_ppm,
+    "png": encode_png,
+    "jpeg": _encode_jpeg,
+}
 
 
 def decode_any(b: bytes) -> tuple[str, np.ndarray]:
@@ -238,10 +266,6 @@ def decode_any(b: bytes) -> tuple[str, np.ndarray]:
     codec = sniff_codec(b)
     if codec in DECODERS:
         return codec, DECODERS[codec](b)
-    if codec == "jpeg":
-        raise NotImplementedError(
-            "jpeg decode requires a codec library not in this container"
-        )
     raise ValueError("unknown image payload (no BMP/PPM/JPEG/PNG magic)")
 
 

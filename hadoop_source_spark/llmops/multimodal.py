@@ -74,18 +74,18 @@ def resize_images(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Thumbnail/resize step via mapInPandas — payload bytes in, resized
-    bytes + dims out. REAL for the uncompressed codecs: BMP/PPM payloads
-    decode (imagecodec.decode_any), nearest-neighbor resample to
-    width×height, and re-encode in their own format. Non-image payloads
-    (the text stand-ins used at test scale) keep the deterministic
-    sha256-derived fake so the pipeline shape is exercised end-to-end
-    even where no codec applies; compressed codecs raise in decode_any
-    and also fall back to the fake."""
+    bytes + dims out. REAL for every sniffable codec: BMP/PPM/PNG/JPEG
+    payloads decode (imagecodec.decode_any), nearest-neighbor resample
+    to width×height, and re-encode in their own format
+    (imagecodec.ENCODERS). Non-image payloads (the text stand-ins used
+    at test scale) keep the deterministic sha256-derived fake so the
+    pipeline shape is exercised end-to-end even where no codec applies;
+    exotic variants raise in decode_any and also fall back to the
+    fake."""
 
     from hadoop_source_spark.llmops.imagecodec import (
+        ENCODERS,
         decode_any,
-        encode_bmp,
-        encode_ppm,
         nn_resize,
     )
 
@@ -93,12 +93,12 @@ def resize_images(
         try:
             codec, arr = decode_any(b)
         except (ValueError, NotImplementedError):
-            # fake thumbnail for non-image / compressed payloads
+            # fake thumbnail for non-image / exotic payloads
             seed = hashlib.sha256(b + f"{width}x{height}".encode()).digest()
             reps = max(1, (width * height) // (64 * len(seed)))
             return seed * reps
         small = nn_resize(arr, width, height)
-        return encode_bmp(small) if codec == "bmp" else encode_ppm(small)
+        return ENCODERS[codec](small)
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -270,16 +270,16 @@ def audio_features(
 def decode_image(
     payloads: DataFrame, id_col: str = "doc_id", on_error: str = "raise"
 ) -> DataFrame:
-    """REAL image decode for BMP (24-bit), binary PPM, and PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — stdlib zlib + numpy unfiltering;
-    pure kernels in llmops/imagecodec.py), inside the same mapInPandas
-    batch contract as extract_meta: payload bytes in, RGB8 pixel tensor
-    out as (width, height, flattened h*w*3 bytes).
+    """REAL image decode for BMP (24-bit), binary PPM, PNG (8-bit
+    grey/RGB/RGBA, non-interlaced — stdlib zlib + numpy unfiltering),
+    and baseline JPEG (SOF0 sequential DCT, grey / 4:4:4 / 4:2:0 —
+    pure-numpy exact-DCT codec in llmops/jpegcodec.py), inside the same
+    mapInPandas batch contract as extract_meta: payload bytes in, RGB8
+    pixel tensor out as (width, height, flattened h*w*3 bytes).
 
-    JPEG remains STUBBED: its magic is sniffed and raises
-    NotImplementedError — a codec library would slot into
-    imagecodec.DECODERS and nothing else changes. on_error="skip" drops
-    undecodable payloads instead (the corrupt-file-tolerant corpus path).
+    Only exotic JPEG variants (progressive/12-bit/arithmetic) remain
+    loud NotImplementedError. on_error="skip" drops undecodable
+    payloads instead (the corrupt-file-tolerant corpus path).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")

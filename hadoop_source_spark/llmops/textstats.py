@@ -498,3 +498,95 @@ def perplexity_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.exp(-F.avg("logp")), 4).alias("perplexity"),
     )
+
+
+def bm25_rank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every corpus document against every
+    query's term bag and keep the top_k docs per query — the classic
+    sparse-retrieval operator (Robertson/Sparck Jones probabilistic
+    model, the Lucene/Elasticsearch default scorer) that LLM pipelines
+    use for retrieval-based data curation and RAG-corpus construction.
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))        (Lucene form)
+    score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Shape at 100 TB: the postings table is one tokenize+explode plus a
+    (doc, term) groupBy — the same single corpus shuffle tf_idf pays.
+    df(term) and the (N, avgdl) scalars are vocab-/one-row-sized and
+    come back via AQE-broadcast joins; the query term set is small by
+    construction, so the postings⋈queries join broadcasts the query
+    side and never reshuffles the corpus. The only per-query work is a
+    top_k window over each query's candidate set (docs sharing ≥1
+    term), never the full corpus.
+
+    `queries` is (query_id_col, term_col) — already tokenized, one row
+    per query term (duplicate terms allowed; they are deduped so each
+    term contributes once, bag-of-words-set semantics).
+    """
+    postings = corpus.select(
+        F.col(id_col),
+        F.explode(tokenize_words(F.col(text_col))).alias("__t"),
+    )
+    tf = postings.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    doclen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # corpus-level scalars carried in-plan (single-plan rule: no
+    # mid-plan driver collect) — one row, broadcast
+    scalars = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col), F.col(term_col).alias("__t")
+    ).distinct()
+
+    return (
+        tf.join(doclen, id_col)
+        .join(dfreq, "__t")
+        .join(F.broadcast(qterms), "__t")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.log1p(
+                    (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * (F.col("__tf") * (k1 + 1))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .select(
+            query_id_col,
+            id_col,
+            "score",
+            F.row_number()
+            .over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("score").desc(), F.col(id_col)
+                )
+            )
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )

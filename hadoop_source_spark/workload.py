@@ -3077,6 +3077,79 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, u.term AS term, count(*) AS tf
+  FROM toks, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclen),
+qdocs AS (
+  SELECT doc_id AS query_id, list_slice(t, 1, 6) AS q
+  FROM toks WHERE doc_id % 50 = 3
+),
+qterms AS (
+  SELECT DISTINCT query_id, u.term AS term
+  FROM qdocs, UNNEST(q) AS u(term)
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6)
+           AS score
+  FROM postings p
+  JOIN doclen l USING (doc_id)
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN scal s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+@register("bm25_search", _BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (llmops/textstats.bm25_rank): every 50th
+    document's first 6 tokens play a query bag; the corpus is scored
+    with the Lucene-form BM25 (k1=1.2, b=0.75) and the top-10 docs per
+    query are kept. The sparse-retrieval operator behind RAG corpus
+    construction and retrieval-based data curation: one corpus
+    tokenize+explode shuffle (shared shape with tfidf_top_terms),
+    vocab-sized df and one-row (N, avgdl) scalars broadcast back,
+    query-term set broadcast into the postings join — the corpus never
+    reshuffles on the query side."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", ts.tokenize_words(F.col("text")).alias("__toks")
+    )
+    queries = (
+        toks.filter(F.col("doc_id") % 50 == 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("__toks", 1, 6)).alias("term"),
+        )
+    )
+    out = ts.bm25_rank(d, queries, "text", "doc_id", top_k=10)
+    return out.select(
+        "query_id", "doc_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _MIXTURE_ORACLE = """
 WITH w AS (
   SELECT doc_id, lang,
@@ -5098,7 +5171,7 @@ _WINDOW: list[str] = [
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "hll_distinct_rollup",
     "corpus_mixture_sample",
-    "tfidf_top_terms", "decontamination_check",
+    "tfidf_top_terms", "decontamination_check", "bm25_search",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "distcp_incremental_plan",
@@ -5112,7 +5185,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 88, len(_WINDOW)
+assert len(_WINDOW) == 89, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

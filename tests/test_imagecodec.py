@@ -50,8 +50,9 @@ def test_nn_resize_exact_on_integer_scale():
     assert np.array_equal(up[::2, ::2], img)
 
 
-def test_compressed_codecs_stay_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_malformed_and_exotic_payloads_stay_loud():
+    # truncated JPEG: real decoder now runs and rejects it loudly
+    with pytest.raises(ValueError):
         ic.decode_any(b"\xff\xd8\xe0rest-of-a-jpeg")
     with pytest.raises(ValueError):
         ic.decode_any(b"not an image at all")

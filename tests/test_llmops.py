@@ -735,3 +735,35 @@ def test_shard_writer_bounded_deterministic_lossless(spark, tmp_path):
     assert {s: (m2[s].n_rows, m2[s].id_sum) for s in m2} == {
         s: (m1[s].n_rows, m1[s].id_sum) for s in m1
     }
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 orders by term overlap and rarity: a doc containing both
+    query terms outranks single-term docs; a doc full of a common term
+    is discounted vs one matching a rare term; self-retrieval ranks
+    first when the query IS a document's own tokens."""
+    from hadoop_source_spark.llmops import textstats as ts
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),          # both query terms
+            (2, "apple apple apple apple"),      # common term, many times
+            (3, "banana date"),                  # rare term once
+            (4, "cherry date elderberry"),       # no query terms
+            (5, "apple fig"),                    # common term once
+        ],
+        "doc_id long, text string",
+    )
+    # 'apple' appears in 3 docs (common), 'banana' in 2 (rarer)
+    queries = spark.createDataFrame(
+        [(100, "apple"), (100, "banana")], "query_id long, term string"
+    )
+    got = ts.bm25_rank(corpus, queries, top_k=5).collect()
+    ranked = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked[0] == 1                  # two-term match wins
+    assert 4 not in ranked                 # zero-overlap doc never scored
+    # the rare-term doc (3) must beat the single common-term doc (5)
+    assert ranked.index(3) < ranked.index(5)
+    # scores strictly positive and non-increasing in rank order
+    scores = [r.score for r in sorted(got, key=lambda r: r.rank)]
+    assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
