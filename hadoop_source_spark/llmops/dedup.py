@@ -149,6 +149,80 @@ def duplicate_span_stats(
     )
 
 
+def duplicate_span_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL — the rewrite half of Lee et al.
+    2022's substring dedup (duplicate_span_stats detects; this one
+    produces the cleaned corpus). Keep-one-copy semantics at k-gram
+    granularity: for every k-token span shared by >= 2 distinct docs,
+    the OWNER (lowest id containing the span) keeps its tokens; every
+    other doc drops all tokens covered by that span. Within-doc
+    repetition is untouched (repetition_stats' job).
+
+    Returns (id, n_tokens, n_removed, clean_text) — clean_text is the
+    kept tokens rejoined with single spaces (tokenized form; the
+    rewrite operates on the token stream like the reference algorithm).
+
+    Scale shape: same as duplicate_span_stats — posexplode (fan-out =
+    tokens/doc), one span-hash groupBy for the owner table (map-side
+    partial min/countDistinct), one equi-join back, one doc-level
+    collect of duplicate window starts. The final cover test is a
+    higher-order-function filter over the token array (per-doc work
+    bounded by tokens × dup-windows, both document-local) — never a
+    doc-pair join, and the corpus text is never collected anywhere.
+    """
+    spans = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        span_hashes(F.col(text_col), k).alias("__spans"),
+    )
+    pos = spans.select(
+        id_col, F.posexplode("__spans").alias("__p", "__h")
+    )
+    owners = (
+        pos.groupBy("__h")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__h", "__owner")
+    )
+    dup_starts = (
+        pos.join(owners, "__h")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__starts"))
+    )
+    starts = F.coalesce("__starts", F.array())
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            starts, lambda s: (i >= s) & (i < s + F.lit(k))
+        ),
+    )
+    return (
+        spans.join(dup_starts, id_col, "left")
+        .select(
+            id_col,
+            F.size("__toks").cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.size("__kept")).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_join("__kept", " ").alias("clean_text"),
+        )
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1233,6 +1233,68 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_stats(d, "text", "doc_id", k=8, max_dup_frac=0.5)
 
 
+_SPAN_REWRITE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, u.i AS i,
+         array_to_string(list_slice(toks, u.i, u.i + 7), ' ') AS span
+  FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+  WHERE len(toks) >= 8
+),
+own AS (
+  SELECT span, min(doc_id) AS owner
+  FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+ds AS (
+  SELECT sp.doc_id, sp.i FROM sp JOIN own USING (span)
+  WHERE sp.doc_id <> own.owner
+),
+rem AS (
+  SELECT DISTINCT d.doc_id, d.i + o.off AS j
+  FROM ds d, unnest(range(0, 8)) AS o(off)
+),
+pos AS (
+  SELECT doc_id, u.i AS j, toks[u.i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.tok
+  FROM pos p LEFT JOIN rem r ON p.doc_id = r.doc_id AND p.j = r.j
+  WHERE r.j IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_span_rewrite", _SPAN_REWRITE_ORACLE)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (llmops/dedup.duplicate_span_rewrite) —
+    the rewrite half of Lee et al. 2022 substring dedup:
+    dedup_span_exact detects, this emits the cleaned corpus. Every
+    8-token span shared across docs keeps exactly one copy (lowest-id
+    owner); other docs drop the covered tokens and re-join the
+    remainder. The oracle rebuilds the whole pipeline on span STRINGS
+    in SQL (owner election, position cover via range-unnest, ordered
+    string_agg) — agreement proves both the hash-chain fidelity and
+    the cover arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    return dd.duplicate_span_rewrite(d, "text", "doc_id", k=8)
+
+
 @register("dedup_minhash_lsh", _NGRAM_JACCARD_ORACLE, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact Jaccard verification — the
@@ -5172,6 +5234,7 @@ _WINDOW: list[str] = [
     "sketch_suite", "sketch_ann_deterministic", "hll_distinct_rollup",
     "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check", "bm25_search",
+    "dedup_span_rewrite",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "distcp_incremental_plan",
@@ -5185,7 +5248,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 89, len(_WINDOW)
+assert len(_WINDOW) == 90, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

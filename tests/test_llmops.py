@@ -767,3 +767,34 @@ def test_bm25_ranking_semantics(spark):
     # scores strictly positive and non-increasing in rank order
     scores = [r.score for r in sorted(got, key=lambda r: r.rank)]
     assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
+
+
+def test_duplicate_span_rewrite_keep_one_copy(spark):
+    """Span rewrite removes cross-doc duplicated k-grams everywhere but
+    the lowest-id owner; unique text and within-doc repetition survive."""
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three"),
+            (2, boiler + " other tail words here"),
+            (3, "totally fresh text with no shared spans at all"),
+            (4, "rep rep rep rep rep rep rep rep"),  # within-doc only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           dd.duplicate_span_rewrite(corpus, k=8).collect()}
+    # owner (doc 1) keeps everything
+    assert got[1].n_removed == 0
+    assert got[1].clean_text.startswith(boiler)
+    # doc 2 loses exactly the 8 boilerplate tokens, keeps its tail
+    assert got[2].n_removed == 8
+    assert got[2].clean_text == "other tail words here"
+    # untouched docs
+    assert got[3].n_removed == 0
+    assert got[4].n_removed == 0  # within-doc repetition is not cross-doc
+    # token conservation
+    for r in got.values():
+        assert r.n_tokens - r.n_removed == len(
+            r.clean_text.split()
+        ) if r.clean_text else r.n_tokens == r.n_removed
