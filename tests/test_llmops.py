@@ -227,11 +227,12 @@ def test_decode_image_rejects_non_image_payloads(spark, docs):
     payloads have no image magic and must fail loudly in raise mode."""
     with pytest.raises(Exception, match="unknown image payload"):
         mm.decode_image(mm.with_payload(docs)).collect()
-    # compressed codecs remain stubbed: JPEG magic → NotImplementedError
+    # JPEG decode is real now (test_jpegcodec.py); a payload that only
+    # fakes the magic must still fail loudly, as a corrupt stream
     jpeg = spark.createDataFrame(
         [(1, b"\xff\xd8\xe0fake-jpeg-bytes")], "doc_id long, payload binary"
     )
-    with pytest.raises(Exception, match="codec library"):
+    with pytest.raises(Exception, match="without a scan"):
         mm.decode_image(jpeg).collect()
 
 
