@@ -628,3 +628,181 @@ def brute_force_topk_quantized(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------- product
+# quantization (PQ): the memory-scale path beyond int8 — m sub-vector
+# codebooks of ksub centroids each compress dim*4 bytes to m code bytes
+# (e.g. 64-dim float32 = 256 B -> 8 B at m=8), with asymmetric-distance
+# (ADC) scoring against per-query lookup tables. The standard
+# billion-vector layout (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"; FAISS IndexPQ).
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    train_fraction: float | None = None,
+    seed: int = 42,
+):
+    """Train per-subspace codebooks on a seeded, driver-bounded sample
+    (same FAISS-style bounded-training contract as the IVF coarse
+    quantizer — the driver never holds the corpus). Returns an ndarray
+    (m, ksub, dim/m) float64. Deterministic: sorted-limit sample +
+    seeded k-means++."""
+    import numpy as np
+
+    sample = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction and train_fraction < 1.0
+        else corpus
+    )
+    train_cap = max(ksub * 256, 4096)
+    rows = (
+        sample.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+        .sort("__i")
+        .limit(train_cap)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"PQ needs >= ksub={ksub} training vectors")
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _lloyd(x[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid codes —
+    (id, codes array<smallint> of length m). One Arrow-batched BLAS pass
+    with the (tiny) codebooks broadcast; zero shuffles."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    def batches(it):
+        import pandas as pd
+
+        cb = bc.value
+        m, ksub, dsub = cb.shape
+        cn2 = 0.5 * (cb * cb).sum(axis=2)  # (m, ksub)
+        for pdf in it:
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (sub @ cb[j].T - cn2[j]).argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} long, codes array<smallint>"
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC cosine top-k over PQ codes: each query builds an (m, ksub)
+    inner-product lookup table against the codebooks; a corpus vector's
+    score is m table gathers + a sum (never a float reconstruction),
+    normalized by the code's reconstruction norm (per-code norms are a
+    second tiny table). With refine=r > 0 and the float corpus supplied,
+    the ADC top r*k shortlist is re-ranked by exact cosine — the
+    standard PQ + refine pipeline; the corpus-wide scan still reads only
+    the m-byte codes, and the refine join touches r*k rows per query.
+    """
+    import numpy as np
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    m, ksub, dsub = codebooks.shape
+    # per-query LUTs: (nq, m, ksub) inner products, plus per-code sq-norms
+    luts = np.einsum(
+        "qjd,jkd->qjk", qn.reshape(len(qn), m, dsub), codebooks
+    )
+    cn2 = (codebooks * codebooks).sum(axis=2)  # (m, ksub)
+
+    sc = corpus_codes.sparkSession.sparkContext
+    bc_luts, bc_cn2, bc_qids = sc.broadcast(luts), sc.broadcast(cn2), sc.broadcast(qids)
+
+    def batches(it):
+        import pandas as pd
+
+        lut, c2, qi = bc_luts.value, bc_cn2.value, bc_qids.value
+        for pdf in it:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            n = len(codes)
+            cols = np.arange(m)
+            # recon norm per corpus code (query-independent)
+            rn = np.sqrt(c2[cols, codes].sum(axis=1))
+            rn[rn == 0] = 1.0
+            # ADC gather: (nq, n) = sum_j lut[q, j, codes[:, j]]
+            scores = lut[:, cols, codes].sum(axis=2)  # (nq, n)
+            cos = np.round(scores / rn, 6)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qi, n),
+                    id_col: np.tile(pdf[id_col].to_numpy(), len(qi)),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scored = corpus_codes.select(id_col, "codes").mapInPandas(
+        batches, f"{query_id_col} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    shortlist = k * refine if refine and corpus is not None else k
+    ranked = (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= shortlist)
+    )
+    if not refine or corpus is None:
+        return ranked
+    # exact re-rank of the shortlist against the float corpus
+    refined = (
+        ranked.drop("cosine", "rank")
+        .join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    query_id_col, F.col(vec_col).alias("__qv")
+                )
+            ),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    return (
+        refined.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1001,6 +1001,91 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
 """
 
 
+_CROSS_SOURCE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(lower(regexp_replace(text, '[^\w\s]', ' ', 'g'))),
+           '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS grams
+  FROM t
+),
+sh AS (SELECT DISTINCT doc_id, unnest(grams) AS shingle FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 4) AS mean_jaccard
+FROM j GROUP BY 1, 2
+"""
+
+
+@register("cross_source_dup_matrix", _CROSS_SOURCE_ORACLE)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts and mean
+    Jaccard per unordered (source, source) cell — the corpus-curation
+    report that tells you WHICH ingest feeds duplicate each other
+    (mirror detection, scrape-overlap audits) before you pay for
+    full dedup. Pairs come from the scalable LSH+verify pipeline
+    (recall 1.0 at these SFs, pytest-gated), the source dims join back
+    on doc id, and the matrix cell is one groupBy; the oracle rebuilds
+    it from exact all-pairs Jaccard."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_verified_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+        )
+    )
+
+
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs at >= 0.5.
@@ -1478,6 +1563,26 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.lsh_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
+
+
+@register("ann_pq_topk", None)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_codebooks/pq_encode/
+    pq_topk): 16 sub-vector codebooks of 32 centroids compress each
+    64-dim float32 vector (256 B) to 16 codes, ADC lookup-table scoring
+    over the codes only, exact re-rank of the 10x shortlist. The
+    memory-scale path past int8: at 100 TB of embeddings the code table
+    is ~16x smaller than the float corpus and the full scan never reads
+    a float vector. Deterministic (seeded bounded-sample training);
+    recall vs brute force is pytest-gated (test_quantization), so
+    rows-only here like the other approximate ANN rows."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = sim.pq_codebooks(e, m=16, ksub=32)
+    codes = sim.pq_encode(e, books)
+    return sim.pq_topk(codes, q, books, k=10, refine=10, corpus=e)
 
 
 _GET_CLOSEST_ORACLE = """
@@ -5234,7 +5339,7 @@ _WINDOW: list[str] = [
     "sketch_suite", "sketch_ann_deterministic", "hll_distinct_rollup",
     "corpus_mixture_sample",
     "tfidf_top_terms", "decontamination_check", "bm25_search",
-    "dedup_span_rewrite",
+    "dedup_span_rewrite", "cross_source_dup_matrix", "ann_pq_topk",
     "quality_repetition_filter", "boilerplate_prune",
     "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
     "distcp_sync_plan", "distcp_incremental_plan",
@@ -5248,7 +5353,7 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
 ]
 
-assert len(_WINDOW) == 90, len(_WINDOW)
+assert len(_WINDOW) == 92, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

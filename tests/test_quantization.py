@@ -78,3 +78,68 @@ def test_quantized_storage_is_smaller(spark, emb, tmp_path):
         )
 
     assert size(fdir) > 2 * size(qdir)
+
+
+@pytest.fixture(scope="module")
+def pq_state(spark, emb):
+    books = sim.pq_codebooks(emb, m=16, ksub=32)
+    codes = sim.pq_encode(emb, books).localCheckpoint(eager=True)
+    return books, codes
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_pq_refined_recall_vs_brute_force(spark, emb, pq_state):
+    """PQ + exact refine of the 10x shortlist must recover >= 0.9 of the
+    true cosine top-10 (the standard ADC+refine pipeline quality bar)."""
+    books, codes = pq_state
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _topk_sets(sim.brute_force_topk(emb, q, k=10))
+    ref = _topk_sets(sim.pq_topk(codes, q, books, k=10, refine=10, corpus=emb))
+    hits = sum(len(exact[qid] & ref.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9
+    # pure ADC (no refine) is coarser but must stay well above chance
+    adc = _topk_sets(sim.pq_topk(codes, q, books, k=10))
+    adc_hits = sum(len(exact[qid] & adc.get(qid, set())) for qid in exact)
+    assert adc_hits / total >= 0.3
+
+
+def test_pq_codes_deterministic_and_bounded(spark, emb, pq_state):
+    """Seeded training + sorted-limit sample: re-training yields
+    identical codebooks and codes; every code < ksub."""
+    import numpy as np
+
+    books, codes = pq_state
+    books2 = sim.pq_codebooks(emb, m=16, ksub=32)
+    assert np.array_equal(books, books2)
+    rows = codes.collect()
+    assert all(0 <= c < 32 for r in rows for c in r.codes)
+    # m codes per vector, corpus fully covered
+    assert all(len(r.codes) == 16 for r in rows)
+    assert len(rows) == emb.count()
+
+
+def test_pq_storage_shrinks(spark, emb, pq_state, tmp_path):
+    """The persisted code table must be far smaller than the float
+    corpus — the reason PQ exists."""
+    import os
+
+    books, codes = pq_state
+    d1 = str(tmp_path / "float");  d2 = str(tmp_path / "codes")
+    emb.select("vec_id", "embedding").write.parquet(d1)
+    codes.write.parquet(d2)
+
+    def sz(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    assert sz(d2) * 4 < sz(d1)  # ≥4x smaller on disk (16 B codes vs 256 B)
