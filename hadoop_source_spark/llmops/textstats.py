@@ -227,23 +227,39 @@ def tf_idf_top_terms(
     Shape at scale: tokenize + explode (narrow), one groupBy
     (doc, term) shuffle for term frequencies, one groupBy (term) for
     document frequencies — the DF table is |vocab|-sized and joined back
-    by term (AQE broadcasts it when small). Smooth idf = ln(N/df), raw tf
-    (no length normalization) keeps the oracle exact in integer+ln
-    arithmetic. Ties break lexicographically for determinism.
+    by term (AQE broadcasts it when small). The (doc, term) table is
+    eagerly localCheckpointed: dfreq and the final join both read it,
+    and column pruning makes the two subtrees canonicalize differently,
+    so without the cut Spark re-runs the corpus tokenize+shuffle per
+    reference (no ReuseExchange). N is carried in-plan as a broadcast
+    one-row aggregate (single-plan rule: no mid-plan driver action).
+    Smooth idf = ln(N/df), raw tf (no length normalization) keeps the
+    oracle exact in integer+ln arithmetic. Ties break lexicographically
+    for determinism.
     """
-    n_docs = df.count()  # scalar: corpus cardinality, metadata-sized
+    n_docs = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )  # one-row: corpus cardinality, count-only column-pruned scan
     terms = df.select(
         F.col(id_col),
         F.explode(tokenize_words(F.col(text_col))).alias("term"),
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").select(
-        id_col,
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term")
@@ -537,8 +553,13 @@ def bm25_rank(
         F.col(id_col),
         F.explode(tokenize_words(F.col(text_col))).alias("__t"),
     )
-    tf = postings.groupBy(id_col, "__t").agg(
-        F.count(F.lit(1)).alias("__tf")
+    # eager checkpoint: tf feeds doclen, dfreq, the scalars AND the final
+    # join — four differently-pruned subtrees that never ReuseExchange,
+    # so without the cut the corpus tokenize+shuffle runs four times
+    tf = (
+        postings.groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=True)
     )
     doclen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))

@@ -91,6 +91,8 @@ def main() -> None:
         "quality_classifier_scores", "bpe_tokenize_stats",
         "dsir_selection", "capacity_scheduler_allocation",
         "table_stats_report",
+        "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
+        "ann_pq_topk",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
