@@ -227,6 +227,40 @@ def write_kv_sorted(df: DataFrame, path: str, key_col: str = "key",
     parted.sortWithinPartitions(key_col).write.mode("overwrite").parquet(path)
 
 
+def write_kv_bloom(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    expected_ndv: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> None:
+    """BloomMapFile analog at the STORAGE layer (io/BloomMapFile.java:48
+    keeps a DynamicBloomFilter beside the MapFile index): key-sorted
+    parquet with a parquet column bloom filter on the key. Point lookups
+    then skip row groups on two independent signals — min/max stats
+    (the sparse index) AND the bloom filter (membership for keys INSIDE
+    a range but absent from it, where min/max can't help, e.g. sparse
+    key spaces). The reader needs no code change: Spark's vectorized
+    parquet reader consults blooms for pushed-down equality predicates.
+    functions/bloom.py remains the QUERY-layer bloom (semi-join
+    reduction); this is the file-format one."""
+    parted = (
+        df.repartitionByRange(num_partitions, F.col(key_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(key_col))
+    )
+    (
+        parted.sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key_col}", "true")
+        .option(
+            f"parquet.bloom.filter.expected.ndv#{key_col}",
+            str(expected_ndv),
+        )
+        .parquet(path)
+    )
+
+
 def read_kv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

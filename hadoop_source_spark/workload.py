@@ -4441,6 +4441,124 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(total)
 
 
+_KLL_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY 1
+"""
+
+
+@register("kll_quantile_store", _KLL_ORACLE)
+def kll_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile store (functions/kll; DataSketches KLL via
+    kll_sketch_agg_double): per-event-type value sketches answer
+    p50/p90/p99 from STATE — the MutableQuantiles/SampleQuantiles
+    surface (MutableQuantiles.java:60) as a store, so any rollup window
+    is a sketch merge, never a raw re-scan. KLL guarantees RANK (not
+    value) error, so each pXX_ok asserts the EXACT rank of the sketch's
+    quantile lands within eps=0.03 of the requested rank; the oracle's
+    constant TRUE columns hash-verify all of it, and exact percentiles
+    ride along. Incremental merge == batch build is pytest-gated."""
+    from hadoop_source_spark.functions import kll
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    store = kll.quantile_store(e, ["event_type"], "value")
+    qs = kll.quantiles(store, ["event_type"], [0.5, 0.9, 0.99])
+    eps = 0.03
+    specs = (
+        (0.5, "q_0_5", "p50"),
+        (0.9, "q_0_9", "p90"),
+        (0.99, "q_0_99", "p99"),
+    )
+    joined = e.join(F.broadcast(qs), "event_type")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for p, c, name in specs:
+        aggs += [
+            F.round(F.percentile("value", F.lit(p)), 6).alias(name),
+            F.sum((F.col("value") < F.col(c)).cast("long")).alias(f"__lt_{c}"),
+            F.sum((F.col("value") <= F.col(c)).cast("long")).alias(f"__le_{c}"),
+        ]
+    g = joined.groupBy("event_type").agg(*aggs)
+    return g.select(
+        "event_type",
+        *[F.col(name) for _p, _c, name in specs],
+        *[
+            (
+                (F.col(f"__lt_{c}") / F.col("__n") <= p + eps)
+                & (F.col(f"__le_{c}") / F.col("__n") >= p - eps)
+            ).alias(f"{name}_ok")
+            for p, c, name in specs
+        ],
+    )
+
+
+_THETA_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id
+  FROM events
+)
+SELECT a.day AS day_a, b.day AS day_b,
+       CAST(count(*) AS BIGINT) AS exact_overlap,
+       TRUE AS est_ok
+FROM du a JOIN du b ON a.user_id = b.user_id
+ AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+GROUP BY 1, 2
+"""
+
+
+@register("theta_retention_overlap", _THETA_ORACLE)
+def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketch set algebra (functions/theta; DataSketches Theta via
+    theta_sketch_agg/theta_intersection): day-over-day user retention as
+    a sketch INTERSECTION of two per-day store rows — the operation HLL
+    cannot do, and the reason warehouse pipelines keep theta stores for
+    overlap/churn questions. The exact answer needs a distinct self-join
+    of raw events; the store answers from two KB-sized rows. est_ok
+    gates the estimate within the theta bound (exact below 2^lgNom
+    entries, ~1.6% relative above); the oracle's constant TRUE
+    hash-verifies the sketch numerics with the exact counts alongside."""
+    from hadoop_source_spark.functions import theta
+
+    days = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    store = theta.sketch_store(days, ["day"], "user_id")
+    ov = theta.pairwise_overlap(
+        store,
+        "day",
+        pair_of=F.date_format(F.date_add(F.to_date("group_a"), 1), "yyyy-MM-dd"),
+    )
+    du = days.distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (
+                F.to_date(F.col("b.day"))
+                == F.date_add(F.to_date(F.col("a.day")), 1)
+            ),
+        )
+        .groupBy(
+            F.col("a.day").alias("day_a"), F.col("b.day").alias("day_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return exact.join(ov, (F.col("day_a") == F.col("group_a")) & (F.col("day_b") == F.col("group_b"))).select(
+        "day_a",
+        "day_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("overlap_est") - F.col("exact_overlap"))
+            <= F.greatest(F.lit(5.0), F.col("exact_overlap") * 0.08)
+        ).alias("est_ok"),
+    )
+
+
 _CAPACITY_ORACLE = """
 WITH apps AS (
   SELECT user_id AS app_id, 'q' || CAST(user_id % 4 AS VARCHAR) AS queue,
@@ -5351,9 +5469,10 @@ _WINDOW: list[str] = [
     "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
+    "kll_quantile_store", "theta_retention_overlap",
 ]
 
-assert len(_WINDOW) == 92, len(_WINDOW)
+assert len(_WINDOW) == 94, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -534,3 +534,79 @@ def test_hll_sketch_store_merge_and_rollup(spark):
     n_inc = {r.day: r.n_rows for r in inc.select("day", "n_rows").collect()}
     n_full = {r.day: r.n_rows for r in store.select("day", "n_rows").collect()}
     assert n_inc == n_full
+
+
+def test_kll_store_merge_rollup_rank_guarantee(spark):
+    """KLL quantile store (functions/kll): sketch quantiles honor the
+    rank guarantee per group; rolling up the store == sketching the
+    union (same rank bound); incremental merge answers like the batch
+    store."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.functions import kll
+
+    e = table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "value"
+    ).localCheckpoint(eager=True)
+    store = kll.quantile_store(e, ["event_type"], "value")
+
+    def rank_of(etype, v):
+        sub = e.filter(F.col("event_type") == etype)
+        n = sub.count()
+        lo = sub.filter(F.col("value") < v).count() / n
+        hi = sub.filter(F.col("value") <= v).count() / n
+        return lo, hi
+
+    qs = kll.quantiles(store, ["event_type"], [0.5, 0.9]).collect()
+    for r in qs:
+        for p, col in ((0.5, "q_0_5"), (0.9, "q_0_9")):
+            lo, hi = rank_of(r.event_type, r[col])
+            assert lo <= p + 0.03 and hi >= p - 0.03, (r.event_type, p)
+
+    # rollup: merged sketch's median obeys the rank bound on ALL values
+    total = kll.quantiles(kll.rollup_store(store, []), [], [0.5]).collect()[0]
+    n = e.count()
+    lo = e.filter(F.col("value") < total.q_0_5).count() / n
+    hi = e.filter(F.col("value") <= total.q_0_5).count() / n
+    assert lo <= 0.53 and hi >= 0.47
+
+    # incremental maintenance: merge of two half-stores answers within
+    # the same bound as the batch store (KLL merge keeps the guarantee);
+    # rows split by value-hash parity so both halves hit every group
+    a = e.filter((F.abs(F.hash("value")) % 2) == 0)
+    b = e.filter((F.abs(F.hash("value")) % 2) == 1)
+    inc = kll.merge_stores(
+        kll.quantile_store(a, ["event_type"], "value"),
+        kll.quantile_store(b, ["event_type"], "value"),
+        ["event_type"],
+    )
+    n_inc = {r.event_type: r.n_rows for r in inc.collect()}
+    n_full = {r.event_type: r.n_rows for r in store.collect()}
+    assert n_inc == n_full
+    for r in kll.quantiles(inc, ["event_type"], [0.5]).collect():
+        lo, hi = rank_of(r.event_type, r.q_0_5)
+        assert lo <= 0.53 and hi >= 0.47, r.event_type
+
+
+def test_theta_store_set_algebra(spark):
+    """Theta store (functions/theta): union rollup matches HLL-style
+    distinct union; intersection over planted overlapping sets is exact
+    below sketch capacity; difference-by-inclusion-exclusion holds."""
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.functions import theta
+
+    # planted sets: A = 0..999, B = 500..1499 → |A∩B| = 500, |A∪B| = 1500
+    a = spark.range(0, 1000).select(F.lit("A").alias("g"), F.col("id"))
+    b = spark.range(500, 1500).select(F.lit("B").alias("g"), F.col("id"))
+    store = theta.sketch_store(a.unionByName(b), ["g"], "id")
+    est = {r.g: r.distinct_est for r in theta.estimate(store, ["g"]).collect()}
+    assert est["A"] == 1000 and est["B"] == 1000  # below 2^12: exact
+    union = theta.union_rollup(store, []).collect()[0].distinct_est
+    assert union == 1500
+    # pairwise intersection through the store API: A's partner is B
+    ov = theta.pairwise_overlap(store, "g", pair_of=F.lit("B")).filter(
+        F.col("group_a") == "A"
+    ).collect()
+    assert [(r.group_a, r.group_b, r.overlap_est) for r in ov] == [("A", "B", 500)]

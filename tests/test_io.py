@@ -88,6 +88,43 @@ def test_kv_sorted_write_is_sorted_and_pruned(spark, kv_df):
         assert [(r.key, r.value) for r in got] == [("k0500", "v500")]
 
 
+def test_kv_bloom_write_carries_bloom_and_answers_lookups(spark):
+    """BloomMapFile analog: parquet column bloom on the key. Receipt =
+    the bloom-enabled file is measurably larger than the identical
+    bloom-less write (the serialized filter bytes; pyarrow 16 exposes no
+    footer accessor), pushdown still fires, and present/absent point
+    lookups answer correctly — absent keys INSIDE the key range, where
+    min/max pruning is blind, are the case the bloom exists for."""
+    import os
+
+    # sparse keyspace: only even keys present, so odd probes fall inside
+    # [min, max] of every file and only a bloom can skip them
+    kv = spark.range(0, 20000).select(
+        (F.col("id") * 2).alias("key"), F.col("id").alias("value")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        plain, bloom = f"{d}/plain", f"{d}/bloom"
+        hio.write_kv_sorted(kv, plain, "key", num_partitions=2)
+        hio.write_kv_bloom(
+            kv, bloom, "key", expected_ndv=20000, num_partitions=2
+        )
+
+        def nbytes(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+
+        assert nbytes(bloom) > nbytes(plain)  # filter bytes are in the files
+        back = hio.read_kv(spark, bloom)
+        probe = back.filter(F.col("key") == 4000)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "EqualTo(key,4000)" in plan
+        assert [(r.key, r.value) for r in probe.collect()] == [(4000, 2000)]
+        # absent-but-in-range key: bloom's case; result must be empty
+        assert back.filter(F.col("key") == 4001).count() == 0
+
+
 @pytest.mark.parametrize("codec", ["gzip", "bzip2", "lz4", "deflate"])
 def test_text_compression_round_trip(spark, codec):
     """Codec matrix (GzipCodec/BZip2Codec/Lz4Codec/DefaultCodec):
