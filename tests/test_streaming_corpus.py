@@ -211,3 +211,63 @@ def test_streaming_cms_maintenance_equals_batch(spark, tmp_path):
         r.doc_id: r["count"] for r in full.groupBy("doc_id").count().collect()
     }
     assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_streaming_kll_store_maintenance(spark, tmp_path):
+    """KLL quantile store maintained incrementally over a file stream
+    (foreachBatch: sketch-of-batch, merge_stores into durable state):
+    the final state's quantiles honor the same rank guarantee as a
+    batch-built store over the full corpus — mergeability makes the
+    percentile state streamable exactly like the CMS/HLL stores."""
+    import pyspark.sql.functions as F
+
+    from hadoop_source_spark.functions import kll
+
+    VSCHEMA = "grp string, value double"
+    landing = str(tmp_path / "landing")
+    rows = [("a", float(i)) for i in range(400)] + [
+        ("b", float(i * i % 97)) for i in range(300)
+    ]
+    batches = [rows[:250], rows[250:500], rows[500:]]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, VSCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"b{i}"))
+    state_dir = str(tmp_path / "kll_state")
+
+    def upd(batch_df, batch_id):
+        delta = kll.quantile_store(batch_df, ["grp"], "value")
+        try:
+            prior = batch_df.sparkSession.read.parquet(state_dir)
+            merged = kll.merge_stores(prior, delta, ["grp"])
+        except Exception:
+            merged = delta
+        merged.coalesce(1).write.mode("overwrite").parquet(state_dir + ".next")
+        batch_df.sparkSession.read.parquet(state_dir + ".next").coalesce(
+            1
+        ).write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(VSCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = stream.writeStream.foreachBatch(upd).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    state = spark.read.parquet(state_dir)
+    full = spark.createDataFrame(rows, VSCHEMA)
+    # row counts conserved per group
+    n_state = {r.grp: r.n_rows for r in state.collect()}
+    n_full = {
+        r.grp: r.n for r in full.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert n_state == n_full
+    # median from streamed state honors the rank bound on the full data
+    for r in kll.quantiles(state, ["grp"], [0.5]).collect():
+        sub = [v for g, v in rows if g == r.grp]
+        lo = sum(1 for v in sub if v < r.q_0_5) / len(sub)
+        hi = sum(1 for v in sub if v <= r.q_0_5) / len(sub)
+        assert lo <= 0.53 and hi >= 0.47, r.grp
