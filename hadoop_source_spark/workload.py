@@ -4559,6 +4559,53 @@ def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = """
+WITH u AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u ON u.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > u.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY 1
+),
+n AS (
+  SELECT (SELECT count(t1) FROM u) AS n0,
+         (SELECT count(*) FROM c) AS n1,
+         (SELECT count(*) FROM p) AS n2
+)
+SELECT 'view' AS step, CAST(n0 AS BIGINT) AS n_users,
+       round(n0 * 1.0 / n0, 4) AS conv_rate FROM n
+UNION ALL
+SELECT 'view>click', CAST(n1 AS BIGINT), round(n1 * 1.0 / n0, 4) FROM n
+UNION ALL
+SELECT 'view>click>purchase', CAST(n2 AS BIGINT),
+       round(n2 * 1.0 / n0, 4) FROM n
+"""
+
+
+@register("funnel_conversion", _FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (operators/funnel.
+    ordered_funnel): first-touch chain per user (each step's earliest
+    event strictly after the previous step's completion), per-step user
+    counts and conversion rates. ONE shuffle — the chained MIN-CASE
+    window expressions share a single user partitioning — where the SQL
+    oracle's step-per-join formulation re-shuffles per step; the
+    agreement also pins the strict-ordering semantics."""
+    from hadoop_source_spark.operators import funnel
+
+    e = table(spark, sf_dir, "events")
+    return funnel.ordered_funnel(e, ["view", "click", "purchase"])
+
+
 _CAPACITY_ORACLE = """
 WITH apps AS (
   SELECT user_id AS app_id, 'q' || CAST(user_id % 4 AS VARCHAR) AS queue,
@@ -5469,10 +5516,10 @@ _WINDOW: list[str] = [
     "zorder_curve",
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
-    "kll_quantile_store", "theta_retention_overlap",
+    "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
 ]
 
-assert len(_WINDOW) == 94, len(_WINDOW)
+assert len(_WINDOW) == 95, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

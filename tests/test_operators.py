@@ -550,3 +550,35 @@ def test_capacity_allocation_invariants(spark):
                 assert r.alloc_guaranteed == 0, (q, r.app_id)
             if r.alloc_guaranteed < r.demand:
                 short_seen = True
+
+
+def test_ordered_funnel_strict_ordering_and_rates(spark):
+    """Planted funnel: users who act out of order or stop mid-funnel
+    must not count in later steps; rates are relative to step 1."""
+    from datetime import datetime
+
+    from hadoop_source_spark.operators.funnel import ordered_funnel
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1: full ordered chain
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: clicks BEFORE viewing — click must not count
+        (2, t(1), "click"), (2, t(2), "view"),
+        # u3: view+click only
+        (3, t(0), "view"), (3, t(5), "click"),
+        # u4: purchase first, then view — only step 1
+        (4, t(0), "purchase"), (4, t(1), "view"),
+        # u5: never views — appears nowhere
+        (5, t(0), "click"), (5, t(1), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: (r.n_users, r.conv_rate)
+           for r in ordered_funnel(e, ["view", "click", "purchase"]).collect()}
+    assert got == {
+        "view": (4, 1.0),
+        "view>click": (2, 0.5),
+        "view>click>purchase": (1, 0.25),
+    }
