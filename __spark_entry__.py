@@ -7,11 +7,12 @@ queries()     — every implemented operator from SURVEY.md §2 + llmops,
                 window (workload._WINDOW).
 oracle_sql()  — DuckDB-equivalent SQL per query. Omitted only for the
                 genuinely non-SQL rows: the approximate sketch/ANN
-                suites (sketch_suite, ann_cosine_approx, ann_pq_topk —
-                error bounds / recall pytest-gated; their deterministic
-                slices ARE oracle-backed via sketch_ann_deterministic),
-                semdedup (clustered greedy pruning), bpe_tokenize_stats
-                (iterative tokenizer training), and
+                suites (sketch_suite, ann_cosine_approx — error bounds
+                / recall pytest-gated; their deterministic slices ARE
+                oracle-backed via sketch_ann_deterministic, and the PQ
+                path is fully hash-verified via ann_pq_topk's in-plan
+                recall gate), semdedup (clustered greedy pruning),
+                bpe_tokenize_stats (iterative tokenizer training), and
                 quality_classifier_scores (iterative GD training) —
                 each validated in tests/ against ground truth instead.
 """

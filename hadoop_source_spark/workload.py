@@ -1565,7 +1565,29 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
 
 
-@register("ann_pq_topk", None)
+_PQ_GATE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id,
+       min(CASE WHEN rank = 1 THEN vec_id END) AS exact_top1,
+       TRUE AS recall10_ok
+FROM ranked WHERE rank <= 10 GROUP BY query_id
+"""
+
+
+@register("ann_pq_topk", _PQ_GATE_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.pq_codebooks/pq_encode/
     pq_topk): 16 sub-vector codebooks of 32 centroids compress each
@@ -1573,16 +1595,33 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the codes only, exact re-rank of the 10x shortlist. The
     memory-scale path past int8: at 100 TB of embeddings the code table
     is ~16x smaller than the float corpus and the full scan never reads
-    a float vector. Deterministic (seeded bounded-sample training);
-    recall vs brute force is pytest-gated (test_quantization), so
-    rows-only here like the other approximate ANN rows."""
+    a float vector. Hash-verified via the est-ok-within-bound pattern
+    (same as the sketch stores): per query, recall10_ok asserts the
+    refined PQ top-10 recovers >= 9 of the exact cosine top-10 computed
+    in-plan, and exact_top1 rides along from the exact side — the
+    oracle's constant TRUE plus its own exact ranking pin both."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     books = sim.pq_codebooks(e, m=16, ksub=32)
     codes = sim.pq_encode(e, books)
-    return sim.pq_topk(codes, q, books, k=10, refine=10, corpus=e)
+    pq = sim.pq_topk(codes, q, books, k=10, refine=10, corpus=e)
+    exact = sim.brute_force_topk(e, q, k=10)
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(pq.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("vec_id").alias("exact_top1")
+    )
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "exact_top1",
+        (F.coalesce("__hits", F.lit(0)) >= 9).alias("recall10_ok"),
+    )
 
 
 _GET_CLOSEST_ORACLE = """
