@@ -115,6 +115,11 @@ EXTRA = (
     "time_resample_gapfill", "ec_reconstruct_check", "zorder_curve",
     "ec_rs_reconstruct_check", "dedup_span_exact", "dsir_selection",
     "block_placement_plan", "encryption_zone_roundtrip",
+    # seventh-batch additions: inverted-index retrieval, span removal,
+    # pair-matrix rollup, PQ encode+ADC+refine, sketch stores, funnel
+    "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
+    "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
+    "funnel_conversion",
 )
 
 
