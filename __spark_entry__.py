@@ -9,11 +9,13 @@ oracle_sql()  — DuckDB-equivalent SQL per query. Omitted only for the
                 genuinely non-SQL rows: the approximate sketch/ANN
                 suites (sketch_suite, ann_cosine_approx — error bounds
                 / recall pytest-gated; their deterministic slices ARE
-                oracle-backed via sketch_ann_deterministic, and the PQ
-                path is fully hash-verified via ann_pq_topk's in-plan
-                recall gate), semdedup (clustered greedy pruning),
-                bpe_tokenize_stats (iterative tokenizer training), and
-                quality_classifier_scores (iterative GD training) —
+                oracle-backed via sketch_ann_deterministic, the PQ path
+                via ann_pq_topk's in-plan recall gate, and the BPE
+                tokenizer via bpe_tokenize_stats' reconstruction gate),
+                semdedup (clustered greedy pruning), and
+                quality_classifier_scores (iterative GD training; its
+                0.95-accuracy gate holds on planted separable corpora
+                in tests, not on the near-chance testdata labels) —
                 each validated in tests/ against ground truth instead.
 """
 

@@ -133,38 +133,53 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize every document with the learned merges — one mapInPandas
     pass (merge ranks ride the closure; word-level memo per batch), no
-    shuffle. Returns (id, n_words, n_pieces, pieces_per_word)."""
+    shuffle. Returns (id, n_words, n_pieces, pieces_per_word,
+    reconstruction_ok) — reconstruction_ok is the in-kernel losslessness
+    self-check (pieces re-concatenate to word+EOW for EVERY word), which
+    makes the iterative tokenizer hash-verifiable by a constant-TRUE
+    oracle column (the est-ok pattern)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def run(batches):
         import pandas as pd
 
-        cache: dict[str, int] = {}
+        cache: dict[str, tuple[int, bool]] = {}
 
-        def doc_pieces(text: str) -> tuple[int, int]:
+        def doc_pieces(text: str) -> tuple[int, int, bool]:
             n_words = n_pieces = 0
+            ok = True
             for w in _py_tokens(text):
                 n_words += 1
                 c = cache.get(w)
                 if c is None:
-                    c = cache[w] = len(encode_word(w, ranks))
-                n_pieces += c
-            return n_words, n_pieces
+                    pieces = encode_word(w, ranks)
+                    c = cache[w] = (
+                        len(pieces),
+                        "".join(pieces) == w + _EOW,
+                    )
+                n_pieces += c[0]
+                ok = ok and c[1]
+            return n_words, n_pieces, ok
 
         for pdf in batches:
-            nw, np_ = zip(*(doc_pieces(t or "") for t in pdf[text_col]))
+            nw, np_, oks = zip(*(doc_pieces(t or "") for t in pdf[text_col]))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_words": nw,
                     "n_pieces": np_,
+                    "reconstruction_ok": oks,
                 }
             )
 
     run.__annotations__ = {}
     return (
         df.select(id_col, text_col)
-        .mapInPandas(run, f"{id_col} long, n_words long, n_pieces long")
+        .mapInPandas(
+            run,
+            f"{id_col} long, n_words long, n_pieces long, "
+            "reconstruction_ok boolean",
+        )
         .select(
             id_col,
             "n_words",
@@ -174,6 +189,7 @@ def apply_bpe(
                 .otherwise(F.lit(0.0)),
                 6,
             ).alias("pieces_per_word"),
+            "reconstruction_ok",
         )
     )
 

@@ -1165,23 +1165,41 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qm.score_quality(d, w, b)
 
 
-@register("bpe_tokenize_stats", None)
+_BPE_GATE_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+       TRUE AS reconstruction_ok,
+       TRUE AS bounds_ok
+FROM documents
+"""
+
+
+@register("bpe_tokenize_stats", _BPE_GATE_ORACLE)
 def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING + distributed application (llmops/bpe;
     Sennrich et al. 2016): learn 200 merges from the corpus's bounded
     top-20k word-frequency table (driver-side O(V) state, the same
     documented pattern as IVF centroid training), broadcast the merge
     ranks, tokenize every document in one mapInPandas pass with
-    per-batch word caching. Deterministic (lexicographic-min tie rule),
-    but inherently iterative — no SQL oracle; conservation and
-    compression properties are pytest-gated (test_bpe_learn_and_apply).
-    Emits (doc_id, n_words, n_pieces, pieces_per_word)."""
+    per-batch word caching. Training is iterative, so the oracle cannot
+    rebuild the merges — instead the query is hash-verified via the
+    est-ok pattern: n_words must equal the SQL tokenizer's count
+    exactly, reconstruction_ok asserts every word's pieces concatenate
+    back losslessly (checked inside the kernel), and bounds_ok asserts
+    n_words <= n_pieces (>= 1 piece per word). Compression-quality
+    properties remain pytest-gated (test_bpe_learn_and_apply)."""
     from hadoop_source_spark.llmops import bpe
 
     d = table(spark, sf_dir, "documents")
     wf = bpe.word_frequencies(d, "text", top_v=20_000)
     merges = bpe.learn_bpe(wf, 200)
-    return bpe.apply_bpe(d, merges)
+    return bpe.apply_bpe(d, merges).select(
+        "doc_id",
+        "n_words",
+        "reconstruction_ok",
+        (F.col("n_pieces") >= F.col("n_words")).alias("bounds_ok"),
+    )
 
 
 _WEIGHTED_SAMPLE_ORACLE = """
