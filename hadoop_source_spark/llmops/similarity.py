@@ -806,3 +806,165 @@ def pq_topk(
         refined.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    ksub: int = 32,
+    refine: int = 10,
+    train_fraction: float | None = None,
+):
+    """IVF-PQ: the billion-vector FAISS layout (IndexIVFPQ) — coarse
+    cells bound WHICH vectors a query touches (~nprobe/num_cells of the
+    corpus, an equi-join on cell id), residual product quantization
+    bounds what each touched vector COSTS (m code bytes + table
+    gathers, never a float read). Corpus vectors are L2-normalized
+    first so cosine == inner product; PQ codebooks are trained on
+    RESIDUALS (v/|v| − centroid[cell]) from the same seeded bounded
+    sample contract as every other trainer here, and the score
+    decomposes exactly as q·centroid[cell] + Σ_j LUT[q][j, code_j]
+    (the residual LUT is cell-independent because codebooks are
+    global). ADC shortlist of refine*k re-ranks against the float
+    corpus. Returns (query_id, id, cosine, rank).
+    """
+    import numpy as np
+
+    vn = corpus.select(
+        id_col,
+        F.transform(
+            vec_col,
+            lambda x: (x / F.sqrt(_dot(
+                F.transform(F.col(vec_col), lambda y: y.cast("double")),
+                F.transform(F.col(vec_col), lambda y: y.cast("double")),
+            ))).cast("double"),
+        ).alias("__vn"),
+        F.col(vec_col),
+    )
+    cent, assigned = _train_and_assign_cells(
+        vn, id_col, "__vn", num_cells, train_fraction
+    )
+
+    # residual codebooks from the assigned bounded sample
+    rows = (
+        assigned.select(
+            F.col(id_col).alias("__i"), F.col("__vn"), F.col("cell")
+        )
+        .sort("__i")
+        .limit(max(ksub * 256, 4096))
+        .collect()
+    )
+    x = np.asarray([r["__vn"] for r in rows], dtype=np.float64)
+    cells = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+    resid = x - cent[cells]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _lloyd(resid[:, j * dsub : (j + 1) * dsub], ksub, seed=42 + j)
+
+    sc = corpus.sparkSession.sparkContext
+    bc_cent, bc_books = sc.broadcast(cent), sc.broadcast(books)
+
+    def encode(it):
+        import pandas as pd
+
+        cb, ct = bc_books.value, bc_cent.value
+        cn2 = 0.5 * (cb * cb).sum(axis=2)
+        for pdf in it:
+            v = np.array([list(r) for r in pdf["__vn"]], dtype=np.float64)
+            cell = pdf["cell"].to_numpy()
+            r = v - ct[cell]
+            codes = np.empty((len(v), m), dtype=np.int16)
+            for j in range(m):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (sub @ cb[j].T - cn2[j]).argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cell, "codes": list(codes)}
+            )
+
+    coded = assigned.mapInPandas(
+        encode, f"{id_col} long, cell int, codes array<smallint>"
+    )
+
+    # query side: probe cells + per-query residual LUT and base terms
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm_ = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm_ / np.linalg.norm(qm_, axis=1, keepdims=True)
+    base = qn @ cent.T  # (nq, ncells): q · centroid
+    probed = np.argsort(-base, axis=1)[:, :nprobe]  # cells per query
+    luts = np.einsum("qjd,jkd->qjk", qn.reshape(len(qn), m, dsub), books)
+
+    probe_pairs = [
+        (int(qids[qi]), int(c)) for qi in range(len(qids)) for c in probed[qi]
+    ]
+    probe_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probe_pairs, f"{query_id_col} long, cell int"
+        )
+    )
+    qidx = {int(q): i for i, q in enumerate(qids)}
+    bc_luts, bc_base = sc.broadcast(luts), sc.broadcast(base)
+
+    def adc(it):
+        import pandas as pd
+
+        lut, bs = bc_luts.value, bc_base.value
+        cols = np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = np.array([qidx[q] for q in pdf[query_id_col]], dtype=np.int64)
+            cell = pdf["cell"].to_numpy()
+            gathered = lut[qi[:, None], cols[None, :], codes]  # (n, m)
+            score = bs[qi, cell] + gathered.sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "cosine": np.round(score, 6),
+                }
+            )
+
+    scored = coded.join(probe_df, "cell").mapInPandas(
+        adc, f"{query_id_col} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k * max(refine, 1))
+    )
+    if not refine:
+        return shortlist
+    refined = (
+        shortlist.drop("cosine", "rank")
+        .join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("__qv"))
+            ),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    return (
+        refined.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3812,10 +3812,13 @@ def dedup_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_cosine_approx", None)
 def ann_cosine_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both approximate ANN paths in one tagged result: IVF (KMeans
-    coarse quantizer, nprobe cells) and hyperplane LSH (sign-bit band
-    buckets), each with exact re-rank. Approximate — recall vs brute
-    force gated in pytest; rows-only here."""
+    """The approximate ANN paths in one tagged result: IVF (KMeans
+    coarse quantizer, nprobe cells), hyperplane LSH (sign-bit band
+    buckets), and IVF-PQ (coarse cells + residual product quantization
+    + ADC + refine — the FAISS IndexIVFPQ billion-vector layout), each
+    with exact re-rank. Approximate — recall vs brute force gated in
+    pytest (IVF-PQ additionally proves recall == plain IVF's probe
+    ceiling, i.e. quantization costs zero recall); rows-only here."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3826,7 +3829,12 @@ def ann_cosine_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = sim.lsh_topk(e, q, k=10, id_col="vec_id", vec_col="embedding").select(
         F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
     )
-    return ivf.unionByName(lsh)
+    ivfpq = sim.ivfpq_topk(
+        e, q, k=10, num_cells=8, nprobe=3, m=16, ksub=32, refine=10
+    ).select(
+        F.lit("ivfpq").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    )
+    return ivf.unionByName(lsh).unionByName(ivfpq)
 
 
 @register("sketch_suite", None)

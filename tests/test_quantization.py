@@ -143,3 +143,32 @@ def test_pq_storage_shrinks(spark, emb, pq_state, tmp_path):
             for f in os.listdir(d) if f.endswith(".parquet")
         )
     assert sz(d2) * 4 < sz(d1)  # ≥4x smaller on disk (16 B codes vs 256 B)
+
+
+def test_ivfpq_matches_ivf_ceiling(spark, emb):
+    """IVF-PQ (coarse cells + residual PQ + ADC + refine) must lose
+    NOTHING to quantization: with the same cells/nprobe its recall
+    equals plain IVF's (the cell-probe ceiling) — the property that
+    makes the billion-vector layout safe: probing bounds WHICH vectors
+    you read, PQ only bounds what each one costs."""
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _topk_sets(sim.brute_force_topk(emb, q, k=10))
+    ivfpq = _topk_sets(sim.ivfpq_topk(
+        emb, q, k=10, num_cells=8, nprobe=3, m=16, ksub=32, refine=10
+    ))
+    ivf = _topk_sets(sim.ivf_topk(emb, q, k=10, num_cells=8, nprobe=3))
+
+    def recall(approx):
+        hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r_pq, r_ivf = recall(ivfpq), recall(ivf)
+    assert r_pq >= r_ivf - 1e-9        # quantization costs zero recall
+    assert r_ivf >= 0.5                # sane probe ceiling at 3/8 cells
+    # deterministic end to end (seeded trainers, stable tie-breaks)
+    again = _topk_sets(sim.ivfpq_topk(
+        emb, q, k=10, num_cells=8, nprobe=3, m=16, ksub=32, refine=10
+    ))
+    assert again == ivfpq
