@@ -186,3 +186,46 @@ def test_decimal_price_footer_drift_still_analyzes(spark, tmp_path):
     out = workload.QUERIES["q01_pricing_summary"].fn(spark, str(d)).collect()
     assert 0 < len(out) <= 6
     assert all(r.sum_qty is not None for r in out)
+
+
+def test_embedding_dtype_footer_drift_still_analyzes(spark, tmp_path):
+    """If a future testdata generation stores embeddings as
+    list<double> (or large_list) instead of list<float>, the vector
+    pipelines must still analyze and produce the same neighbors — the
+    similarity kernels cast to float64 internally, so only schema
+    acceptance is at risk. Same incident class as the round-3 NTZ
+    break: footer type drift under an unchanged logical schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.data import table as load
+    from hadoop_source_spark.llmops import similarity as sim
+
+    src = load(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    pdf = src.toPandas()
+    for list_type in (
+        pa.list_(pa.float64()),
+        pa.large_list(pa.float32()),
+    ):
+        tbl = pa.table(
+            {
+                "vec_id": pa.Array.from_pandas(pdf["vec_id"]),
+                "embedding": pa.array(
+                    [list(v) for v in pdf["embedding"]], list_type
+                ),
+                "label": pa.Array.from_pandas(pdf["label"]),
+            }
+        )
+        d = tmp_path / str(list_type).replace("<", "_").replace(">", "_")
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        emb = load(spark, str(d), "embeddings")
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = sim.brute_force_topk(emb, q, k=5).collect()
+        assert len(out) == 10  # 2 queries x top-5
+        # self-match first: identical vector ⇒ cosine 1.0 at rank 1
+        top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+        assert top1 == {0: 0, 1: 1}
