@@ -73,5 +73,10 @@ def pairwise_overlap(
             F.theta_sketch_estimate(
                 F.theta_intersection("__sa", "__sb")
             ).alias("overlap_est"),
+            # churn: members of A absent from B — the A-NOT-B difference
+            # (the third theta operation; HLL has no analog)
+            F.theta_sketch_estimate(
+                F.theta_difference("__sa", "__sb")
+            ).alias("churn_est"),
         )
     )

@@ -4565,27 +4565,34 @@ WITH du AS (
   SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          user_id
   FROM events
+),
+sizes AS (SELECT day, count(*) AS n FROM du GROUP BY 1),
+ov AS (
+  SELECT a.day AS day_a, b.day AS day_b,
+         CAST(count(*) AS BIGINT) AS exact_overlap
+  FROM du a JOIN du b ON a.user_id = b.user_id
+   AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+  GROUP BY 1, 2
 )
-SELECT a.day AS day_a, b.day AS day_b,
-       CAST(count(*) AS BIGINT) AS exact_overlap,
-       TRUE AS est_ok
-FROM du a JOIN du b ON a.user_id = b.user_id
- AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
-GROUP BY 1, 2
+SELECT ov.day_a, ov.day_b, ov.exact_overlap,
+       CAST(s.n - ov.exact_overlap AS BIGINT) AS exact_churned,
+       TRUE AS est_ok, TRUE AS churn_ok
+FROM ov JOIN sizes s ON s.day = ov.day_a
 """
 
 
 @register("theta_retention_overlap", _THETA_ORACLE)
 def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketch set algebra (functions/theta; DataSketches Theta via
-    theta_sketch_agg/theta_intersection): day-over-day user retention as
-    a sketch INTERSECTION of two per-day store rows — the operation HLL
-    cannot do, and the reason warehouse pipelines keep theta stores for
-    overlap/churn questions. The exact answer needs a distinct self-join
-    of raw events; the store answers from two KB-sized rows. est_ok
-    gates the estimate within the theta bound (exact below 2^lgNom
-    entries, ~1.6% relative above); the oracle's constant TRUE
-    hash-verifies the sketch numerics with the exact counts alongside."""
+    theta_sketch_agg/theta_intersection/theta_difference): day-over-day
+    user retention as a sketch INTERSECTION and churn as a sketch
+    DIFFERENCE of two per-day store rows — the operations HLL cannot
+    do, and the reason warehouse pipelines keep theta stores for
+    overlap/churn questions. The exact answers need a distinct
+    self-join of raw events; the store answers from two KB-sized rows.
+    est_ok/churn_ok gate the estimates within the theta bound (exact
+    below 2^lgNom entries, ~1.6% relative above); the oracle's constant
+    TRUE hash-verifies the sketch numerics with exact counts alongside."""
     from hadoop_source_spark.functions import theta
 
     days = table(spark, sf_dir, "events").select(
@@ -4598,6 +4605,7 @@ def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_of=F.date_format(F.date_add(F.to_date("group_a"), 1), "yyyy-MM-dd"),
     )
     du = days.distinct()
+    sizes = du.groupBy("day").agg(F.count(F.lit(1)).alias("__n"))
     exact = (
         du.alias("a")
         .join(
@@ -4612,15 +4620,30 @@ def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.day").alias("day_a"), F.col("b.day").alias("day_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+        .join(sizes.withColumnRenamed("day", "day_a"), "day_a")
+        .select(
+            "day_a",
+            "day_b",
+            "exact_overlap",
+            (F.col("__n") - F.col("exact_overlap")).cast("long").alias(
+                "exact_churned"
+            ),
+        )
     )
-    return exact.join(ov, (F.col("day_a") == F.col("group_a")) & (F.col("day_b") == F.col("group_b"))).select(
+    tol = lambda est, exact_c: (  # noqa: E731
+        F.abs(est - exact_c) <= F.greatest(F.lit(5.0), exact_c * 0.08)
+    )
+    return exact.join(
+        ov,
+        (F.col("day_a") == F.col("group_a"))
+        & (F.col("day_b") == F.col("group_b")),
+    ).select(
         "day_a",
         "day_b",
         "exact_overlap",
-        (
-            F.abs(F.col("overlap_est") - F.col("exact_overlap"))
-            <= F.greatest(F.lit(5.0), F.col("exact_overlap") * 0.08)
-        ).alias("est_ok"),
+        "exact_churned",
+        tol(F.col("overlap_est"), F.col("exact_overlap")).alias("est_ok"),
+        tol(F.col("churn_est"), F.col("exact_churned")).alias("churn_ok"),
     )
 
 
