@@ -92,7 +92,8 @@ def main() -> None:
         "dsir_selection", "capacity_scheduler_allocation",
         "table_stats_report",
         "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
-        "ann_pq_topk",
+        "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
+        "funnel_conversion", "bpe_tokenize_stats",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
