@@ -125,10 +125,21 @@ def sample_frames(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Video frame sampling via mapInPandas — a row-EXPANDING (UDTF-like)
-    batch kernel: each payload yields `num_frames` evenly spaced windows
-    as (doc_id, frame_idx, frame). The windowing arithmetic is the real
-    frame-sampler shape; the codec decode it would wrap is stubbed (the
-    'frames' are raw byte windows, not decoded pictures)."""
+    batch kernel: each payload yields evenly spaced frames as
+    (doc_id, frame_idx, frame).
+
+    REAL for MJPEG-in-AVI payloads (llmops/videocodec.py parses the
+    RIFF container; each emitted `frame` is that sampled frame's actual
+    JPEG bytes, which decode_image then turns into pixels — the full
+    video → frames → pixels → features chain runs for real). Other
+    containers (MP4/MKV) are sniffed and raise NotImplementedError;
+    non-video payloads keep the deterministic byte-window stand-in so
+    the pipeline shape stays exercised where no codec applies."""
+    from hadoop_source_spark.llmops.videocodec import (
+        parse_avi,
+        sample_frame_indices,
+        sniff_video,
+    )
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -139,6 +150,19 @@ def sample_frames(
                 raw = bytes(b)
                 if not raw:
                     continue
+                codec = sniff_video(raw)
+                if codec == "avi":
+                    _meta, all_frames = parse_avi(raw)
+                    for i in sample_frame_indices(len(all_frames), num_frames):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(all_frames[i])
+                    continue
+                if codec in ("mp4", "mkv"):
+                    raise NotImplementedError(
+                        f"{codec} demux requires a codec library "
+                        "not in this container"
+                    )
                 step = max(1, (len(raw) - frame_bytes) // max(1, num_frames - 1))
                 for i in range(num_frames):
                     off = min(i * step, max(0, len(raw) - frame_bytes))
