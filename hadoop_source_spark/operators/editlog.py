@@ -1,0 +1,187 @@
+"""Edit-log replay: reconstruct a namespace image from an ordered op log.
+
+Reference semantics: the NameNode journals every mutation as a typed op
+(`hdfs/server/namenode/FSEditLogOpCodes.java:31-81` — OP_ADD 0,
+OP_RENAME 15, OP_TIMES 13, OP_TRUNCATE 46, OP_APPEND 47) and rebuilds the
+in-memory image by replaying them in txid order
+(`FSEditLogLoader.java` `loadEditRecords`, applied op-by-op on one
+thread). The image is the FIXED POINT of the log — per-file state depends
+only on that file's ops, in order.
+
+Spark-first re-expression: the sequential replay is re-factored into
+relational passes, each distributed:
+
+1. **Rename-chain resolution** — renames form a functional graph on
+   names (each dst has exactly one src; names are write-once here, as
+   txids are in the reference). Pointer DOUBLING (anc := anc(anc), with
+   hop counts summed) resolves every name to its originating inode in
+   O(log D) self-joins instead of O(D) sequential steps — same
+   acceleration `llmops/dedup.dedup_clusters` uses for components.
+2. **Op attribution** — one equi-join from each op's post-op name to the
+   resolved name→inode map (no interval logic needed while names are
+   unique; the reference guarantees this by replaying in txid order).
+3. **Per-inode fold** — truncate-resets-appends is "sum of appends after
+   the last truncate": a partition-window max over (ts, eid) tuples and
+   a conditional sum in the SAME hash partitioning (window + groupBy on
+   `inode` share one exchange).
+
+Scale: pass 1 shuffles the rename set (≪ log) log-D times; passes 2-3 are
+one shuffle each on name/inode. Nothing is driver-side except the
+bounded convergence counts (one scalar per doubling round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_ORDER = ("ts", "eid")
+
+
+def derive_edit_log(events: DataFrame) -> DataFrame:
+    """Deterministic edit log from the `events` table: each user owns one
+    file. The FIRST signup creates it as `f0_<user>` (later signups are
+    no-op re-creates, dropped — first-create-wins); each `view` renames
+    it to `f<event_id>`; `purchase` appends `value` bytes; `error`
+    truncates to 0; `click` touches mtime (OP_TIMES,
+    `FSEditLogOpCodes.java:45`). Ops reference the file by the NAME
+    current at their (ts, event_id) — the client-visible path, exactly
+    what the journal records — so replay must resolve renames.
+
+    Output schema (user_id intentionally dropped — replay sees only what
+    the journal would hold): op, path, path2, delta, ts, eid.
+    """
+    f0 = F.concat(F.lit("f0_"), F.col("user_id").cast("string"))
+    creates = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("c"))
+        .select(
+            "user_id",
+            F.col("c.ts").alias("cts"),
+            F.col("c.event_id").alias("ceid"),
+        )
+    )
+    scoped = (
+        events.join(creates, "user_id")
+        .filter(
+            F.struct("ts", "event_id") > F.struct(F.col("cts"), F.col("ceid"))
+        )
+        .filter(F.col("event_type").isin("view", "purchase", "error", "click"))
+    )
+    dst = F.when(
+        F.col("event_type") == "view",
+        F.concat(F.lit("f"), F.col("event_id").cast("string")),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    named = scoped.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        dst.alias("dst"),
+        F.coalesce(F.last(dst, ignorenulls=True).over(w_prev), f0).alias(
+            "prev_name"
+        ),
+    )
+    op = (
+        F.when(F.col("event_type") == "view", F.lit("OP_RENAME"))
+        .when(F.col("event_type") == "purchase", F.lit("OP_APPEND"))
+        .when(F.col("event_type") == "error", F.lit("OP_TRUNCATE"))
+        .otherwise(F.lit("OP_TIMES"))
+    )
+    body = named.select(
+        op.alias("op"),
+        F.col("prev_name").alias("path"),
+        F.col("dst").alias("path2"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "delta"
+        ),
+        "ts",
+        F.col("event_id").alias("eid"),
+    )
+    adds = creates.select(
+        F.lit("OP_ADD").alias("op"),
+        f0.alias("path"),
+        F.lit(None).cast("string").alias("path2"),
+        F.lit(None).cast("double").alias("delta"),
+        F.col("cts").alias("ts"),
+        F.col("ceid").alias("eid"),
+    )
+    return adds.unionByName(body)
+
+
+def resolve_rename_chains(log: DataFrame, max_iter: int = 30) -> DataFrame:
+    """name → (inode, depth) for every name the log ever used. Pointer
+    doubling over the rename graph: each round replaces every node's
+    ancestor pointer with its ancestor's ancestor and adds the hop
+    counts, halving the remaining chain — a depth-D chain resolves in
+    ceil(log2 D) equi-joins. Rows whose ancestor has no pointer entry
+    already point at a root (an OP_ADD name, never a rename dst)."""
+    ptr = (
+        log.filter(F.col("op") == "OP_RENAME")
+        .select(
+            F.col("path2").alias("node"),
+            F.col("path").alias("anc"),
+            F.lit(1).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        hop = ptr.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("d").alias("d2"),
+        )
+        joined = ptr.join(hop, "anc", "left").localCheckpoint(eager=False)
+        remaining = joined.filter(F.col("anc2").isNotNull()).count()
+        ptr = joined.select(
+            "node",
+            F.coalesce("anc2", "anc").alias("anc"),
+            (F.col("d") + F.coalesce("d2", F.lit(0))).alias("d"),
+        ).localCheckpoint(eager=False)
+        if remaining == 0:
+            break
+    roots = log.filter(F.col("op") == "OP_ADD").select(
+        F.col("path").alias("node"),
+        F.col("path").alias("inode"),
+        F.lit(0).alias("depth"),
+    )
+    return roots.unionByName(
+        ptr.select("node", F.col("anc").alias("inode"), F.col("d").alias("depth"))
+    )
+
+
+def replay(log: DataFrame) -> DataFrame:
+    """Fold the log into the final image: one row per inode with its
+    current name, rename/append/truncate counts, live size (appends
+    after the last truncate — OP_TRUNCATE resets the file the way
+    `FSEditLogLoader` applies TruncateOp before later AppendOps), and
+    mtime (max op time, OP_TIMES included)."""
+    name_map = resolve_rename_chains(log)
+    attr = log.select(
+        F.coalesce("path2", "path").alias("name"), "op", "delta", "ts", "eid"
+    )
+    mapped = attr.join(name_map, attr["name"] == name_map["node"]).drop("node")
+    w_inode = Window.partitionBy("inode")
+    lt = F.max(
+        F.when(F.col("op") == "OP_TRUNCATE", F.struct(*_ORDER))
+    ).over(w_inode)
+    with_lt = mapped.withColumn("lt", lt)
+    live = (F.col("op") == "OP_APPEND") & (
+        F.col("lt").isNull() | (F.struct(*_ORDER) > F.col("lt"))
+    )
+    return with_lt.groupBy("inode").agg(
+        F.max_by("name", "depth").alias("final_path"),
+        F.max("depth").cast("int").alias("n_renames"),
+        F.count(F.when(F.col("op") == "OP_APPEND", 1)).alias("n_appends"),
+        F.count(F.when(F.col("op") == "OP_TRUNCATE", 1)).alias("n_truncates"),
+        F.round(
+            F.coalesce(F.sum(F.when(live, F.col("delta"))), F.lit(0.0)), 2
+        ).alias("live_size"),
+        F.max("ts").alias("mtime_ts"),
+    )

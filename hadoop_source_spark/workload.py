@@ -5552,6 +5552,106 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDITLOG_ORACLE = """
+WITH RECURSIVE
+cr AS (
+  SELECT user_id, ts AS cts, event_id AS ceid
+  FROM (SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'signup')
+  WHERE rn = 1
+),
+scoped AS (
+  SELECT e.*, 'f0_' || e.user_id AS f0
+  FROM events e JOIN cr c USING (user_id)
+  WHERE (e.ts, e.event_id) > (c.cts, c.ceid)
+    AND e.event_type IN ('view','purchase','error','click')
+),
+named AS (
+  SELECT *,
+    CASE WHEN event_type = 'view' THEN 'f' || event_id END AS dst,
+    coalesce(last_value(CASE WHEN event_type = 'view' THEN 'f' || event_id END
+                        IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), f0) AS prev_name
+  FROM scoped
+),
+log AS (
+  SELECT 'OP_ADD' AS op, 'f0_' || user_id AS path, CAST(NULL AS VARCHAR) AS path2,
+         CAST(NULL AS DOUBLE) AS delta, cts AS ts, ceid AS eid FROM cr
+  UNION ALL
+  SELECT 'OP_RENAME', prev_name, dst, NULL, ts, event_id
+  FROM named WHERE event_type = 'view'
+  UNION ALL
+  SELECT 'OP_APPEND', prev_name, NULL, value, ts, event_id
+  FROM named WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'OP_TRUNCATE', prev_name, NULL, NULL, ts, event_id
+  FROM named WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'OP_TIMES', prev_name, NULL, NULL, ts, event_id
+  FROM named WHERE event_type = 'click'
+),
+chain(inode, node, depth) AS (
+  SELECT path, path, 0 FROM log WHERE op = 'OP_ADD'
+  UNION ALL
+  SELECT c.inode, l.path2, c.depth + 1
+  FROM chain c JOIN log l ON l.op = 'OP_RENAME' AND l.path = c.node
+),
+mapped AS (
+  SELECT ch.inode, ch.depth, a.*
+  FROM (SELECT coalesce(path2, path) AS name, * FROM log) a
+  JOIN chain ch ON ch.node = a.name
+),
+wt AS (
+  SELECT *, max(CASE WHEN op = 'OP_TRUNCATE'
+                     THEN struct_pack(t := ts, e := eid) END)
+              OVER (PARTITION BY inode) AS lt
+  FROM mapped
+)
+SELECT inode,
+       arg_max(name, depth)  AS final_path,
+       CAST(max(depth) AS INTEGER) AS n_renames,
+       count(*) FILTER (op = 'OP_APPEND')   AS n_appends,
+       count(*) FILTER (op = 'OP_TRUNCATE') AS n_truncates,
+       round(coalesce(sum(delta) FILTER (op = 'OP_APPEND'
+         AND (lt IS NULL OR struct_pack(t := ts, e := eid) > lt)), 0), 2)
+         AS live_size,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS mtime
+FROM wt
+GROUP BY inode
+"""
+
+
+@register("editlog_replay", _EDITLOG_ORACLE)
+def editlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-log replay → namespace image (operators/editlog; reference
+    FSEditLogLoader.loadEditRecords over FSEditLogOpCodes OP_ADD/
+    OP_RENAME/OP_APPEND/OP_TRUNCATE/OP_TIMES). A deterministic journal is
+    derived from `events` (each user's file: created at first signup,
+    renamed per view, appended per purchase, truncated per error,
+    touched per click — ops reference the path CURRENT at their txid,
+    as the NameNode journal does), then replayed path-only: rename
+    chains resolve to inodes via O(log D) pointer doubling instead of
+    the reference's sequential op loop, ops attribute through one
+    name→inode equi-join, and the truncate-resets-appends fold is a
+    window + groupBy sharing one inode exchange. The oracle replays the
+    chain with a recursive CTE."""
+    from hadoop_source_spark.operators import editlog as el
+
+    e = table(spark, sf_dir, "events")
+    img = el.replay(el.derive_edit_log(e))
+    return img.select(
+        "inode",
+        "final_path",
+        "n_renames",
+        "n_appends",
+        "n_truncates",
+        "live_size",
+        F.date_format("mtime_ts", TS_FMT).alias("mtime"),
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -5605,9 +5705,10 @@ _WINDOW: list[str] = [
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
+    "editlog_replay",
 ]
 
-assert len(_WINDOW) == 95, len(_WINDOW)
+assert len(_WINDOW) == 96, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

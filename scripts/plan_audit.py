@@ -93,7 +93,7 @@ def main() -> None:
         "table_stats_report",
         "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
         "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
-        "funnel_conversion", "bpe_tokenize_stats",
+        "funnel_conversion", "bpe_tokenize_stats", "editlog_replay",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
