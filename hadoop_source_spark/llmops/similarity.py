@@ -968,3 +968,98 @@ def ivfpq_topk(
         refined.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_classify(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-NN majority-vote classification of `queries` against the
+    labeled `train` corpus — the standard embedding-space labeler
+    (quality/domain/topic tagging of corpus shards from a small labeled
+    seed set). Exact cosine top-k via brute_force_topk (corpus scanned
+    once, query side shipped to scorers), then one tiny vote aggregate:
+    neighbor labels ride along from the train side, winner = most votes
+    with smallest-label tiebreak (deterministic, SQL-reproducible —
+    never fp-score tiebreaks).
+
+    Returns one row per query: (query_id, pred_label, votes). The vote
+    tables are k·|queries| rows — negligible next to the scoring scan.
+    """
+    nn = brute_force_topk(
+        train, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    votes = (
+        nn.join(train.select(id_col, label_col), id_col)
+        .groupBy(query_id_col, label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.select("*", F.row_number().over(w).alias("__r"))
+        .filter(F.col("__r") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias("pred_label"),
+            "votes",
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    rrf_k: int = 60,
+    top_k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    ranked lists — the hybrid-retrieval combiner (sparse BM25 + dense
+    ANN) RAG pipelines use. score(d) = Σ_lists 1/(rrf_k + rank_d);
+    candidates appear in either list (full outer join on the per-query
+    shortlists, each already top-k-bounded, so the fuse step is
+    list-sized, never corpus-sized). Ordering uses the EXACT fused
+    double (sums of 1/(k+int) are bit-identical across engines) with
+    id tiebreak; the emitted score is rounded for hash stability.
+    """
+    a = ranked_a.select(
+        query_id_col, id_col, F.col(rank_col).alias("__ra")
+    )
+    b = ranked_b.select(
+        query_id_col, id_col, F.col(rank_col).alias("__rb")
+    )
+    fused = a.join(b, [query_id_col, id_col], "full_outer").select(
+        query_id_col,
+        id_col,
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__rb")), F.lit(0.0))
+        ).alias("__rrf"),
+        "__ra",
+        "__rb",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.select("*", F.row_number().over(w).alias("fused_rank"))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__rrf", 6).alias("rrf_score"),
+            "fused_rank",
+            F.col("__ra").alias("rank_a"),
+            F.col("__rb").alias("rank_b"),
+        )
+    )

@@ -5652,6 +5652,167 @@ def editlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % 10 = 7
+),
+train AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+scored AS (
+  SELECT q.query_id, t.vec_id, t.label,
+         round(list_cosine_similarity(t.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+           AS cosine
+  FROM train t CROSS JOIN q
+),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk
+    FROM scored) t
+  WHERE rnk <= 10
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes FROM knn GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, label) AS r
+    FROM votes) t
+  WHERE r = 1
+)
+SELECT win.query_id, q.true_label, win.pred_label, win.votes,
+       (win.pred_label = q.true_label) AS correct
+FROM win JOIN q USING (query_id)
+"""
+
+
+@register("knn_label_classify", _KNN_ORACLE)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling (llmops/similarity.knn_classify):
+    every 10th embedding is held out as a query and classified from the
+    labeled rest by its 10 exact-cosine nearest neighbors — the
+    embedding-space tagger that scales a small labeled seed set over a
+    corpus (domain/quality/topic labels). One corpus scoring scan (query
+    side broadcast), vote tables are k·|queries| rows; the smallest-label
+    tiebreak keeps the vote SQL-reproducible."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        F.col("label").alias("true_label"),
+    )
+    train = e.filter(F.col("vec_id") % 10 != 7)
+    pred = sim.knn_classify(train, q.select("query_id", "embedding"), k=10)
+    return pred.join(q.select("query_id", "true_label"), "query_id").select(
+        "query_id", "true_label", "pred_label", "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, u.term AS term, count(*) AS tf
+  FROM toks, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclen),
+qdocs AS (
+  SELECT doc_id AS query_id, list_slice(t, 1, 6) AS q
+  FROM toks WHERE doc_id % 50 = 3
+),
+qterms AS (
+  SELECT DISTINCT query_id, u.term AS term
+  FROM qdocs, UNNEST(q) AS u(term)
+),
+bm25 AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rnk
+    FROM (
+      SELECT q.query_id, p.doc_id,
+             round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6)
+               AS score
+      FROM postings p
+      JOIN doclen l USING (doc_id)
+      JOIN dfreq d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN scal s
+      GROUP BY 1, 2) s0) t
+  WHERE rnk <= 10
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 50 = 3) q) s1) t
+  WHERE rnk <= 10
+),
+fused AS (
+  SELECT coalesce(b.query_id, d.query_id) AS query_id,
+         coalesce(b.doc_id, d.doc_id) AS doc_id,
+         coalesce(CAST(1 AS DOUBLE) / (60 + b.rnk), 0)
+           + coalesce(CAST(1 AS DOUBLE) / (60 + d.rnk), 0) AS rrf,
+         b.rnk AS rank_a, d.rnk AS rank_b
+  FROM bm25 b FULL OUTER JOIN dense d
+    ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, fused_rank,
+       rank_a, rank_b
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS fused_rank
+  FROM fused) t
+WHERE fused_rank <= 10
+"""
+
+
+@register("hybrid_search_rrf", _RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (llmops/similarity.rrf_fuse): BM25 sparse top-10
+    and exact-cosine dense top-10 for the SAME queries (every 50th
+    document's first-6-token bag + that document's embedding — doc_id
+    and vec_id share the id space), fused by reciprocal-rank fusion
+    1/(60+rank) — the RAG-stack combiner. Each leg keeps its own scale
+    shape (one corpus pass each); the fuse is a full-outer join of two
+    top-k-bounded shortlists, list-sized, never corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    toks = d.select("doc_id", ts.tokenize_words(F.col("text")).alias("__toks"))
+    qterms = toks.filter(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.slice("__toks", 1, 6)).alias("term"),
+    )
+    sparse = ts.bm25_rank(d, qterms, "text", "doc_id", top_k=10)
+    qvecs = e.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = sim.brute_force_topk(e, qvecs, k=10).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    out = sim.rrf_fuse(sparse, dense, rrf_k=60, top_k=10)
+    return out.select(
+        "query_id", "doc_id", "rrf_score",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -5705,10 +5866,10 @@ _WINDOW: list[str] = [
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
-    "editlog_replay",
+    "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
 ]
 
-assert len(_WINDOW) == 96, len(_WINDOW)
+assert len(_WINDOW) == 98, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

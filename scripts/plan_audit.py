@@ -94,6 +94,7 @@ def main() -> None:
         "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
         "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
         "funnel_conversion", "bpe_tokenize_stats", "editlog_replay",
+        "knn_label_classify", "hybrid_search_rrf",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -120,6 +120,9 @@ EXTRA = (
     "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
     "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
     "funnel_conversion",
+    # eighth batch: log-round pointer doubling + window fold; kNN vote;
+    # two-leg retrieval + list-sized fusion
+    "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
 )
 
 
