@@ -1063,3 +1063,67 @@ def rrf_fuse(
             F.col("__rb").alias("rank_b"),
         )
     )
+
+
+def class_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space class report — the QA pass a labeled corpus gets
+    before training on it: per-class centroid, intra-class cohesion
+    (mean / worst cosine to own centroid), and the nearest OTHER class
+    centroid (confusable-class flag). Low cohesion or a too-close
+    neighbor class ⇒ label noise or collapsed embedding space.
+
+    Shape at scale: centroids are one posexplode + (label × dim)-row
+    partial-agg groupBy (dims are small constants, labels bounded), the
+    cohesion pass re-joins the tiny centroid table by label (broadcast)
+    in one corpus scan, and the inter-class pass is a labels² cross of
+    the centroid table only. Centroid components are rounded BEFORE the
+    cosine passes so every downstream number is reproducible bit-for-bit
+    from the same inputs regardless of aggregation order.
+    """
+    cent = (
+        df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    coh = (
+        df.join(F.broadcast(cent), label_col)
+        .select(
+            label_col,
+            F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("c"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c"), 4).alias("mean_cos_to_centroid"),
+            F.min("c").alias("min_cos_to_centroid"),
+        )
+    )
+    a = cent.select(F.col(label_col).alias("la"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col(label_col).alias("lb"), F.col("centroid").alias("cb"))
+    w = Window.partitionBy("la").orderBy(F.col("cc").desc(), F.col("lb").asc())
+    near = (
+        a.join(b, F.col("la") != F.col("lb"))
+        .select(
+            "la", "lb",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("cc"),
+        )
+        .select("*", F.row_number().over(w).alias("__r"))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("la").alias(label_col),
+            F.col("lb").alias("nearest_label"),
+            F.col("cc").alias("nearest_centroid_cos"),
+        )
+    )
+    return coh.join(near, label_col)

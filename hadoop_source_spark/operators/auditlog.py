@@ -1,0 +1,103 @@
+"""HDFS audit-log lines: format, parse back, and roll up.
+
+Reference semantics: every namespace op emits one tab-separated audit
+line (`hdfs/server/namenode/FSNamesystem.java:8450-8480`
+DefaultAuditLogger):
+
+    allowed=<bool>\tugi=<user> (auth:…)\tip=/<addr>\tcmd=<op>\t
+    src=<path>\tdst=<path|null>\tperm=<owner:group:mode|null>\tproto=rpc
+
+and ops tooling (`TopAuditLogger.java:79-83`, external log pipelines)
+parses those lines back into per-user / per-op activity tables. Both
+directions are pure string expressions here — format is one `concat`
+projection, parse is a chain of `regexp_extract` field pulls — all
+whole-stage codegen, no Python, one scan; the rollup is a single
+partial-agg groupBy. At 100 TB of audit text nothing shuffles until the
+(user × cmd)-sized aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# event_type → namespace op, the same spirit as streaming/events.py's
+# inotify class mapping (one op per fixture event type).
+_CMD = {
+    "signup": "mkdirs",
+    "view": "open",
+    "click": "listStatus",
+    "purchase": "create",
+    "error": "delete",
+}
+
+
+def _cmd_expr() -> Column:
+    expr = F.lit(None).cast("string")
+    for etype, cmd in _CMD.items():
+        expr = F.when(F.col("event_type") == etype, F.lit(cmd)).otherwise(expr)
+    return expr
+
+
+def format_audit_lines(events: DataFrame, user_mod: int = 40) -> DataFrame:
+    """One audit line per event, in the DefaultAuditLogger layout with
+    the log4j `date,millis level logger:` prefix real audit files carry.
+    `allowed=false` for delete attempts (the denied-op branch the
+    reference logs identically); perm is populated only on namespace
+    creation (create/mkdirs), null otherwise, as FileStatus is."""
+    uid = F.col("user_id") % user_mod
+    cmd = _cmd_expr()
+    allowed = F.when(F.col("event_type") == "error", F.lit("false")).otherwise(
+        F.lit("true")
+    )
+    perm = F.when(
+        cmd.isin("create", "mkdirs"),
+        F.concat(F.lit("user_"), uid.cast("string"), F.lit(":supergroup:rwxr-xr-x")),
+    ).otherwise(F.lit("null"))
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss,SSS"),
+        F.lit(" INFO FSNamesystem.audit: allowed="), allowed,
+        F.lit("\tugi=user_"), uid.cast("string"), F.lit(" (auth:SIMPLE)"),
+        F.lit("\tip=/10.0."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("event_id") % 250).cast("string"),
+        F.lit("\tcmd="), cmd,
+        F.lit("\tsrc=/data/u"), F.col("user_id").cast("string"),
+        F.lit("/f"), F.col("event_id").cast("string"),
+        F.lit("\tdst=null\tperm="), perm,
+        F.lit("\tproto=rpc"),
+    )
+    return events.select(line.alias("line"))
+
+
+def parse_audit_lines(lines: DataFrame, col: str = "line") -> DataFrame:
+    """Field extraction back out of raw audit text — the parse direction
+    ops pipelines run. Tab-delimited `key=value` pulls; the timestamp
+    prefix stays a string (its format is lexicographically ordered)."""
+    c = F.col(col)
+    field = lambda k: F.regexp_extract(c, rf"{k}=([^\t]*)", 1)  # noqa: E731
+    return lines.select(
+        F.regexp_extract(c, r"^(\S+ \S+)", 1).alias("log_ts"),
+        field("allowed").alias("allowed"),
+        F.regexp_extract(c, r"ugi=(\S+)", 1).alias("ugi"),
+        field("ip").alias("ip"),
+        field("cmd").alias("cmd"),
+        field("src").alias("src"),
+        field("dst").alias("dst"),
+        field("perm").alias("perm"),
+        F.regexp_extract(c, r"src=/data/(u[0-9]+)/", 1).alias("src_dir"),
+    )
+
+
+def audit_summary(parsed: DataFrame) -> DataFrame:
+    """Per-(ugi, cmd) activity rollup: op counts, allow/deny split,
+    distinct source directories touched, first/last line timestamp.
+    The `nnTopUserOpCounts` analog (TopAuditLogger feeds the NameNode
+    top-users metric from exactly these lines)."""
+    return parsed.groupBy("ugi", "cmd").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.count(F.when(F.col("allowed") == "true", 1)).alias("n_allowed"),
+        F.count(F.when(F.col("allowed") == "false", 1)).alias("n_denied"),
+        F.countDistinct("src_dir").alias("n_src_dirs"),
+        F.min("log_ts").alias("first_ts"),
+        F.max("log_ts").alias("last_ts"),
+    )

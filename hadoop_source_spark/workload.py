@@ -5813,6 +5813,122 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIT_ORACLE = r"""
+WITH lines AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S,%g')
+         || ' INFO FSNamesystem.audit: allowed='
+         || CASE WHEN event_type = 'error' THEN 'false' ELSE 'true' END
+         || chr(9) || 'ugi=user_' || CAST(user_id % 40 AS VARCHAR)
+         || ' (auth:SIMPLE)'
+         || chr(9) || 'ip=/10.0.' || CAST(user_id % 200 AS VARCHAR)
+         || '.' || CAST(event_id % 250 AS VARCHAR)
+         || chr(9) || 'cmd='
+         || CASE event_type WHEN 'signup' THEN 'mkdirs'
+                            WHEN 'view' THEN 'open'
+                            WHEN 'click' THEN 'listStatus'
+                            WHEN 'purchase' THEN 'create'
+                            WHEN 'error' THEN 'delete' END
+         || chr(9) || 'src=/data/u' || CAST(user_id AS VARCHAR)
+         || '/f' || CAST(event_id AS VARCHAR)
+         || chr(9) || 'dst=null' || chr(9) || 'perm='
+         || CASE WHEN event_type IN ('signup', 'purchase')
+                 THEN 'user_' || CAST(user_id % 40 AS VARCHAR)
+                      || ':supergroup:rwxr-xr-x'
+                 ELSE 'null' END
+         || chr(9) || 'proto=rpc' AS line
+  FROM events
+),
+parsed AS (
+  SELECT regexp_extract(line, '^(\S+ \S+)', 1) AS log_ts,
+         regexp_extract(line, 'allowed=([^\t]*)', 1) AS allowed,
+         regexp_extract(line, 'ugi=(\S+)', 1) AS ugi,
+         regexp_extract(line, 'cmd=([^\t]*)', 1) AS cmd,
+         regexp_extract(line, 'src=/data/(u[0-9]+)/', 1) AS src_dir
+  FROM lines
+)
+SELECT ugi, cmd, count(*) AS n_ops,
+       count(*) FILTER (allowed = 'true')  AS n_allowed,
+       count(*) FILTER (allowed = 'false') AS n_denied,
+       count(DISTINCT src_dir) AS n_src_dirs,
+       min(log_ts) AS first_ts, max(log_ts) AS last_ts
+FROM parsed GROUP BY 1, 2
+"""
+
+
+@register("audit_log_summary", _AUDIT_ORACLE)
+def audit_log_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-log round trip (operators/auditlog; reference
+    FSNamesystem.java:8450 DefaultAuditLogger layout, TopAuditLogger
+    per-user op counts): format one tab-separated audit line per event
+    — log4j timestamp prefix, ugi/(auth), denied deletes, perm only on
+    namespace creation — then parse the raw text back by regexp field
+    pulls and roll up per (ugi, cmd). Format and parse are both pure
+    codegen string projections on one scan; the only shuffle is the
+    (user × cmd)-sized partial-agg groupBy."""
+    from hadoop_source_spark.operators import auditlog as al
+
+    e = table(spark, sf_dir, "events")
+    parsed = al.parse_audit_lines(al.format_audit_lines(e))
+    return al.audit_summary(parsed)
+
+
+_CLASS_STATS_ORACLE = """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, round(avg(v), 6) AS m
+        FROM ex GROUP BY label, pos) t
+  GROUP BY label
+),
+coh AS (
+  SELECT e.label, count(*) AS n,
+         round(avg(c), 4) AS mean_cos_to_centroid,
+         min(c) AS min_cos_to_centroid
+  FROM (SELECT e.label,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            c.centroid::DOUBLE[]), 6) AS c
+        FROM embeddings e JOIN cent c USING (label)) e
+  GROUP BY e.label
+),
+near AS (
+  SELECT la AS label, lb AS nearest_label, cc AS nearest_centroid_cos FROM (
+    SELECT a.label AS la, b.label AS lb,
+           round(list_cosine_similarity(a.centroid::DOUBLE[],
+                                        b.centroid::DOUBLE[]), 6) AS cc,
+           row_number() OVER (
+             PARTITION BY a.label
+             ORDER BY round(list_cosine_similarity(a.centroid::DOUBLE[],
+                                                   b.centroid::DOUBLE[]), 6)
+               DESC, b.label) AS r
+    FROM cent a JOIN cent b ON a.label <> b.label) t
+  WHERE r = 1
+)
+SELECT label, n, mean_cos_to_centroid, min_cos_to_centroid,
+       nearest_label, nearest_centroid_cos
+FROM coh JOIN near USING (label)
+"""
+
+
+@register("embedding_class_stats", _CLASS_STATS_ORACLE)
+def embedding_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-embedding QA report (llmops/similarity.class_stats):
+    per-class centroid (rounded before reuse, so every downstream cosine
+    is order-independent), intra-class cohesion (mean/worst cosine to
+    own centroid), and the nearest confusable class by centroid cosine.
+    The pre-training sanity pass over a labeled corpus: one
+    posexplode+partial-agg for centroids, one broadcast-join corpus scan
+    for cohesion, labels²-sized centroid cross for the neighbor."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.class_stats(e).select(
+        "label", "n", "mean_cos_to_centroid", "min_cos_to_centroid",
+        "nearest_label", "nearest_centroid_cos",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -5867,9 +5983,10 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
+    "audit_log_summary", "embedding_class_stats",
 ]
 
-assert len(_WINDOW) == 98, len(_WINDOW)
+assert len(_WINDOW) == 100, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -95,6 +95,7 @@ def main() -> None:
         "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
         "funnel_conversion", "bpe_tokenize_stats", "editlog_replay",
         "knn_label_classify", "hybrid_search_rrf",
+        "audit_log_summary", "embedding_class_stats",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -123,6 +123,7 @@ EXTRA = (
     # eighth batch: log-round pointer doubling + window fold; kNN vote;
     # two-leg retrieval + list-sized fusion
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
+    "audit_log_summary", "embedding_class_stats",
 )
 
 
