@@ -5929,6 +5929,135 @@ def embedding_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPLQ_ORACLE = """
+WITH topo AS (
+  SELECT i AS node_id, 'n' || i AS node, 'r' || (i % 4) AS rack
+  FROM (SELECT unnest(range(0, 13)) AS i)
+),
+blk AS (
+  SELECT doc_id AS block_id,
+         CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 3 END AS expected,
+         least(doc_id % 7, 3) AS live,
+         CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS oos,
+         CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS ro,
+         CASE WHEN doc_id % 17 = 0 THEN 4 ELSE 5 END AS step
+  FROM documents
+),
+held AS (
+  SELECT b.block_id, (b.block_id + i.i * b.step) % 13 AS node_id
+  FROM blk b JOIN (SELECT unnest(range(0, 3)) AS i) i ON i.i < b.live
+),
+hstat AS (
+  SELECT block_id, count(DISTINCT node_id % 4) AS n_racks
+  FROM held GROUP BY 1
+),
+cls AS (
+  SELECT b.*,
+    CASE WHEN b.live >= b.expected THEN
+           CASE WHEN coalesce(h.n_racks, 0) = 1 AND b.expected > 1
+                THEN 3 ELSE NULL END
+         WHEN b.live = 0 THEN
+           CASE WHEN b.oos > 0 OR b.ro > 0 THEN 0 ELSE 4 END
+         WHEN b.live = 1 THEN 0
+         WHEN b.live * 3 < b.expected THEN 1
+         ELSE 2 END AS priority
+  FROM blk b LEFT JOIN hstat h USING (block_id)
+),
+q AS (
+  SELECT *, CASE priority WHEN 3 THEN 1 WHEN 4 THEN 0
+                          ELSE expected - live END AS needed
+  FROM cls WHERE priority IS NOT NULL
+),
+c0 AS (
+  SELECT q.block_id, q.priority, q.live, q.expected, q.needed,
+         t.node, t.rack, t.node_id,
+         CASE WHEN hr.block_id IS NOT NULL THEN 1 ELSE 0 END AS rack_used
+  FROM q JOIN topo t ON TRUE
+  LEFT JOIN (SELECT DISTINCT block_id, node_id % 4 AS rid FROM held) hr
+    ON hr.block_id = q.block_id AND hr.rid = t.node_id % 4
+  LEFT JOIN held hh
+    ON hh.block_id = q.block_id AND hh.node_id = t.node_id
+  WHERE hh.node_id IS NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY block_id ORDER BY
+    rack_used * 100000000
+    + ((block_id * 1000003 + node_id * 7919) % 104729) * 64 + node_id) AS rn
+  FROM c0
+)
+SELECT block_id, CAST(priority AS INTEGER) AS priority,
+       CAST(live AS BIGINT) AS live, CAST(expected AS INTEGER) AS expected,
+       CAST(needed AS BIGINT) AS needed,
+       CAST(rn - 1 AS INTEGER) AS slot, node, rack
+FROM ranked WHERE rn <= needed
+UNION ALL
+SELECT block_id, CAST(priority AS INTEGER), CAST(live AS BIGINT),
+       CAST(expected AS INTEGER), CAST(needed AS BIGINT),
+       CAST(NULL AS INTEGER), NULL, NULL
+FROM q WHERE needed = 0
+"""
+
+
+@register("replication_repair_plan", _REPLQ_ORACLE)
+def replication_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-redundancy queues + repair targets (operators/replqueue;
+    reference LowRedundancyBlocks.java:72-84,229-256 priorities and
+    BlockManager.computeReconstructionWork target choice). Block report
+    derived from documents: varying expected replication (3 or 7), live
+    replicas 0-3 on deterministic nodes, out-of-service/read-only
+    flags, and a same-rack stride that plants BADLY_DISTRIBUTED blocks.
+    All five queues are exercised; targets prefer unused racks via the
+    broadcast-topology HOF sort — zero shuffles on the block side."""
+    from hadoop_source_spark.operators import replqueue as rq
+
+    d = table(spark, sf_dir, "documents")
+    bid = F.col("block_id")
+    blocks = (
+        d.select(F.col("doc_id").alias("block_id"))
+        .withColumn(
+            "expected", F.when(bid % 3 == 0, F.lit(7)).otherwise(F.lit(3))
+        )
+        .withColumn("live", F.least(bid % 7, F.lit(3).cast("long")))
+        .withColumn(
+            "out_of_service", F.when(bid % 11 == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "read_only", F.when(bid % 13 == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .withColumn("step", F.when(bid % 17 == 0, F.lit(4)).otherwise(F.lit(5)))
+        .withColumn(
+            "held_ids",
+            F.when(
+                F.col("live") > 0,
+                F.expr(
+                    "transform(sequence(0, int(live) - 1),"
+                    " i -> (block_id + i * step) % 13)"
+                ),
+            ).otherwise(F.expr("cast(array() as array<bigint>)")),
+        )
+        .withColumn(
+            "held_racks",
+            F.expr(
+                "array_distinct(transform(held_ids,"
+                " i -> concat('r', cast(i % 4 as string))))"
+            ),
+        )
+        .withColumn("n_held_racks", F.size("held_racks"))
+    )
+    topo = spark.range(13).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node"),
+        F.col("id").alias("node_id"),
+        F.concat(F.lit("r"), (F.col("id") % 4).cast("string")).alias("rack"),
+    )
+    queued = rq.classify_low_redundancy(blocks)
+    plan = rq.repair_plan(queued, topo)
+    return plan.select(
+        "block_id", "priority", F.col("live").cast("long").alias("live"),
+        "expected", F.col("needed").cast("long").alias("needed"),
+        "slot", "node", "rack",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -5983,10 +6112,10 @@ _WINDOW: list[str] = [
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
-    "audit_log_summary", "embedding_class_stats",
+    "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
 ]
 
-assert len(_WINDOW) == 100, len(_WINDOW)
+assert len(_WINDOW) == 101, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
