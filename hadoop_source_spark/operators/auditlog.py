@@ -66,16 +66,21 @@ def format_audit_lines(events: DataFrame, user_mod: int = 40) -> DataFrame:
         F.lit("\tdst=null\tperm="), perm,
         F.lit("\tproto=rpc"),
     )
-    return events.select(line.alias("line"))
+    return events.select(*events.columns, line.alias("line"))
 
 
-def parse_audit_lines(lines: DataFrame, col: str = "line") -> DataFrame:
+def parse_audit_lines(
+    lines: DataFrame, col: str = "line", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Field extraction back out of raw audit text — the parse direction
     ops pipelines run. Tab-delimited `key=value` pulls; the timestamp
-    prefix stays a string (its format is lexicographically ordered)."""
+    prefix stays a string (its format is lexicographically ordered).
+    `carry` passes companion columns (e.g. the event-time `ts` a
+    streaming rollup watermarks on) through untouched."""
     c = F.col(col)
     field = lambda k: F.regexp_extract(c, rf"{k}=([^\t]*)", 1)  # noqa: E731
     return lines.select(
+        *carry,
         F.regexp_extract(c, r"^(\S+ \S+)", 1).alias("log_ts"),
         field("allowed").alias("allowed"),
         F.regexp_extract(c, r"ugi=(\S+)", 1).alias("ugi"),
@@ -100,4 +105,24 @@ def audit_summary(parsed: DataFrame) -> DataFrame:
         F.countDistinct("src_dir").alias("n_src_dirs"),
         F.min("log_ts").alias("first_ts"),
         F.max("log_ts").alias("last_ts"),
+    )
+
+
+def audit_rates_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming per-(hour, ugi, cmd) audit rates over a live audit
+    stream — the tail-the-audit-log ops dashboard. Watermarked tumbling
+    windows keep state bounded (hours older than the watermark finalize
+    and evict); `parsed` must carry the event-time `ts` column
+    (parse_audit_lines carry=("ts",))."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "ugi", "cmd")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.count(F.when(F.col("allowed") == "false", 1)).alias("n_denied"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "ugi", "cmd", "n_ops", "n_denied",
+        )
     )

@@ -6058,6 +6058,65 @@ def replication_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_AUDIT_ORACLE = """
+WITH lines AS (
+  SELECT ts,
+         strftime(ts, '%Y-%m-%d %H:%M:%S,%g')
+         || ' INFO FSNamesystem.audit: allowed='
+         || CASE WHEN event_type = 'error' THEN 'false' ELSE 'true' END
+         || chr(9) || 'ugi=user_' || CAST(user_id % 40 AS VARCHAR)
+         || ' (auth:SIMPLE)'
+         || chr(9) || 'cmd='
+         || CASE event_type WHEN 'signup' THEN 'mkdirs'
+                            WHEN 'view' THEN 'open'
+                            WHEN 'click' THEN 'listStatus'
+                            WHEN 'purchase' THEN 'create'
+                            WHEN 'error' THEN 'delete' END
+         || chr(9) || 'src=x' AS line
+  FROM events
+),
+parsed AS (
+  SELECT ts,
+         regexp_extract(line, 'allowed=([^\t]*)', 1) AS allowed,
+         regexp_extract(line, 'ugi=(\\S+)', 1) AS ugi,
+         regexp_extract(line, 'cmd=([^\t]*)', 1) AS cmd
+  FROM lines
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       ugi, cmd, count(*) AS n_ops,
+       count(*) FILTER (allowed = 'false') AS n_denied
+FROM parsed GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_audit_rollup", _STREAM_AUDIT_ORACLE)
+def streaming_audit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-the-audit-log dashboard as a REAL Structured Streaming run,
+    hash-verified against the batch oracle: events replayed through the
+    file source, formatted into DefaultAuditLogger lines
+    (operators/auditlog), regexp-parsed back INSIDE the stream, then
+    watermarked 1h-tumbling per-(ugi, cmd) op/deny rates — state
+    bounded by watermark eviction, availableNow drain, complete output.
+    The streaming half of audit_log_summary; the oracle recomputes the
+    same format→parse→window pipeline in batch SQL."""
+    import tempfile
+    import uuid
+
+    from hadoop_source_spark.operators import auditlog as al
+    from hadoop_source_spark.streaming import events as se
+
+    d = tempfile.mkdtemp(prefix="hss_audit_stream_")
+    se.replay_events_to_dir(spark, sf_dir, d, num_files=4)
+    stream = se.events_stream(spark, d)
+    parsed = al.parse_audit_lines(
+        al.format_audit_lines(stream), carry=("ts",)
+    )
+    name = f"hss_audit_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(
+        al.audit_rates_stream(parsed), name, output_mode="complete"
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6113,9 +6172,10 @@ _WINDOW: list[str] = [
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
+    "streaming_audit_rollup",
 ]
 
-assert len(_WINDOW) == 101, len(_WINDOW)
+assert len(_WINDOW) == 102, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
