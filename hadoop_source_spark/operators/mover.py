@@ -106,3 +106,52 @@ def mover_plan(
             F.col("__target").alias("to_tier"),
         )
     )
+
+
+def quota_by_storage_type(
+    files: DataFrame,
+    quotas: DataFrame,
+    dir_col: str = "dir",
+    size_col: str = "size",
+    policy_col: str = "policy",
+) -> DataFrame:
+    """Per-(directory, storage type) space consumption vs typed quota —
+    `DirectoryWithQuotaFeature.verifyQuotaByStorageType` /
+    `QuotaByStorageTypeExceededException` (`hdfs dfsadmin -setSpaceQuota
+    … -storageType`): a file consumes size × (replicas of that type in
+    its storage policy's template), so one HOT file charges DISK 3x
+    while ONE_SSD charges SSD 1x + DISK 2x.
+
+    `quotas`: (dir_col, stype, quota) — a bounded dim, broadcast; a
+    missing row means no typed quota (reference semantics: unlimited,
+    never exceeded). The template dim is replica-slot counts derived
+    from POLICY_TEMPLATES (≤ policies × types rows). One broadcast-join
+    scan + one (dir × type)-sized partial-agg groupBy — nothing
+    data-sized shuffles at any corpus scale."""
+    spark = files.sparkSession
+    tdim = spark.createDataFrame(
+        [
+            (p, s, slots.count(s))
+            for p, slots in sorted(POLICY_TEMPLATES.items())
+            for s in sorted(set(slots))
+        ],
+        f"{policy_col} string, stype string, n_rep int",
+    )
+    consumed = (
+        files.join(F.broadcast(tdim), policy_col)
+        .groupBy(dir_col, "stype")
+        .agg(F.sum(F.col(size_col) * F.col("n_rep")).alias("consumed"))
+    )
+    return (
+        consumed.join(F.broadcast(quotas), [dir_col, "stype"], "left")
+        .select(
+            dir_col,
+            "stype",
+            "consumed",
+            "quota",
+            (F.col("quota") - F.col("consumed")).alias("remaining"),
+            F.coalesce(
+                F.col("consumed") > F.col("quota"), F.lit(False)
+            ).alias("exceeded"),
+        )
+    )

@@ -6117,6 +6117,91 @@ def streaming_audit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STQUOTA_ORACLE = """
+WITH tdim(policy, stype, n_rep) AS (
+  VALUES ('HOT', 'DISK', 3),
+         ('WARM', 'DISK', 1), ('WARM', 'ARCHIVE', 2),
+         ('COLD', 'ARCHIVE', 3),
+         ('ALL_SSD', 'SSD', 3),
+         ('ONE_SSD', 'SSD', 1), ('ONE_SSD', 'DISK', 2)
+),
+files AS (
+  SELECT source AS dir, n_chars AS fsize,
+         CASE (doc_id // 20) % 5 WHEN 0 THEN 'HOT' WHEN 1 THEN 'WARM'
+                                 WHEN 2 THEN 'COLD' WHEN 3 THEN 'ALL_SSD'
+                                 ELSE 'ONE_SSD' END AS policy
+  FROM documents
+),
+consumed AS (
+  SELECT f.dir, t.stype, CAST(sum(f.fsize * t.n_rep) AS BIGINT) AS consumed
+  FROM files f JOIN tdim t USING (policy)
+  GROUP BY 1, 2
+),
+quotas AS (
+  SELECT dir, s.stype,
+         CAST(CASE s.stype WHEN 'DISK' THEN 8800 WHEN 'ARCHIVE' THEN 7400
+                           ELSE 5700 END
+              + 100 * (CAST(substr(dir, 4) AS INT) % 7) AS BIGINT) AS quota
+  FROM (SELECT DISTINCT source AS dir FROM documents),
+       (SELECT unnest(['DISK', 'ARCHIVE', 'SSD']) AS stype) s
+)
+SELECT c.dir, c.stype, c.consumed, q.quota,
+       CAST(q.quota - c.consumed AS BIGINT) AS remaining,
+       coalesce(c.consumed > q.quota, FALSE) AS exceeded
+FROM consumed c LEFT JOIN quotas q ON c.dir = q.dir AND c.stype = q.stype
+"""
+
+
+@register("storage_type_quota_report", _STQUOTA_ORACLE)
+def storage_type_quota_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota by storage type (operators/mover.quota_by_storage_type;
+    reference DirectoryWithQuotaFeature.verifyQuotaByStorageType,
+    QuotaByStorageTypeExceededException): every doc is a file whose
+    storage policy cycles HOT/WARM/COLD/ALL_SSD/ONE_SSD, consumption is
+    size × per-type replica count from the policy template, per-dir
+    typed quotas vary deterministically with the dir suffix so both
+    within-quota and exceeded states occur for every type. Broadcast
+    template + quota dims; one (dir × type)-sized groupBy."""
+    from hadoop_source_spark.operators import mover as mv
+
+    d = table(spark, sf_dir, "documents")
+    pgrp = F.expr("(doc_id div 20) % 5")
+    pol = (
+        F.when(pgrp == 0, F.lit("HOT"))
+        .when(pgrp == 1, F.lit("WARM"))
+        .when(pgrp == 2, F.lit("COLD"))
+        .when(pgrp == 3, F.lit("ALL_SSD"))
+        .otherwise(F.lit("ONE_SSD"))
+    )
+    files = d.select(
+        F.col("source").alias("dir"),
+        F.col("n_chars").alias("size"),
+        pol.alias("policy"),
+    )
+    base = (
+        F.when(F.col("stype") == "DISK", F.lit(8800))
+        .when(F.col("stype") == "ARCHIVE", F.lit(7400))
+        .otherwise(F.lit(5700))
+    )
+    quotas = (
+        d.select(F.col("source").alias("dir"))
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [("DISK",), ("ARCHIVE",), ("SSD",)], "stype string"
+            )
+        )
+        .select(
+            "dir", "stype",
+            (
+                base
+                + 100 * (F.substring("dir", 4, 10).cast("int") % 7)
+            ).cast("long").alias("quota"),
+        )
+    )
+    return mv.quota_by_storage_type(files, quotas)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6172,10 +6257,10 @@ _WINDOW: list[str] = [
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
-    "streaming_audit_rollup",
+    "streaming_audit_rollup", "storage_type_quota_report",
 ]
 
-assert len(_WINDOW) == 102, len(_WINDOW)
+assert len(_WINDOW) == 103, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -96,7 +96,7 @@ def main() -> None:
         "funnel_conversion", "bpe_tokenize_stats", "editlog_replay",
         "knn_label_classify", "hybrid_search_rrf",
         "audit_log_summary", "embedding_class_stats",
-        "replication_repair_plan",
+        "replication_repair_plan", "storage_type_quota_report",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

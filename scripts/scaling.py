@@ -124,7 +124,7 @@ EXTRA = (
     # two-leg retrieval + list-sized fusion
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats",
-    "replication_repair_plan",
+    "replication_repair_plan", "storage_type_quota_report",
 )
 
 
