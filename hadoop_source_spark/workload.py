@@ -6202,6 +6202,120 @@ def storage_type_quota_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.quota_by_storage_type(files, quotas)
 
 
+_PERM_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS d, 'f' || doc_id AS path,
+         'user_' || (doc_id % 7) AS owner,
+         'g' || (doc_id % 5) AS grp,
+         CAST(4 + doc_id % 4 AS INT) AS mu,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 5
+                              ELSE 6 END AS INT) AS mg,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 4 END AS INT)
+           AS mo,
+         doc_id % 4 = 1 AS has_acl,
+         CAST(doc_id % 8 AS INT) AS unnamed_perm
+  FROM documents
+),
+req AS (
+  SELECT b.*, k.k,
+         CASE k.k WHEN 0 THEN b.owner WHEN 1 THEN 'user_x'
+                  ELSE 'user_1' END AS req_user,
+         CASE k.k WHEN 2 THEN 'g9' ELSE b.grp END AS req_group,
+         CAST(CASE k.k
+           WHEN 0 THEN CASE b.d % 2 WHEN 0 THEN 6 ELSE 4 END
+           WHEN 1 THEN 4
+           ELSE CASE b.d % 2 WHEN 0 THEN 2 ELSE 4 END END AS INT) AS access
+  FROM base b, (SELECT unnest(range(0, 3)) AS k) k
+)
+SELECT path, req_user, access,
+  CASE
+    WHEN req_user = owner THEN (mu & access) = access
+    WHEN has_acl THEN
+      CASE WHEN req_user = 'user_1' THEN ((6 & mg) & access) = access
+           WHEN req_group = grp THEN ((unnamed_perm & mg) & access) = access
+           ELSE (mo & access) = access END
+    ELSE
+      CASE WHEN req_group = grp THEN (mg & access) = access
+           ELSE (mo & access) = access END
+  END AS allowed,
+  CASE
+    WHEN req_user = owner THEN
+      CASE WHEN has_acl THEN 'acl_owner' ELSE 'classic_owner' END
+    WHEN has_acl THEN
+      CASE WHEN req_user = 'user_1' THEN 'acl_named_user'
+           WHEN req_group = grp THEN 'acl_group'
+           ELSE 'acl_other' END
+    ELSE
+      CASE WHEN req_group = grp THEN 'classic_group'
+           ELSE 'classic_other' END
+  END AS decided_by
+FROM req
+"""
+
+
+@register("permission_check_matrix", _PERM_ORACLE)
+def permission_check_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX + ACL permission evaluation (operators/permcheck;
+    reference FSPermissionChecker.java:511-612 — owner entry is
+    terminal, named USER entries masked by the group bits, GROUP
+    entries pass if ANY membership grants while non-granting membership
+    still blocks the fall-through, other bits only with no match).
+    Every document becomes an inode (varying mode bits; every 4th
+    carries a 3-entry access ACL) probed by three requesters — owner,
+    a file-group member, and the ACL's named user — with varying rwx
+    masks. The whole decision is one higher-order-function projection:
+    no join, no shuffle, pure codegen; the oracle inlines the same
+    evaluation order arithmetically."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select(
+        did.alias("d"),
+        F.concat(F.lit("f"), did.cast("string")).alias("path"),
+        F.concat(F.lit("user_"), (did % 7).cast("string")).alias("owner"),
+        F.concat(F.lit("g"), (did % 5).cast("string")).alias("group"),
+        (F.lit(4) + did % 4).cast("int").alias("mode_user"),
+        F.when(did % 4 == 0, 0).when(did % 4 == 1, 4).when(did % 4 == 2, 5)
+        .otherwise(6).cast("int").alias("mode_group"),
+        F.when(did % 3 == 0, 0).when(did % 3 == 1, 1).otherwise(4)
+        .cast("int").alias("mode_other"),
+        F.when(
+            did % 4 == 1,
+            F.expr(
+                "array(named_struct('etype', 'USER', 'name', 'user_1',"
+                " 'perm', 6),"
+                " named_struct('etype', 'GROUP', 'name',"
+                "   cast(null as string), 'perm', cast(doc_id % 8 as int)),"
+                " named_struct('etype', 'GROUP', 'name', 'g9', 'perm', 4))"
+            ),
+        ).otherwise(F.lit(None).cast(pc.ACL_ENTRY_T)).alias("acl"),
+    )
+    reqs = base.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    ).select(
+        "*",
+        F.when(F.col("k") == 0, F.col("owner"))
+        .when(F.col("k") == 1, F.lit("user_x"))
+        .otherwise(F.lit("user_1")).alias("user"),
+        F.array(
+            F.when(F.col("k") == 2, F.lit("g9")).otherwise(F.col("group"))
+        ).alias("groups"),
+        F.when(
+            F.col("k") == 0,
+            F.when(F.col("d") % 2 == 0, 6).otherwise(4),
+        )
+        .when(F.col("k") == 1, F.lit(4))
+        .otherwise(F.when(F.col("d") % 2 == 0, 2).otherwise(4))
+        .cast("int").alias("access"),
+    )
+    out = pc.check_access(reqs)
+    return out.select(
+        "path", F.col("user").alias("req_user"), "access",
+        "allowed", "decided_by",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6258,9 +6372,10 @@ _WINDOW: list[str] = [
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
     "streaming_audit_rollup", "storage_type_quota_report",
+    "permission_check_matrix",
 ]
 
-assert len(_WINDOW) == 103, len(_WINDOW)
+assert len(_WINDOW) == 104, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -1,0 +1,92 @@
+"""FSPermissionChecker evaluation-order pins (hasAclPermission:558-612):
+terminal owner match, group-bit masking, non-granting membership
+blocking the other fall-through."""
+
+from __future__ import annotations
+
+from hadoop_source_spark.operators import permcheck as pc
+
+SCHEMA = (
+    "user string, groups array<string>, owner string, group string, "
+    "mode_user int, mode_group int, mode_other int, "
+    f"acl {pc.ACL_ENTRY_T}, access int"
+)
+
+
+def _check(spark, rows):
+    return pc.check_access(spark.createDataFrame(rows, SCHEMA)).collect()
+
+
+def test_acl_owner_match_is_terminal_denial(spark):
+    # owner bits lack write; other bits would grant — but the owner
+    # match is terminal: no fall-through, denied.
+    [r] = _check(
+        spark,
+        [("alice", ["g1"], "alice", "g1", 4, 7, 7,
+          [("USER", "bob", 7)], 2)],
+    )
+    assert (r.allowed, r.decided_by) == (False, "acl_owner")
+
+
+def test_acl_named_user_masked_by_group_bits(spark):
+    # named entry grants rwx(7) but the mask (group bits) is r(4):
+    # read passes, write fails — and both are terminal named-user hits.
+    base = ("bob", [], "alice", "g1", 7, 4, 0)
+    acl = [("USER", "bob", 7)]
+    [rd] = _check(spark, [(*base, acl, 4)])
+    [wr] = _check(spark, [(*base, acl, 2)])
+    assert (rd.allowed, rd.decided_by) == (True, "acl_named_user")
+    assert (wr.allowed, wr.decided_by) == (False, "acl_named_user")
+
+
+def test_acl_nongranting_membership_blocks_other_fallthrough(spark):
+    # carol is in g2 whose entry (masked) denies write; other bits
+    # would grant — reference semantics: matched-but-denied, NO
+    # fall-through to other.
+    [r] = _check(
+        spark,
+        [("carol", ["g2"], "alice", "g1", 7, 7, 7,
+          [("USER", "bob", 7), ("GROUP", "g2", 4)], 2)],
+    )
+    assert (r.allowed, r.decided_by) == (False, "acl_group")
+
+
+def test_acl_any_granting_group_entry_wins(spark):
+    # member of two group entries; only the second grants — allowed.
+    [r] = _check(
+        spark,
+        [("dave", ["g2", "g3"], "alice", "g1", 7, 7, 0,
+          [("GROUP", "g2", 4), ("GROUP", "g3", 2)], 2)],
+    )
+    assert (r.allowed, r.decided_by) == (True, "acl_group")
+
+
+def test_acl_unnamed_group_entry_uses_inode_group(spark):
+    # unnamed GROUP entry → the inode's group g1; erin is a member.
+    [r] = _check(
+        spark,
+        [("erin", ["g1"], "alice", "g1", 7, 6, 0,
+          [(("GROUP"), None, 6)], 2)],
+    )
+    assert (r.allowed, r.decided_by) == (True, "acl_group")
+
+
+def test_acl_other_only_when_nothing_matched(spark):
+    [r] = _check(
+        spark,
+        [("frank", ["g9"], "alice", "g1", 0, 0, 5,
+          [("USER", "bob", 7), ("GROUP", "g2", 7)], 4)],
+    )
+    assert (r.allowed, r.decided_by) == (True, "acl_other")
+
+
+def test_classic_paths_without_acl(spark):
+    rows = [
+        ("alice", [], "alice", "g1", 6, 0, 0, None, 4),   # owner grants
+        ("bob", ["g1"], "alice", "g1", 0, 4, 0, None, 4),  # group grants
+        ("carol", ["g9"], "alice", "g1", 0, 0, 4, None, 2),  # other denies
+    ]
+    out = {r.user: r for r in _check(spark, rows)}
+    assert (out["alice"].allowed, out["alice"].decided_by) == (True, "classic_owner")
+    assert (out["bob"].allowed, out["bob"].decided_by) == (True, "classic_group")
+    assert (out["carol"].allowed, out["carol"].decided_by) == (False, "classic_other")
