@@ -107,3 +107,18 @@ def check_access(df: DataFrame, access_col: str = "access") -> DataFrame:
     ).withColumn(
         "decided_by", F.when(has_acl, acl_rule).otherwise(classic_rule)
     )
+
+
+def sticky_bit_violation(df: DataFrame) -> DataFrame:
+    """Adds `sticky_violated`: the delete/rename guard
+    (`FSPermissionChecker.checkStickyBit` / `isStickyBitViolated`,
+    :614-640): when the parent directory carries the sticky bit, only
+    the DIRECTORY owner or the FILE owner may remove the child — write
+    permission on the directory is not enough (the /tmp rule).
+    Columns: user, parent_sticky (boolean), parent_owner, owner."""
+    violated = (
+        F.col("parent_sticky")
+        & (F.col("user") != F.col("parent_owner"))
+        & (F.col("user") != F.col("owner"))
+    )
+    return df.withColumn("sticky_violated", violated)

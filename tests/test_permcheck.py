@@ -90,3 +90,21 @@ def test_classic_paths_without_acl(spark):
     assert (out["alice"].allowed, out["alice"].decided_by) == (True, "classic_owner")
     assert (out["bob"].allowed, out["bob"].decided_by) == (True, "classic_group")
     assert (out["carol"].allowed, out["carol"].decided_by) == (False, "classic_other")
+
+
+def test_sticky_bit_rule(spark):
+    rows = [
+        # (user, parent_sticky, parent_owner, owner) → violated?
+        ("alice", True, "alice", "bob", False),   # dir owner may delete
+        ("bob", True, "alice", "bob", False),     # file owner may delete
+        ("carol", True, "alice", "bob", True),    # third party: violated
+        ("carol", False, "alice", "bob", False),  # no sticky bit: fine
+    ]
+    df = spark.createDataFrame(
+        [r[:4] for r in rows],
+        "user string, parent_sticky boolean, parent_owner string, owner string",
+    )
+    out = pc.sticky_bit_violation(df).collect()
+    got = {(r.user, r.parent_sticky): r.sticky_violated for r in out}
+    for user, sticky, po, o, expect in rows:
+        assert got[(user, sticky)] == expect, (user, sticky)
