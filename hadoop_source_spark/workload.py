@@ -6316,6 +6316,75 @@ def permission_check_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NNTOP_ORACLE = """
+WITH lines AS (
+  SELECT ts,
+         'allowed=true' || chr(9) || 'ugi=user_'
+         || CAST(user_id % 40 AS VARCHAR) || ' (auth:SIMPLE)'
+         || chr(9) || 'cmd='
+         || CASE event_type WHEN 'signup' THEN 'mkdirs'
+                            WHEN 'view' THEN 'open'
+                            WHEN 'click' THEN 'listStatus'
+                            WHEN 'purchase' THEN 'create'
+                            WHEN 'error' THEN 'delete' END AS line
+  FROM events
+),
+parsed AS (
+  SELECT ts, regexp_extract(line, 'ugi=(\\S+)', 1) AS ugi,
+         regexp_extract(line, 'cmd=([^\t]*)', 1) AS cmd
+  FROM lines
+),
+lanes AS (
+  SELECT ugi, cmd,
+         date_trunc('hour', ts) - (o.k * INTERVAL 1 HOUR) AS win_start
+  FROM parsed, (SELECT unnest(range(0, 2)) AS k) o
+),
+counts AS (
+  SELECT win_start, cmd, ugi, count(*) AS n_ops
+  FROM lanes GROUP BY 1, 2, 3
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, cmd, ugi,
+       n_ops, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY win_start, cmd
+                               ORDER BY n_ops DESC, ugi) AS rnk
+  FROM counts) t
+WHERE rnk <= 3
+"""
+
+
+@register("nntop_window_users", _NNTOP_ORACLE)
+def nntop_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NameNode nntop (reference `namenode/top/window/
+    RollingWindowManager.java` — the metric TopAuditLogger feeds:
+    per-op top users over rolling time windows): audit lines parsed
+    back to (ugi, cmd), 2h-sliding-every-1h windows via the built-in
+    Expand (each op lands in exactly two windows inside ONE partial-agg
+    shuffle), then top-3 users per (window, cmd) by a bounded-state
+    rank window. The oracle replays the two-lane expansion explicitly."""
+    from hadoop_source_spark.operators import auditlog as al
+
+    e = table(spark, sf_dir, "events")
+    parsed = al.parse_audit_lines(
+        al.format_audit_lines(e), carry=("ts",)
+    ).select("ts", "ugi", "cmd")
+    counts = (
+        parsed.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "cmd", "ugi")
+        .agg(F.count(F.lit(1)).alias("n_ops"))
+    )
+    w = Window.partitionBy("w", "cmd").orderBy(
+        F.col("n_ops").desc(), F.col("ugi").asc()
+    )
+    return (
+        counts.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "cmd", "ugi", "n_ops", "rnk",
+        )
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6372,10 +6441,10 @@ _WINDOW: list[str] = [
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
     "streaming_audit_rollup", "storage_type_quota_report",
-    "permission_check_matrix",
+    "permission_check_matrix", "nntop_window_users",
 ]
 
-assert len(_WINDOW) == 104, len(_WINDOW)
+assert len(_WINDOW) == 105, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

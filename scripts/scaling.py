@@ -125,7 +125,7 @@ EXTRA = (
     "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats",
     "replication_repair_plan", "storage_type_quota_report",
-    "permission_check_matrix",
+    "permission_check_matrix", "nntop_window_users",
 )
 
 
