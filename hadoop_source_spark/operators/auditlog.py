@@ -110,10 +110,16 @@ def audit_summary(parsed: DataFrame) -> DataFrame:
 
 def audit_rates_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming per-(hour, ugi, cmd) audit rates over a live audit
-    stream — the tail-the-audit-log ops dashboard. Watermarked tumbling
-    windows keep state bounded (hours older than the watermark finalize
-    and evict); `parsed` must carry the event-time `ts` column
-    (parse_audit_lines carry=("ts",))."""
+    stream — the tail-the-audit-log ops dashboard. `parsed` must carry
+    the event-time `ts` column (parse_audit_lines carry=("ts",)).
+
+    State-bounding depends on the OUTPUT MODE the caller runs this
+    with: in update/append mode Spark evicts window state older than
+    the watermark (bounded state, late lines beyond `watermark`
+    dropped — test_streaming.py pins the across-restart drop); in
+    complete mode (the driver's batch-equivalence row) Spark RETAINS
+    every window ever seen and the watermark is declarative only —
+    fine for a bounded replay, not for an unbounded tail."""
     return (
         parsed.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "ugi", "cmd")

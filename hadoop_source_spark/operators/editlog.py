@@ -121,7 +121,13 @@ def resolve_rename_chains(log: DataFrame, max_iter: int = 30) -> DataFrame:
     ancestor pointer with its ancestor's ancestor and adds the hop
     counts, halving the remaining chain — a depth-D chain resolves in
     ceil(log2 D) equi-joins. Rows whose ancestor has no pointer entry
-    already point at a root (an OP_ADD name, never a rename dst)."""
+    already point at a root (an OP_ADD name, never a rename dst).
+
+    Malformed logs fail LOUDLY: if pointers are still unresolved after
+    `max_iter` doublings — a rename cycle (every member's ancestor is
+    itself a rename dst, so the chain never reaches a root) or a chain
+    deeper than 2**max_iter — raises ValueError instead of emitting
+    rows whose `inode` is a non-root intermediate name."""
     ptr = (
         log.filter(F.col("op") == "OP_RENAME")
         .select(
@@ -146,6 +152,13 @@ def resolve_rename_chains(log: DataFrame, max_iter: int = 30) -> DataFrame:
         ).localCheckpoint(eager=False)
         if remaining == 0:
             break
+    else:
+        raise ValueError(
+            f"rename chains unresolved after {max_iter} pointer-doubling "
+            f"rounds ({remaining} pointers still mid-chain): the rename "
+            "graph has a cycle or a dst whose chain never reaches an "
+            "OP_ADD root"
+        )
     roots = log.filter(F.col("op") == "OP_ADD").select(
         F.col("path").alias("node"),
         F.col("path").alias("inode"),

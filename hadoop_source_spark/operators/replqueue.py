@@ -33,7 +33,9 @@ _MK = "((block_id * 1000003 + x.node_id * 7919) % 104729) * 64 + x.node_id"
 def classify_low_redundancy(blocks: DataFrame) -> DataFrame:
     """Queue assignment per block. Input columns: block_id, live,
     read_only, out_of_service, expected, held_ids (array<bigint> of
-    nodes currently holding a live replica), n_held_racks. Healthy
+    nodes currently holding a live replica), held_racks (array<string>
+    of racks those nodes sit on — repair_plan's rack-dedup sort key
+    reads it from the queued rows), n_held_racks. Healthy
     blocks (enough replicas on >1 rack) are dropped — they never enter
     a queue. `needed`: replicas to add (1 for badly-distributed — the
     reference adds a cross-rack copy then deletes; 0 for corrupt —
@@ -88,7 +90,13 @@ def repair_plan(queued: DataFrame, topology: DataFrame) -> DataFrame:
             "  ) < ("
             "    CASE WHEN array_contains(held_racks, r.rack) THEN 1 ELSE 0 END"
             f"    * 100000000 + {_MK.replace('x.', 'r.')}"
-            "  ) THEN -1 ELSE 1 END"
+            "  ) THEN -1 WHEN ("
+            "    CASE WHEN array_contains(held_racks, l.rack) THEN 1 ELSE 0 END"
+            f"    * 100000000 + {_MK.replace('x.', 'l.')}"
+            "  ) > ("
+            "    CASE WHEN array_contains(held_racks, r.rack) THEN 1 ELSE 0 END"
+            f"    * 100000000 + {_MK.replace('x.', 'r.')}"
+            "  ) THEN 1 ELSE 0 END"
             "), 1, int(needed))"
         ),
     )

@@ -6095,8 +6095,12 @@ def streaming_audit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified against the batch oracle: events replayed through the
     file source, formatted into DefaultAuditLogger lines
     (operators/auditlog), regexp-parsed back INSIDE the stream, then
-    watermarked 1h-tumbling per-(ugi, cmd) op/deny rates — state
-    bounded by watermark eviction, availableNow drain, complete output.
+    watermarked 1h-tumbling per-(ugi, cmd) op/deny rates —
+    availableNow drain, COMPLETE output so the memory sink holds
+    exactly the final rollup (complete mode retains all window state;
+    the watermark is declarative here — the bounded-state update-mode
+    path with real eviction is pinned by
+    test_streaming.test_audit_rates_update_mode_evicts_state).
     The streaming half of audit_log_summary; the oracle recomputes the
     same format→parse→window pipeline in batch SQL."""
     import tempfile

@@ -130,3 +130,18 @@ def test_replay_matches_sequential_reference(spark, sf_dir):
         assert r.n_appends == appends[ino], ino
         assert r.n_truncates == truncs[ino], ino
         assert r.mtime_ts == mtime[ino], ino
+
+
+def test_unrooted_or_cyclic_chains_raise(spark):
+    """ADVICE pin: a rename cycle (no chain ever reaches an OP_ADD root)
+    must fail loudly after max_iter doubling rounds, not emit rows whose
+    inode is a mid-chain name."""
+    import pytest
+
+    rows = [
+        ("OP_RENAME", "a", "b", None, _ts(0), 0),
+        ("OP_RENAME", "b", "c", None, _ts(1), 1),
+        ("OP_RENAME", "c", "a", None, _ts(2), 2),
+    ]
+    with pytest.raises(ValueError, match="unresolved"):
+        el.resolve_rename_chains(_log(spark, rows), max_iter=5)

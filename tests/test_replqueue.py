@@ -82,3 +82,21 @@ def test_repair_targets_deterministic(spark):
     for bid, ts in per.items():
         assert len(ts) == 2
         assert all(t[6] != f"n{bid % 8}" for t in ts)
+
+
+def test_repair_targets_topology_order_invariant(spark):
+    """ADVICE pin: the candidate comparator is a valid total order
+    (returns 0 on key equality), so the plan cannot depend on the
+    arrival order of topology rows into collect_list."""
+    rows = [(i, 1, 0, 0, 3, [int(i % 8)], [f"r{i % 4}"], 1) for i in range(12)]
+    queued = rq.classify_low_redundancy(_blocks(spark, rows))
+    a = sorted(map(tuple, rq.repair_plan(queued, _topo(spark)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            rq.repair_plan(
+                queued, _topo(spark).sort(F.desc("node_id"))
+            ).collect(),
+        )
+    )
+    assert a == b

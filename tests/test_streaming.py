@@ -239,3 +239,66 @@ def test_stream_static_broadcast_join(spark, events_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_audit_rates_update_mode_evicts_state(spark):
+    """ADVICE pin: audit_rates_stream in UPDATE mode really enforces the
+    watermark — a line arriving 2h+ late (vs the checkpointed watermark)
+    is dropped and its window is never re-emitted. Complete mode (the
+    driver's batch-equivalence row) retains all windows by design; this
+    is the bounded-state path."""
+    import datetime as dt
+
+    from hadoop_source_spark.operators import auditlog as al
+
+    emitted = []
+
+    def run_once(src, ckpt):
+        stream = se.events_stream(spark, src)
+        parsed = al.parse_audit_lines(
+            al.format_audit_lines(stream), carry=("ts",)
+        )
+        rates = al.audit_rates_stream(parsed, watermark="2 hours")
+
+        def sink(batch_df, _bid):
+            emitted.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            rates.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def ev(eid, hour, minute, uid, etype):
+        return (
+            eid, dt.datetime(2024, 1, 1, hour, minute), uid, etype, 1.0, "{}"
+        )
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        batch1 = [ev(1, 0, 10, 1, "view"), ev(2, 0, 20, 1, "view"),
+                  ev(3, 10, 0, 2, "purchase")]
+        spark.createDataFrame(batch1, se.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once(src, ckpt)
+        h0 = [r for r in emitted if r[0].startswith("2024-01-01 00")]
+        assert h0 and h0[0][3] == 2  # hour-0 window emitted once, n_ops=2
+
+        # restart from the checkpoint (watermark restored: 10:00 - 2h =
+        # 08:00) with one line back at hour 0 → dropped, not re-emitted.
+        emitted.clear()
+        spark.createDataFrame(
+            [ev(4, 0, 30, 1, "view")], se.EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = run_once(src, ckpt)
+        assert not [r for r in emitted if r[0].startswith("2024-01-01 00")]
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped >= 1
