@@ -1,0 +1,116 @@
+"""DataNode lifecycle admin: heartbeat liveness, decommission progress,
+and the safe-mode block-threshold gate.
+
+Reference semantics:
+- `hdfs/server/blockmanagement/DatanodeManager.java`: a node is STALE
+  once `now - lastContact` passes the stale interval
+  (`DFS_NAMENODE_STALE_DATANODE_INTERVAL_DEFAULT` 30 s, :1218
+  isStale) and DEAD past `2 * heartbeatRecheckInterval + 10 *
+  heartbeatIntervalMs` (:1712 isDatanodeDead, ≈ 630 s with defaults).
+  Intervals are parameters here — the fixture feeds day-scale
+  heartbeats, so the driver query passes day-scale cutoffs.
+- `DatanodeAdminManager.java` (:700 check): a DECOMMISSION_INPROGRESS
+  node flips to DECOMMISSIONED only when no block remains whose ONLY
+  live replica sits on it (everything it holds is sufficiently
+  replicated elsewhere); until then the pending-block count is the
+  admin progress metric.
+- `BlockManagerSafeMode.java` (:180 areThresholdsMet): the NameNode
+  stays in safe mode until `blocks with ≥ minReplication live replicas
+  / total blocks ≥ threshold` (default 0.999f) AND live datanodes ≥
+  `datanodeThreshold` (default 0).
+
+Spark-first: liveness is a pure projection over the node-sized
+registry; decommission progress is one explode+groupBy over the
+single-replica slice of the block report (live==1 rows only — the
+explode emits exactly one node per such block, so the shuffle is
+bounded by the under-replicated population, not the corpus); safe mode
+is two scalar partial aggs crossed into one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def liveness(
+    nodes: DataFrame,
+    stale_s: float = 30.0,
+    dead_s: float = 630.0,
+) -> DataFrame:
+    """Heartbeat classification. Input: node, node_id, last_contact
+    (timestamp), probe_ts (timestamp — "now"). Adds age_s + state
+    (LIVE / STALE / DEAD). DEAD implies stale, so the dead check wins
+    first, as isDatanodeDead does."""
+    age = (
+        F.unix_timestamp("probe_ts") - F.unix_timestamp("last_contact")
+    ).cast("double")
+    return nodes.withColumn("age_s", age).withColumn(
+        "state",
+        F.when(F.col("age_s") > dead_s, F.lit("DEAD"))
+        .when(F.col("age_s") > stale_s, F.lit("STALE"))
+        .otherwise(F.lit("LIVE")),
+    )
+
+
+def decommission_progress(
+    nodes: DataFrame, blocks: DataFrame
+) -> DataFrame:
+    """Admin-state resolution. `nodes` carries a boolean
+    `decommissioning`; `blocks` is the replqueue-shaped report
+    (block_id, live, held_ids). pending = blocks whose only live
+    replica is on the node; DECOMMISSIONED iff pending == 0
+    (DatanodeAdminManager.check's all-sufficiently-replicated exit),
+    else DECOMMISSION_INPROGRESS; non-admin nodes are IN_SERVICE."""
+    sole = (
+        blocks.filter(F.col("live") == 1)
+        .select(F.explode("held_ids").alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("pending_blocks"))
+    )
+    joined = nodes.join(F.broadcast(sole), "node_id", "left").withColumn(
+        "pending_blocks", F.coalesce("pending_blocks", F.lit(0))
+    )
+    return joined.withColumn(
+        "admin_state",
+        F.when(~F.col("decommissioning"), F.lit("IN_SERVICE"))
+        .when(F.col("pending_blocks") == 0, F.lit("DECOMMISSIONED"))
+        .otherwise(F.lit("DECOMMISSION_INPROGRESS")),
+    )
+
+
+def safemode_status(
+    blocks: DataFrame,
+    live_nodes: DataFrame,
+    threshold: float = 0.999,
+    min_replication: int = 1,
+    datanode_threshold: int = 0,
+) -> DataFrame:
+    """One-row safe-mode report: block-threshold ratio, the block
+    deficit to leave (`blockSafe` vs `blockThreshold = threshold *
+    blockTotal`, BlockManagerSafeMode.areThresholdsMet), the datanode
+    gate, and the combined in_safemode verdict. `live_nodes` is a
+    ONE-ROW frame with a `live_datanodes` column (crossJoined, never
+    collected — the whole report stays one plan)."""
+    agg = blocks.agg(
+        F.count(F.lit(1)).alias("total_blocks"),
+        F.count(F.when(F.col("live") >= min_replication, 1)).alias(
+            "safe_blocks"
+        ),
+    )
+    ratio = F.col("safe_blocks") / F.col("total_blocks")
+    need = F.ceil(F.lit(threshold) * F.col("total_blocks")) - F.col(
+        "safe_blocks"
+    )
+    return agg.crossJoin(F.broadcast(live_nodes)).select(
+        "total_blocks",
+        "safe_blocks",
+        F.round(ratio, 6).alias("safe_ratio"),
+        F.lit(threshold).alias("threshold"),
+        F.greatest(need, F.lit(0)).alias("blocks_needed_to_leave"),
+        "live_datanodes",
+        (
+            (ratio < F.lit(threshold))
+            | (F.col("live_datanodes") < F.lit(datanode_threshold))
+        ).alias("in_safemode"),
+    )

@@ -1,0 +1,130 @@
+"""Decaying RPC scheduler + fair call queue — caller priority from
+decayed call history.
+
+Reference semantics (`common/ipc/DecayRpcScheduler.java`):
+- per-caller call counts decay by `decayFactor` (default 0.5) at every
+  sweep boundary (`decayCurrentCounts`, :458 — counts AND the total
+  decay together, so shares are computed over the same horizon);
+- a caller's priority is the FIRST threshold its share of the total
+  decayed count stays under (`computePriorityLevel`, :530: with 4
+  levels the defaults are 0.125 / 0.25 / 0.5 — under 12.5 % of traffic
+  keeps top priority 0, over 50 % drops to the lowest queue 3);
+- cost defaults to 1/call (`DefaultCostProvider`) but can weight by
+  processing time (`WeightedTimeCostProvider`) — exposed as the `cost`
+  column;
+- backoff-by-response-time (`shouldBackOff`, :388 over
+  `decayedAvgResponseTime`): a priority level whose decayed average
+  response time exceeds its threshold pushes clients off
+  (`FairCallQueue` RetriableException path).
+
+Spark-first: the sweep loop has a closed form — a call in sweep-period
+`p` has been decayed `(P - p)` times by probe period `P`, so its
+surviving weight is `factor^(P - p)`. The whole scheduler state is ONE
+partial-agg shuffle over the call log keyed by caller (bounded by the
+caller population), followed by caller-count-sized arithmetic; the
+response-time rollup reuses the same pass (per-caller decayed resp sums
+aggregate to priority levels without touching the log again).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# share-of-total thresholds for 4 priority levels (DecayRpcScheduler
+# DEFAULT: IPC_SCHEDULER_PRIORITY_LEVELS_DEFAULT=4 → 0.125/0.25/0.5)
+DEFAULT_THRESHOLDS = (0.125, 0.25, 0.5)
+
+
+def decayed_caller_state(
+    calls: DataFrame,
+    period: str = "1 day",
+    factor: float = 0.5,
+) -> DataFrame:
+    """Per-caller decayed scheduler state at the log's probe time
+    (max call ts — "now" for the last sweep).
+
+    Input columns: caller (string), ts (timestamp), cost (double —
+    1.0 for DefaultCostProvider), resp_ms (double, per-call response
+    time for the backoff rollup). Output: caller, decayed_cost,
+    decayed_resp_sum, decayed_resp_weight.
+
+    Sweep boundaries are UTC period boundaries (day periods here), so
+    the decay exponent is an exact integer both engines agree on:
+    weight = factor^(days(probe) - days(ts)).
+    """
+    if period != "1 day":  # day-granularity keeps the exponent integral
+        raise ValueError("only '1 day' sweep periods are supported")
+    probe = calls.agg(
+        F.max(F.to_date("ts")).alias("__probe_day")
+    )
+    w = F.pow(
+        F.lit(factor),
+        F.datediff(F.col("__probe_day"), F.to_date("ts")).cast("double"),
+    )
+    return (
+        calls.crossJoin(F.broadcast(probe))
+        .select(
+            "caller",
+            (F.col("cost") * w).alias("__wc"),
+            (F.col("resp_ms") * w).alias("__wr"),
+            w.alias("__w"),
+        )
+        .groupBy("caller")
+        .agg(
+            F.sum("__wc").alias("decayed_cost"),
+            F.sum("__wr").alias("decayed_resp_sum"),
+            F.sum("__w").alias("decayed_resp_weight"),
+        )
+    )
+
+
+def assign_priorities(
+    state: DataFrame, thresholds: tuple[float, ...] = DEFAULT_THRESHOLDS
+) -> DataFrame:
+    """computePriorityLevel: share = caller's decayed cost over the
+    total; priority = index of the first threshold the share is under,
+    len(thresholds) if none. The grand total is a scalar partial agg
+    broadcast back over the caller-sized frame — no single-partition
+    window anywhere in the plan."""
+    total = state.agg(F.sum("decayed_cost").alias("__total"))
+    state = state.crossJoin(F.broadcast(total))
+    share = F.col("decayed_cost") / F.col("__total")
+    pri = F.lit(len(thresholds))
+    for i in range(len(thresholds) - 1, -1, -1):
+        pri = F.when(share < F.lit(thresholds[i]), F.lit(i)).otherwise(pri)
+    return state.select(
+        "caller",
+        "decayed_cost",
+        "decayed_resp_sum",
+        "decayed_resp_weight",
+        share.alias("share"),
+        pri.alias("priority"),
+    )
+
+
+def backoff_by_response_time(
+    prioritized: DataFrame, resp_thresholds_ms: tuple[float, ...]
+) -> DataFrame:
+    """Per-priority-level decayed average response time + the
+    shouldBackOff verdict: level i backs clients off when its decayed
+    avg response exceeds resp_thresholds_ms[i] (reference default is
+    10s * (i+1); pass thresholds scaled to the workload's resp unit).
+    Input must carry priority + decayed resp sums from
+    assign_priorities; output is priority-level-sized."""
+    per_level = prioritized.groupBy("priority").agg(
+        (F.sum("decayed_resp_sum") / F.sum("decayed_resp_weight")).alias(
+            "prio_avg_resp"
+        ),
+        F.count(F.lit(1)).alias("n_callers"),
+    )
+    thr = F.array(*[F.lit(float(t)) for t in resp_thresholds_ms])
+    return per_level.select(
+        "priority",
+        "n_callers",
+        "prio_avg_resp",
+        (
+            F.col("prio_avg_resp")
+            > F.get(thr, F.col("priority").cast("int"))
+        ).alias("backoff"),
+    )

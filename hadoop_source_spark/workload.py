@@ -6389,6 +6389,271 @@ def nntop_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RPCSCHED_ORACLE = """
+WITH c AS (
+  SELECT CASE WHEN event_id % 100 < 55 THEN 'svc_batch'
+              WHEN event_id % 100 < 82 THEN 'svc_etl'
+              WHEN event_id % 100 < 96 THEN 'svc_api'
+              WHEN event_id % 2 = 0 THEN 'adhoc_a' ELSE 'adhoc_b' END AS caller,
+         value,
+         power(0.5, CAST(datediff('day', CAST(ts AS DATE),
+               (SELECT max(CAST(ts AS DATE)) FROM events)) AS DOUBLE)) AS w
+  FROM events
+),
+st AS (
+  SELECT caller, sum(w) AS dc, sum(value * w) AS drs, sum(w) AS drw
+  FROM c GROUP BY 1
+),
+pr AS (
+  SELECT caller, dc, drs, drw, dc / sum(dc) OVER () AS share,
+         CASE WHEN dc / sum(dc) OVER () < 0.125 THEN 0
+              WHEN dc / sum(dc) OVER () < 0.25 THEN 1
+              WHEN dc / sum(dc) OVER () < 0.5 THEN 2 ELSE 3 END AS priority
+  FROM st
+),
+lvl AS (
+  SELECT priority, sum(drs) / sum(drw) AS prio_avg_resp,
+         count(*) AS n_callers
+  FROM pr GROUP BY 1
+)
+SELECT p.caller, round(p.dc, 4) AS decayed_cost, round(p.share, 6) AS share,
+       CAST(p.priority AS INTEGER) AS priority,
+       round(l.prio_avg_resp, 4) AS prio_avg_resp,
+       l.prio_avg_resp > CASE p.priority WHEN 0 THEN 50.0 WHEN 1 THEN 45.0
+                                         WHEN 2 THEN 55.0 ELSE 60.0 END
+         AS backoff
+FROM pr p JOIN lvl l USING (priority)
+"""
+
+
+@register("rpc_scheduler_priority", _RPCSCHED_ORACLE)
+def rpc_scheduler_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecayRpcScheduler + FairCallQueue backoff (operators/rpcsched;
+    reference common/ipc/DecayRpcScheduler.java:458 decayCurrentCounts,
+    :530 computePriorityLevel, :388 shouldBackOff). Events are the RPC
+    call log: five caller identities with designed traffic shares
+    (0.55/0.27/0.14/0.02/0.02 via event_id buckets) so all four
+    priority levels appear; day-boundary sweeps with factor 0.5 have
+    the closed form weight=0.5^(days(probe)-days(call)); response-time
+    backoff per level vs per-level thresholds. One partial-agg shuffle
+    over the log; everything after is caller-count-sized."""
+    from hadoop_source_spark.operators import rpcsched as rs
+
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    calls = e.select(
+        F.when(eid % 100 < 55, F.lit("svc_batch"))
+        .when(eid % 100 < 82, F.lit("svc_etl"))
+        .when(eid % 100 < 96, F.lit("svc_api"))
+        .when(eid % 2 == 0, F.lit("adhoc_a"))
+        .otherwise(F.lit("adhoc_b"))
+        .alias("caller"),
+        "ts",
+        F.lit(1.0).alias("cost"),
+        F.col("value").alias("resp_ms"),
+    )
+    pr = rs.assign_priorities(rs.decayed_caller_state(calls))
+    lvl = rs.backoff_by_response_time(pr, (50.0, 45.0, 55.0, 60.0))
+    return pr.join(F.broadcast(lvl), "priority").select(
+        "caller",
+        F.round("decayed_cost", 4).alias("decayed_cost"),
+        F.round("share", 6).alias("share"),
+        F.col("priority").cast("int").alias("priority"),
+        F.round("prio_avg_resp", 4).alias("prio_avg_resp"),
+        "backoff",
+    )
+
+
+# datanode registry + heartbeat fixture shared by the liveness and
+# safe-mode rows: 14 registered nodes (13 hold blocks), heartbeats are
+# click events from the node's user cohort gated to the node's first
+# 2*i+3 days — so last-contact ages fan out across the whole span and
+# LIVE / STALE / DEAD all appear at day-scale intervals.
+_DN_ORACLE_PREFIX = """
+WITH probe AS (
+  SELECT max(ts) AS pts, min(ts) AS t0, min(CAST(ts AS DATE)) AS d0
+  FROM events
+),
+reg AS (
+  SELECT i AS node_id, 'n' || i AS node,
+         (i % 5 = 0 OR i = 13) AS decommissioning
+  FROM (SELECT unnest(range(0, 14)) AS i)
+),
+hb AS (
+  SELECT user_id % 13 AS node_id, max(ts) AS last_contact
+  FROM events, probe
+  WHERE event_type = 'click'
+    AND datediff('day', d0, CAST(ts AS DATE)) <= 2 * (user_id % 13) + 2
+  GROUP BY 1
+),
+blk AS (
+  SELECT doc_id AS block_id, least(doc_id % 7, 3) AS live FROM documents
+),
+lv AS (
+  SELECT r.node, r.node_id, coalesce(h.last_contact, p.t0) AS lc,
+         CAST(floor(epoch(p.pts)) AS BIGINT)
+           - CAST(floor(epoch(coalesce(h.last_contact, p.t0))) AS BIGINT)
+           AS age_s,
+         r.decommissioning
+  FROM reg r CROSS JOIN probe p LEFT JOIN hb h USING (node_id)
+),
+st AS (
+  SELECT *, CASE WHEN age_s > 12.5 * 86400 THEN 'DEAD'
+                 WHEN age_s > 4.5 * 86400 THEN 'STALE'
+                 ELSE 'LIVE' END AS state
+  FROM lv
+)
+"""
+
+_DN_LIVENESS_ORACLE = _DN_ORACLE_PREFIX + """,
+sole AS (
+  SELECT block_id % 13 AS node_id, count(*) AS pending_blocks
+  FROM blk WHERE live = 1 GROUP BY 1
+)
+SELECT s.node, s.node_id,
+       strftime(s.lc, '%Y-%m-%d %H:%M:%S.%f') AS last_contact,
+       s.age_s, s.state, s.decommissioning,
+       coalesce(so.pending_blocks, 0) AS pending_blocks,
+       CASE WHEN NOT s.decommissioning THEN 'IN_SERVICE'
+            WHEN coalesce(so.pending_blocks, 0) = 0 THEN 'DECOMMISSIONED'
+            ELSE 'DECOMMISSION_INPROGRESS' END AS admin_state
+FROM st s LEFT JOIN sole so USING (node_id)
+"""
+
+
+@register("datanode_liveness_report", _DN_LIVENESS_ORACLE)
+def datanode_liveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat liveness + decommission progress per datanode
+    (operators/datanodes; reference DatanodeManager.java:1218 isStale /
+    :1712 isDatanodeDead, DatanodeAdminManager.java:700 check). Nodes
+    0,5,10 and the empty node 13 are decommissioning; 13 holds nothing
+    so it resolves DECOMMISSIONED while the rest stay IN_PROGRESS with
+    their sole-replica pending counts. Liveness is a projection over
+    the node-sized registry; the pending rollup explodes only the
+    single-replica block slice."""
+    from hadoop_source_spark.operators import datanodes as dn
+
+    e = table(spark, sf_dir, "events")
+    scal = e.agg(
+        F.max("ts").alias("probe_ts"),
+        F.min("ts").alias("t0"),
+        F.min(F.to_date("ts")).alias("d0"),
+    )
+    reg = spark.range(14).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node"),
+        F.col("id").alias("node_id"),
+        ((F.col("id") % 5 == 0) | (F.col("id") == 13)).alias(
+            "decommissioning"
+        ),
+    )
+    hb = (
+        e.crossJoin(F.broadcast(scal.select("d0")))
+        .filter(
+            (F.col("event_type") == "click")
+            & (
+                F.datediff(F.to_date("ts"), F.col("d0"))
+                <= 2 * (F.col("user_id") % 13) + 2
+            )
+        )
+        .groupBy((F.col("user_id") % 13).alias("node_id"))
+        .agg(F.max("ts").alias("last_contact"))
+    )
+    nodes = (
+        reg.join(F.broadcast(hb), "node_id", "left")
+        .crossJoin(F.broadcast(scal.select("probe_ts", "t0")))
+        .withColumn(
+            "last_contact", F.coalesce("last_contact", F.col("t0"))
+        )
+    )
+    lv = dn.liveness(nodes, stale_s=4.5 * 86400, dead_s=12.5 * 86400)
+    blocks = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("block_id"),
+        F.least(F.col("doc_id") % 7, F.lit(3).cast("long")).alias("live"),
+        F.array((F.col("doc_id") % 13)).alias("held_ids"),
+    )
+    out = dn.decommission_progress(lv, blocks)
+    return out.select(
+        "node",
+        "node_id",
+        F.date_format("last_contact", TS_FMT).alias("last_contact"),
+        F.col("age_s").cast("long").alias("age_s"),
+        "state",
+        "decommissioning",
+        "pending_blocks",
+        "admin_state",
+    )
+
+
+_SAFEMODE_ORACLE = _DN_ORACLE_PREFIX + """
+SELECT count(*) AS total_blocks,
+       count(*) FILTER (live >= 1) AS safe_blocks,
+       round(count(*) FILTER (live >= 1) / count(*), 6) AS safe_ratio,
+       CAST(0.999 AS DOUBLE) AS threshold,
+       greatest(CAST(ceil(0.999 * count(*)) AS BIGINT)
+                  - count(*) FILTER (live >= 1), 0)
+         AS blocks_needed_to_leave,
+       (SELECT count(*) FROM st WHERE state = 'LIVE') AS live_datanodes,
+       (count(*) FILTER (live >= 1) / count(*) < 0.999
+        OR (SELECT count(*) FROM st WHERE state = 'LIVE') < 1)
+         AS in_safemode
+FROM blk
+"""
+
+
+@register("safemode_report", _SAFEMODE_ORACLE)
+def safemode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-mode gate (operators/datanodes.safemode_status; reference
+    BlockManagerSafeMode.java:180 areThresholdsMet): blocks with >= 1
+    live replica over total vs the 0.999 threshold, the block deficit,
+    and the live-datanode gate from the same heartbeat fixture as
+    datanode_liveness_report — two scalar partial aggs crossed into one
+    row, no collect."""
+    from hadoop_source_spark.operators import datanodes as dn
+
+    e = table(spark, sf_dir, "events")
+    scal = e.agg(
+        F.max("ts").alias("probe_ts"),
+        F.min("ts").alias("t0"),
+        F.min(F.to_date("ts")).alias("d0"),
+    )
+    reg = spark.range(14).select(
+        F.col("id").alias("node_id"),
+    )
+    hb = (
+        e.crossJoin(F.broadcast(scal.select("d0")))
+        .filter(
+            (F.col("event_type") == "click")
+            & (
+                F.datediff(F.to_date("ts"), F.col("d0"))
+                <= 2 * (F.col("user_id") % 13) + 2
+            )
+        )
+        .groupBy((F.col("user_id") % 13).alias("node_id"))
+        .agg(F.max("ts").alias("last_contact"))
+    )
+    nodes = (
+        reg.join(F.broadcast(hb), "node_id", "left")
+        .crossJoin(F.broadcast(scal.select("probe_ts", "t0")))
+        .withColumn(
+            "last_contact", F.coalesce("last_contact", F.col("t0"))
+        )
+    )
+    lv = dn.liveness(nodes, stale_s=4.5 * 86400, dead_s=12.5 * 86400)
+    live_nodes = lv.agg(
+        F.count(F.when(F.col("state") == "LIVE", 1)).alias(
+            "live_datanodes"
+        )
+    )
+    blocks = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("block_id"),
+        F.least(F.col("doc_id") % 7, F.lit(3).cast("long")).alias("live"),
+    )
+    return dn.safemode_status(
+        blocks, live_nodes, threshold=0.999, min_replication=1,
+        datanode_threshold=1,
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6446,9 +6711,11 @@ _WINDOW: list[str] = [
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
     "streaming_audit_rollup", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",
+    "rpc_scheduler_priority", "datanode_liveness_report",
+    "safemode_report",
 ]
 
-assert len(_WINDOW) == 105, len(_WINDOW)
+assert len(_WINDOW) == 108, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -98,6 +98,8 @@ def main() -> None:
         "audit_log_summary", "embedding_class_stats",
         "replication_repair_plan", "storage_type_quota_report",
         "permission_check_matrix", "nntop_window_users",
+        "rpc_scheduler_priority", "datanode_liveness_report",
+        "safemode_report",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -126,6 +126,10 @@ EXTRA = (
     "audit_log_summary", "embedding_class_stats",
     "replication_repair_plan", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",
+    # round-5: decayed scheduler state (one caller-keyed agg), node
+    # registry liveness + sole-replica rollup, scalar safe-mode gates
+    "rpc_scheduler_priority", "datanode_liveness_report",
+    "safemode_report",
 )
 
 
