@@ -99,3 +99,85 @@ def resample_gapfill(
         F.round(interp, 6).alias("value_interp"),
         F.col("val").isNull().cast("int").alias("is_gap"),
     )
+
+
+def rolling_zscore(
+    buckets: DataFrame,
+    series_col: str = "series",
+    idx_col: str = "idx",
+    value_col: str = "val",
+    lookback: int = 7,
+    min_obs: int = 3,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling-window anomaly scores over per-series bucket aggregates
+    (the metrics2 MutableRollingAverages family read as an anomaly
+    detector — each bucket scored against the trailing window's
+    mean/stddev, the classic ops-dashboard "is today's rate 3 sigma
+    off" rule).
+
+    Input is already bucket-aggregated (one row per (series, idx)) so
+    the windows are partitioned BY SERIES over bucket-count rows —
+    bounded state, parallelism = series population, no global sort.
+    The scored row is EXCLUDED from its own window (rows between
+    `lookback` preceding and 1 preceding), so a spike can't mask
+    itself. z is null until `min_obs` trailing buckets exist and while
+    the trailing std is 0; the anomaly flag compares the UNROUNDED z.
+    """
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(idx_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(value_col).over(w)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        (n >= min_obs) & std.isNotNull() & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return (
+        buckets.withColumn("win_n", n)
+        .withColumn("win_mean", mean)
+        .withColumn("win_std", std)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold)),
+        )
+    )
+
+
+def ewma(
+    series_col: str = "series",
+    idx_col: str = "idx",
+    value_col: str = "val",
+    alpha: float = 0.3,
+    span: int = 10,
+) -> Column:
+    """Finite-window EWMA column over per-series buckets: the last
+    `span` buckets weighted (1-alpha)^distance and normalized by the
+    realized weight sum — pandas' ewm(adjust=True) restricted to a
+    `span`-row window, which gives the recursion a CLOSED window form:
+
+        ewma_i = sum_j w^(i-j)·x_j / sum_j w^(i-j),  j in [i-span+1, i]
+
+    computed as ONE pair of windowed sums via w^(i-j) = w^i · w^(-j):
+    the common w^i factor cancels in the ratio, leaving
+    sum(x·w^(-idx)) / sum(w^(-idx)) over the frame — exact in doubles
+    while idx·|ln w| stays small (idx is a BUCKET index, bounded by
+    the series' bucket count, never by raw row count). Truncation
+    error vs the infinite recursion is the (1-alpha)^span tail.
+    Returns the column; attach with .withColumn on the same frame the
+    z-score pass uses so both share one window exchange.
+    """
+    w = 1.0 - alpha
+    win = (
+        Window.partitionBy(series_col)
+        .orderBy(idx_col)
+        .rowsBetween(-(span - 1), 0)
+    )
+    inv = F.pow(F.lit(w), -F.col(idx_col).cast("double"))
+    num = F.sum(F.col(value_col) * inv).over(win)
+    den = F.sum(inv).over(win)
+    return num / den

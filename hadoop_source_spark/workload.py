@@ -6654,6 +6654,173 @@ def safemode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANOMALY_ORACLE = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+daily AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+         count(*) AS n_events, sum(value) AS val
+  FROM events GROUP BY 1, 2
+),
+idxd AS (
+  SELECT daily.*, datediff('day', d0.d0, day) AS idx FROM daily, d0
+),
+sc AS (
+  SELECT *, count(val) OVER w AS win_n, avg(val) OVER w AS win_mean,
+         stddev_samp(val) OVER w AS win_std
+  FROM idxd
+  WINDOW w AS (PARTITION BY series ORDER BY idx
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT *, CASE WHEN win_n >= 3 AND win_std IS NOT NULL AND win_std > 0
+                 THEN (val - win_mean) / win_std END AS zv
+  FROM sc
+),
+ew AS (
+  SELECT *, sum(val * power(0.7, -idx)) OVER v
+            / sum(power(0.7, -idx)) OVER v AS ewma_v
+  FROM z
+  WINDOW v AS (PARTITION BY series ORDER BY idx
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT series, strftime(day, '%Y-%m-%d') AS day, n_events,
+       round(val, 2) AS val, win_n, round(win_mean, 4) AS win_mean,
+       round(win_std, 4) AS win_std, round(zv, 4) AS z,
+       CASE WHEN zv IS NOT NULL THEN abs(zv) > 3.0 END AS is_anomaly,
+       round(ewma_v, 4) AS ewma_val
+FROM ew
+"""
+
+
+@register("anomaly_rolling_zscore", _ANOMALY_ORACLE)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection over per-type daily revenue
+    (operators/timeseries.rolling_zscore + ewma; the metrics2
+    MutableRollingAverages family read as a 3-sigma detector). The raw
+    stream collapses to (series, day) aggregates FIRST — the window
+    pass runs over bucket-count rows partitioned by series, bounded
+    state at any scale. The scored bucket is excluded from its own
+    trailing window so a spike can't mask itself; the finite-window
+    EWMA shares the same exchange."""
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.groupBy(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("val"),
+        )
+        .crossJoin(F.broadcast(d0))
+        .withColumn("idx", F.datediff("day", "d0"))
+    )
+    scored = tsr.rolling_zscore(
+        daily, "series", "idx", "val", lookback=7, min_obs=3,
+        z_threshold=3.0,
+    ).withColumn("ewma_val", tsr.ewma("series", "idx", "val", 0.3, 10))
+    return scored.select(
+        "series",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round("val", 2).alias("val"),
+        "win_n",
+        F.round("win_mean", 4).alias("win_mean"),
+        F.round("win_std", 4).alias("win_std"),
+        F.round("z", 4).alias("z"),
+        "is_anomaly",
+        F.round("ewma_val", 4).alias("ewma_val"),
+    )
+
+
+_TOKEN_ORACLE = """
+WITH RECURSIVE nw AS (
+  SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS now_s
+  FROM orders
+),
+t AS (
+  SELECT o_orderkey AS token_id, 'u' || (o_custkey % 50) AS owner,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS issue_s,
+         (o_orderstatus = 'P') AS cancelled
+  FROM orders
+),
+ren AS (
+  SELECT token_id, ts,
+         row_number() OVER (PARTITION BY token_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY token_id) AS n
+  FROM (
+    SELECT l.l_orderkey AS token_id,
+           CAST(floor(epoch(l.l_shipdate)) AS BIGINT) AS ts
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+  )
+),
+fold AS (
+  SELECT t.token_id,
+         least(t.issue_s + 604800, t.issue_s + 2592000) AS exp,
+         t.issue_s + 2592000 AS max_s, CAST(0 AS BIGINT) AS rn
+  FROM t
+  UNION ALL
+  SELECT f.token_id,
+         CASE WHEN r.ts <= f.exp THEN least(r.ts + 604800, f.max_s)
+              ELSE f.exp END,
+         f.max_s, f.rn + 1
+  FROM fold f JOIN ren r ON r.token_id = f.token_id AND r.rn = f.rn + 1
+),
+final AS (
+  SELECT f.token_id, f.exp AS expiry_s
+  FROM fold f
+  LEFT JOIN (SELECT DISTINCT token_id, n FROM ren) c USING (token_id)
+  WHERE f.rn = coalesce(c.n, 0)
+)
+SELECT t.token_id, t.owner,
+       coalesce((SELECT DISTINCT n FROM ren WHERE ren.token_id = t.token_id), 0)
+         AS n_renewals,
+       fi.expiry_s,
+       CASE WHEN t.cancelled THEN 'CANCELLED'
+            WHEN fi.expiry_s < nw.now_s THEN 'EXPIRED'
+            ELSE 'VALID' END AS status
+FROM t JOIN final fi USING (token_id), nw
+"""
+
+
+@register("delegation_token_sweep", _TOKEN_ORACLE)
+def delegation_token_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegation-token lifecycle resolution (operators/tokens;
+    reference AbstractDelegationTokenSecretManager.java:568 renewToken
+    / :620 cancelToken / :674 removeExpiredToken). Orders are token
+    issues (renew interval 7d, max lifetime 30d, status P = cancelled);
+    their lineitems are renewal attempts at l_shipdate. The bounded
+    renewal chain folds as a JVM higher-order aggregate over the
+    sorted epoch-second array — a renewal applies only while the token
+    is still unexpired (InvalidToken guard), so late renewals can't
+    resurrect it. The oracle replays the same fold as a recursive CTE
+    (DuckDB 1.0's list_reduce misbinds lambda-captured outer columns
+    on large vectors, so the list-fold form is NOT oracle-safe)."""
+    from hadoop_source_spark.operators import tokens as tk
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    now = o.agg(F.max(F.unix_timestamp("o_orderdate")).alias("now_s"))
+    toks = o.select(
+        F.col("o_orderkey").alias("token_id"),
+        F.concat(
+            F.lit("u"), (F.col("o_custkey") % 50).cast("string")
+        ).alias("owner"),
+        F.col("o_orderdate").alias("issue_ts"),
+        (F.col("o_orderstatus") == "P").alias("cancelled"),
+    )
+    renew = l.select(
+        F.col("l_orderkey").alias("token_id"),
+        F.col("l_shipdate").alias("renew_ts"),
+    )
+    return tk.token_states(
+        toks, renew, now, renew_interval_s=604800,
+        max_lifetime_s=2592000,
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6712,10 +6879,11 @@ _WINDOW: list[str] = [
     "streaming_audit_rollup", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",
     "rpc_scheduler_priority", "datanode_liveness_report",
-    "safemode_report",
+    "safemode_report", "anomaly_rolling_zscore",
+    "delegation_token_sweep",
 ]
 
-assert len(_WINDOW) == 108, len(_WINDOW)
+assert len(_WINDOW) == 110, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -99,7 +99,8 @@ def main() -> None:
         "replication_repair_plan", "storage_type_quota_report",
         "permission_check_matrix", "nntop_window_users",
         "rpc_scheduler_priority", "datanode_liveness_report",
-        "safemode_report",
+        "safemode_report", "anomaly_rolling_zscore",
+        "delegation_token_sweep",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -129,7 +129,8 @@ EXTRA = (
     # round-5: decayed scheduler state (one caller-keyed agg), node
     # registry liveness + sole-replica rollup, scalar safe-mode gates
     "rpc_scheduler_priority", "datanode_liveness_report",
-    "safemode_report",
+    "safemode_report", "anomaly_rolling_zscore",
+    "delegation_token_sweep",
 )
 
 
