@@ -1127,3 +1127,106 @@ def class_stats(
         )
     )
     return coh.join(near, label_col)
+
+
+def pca_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+):
+    """Distributed PCA fit: exact covariance from ONE Arrow-batched
+    corpus pass, eigendecomposition on the driver.
+
+    Scale shape: each partition emits a single moment row (count, sum
+    vector, d×d Gram matrix flattened) from mapInPandas; the rows
+    posexplode into (pos, value) and partial-agg down to d²+d+1 sums —
+    the shuffle and the driver collect are O(d²), independent of corpus
+    size (d=64 → 4 161 doubles). The d×d eigensolve is driver-side by
+    design, like the IVF/PQ codebook training.
+
+    Sign convention: each component's largest-|loading| entry is made
+    positive, so the basis is deterministic up to eigenvalue ties.
+    Returns (mean ndarray[d], components ndarray[k,d] row-major,
+    explained_ratio ndarray[k])."""
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            m = np.asarray(list(pdf.iloc[:, 0]), dtype=np.float64)
+            if m.size == 0:
+                continue
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            gg = m.T @ m
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"m": [np.concatenate(([float(n)], s, g.ravel()))]}
+            )
+
+    part = corpus.select(vec_col).mapInPandas(moments, "m array<double>")
+    summed = (
+        part.select(F.posexplode("m").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    vals = np.zeros(len(summed))
+    for r in summed:
+        vals[r.pos] = r.v
+    n = vals[0]
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(vals) - 1))) / 2))
+    mean = vals[1 : 1 + d] / n
+    gram = vals[1 + d :].reshape(d, d)
+    cov = gram / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T.copy()
+    for i in range(comps.shape[0]):
+        j = np.abs(comps[i]).argmax()
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = np.maximum(eigval[order], 0.0) / max(
+        np.maximum(eigval, 0.0).sum(), 1e-300
+    )
+    return mean, comps, ratio
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean,
+    components,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project every vector onto the fitted basis: (x - mean) @ Wᵀ as
+    one broadcast + one Arrow batch pass — zero shuffles, the 100 TB
+    path is a pure map."""
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (np.asarray(mean, dtype=np.float64),
+         np.asarray(components, dtype=np.float64))
+    )
+    cols = [*id_cols, vec_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in corpus.select(*cols).schema.fields
+        if f.name != vec_col
+    ) + f", {out_col} array<double>"
+
+    def project(batches):
+        mu, w = bc.value
+        for pdf in batches:
+            m = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            out = pdf.drop(columns=[vec_col])
+            out[out_col] = list((m - mu) @ w.T) if len(m) else []
+            yield out
+
+    return corpus.select(*cols).mapInPandas(project, schema)

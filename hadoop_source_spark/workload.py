@@ -6821,6 +6821,34 @@ def delegation_token_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pca_embedding_projection", None)
+def pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus (llmops/similarity
+    pca_fit + pca_project): exact covariance from one Arrow moment
+    pass whose shuffle AND driver collect are O(d²) regardless of
+    corpus size, d×d eigensolve driver-side (like IVF training),
+    projection a zero-shuffle broadcast map. Rows-only by design (no
+    SQL engine eigensolves); the orthonormal-basis / variance-capture
+    / reconstruction gates live in test_llmops_pca. Emits the first 4
+    projected coordinates per vector plus the basis' cumulative
+    explained-variance ratio."""
+    e = table(spark, sf_dir, "embeddings")
+    mean, comps, ratio = sim.pca_fit(e, "embedding", k=8)
+    proj = sim.pca_project(
+        e, mean, comps, id_cols=("vec_id", "label"),
+    )
+    p = F.col("proj")
+    return proj.select(
+        "vec_id",
+        "label",
+        F.round(p[0], 4).alias("p0"),
+        F.round(p[1], 4).alias("p1"),
+        F.round(p[2], 4).alias("p2"),
+        F.round(p[3], 4).alias("p3"),
+        F.lit(round(float(ratio.sum()), 4)).alias("explained_ratio_k8"),
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6880,10 +6908,10 @@ _WINDOW: list[str] = [
     "permission_check_matrix", "nntop_window_users",
     "rpc_scheduler_priority", "datanode_liveness_report",
     "safemode_report", "anomaly_rolling_zscore",
-    "delegation_token_sweep",
+    "delegation_token_sweep", "pca_embedding_projection",
 ]
 
-assert len(_WINDOW) == 110, len(_WINDOW)
+assert len(_WINDOW) == 111, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

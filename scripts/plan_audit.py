@@ -100,7 +100,7 @@ def main() -> None:
         "permission_check_matrix", "nntop_window_users",
         "rpc_scheduler_priority", "datanode_liveness_report",
         "safemode_report", "anomaly_rolling_zscore",
-        "delegation_token_sweep",
+        "delegation_token_sweep", "pca_embedding_projection",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -130,7 +130,7 @@ EXTRA = (
     # registry liveness + sole-replica rollup, scalar safe-mode gates
     "rpc_scheduler_priority", "datanode_liveness_report",
     "safemode_report", "anomaly_rolling_zscore",
-    "delegation_token_sweep",
+    "delegation_token_sweep", "pca_embedding_projection",
 )
 
 
