@@ -6849,6 +6849,132 @@ def pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEASE_ORACLE = """
+WITH probe AS (
+  SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS now_s
+  FROM orders
+),
+of AS (
+  SELECT 'f' || o_orderkey AS path, 'client_' || o_custkey AS holder,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS la
+  FROM orders WHERE o_orderstatus = 'O'
+),
+ls AS (
+  SELECT holder, max(la) AS lu, count(*) AS nf FROM of GROUP BY 1
+)
+SELECT f.path, f.holder, (p.now_s - l.lu) AS lease_age_s,
+       CASE WHEN p.now_s - l.lu > 31536000 THEN 'HARD_EXPIRED'
+            WHEN p.now_s - l.lu > 2592000 THEN 'SOFT_EXPIRED'
+            ELSE 'ACTIVE' END AS lease_state,
+       CASE WHEN p.now_s - l.lu > 31536000 THEN 'NAMENODE'
+            WHEN p.now_s - l.lu > 2592000 THEN 'PREEMPTABLE'
+            END AS recover_by,
+       l.nf AS holder_open_files
+FROM of f JOIN ls l USING (holder), probe p
+"""
+
+
+@register("lease_recovery_sweep", _LEASE_ORACLE)
+def lease_recovery_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-lease recovery sweep (operators/leases; reference
+    LeaseManager.java:350 Lease.renew holder granularity, :584
+    checkLeases hard-limit recovery, FSNamesystem.recoverLeaseInternal
+    soft-limit preemption). Open files = 'O'-status orders per
+    customer-client; the holder's lease lastUpdate is the max activity
+    over its files, so one fresh file keeps a client's whole lease
+    ACTIVE — the holder-granular rule the reference enforces. Lease
+    state is a client-population-sized groupBy broadcast back onto
+    the files; day-scale limits (soft 30d / hard 365d) stand in for
+    the 60s/1h defaults."""
+    from hadoop_source_spark.operators import leases as ls
+
+    o = table(spark, sf_dir, "orders")
+    probe = o.agg(F.max(F.unix_timestamp("o_orderdate")).alias("now_s"))
+    open_files = o.filter(F.col("o_orderstatus") == "O").select(
+        F.concat(F.lit("f"), F.col("o_orderkey").cast("string")).alias(
+            "path"
+        ),
+        F.concat(
+            F.lit("client_"), F.col("o_custkey").cast("string")
+        ).alias("holder"),
+        F.col("o_orderdate").alias("last_activity_ts"),
+    )
+    return ls.lease_sweep(
+        open_files, probe, soft_s=2592000.0, hard_s=31536000.0
+    )
+
+
+_XATTR_ORACLE = """
+WITH ops AS (
+  SELECT 'f' || (user_id % 60) AS inode,
+         CASE event_id % 5 WHEN 0 THEN 'user' WHEN 1 THEN 'trusted'
+                           WHEN 2 THEN 'system' WHEN 3 THEN 'security'
+                           ELSE 'raw' END AS ns,
+         'k' || (event_id % 50) AS name,
+         'v' || event_id AS value,
+         CASE WHEN event_type = 'error' THEN 'remove' ELSE 'set' END AS op,
+         event_id AS seq,
+         (user_id % 60) % 2 = 0 AS is_raw_path
+  FROM events
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY inode, ns, name
+                                 ORDER BY seq DESC) AS rn
+    FROM ops
+  ) WHERE rn = 1 AND op = 'set'
+),
+cnt AS (
+  SELECT *, count(*) OVER (PARTITION BY inode) AS n_xattrs FROM last
+)
+SELECT inode, ns, name, value, n_xattrs,
+       n_xattrs > 32 AS over_limit,
+       ns = 'user' AS visible_to_user,
+       (ns = 'user' OR ns = 'trusted' OR (ns = 'raw' AND is_raw_path))
+         AS visible_to_superuser
+FROM cnt
+"""
+
+
+@register("xattr_store_report", _XATTR_ORACLE)
+def xattr_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-attribute store resolution + namespace visibility
+    (operators/xattrs; reference FSDirXAttrOp.java set/remove
+    semantics, per-inode 32-xattr limit, XAttrPermissionFilter.java:60
+    namespace rules). Events replay as a setfattr/removefattr feed
+    (event_id is the txid); last-writer-wins per (inode, ns, name) is
+    one keyed window — no fold needed since only the final op on a key
+    decides its presence. Emits what a plain user vs a superuser would
+    list (raw.* only on /.reserved/raw paths)."""
+    from hadoop_source_spark.operators import xattrs as xa
+
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ops = e.select(
+        F.concat(F.lit("f"), (F.col("user_id") % 60).cast("string")).alias(
+            "inode"
+        ),
+        F.when(eid % 5 == 0, F.lit("user"))
+        .when(eid % 5 == 1, F.lit("trusted"))
+        .when(eid % 5 == 2, F.lit("system"))
+        .when(eid % 5 == 3, F.lit("security"))
+        .otherwise(F.lit("raw"))
+        .alias("ns"),
+        F.concat(F.lit("k"), (eid % 50).cast("string")).alias("name"),
+        F.concat(F.lit("v"), eid.cast("string")).alias("value"),
+        F.when(F.col("event_type") == "error", F.lit("remove"))
+        .otherwise(F.lit("set"))
+        .alias("op"),
+        eid.alias("seq"),
+        ((F.col("user_id") % 60) % 2 == 0).alias("is_raw_path"),
+    )
+    out = xa.visibility_flags(xa.apply_xattr_ops(ops, max_per_inode=32))
+    return out.select(
+        "inode", "ns", "name", "value", "n_xattrs", "over_limit",
+        "visible_to_user", "visible_to_superuser",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -6909,9 +7035,10 @@ _WINDOW: list[str] = [
     "rpc_scheduler_priority", "datanode_liveness_report",
     "safemode_report", "anomaly_rolling_zscore",
     "delegation_token_sweep", "pca_embedding_projection",
+    "lease_recovery_sweep", "xattr_store_report",
 ]
 
-assert len(_WINDOW) == 111, len(_WINDOW)
+assert len(_WINDOW) == 113, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -101,6 +101,7 @@ def main() -> None:
         "rpc_scheduler_priority", "datanode_liveness_report",
         "safemode_report", "anomaly_rolling_zscore",
         "delegation_token_sweep", "pca_embedding_projection",
+        "lease_recovery_sweep", "xattr_store_report",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

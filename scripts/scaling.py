@@ -131,6 +131,7 @@ EXTRA = (
     "rpc_scheduler_priority", "datanode_liveness_report",
     "safemode_report", "anomaly_rolling_zscore",
     "delegation_token_sweep", "pca_embedding_projection",
+    "lease_recovery_sweep", "xattr_store_report",
 )
 
 
