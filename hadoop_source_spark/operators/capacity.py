@@ -137,3 +137,56 @@ def allocate(
         .otherwise("PENDING")
         .alias("state"),
     )
+
+
+def drf_ranking(usage: DataFrame, totals: DataFrame) -> DataFrame:
+    """Dominant Resource Fairness scheduling order (reference:
+    yarn/server/resourcemanager/scheduler/fair/policies/
+    DominantResourceFairnessPolicy.java — each queue's share of every
+    resource is computed against the cluster total; its DOMINANT share
+    is the max, and the scheduler serves the queue with the LOWEST
+    dominant share next, Ghodsi et al. NSDI'11).
+
+    usage: queue, mem_used, vcores_used. totals: ONE-ROW frame with
+    mem_total, vcores_total (crossJoined, never collected). Output
+    adds mem_share / cpu_share / dominant_share / dominant_resource
+    (memory wins exact ties, as the comparator's resource order does)
+    and schedule_rank (1 = served next; ties broken by queue name).
+
+    The rank is a queue-count-sized broadcast self-join count rather
+    than a global window — no single-partition exchange anywhere."""
+    shared = usage.crossJoin(F.broadcast(totals)).select(
+        "queue",
+        "mem_used",
+        "vcores_used",
+        (F.col("mem_used") / F.col("mem_total")).alias("mem_share"),
+        (F.col("vcores_used") / F.col("vcores_total")).alias("cpu_share"),
+    )
+    shared = shared.withColumn(
+        "dominant_share", F.greatest("mem_share", "cpu_share")
+    ).withColumn(
+        "dominant_resource",
+        F.when(
+            F.col("mem_share") >= F.col("cpu_share"), F.lit("memory")
+        ).otherwise(F.lit("vcores")),
+    )
+    other = F.broadcast(
+        shared.select(
+            F.col("queue").alias("__oq"),
+            F.col("dominant_share").alias("__ods"),
+        )
+    )
+    ahead = (
+        F.col("__ods") < F.col("dominant_share")
+    ) | (
+        (F.col("__ods") == F.col("dominant_share"))
+        & (F.col("__oq") < F.col("queue"))
+    )
+    return (
+        shared.join(other, ahead, "left")
+        .groupBy(
+            "queue", "mem_used", "vcores_used", "mem_share", "cpu_share",
+            "dominant_share", "dominant_resource",
+        )
+        .agg((F.count("__oq") + 1).cast("int").alias("schedule_rank"))
+    )

@@ -6975,6 +6975,107 @@ def xattr_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len,
+         greatest(CAST(ceil((length(text) - 50) / 150.0) AS INTEGER), 1)
+           AS n
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text, len, n, unnest(range(0, n)) AS i FROM base
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * 150 AS INTEGER) AS start,
+       CAST(least(i * 150 + 200, len) AS INTEGER) AS "end",
+       substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
+       CAST(least(i * 150 + 200, len) - i * 150 AS INTEGER) AS chunk_len,
+       n AS n_chunks
+FROM ex
+"""
+
+
+@register("doc_chunking_rag", _CHUNK_ORACLE)
+def doc_chunking_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping document chunking (llmops/chunking;
+    the standard RAG-ingestion splitter — 200-char windows advancing
+    by 150, 50-char overlap, tail kept, provenance offsets carried).
+    Pure codegen fan-out: sequence + posexplode + substring, no UDF,
+    no shuffle; the reconstruction invariant (leading-stride concat
+    rebuilds the document exactly) is pytest-pinned."""
+    from hadoop_source_spark.llmops import chunking as ck
+
+    d = table(spark, sf_dir, "documents")
+    return ck.chunk_documents(d, size=200, overlap=50)
+
+
+_DRF_ORACLE = """
+WITH u AS (
+  SELECT source AS queue, CAST(sum(n_chars) AS BIGINT) AS mem_used,
+         count(*) AS vcores_used
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(mem_used) AS BIGINT) AS mem_total,
+         CAST(sum(vcores_used) AS BIGINT) AS vcores_total
+  FROM u
+),
+s AS (
+  SELECT queue, mem_used, vcores_used,
+         mem_used / mem_total AS mem_share,
+         vcores_used / vcores_total AS cpu_share
+  FROM u, t
+),
+d AS (
+  SELECT *, greatest(mem_share, cpu_share) AS dominant_share,
+         CASE WHEN mem_share >= cpu_share THEN 'memory'
+              ELSE 'vcores' END AS dominant_resource
+  FROM s
+)
+SELECT a.queue, a.mem_used, a.vcores_used,
+       round(a.mem_share, 6) AS mem_share,
+       round(a.cpu_share, 6) AS cpu_share,
+       round(a.dominant_share, 6) AS dominant_share,
+       a.dominant_resource,
+       CAST(1 + count(b.queue) AS INTEGER) AS schedule_rank
+FROM d a LEFT JOIN d b
+  ON b.dominant_share < a.dominant_share
+  OR (b.dominant_share = a.dominant_share AND b.queue < a.queue)
+GROUP BY a.queue, a.mem_used, a.vcores_used, a.mem_share, a.cpu_share,
+         a.dominant_share, a.dominant_resource
+"""
+
+
+@register("drf_fair_share_ranking", _DRF_ORACLE)
+def drf_fair_share_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant Resource Fairness scheduling order (operators/capacity.
+    drf_ranking; reference DominantResourceFairnessPolicy.java, Ghodsi
+    NSDI'11): per-queue resource shares against cluster totals,
+    dominant share = max (memory wins ties), schedule_rank 1 = the
+    queue DRF serves next. Queue usage from the documents corpus (mem
+    = bytes, vcores = doc count); rank is a queue-count-sized
+    broadcast self-join — no single-partition window."""
+    from hadoop_source_spark.operators import capacity as cap
+
+    d = table(spark, sf_dir, "documents")
+    usage = d.groupBy(F.col("source").alias("queue")).agg(
+        F.sum("n_chars").alias("mem_used"),
+        F.count(F.lit(1)).alias("vcores_used"),
+    )
+    totals = usage.agg(
+        F.sum("mem_used").alias("mem_total"),
+        F.sum("vcores_used").alias("vcores_total"),
+    )
+    out = cap.drf_ranking(usage, totals)
+    return out.select(
+        "queue", "mem_used", "vcores_used",
+        F.round("mem_share", 6).alias("mem_share"),
+        F.round("cpu_share", 6).alias("cpu_share"),
+        F.round("dominant_share", 6).alias("dominant_share"),
+        "dominant_resource", "schedule_rank",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7036,9 +7137,10 @@ _WINDOW: list[str] = [
     "safemode_report", "anomaly_rolling_zscore",
     "delegation_token_sweep", "pca_embedding_projection",
     "lease_recovery_sweep", "xattr_store_report",
+    "doc_chunking_rag", "drf_fair_share_ranking",
 ]
 
-assert len(_WINDOW) == 113, len(_WINDOW)
+assert len(_WINDOW) == 115, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

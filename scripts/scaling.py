@@ -132,6 +132,7 @@ EXTRA = (
     "safemode_report", "anomaly_rolling_zscore",
     "delegation_token_sweep", "pca_embedding_projection",
     "lease_recovery_sweep", "xattr_store_report",
+    "doc_chunking_rag", "drf_fair_share_ranking",
 )
 
 
