@@ -1230,3 +1230,71 @@ def pca_project(
             yield out
 
     return corpus.select(*cols).mapInPandas(project, schema)
+
+
+def mine_contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive training-pair mining over a labeled embedding corpus:
+    for every query, the top `k_pos` SAME-label neighbors (positives)
+    and the top `k_neg` CROSS-label neighbors (hard negatives — the
+    wrong-class examples the model currently finds most similar, the
+    pairs metric-learning losses want; Schroff CVPR'15 semi-hard
+    mining, public semantics).
+
+    Scale shape: the labeled query slice broadcasts (ANN convention —
+    queries are small, the corpus is the big side), cosine scoring is
+    one codegen pass over the corpus scan, and the two top-k windows
+    partition by (query, same-label) — bounded state per key, no
+    corpus-sized sort. Cosines round to 6dp BEFORE ranking with the
+    corpus id as tiebreak, so the selection is order-independent and
+    engine-portable. Self-pairs are excluded."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    scored = (
+        corpus.select(id_col, vec_col, label_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "query_label",
+            id_col,
+            label_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cosine"
+            ),
+            (F.col(label_col) == F.col("query_label")).alias("__same"),
+        )
+    )
+    w = Window.partitionBy(query_id_col, "__same").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(
+        (F.col("__same") & (F.col("rank") <= k_pos))
+        | (~F.col("__same") & (F.col("rank") <= k_neg))
+    )
+    return ranked.select(
+        query_id_col,
+        "query_label",
+        F.when(F.col("__same"), F.lit("positive"))
+        .otherwise(F.lit("hard_negative"))
+        .alias("pair_type"),
+        "rank",
+        id_col,
+        label_col,
+        "cosine",
+    )

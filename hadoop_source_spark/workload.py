@@ -7076,6 +7076,53 @@ def drf_fair_share_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTRASTIVE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS query_label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.qvec::DOUBLE[]), 6) AS cosine,
+         (e.label = q.query_label) AS same
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, same
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label,
+       CASE WHEN same THEN 'positive' ELSE 'hard_negative' END AS pair_type,
+       CAST(rank AS INTEGER) AS rank, vec_id, label, cosine
+FROM ranked
+WHERE (same AND rank <= 3) OR (NOT same AND rank <= 3)
+"""
+
+
+@register("contrastive_pair_mining", _CONTRASTIVE_ORACLE)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (llmops/similarity.
+    mine_contrastive_pairs; Schroff CVPR'15 hard-negative semantics):
+    every 10th vector queries the labeled corpus for its top-3
+    same-label positives and top-3 cross-label hard negatives by exact
+    cosine. Query slice broadcasts, scoring is one codegen corpus
+    pass, top-k windows partition by (query, same-label) — bounded
+    state, no corpus-sized sort; 6dp rounding before ranking keeps the
+    selection engine-portable."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = sim.mine_contrastive_pairs(e, q, k_pos=3, k_neg=3)
+    return out.select(
+        "query_id", "query_label", "pair_type",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id", "label", "cosine",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7138,9 +7185,10 @@ _WINDOW: list[str] = [
     "delegation_token_sweep", "pca_embedding_projection",
     "lease_recovery_sweep", "xattr_store_report",
     "doc_chunking_rag", "drf_fair_share_ranking",
+    "contrastive_pair_mining",
 ]
 
-assert len(_WINDOW) == 115, len(_WINDOW)
+assert len(_WINDOW) == 116, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
