@@ -121,3 +121,55 @@ def pack_sequences(
             )
 
     return tokens_df.select(id_col, tokens_col).mapInPandas(pack, out_schema)
+
+
+def length_bucket_report(
+    docs: DataFrame,
+    len_col: str,
+    id_col: str = "doc_id",
+    min_bucket: int = 16,
+) -> DataFrame:
+    """Length-bucketed batch shaping: assign every document to the
+    power-of-two bucket covering its length (floor `min_bucket`), then
+    report per bucket what a pad-to-bucket-width batcher would pay —
+    the standard alternative to greedy packing when sequence order
+    must be preserved (public semantics: bucketing batch samplers in
+    fairseq/HF; pairs with pack_sequences which trades order for ~0
+    waste).
+
+    Output per bucket: bucket_width, n_docs, total_len (real tokens),
+    padded_len (n_docs * width), pad_waste, utilization (rounded 6dp).
+    Pure projection + one bucket-count-sized groupBy; the bucket id is
+    bit math (shiftleft of the ceil-log2), no UDF."""
+    ln = F.greatest(F.col(len_col).cast("long"), F.lit(1))
+    # ceil-log2 via the bit length of (len-1): width = 2^max(ceil(log2 l), log2(min))
+    exp = F.ceil(F.log2(ln.cast("double")))
+    width = F.greatest(
+        F.pow(F.lit(2.0), exp).cast("long"), F.lit(min_bucket)
+    )
+    b = docs.select(
+        F.col(id_col),
+        ln.alias("__len"),
+        width.alias("bucket_width"),
+    )
+    return (
+        b.groupBy("bucket_width")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("total_len"),
+        )
+        .select(
+            "bucket_width",
+            "n_docs",
+            "total_len",
+            (F.col("n_docs") * F.col("bucket_width")).alias("padded_len"),
+            (
+                F.col("n_docs") * F.col("bucket_width") - F.col("total_len")
+            ).alias("pad_waste"),
+            F.round(
+                F.col("total_len")
+                / (F.col("n_docs") * F.col("bucket_width")),
+                6,
+            ).alias("utilization"),
+        )
+    )

@@ -7123,6 +7123,121 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LENBUCKET_ORACLE = """
+WITH b AS (
+  SELECT doc_id, greatest(n_chars, 1) AS len,
+         greatest(CAST(power(2, ceil(log2(CAST(greatest(n_chars, 1)
+                    AS DOUBLE)))) AS BIGINT), 16) AS bucket_width
+  FROM documents
+)
+SELECT bucket_width, count(*) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS total_len,
+       CAST(count(*) * bucket_width AS BIGINT) AS padded_len,
+       CAST(count(*) * bucket_width - sum(len) AS BIGINT) AS pad_waste,
+       round(CAST(sum(len) AS DOUBLE)
+             / (count(*) * bucket_width), 6) AS utilization
+FROM b GROUP BY 1
+"""
+
+
+@register("length_bucket_batching", _LENBUCKET_ORACLE)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch shaping (llmops/packing.
+    length_bucket_report; fairseq/HF bucketing-sampler semantics):
+    power-of-two buckets with a floor of 16, per-bucket padding cost
+    and utilization a pad-to-width batcher would pay — the
+    order-preserving alternative to pack_sequences. Pure projection +
+    one bucket-count-sized groupBy."""
+    from hadoop_source_spark.llmops import packing as pk
+
+    d = table(spark, sf_dir, "documents")
+    return pk.length_bucket_report(d, "n_chars")
+
+
+_SPECULATE_ORACLE = """
+WITH nw AS (
+  SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS now_s
+  FROM orders
+),
+t AS (
+  SELECT CASE WHEN o_orderstatus = 'O' AND o_custkey % 101 = 0
+              THEN 'fresh-job' ELSE o_orderpriority END AS job,
+         o_orderkey AS task_id,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS start_s,
+         ((o_custkey % 97) + 1) / 100.0 AS progress,
+         CASE o_orderstatus WHEN 'F' THEN 'SUCCEEDED'
+                            ELSE 'RUNNING' END AS state,
+         CAST((1 + o_custkey % 90) * 86400 AS DOUBLE) AS runtime_s,
+         o_orderkey % 23 = 0 AS has_speculative
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+),
+base AS (
+  SELECT job, avg(runtime_s) AS mean_runtime_s
+  FROM t WHERE state = 'SUCCEEDED' GROUP BY 1
+),
+run AS (
+  SELECT t.job, t.task_id, t.progress,
+         nw.now_s - t.start_s AS elapsed_s,
+         CAST(floor(t.start_s + (nw.now_s - t.start_s) / t.progress)
+              AS BIGINT) AS est_end_s,
+         CAST(floor(nw.now_s + b.mean_runtime_s) AS BIGINT)
+           AS replacement_end_s,
+         t.has_speculative
+  FROM t JOIN nw ON TRUE LEFT JOIN base b USING (job)
+  WHERE t.state = 'RUNNING'
+),
+dec AS (
+  SELECT *,
+         CASE WHEN has_speculative THEN 'ALREADY_SPECULATING'
+              WHEN progress >= 0.95 THEN 'NEARLY_DONE'
+              WHEN progress < 0.05 THEN 'TOO_YOUNG'
+              WHEN replacement_end_s IS NULL THEN 'NO_BASELINE'
+              WHEN est_end_s > replacement_end_s THEN 'SPECULATE'
+              ELSE 'ON_TRACK' END AS reason
+  FROM run
+)
+SELECT job, task_id, round(progress, 4) AS progress, elapsed_s,
+       est_end_s, replacement_end_s, reason,
+       reason = 'SPECULATE' AS speculate
+FROM dec
+"""
+
+
+@register("speculative_execution_plan", _SPECULATE_ORACLE)
+def speculative_execution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler speculation planning (operators/speculate; reference
+    hadoop-mapreduce DefaultSpeculator.speculationValue +
+    LegacyTaskRuntimeEstimator.estimatedRuntime): running tasks
+    extrapolate end time from progress rate, the replacement baseline
+    is the job's mean completed runtime broadcast back, and the
+    decision is a projection — with the reference's guards
+    (already-speculating, nearly-done, too-young-to-extrapolate,
+    no-baseline jobs). 'O' orders are running tasks, 'F' completed;
+    a custkey-sliced fresh job exercises the NO_BASELINE path."""
+    from hadoop_source_spark.operators import speculate as sp
+
+    o = table(spark, sf_dir, "orders")
+    now = o.agg(F.max(F.unix_timestamp("o_orderdate")).alias("now_s"))
+    ck = F.col("o_custkey")
+    tasks = o.filter(F.col("o_orderstatus").isin("O", "F")).select(
+        F.when(
+            (F.col("o_orderstatus") == "O") & (ck % 101 == 0),
+            F.lit("fresh-job"),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("job"),
+        F.col("o_orderkey").alias("task_id"),
+        F.unix_timestamp("o_orderdate").alias("start_s"),
+        (((ck % 97) + 1) / 100.0).alias("progress"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("SUCCEEDED"))
+        .otherwise(F.lit("RUNNING"))
+        .alias("state"),
+        ((1 + ck % 90) * 86400).cast("double").alias("runtime_s"),
+        (F.col("o_orderkey") % 23 == 0).alias("has_speculative"),
+    )
+    return sp.speculation_plan(tasks, now)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7185,10 +7300,11 @@ _WINDOW: list[str] = [
     "delegation_token_sweep", "pca_embedding_projection",
     "lease_recovery_sweep", "xattr_store_report",
     "doc_chunking_rag", "drf_fair_share_ranking",
-    "contrastive_pair_mining",
+    "contrastive_pair_mining", "length_bucket_batching",
+    "speculative_execution_plan",
 ]
 
-assert len(_WINDOW) == 116, len(_WINDOW)
+assert len(_WINDOW) == 118, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -103,7 +103,8 @@ def main() -> None:
         "delegation_token_sweep", "pca_embedding_projection",
         "lease_recovery_sweep", "xattr_store_report",
         "doc_chunking_rag", "drf_fair_share_ranking",
-        "contrastive_pair_mining",
+        "contrastive_pair_mining", "length_bucket_batching",
+        "speculative_execution_plan",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
