@@ -76,3 +76,69 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def range_partition_plan(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int,
+    exact: bool = False,
+) -> DataFrame:
+    """Range-partition boundary advisor: the cut points
+    repartitionByRange would want, plus the row count and skew each
+    resulting partition actually gets — the planning half of a layout
+    rewrite (Spark's RangePartitioner does the same by sampling;
+    reference analog: the balancer's byte-balanced target computation,
+    hdfs/server/balancer/Balancer.java init of over/under-utilized
+    sets).
+
+    Boundaries are the 1/N..(N-1)/N quantiles of `key_col` —
+    `approx_percentile` by default (the 100 TB path: mergeable sketch,
+    one partial agg), `percentile` when `exact` (small data / oracle
+    parity). Assignment counts rows per bucket IN THE SAME PLAN via a
+    broadcast of the one-row boundary array — no collect, no second
+    job. Output per partition: partition_id, lo, hi (null at the open
+    ends), est_rows, skew (est_rows over the uniform share)."""
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    fn = "percentile" if exact else "approx_percentile"
+    bounds = df.agg(
+        F.expr(
+            f"{fn}({key_col}, array({', '.join(str(p) for p in probs)}))"
+        ).alias("__bounds")
+    )
+    keyed = df.select(key_col).crossJoin(F.broadcast(bounds))
+    # partition index = number of boundaries strictly below the key —
+    # unrolled comparisons (engine-portable; no array lambda)
+    idx = sum(
+        (F.col(key_col) > F.get(F.col("__bounds"), i)).cast("int")
+        for i in range(num_partitions - 1)
+    )
+    counts = (
+        keyed.select(idx.alias("partition_id"), "__bounds")
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("est_rows"),
+            F.first("__bounds").alias("__bounds"),
+        )
+    )
+    total = counts.agg(F.sum("est_rows").alias("__total"))
+    pid = F.col("partition_id")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            pid,
+            F.when(pid > 0, F.round(F.get("__bounds", pid - 1), 6)).alias(
+                "lo"
+            ),
+            F.when(
+                pid < num_partitions - 1,
+                F.round(F.get("__bounds", pid), 6),
+            ).alias("hi"),
+            "est_rows",
+            F.round(
+                F.col("est_rows")
+                / (F.col("__total") / F.lit(num_partitions)),
+                6,
+            ).alias("skew"),
+        )
+    )

@@ -7238,6 +7238,55 @@ def speculative_execution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.speculation_plan(tasks, now)
 
 
+_RANGEPLAN_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+  FROM orders
+),
+a AS (
+  SELECT (CASE WHEN o_totalprice > bounds[1] THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > bounds[2] THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > bounds[3] THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > bounds[4] THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > bounds[5] THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > bounds[6] THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > bounds[7] THEN 1 ELSE 0 END)
+           AS partition_id
+  FROM orders, b
+),
+c AS (SELECT partition_id, count(*) AS est_rows FROM a GROUP BY 1),
+t AS (SELECT CAST(sum(est_rows) AS BIGINT) AS tot FROM c)
+SELECT c.partition_id,
+       CASE WHEN c.partition_id > 0
+            THEN round(b.bounds[c.partition_id], 6) END AS lo,
+       CASE WHEN c.partition_id < 7
+            THEN round(b.bounds[c.partition_id + 1], 6) END AS hi,
+       c.est_rows,
+       round(c.est_rows / (t.tot / 8.0), 6) AS skew
+FROM c, b, t
+"""
+
+
+@register("range_partition_advisor", _RANGEPLAN_ORACLE)
+def range_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planning (layout.range_partition_plan;
+    Spark RangePartitioner's sampling pass made explicit, the byte-
+    balanced target computation of Balancer.java as the reference
+    analog): the 8-way quantile cut points over order totals plus the
+    rows and skew each partition would actually receive — boundary
+    sketch, bucket counting, and skew all in ONE plan (broadcast
+    one-row boundary array, no collect). Driver row runs exact
+    percentiles for oracle parity; the default approx_percentile is
+    the 100 TB path."""
+    from hadoop_source_spark import layout
+
+    o = table(spark, sf_dir, "orders")
+    return layout.range_partition_plan(
+        o, "o_totalprice", 8, exact=True
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7301,10 +7350,10 @@ _WINDOW: list[str] = [
     "lease_recovery_sweep", "xattr_store_report",
     "doc_chunking_rag", "drf_fair_share_ranking",
     "contrastive_pair_mining", "length_bucket_batching",
-    "speculative_execution_plan",
+    "speculative_execution_plan", "range_partition_advisor",
 ]
 
-assert len(_WINDOW) == 118, len(_WINDOW)
+assert len(_WINDOW) == 119, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

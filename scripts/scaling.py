@@ -134,7 +134,7 @@ EXTRA = (
     "lease_recovery_sweep", "xattr_store_report",
     "doc_chunking_rag", "drf_fair_share_ranking",
     "contrastive_pair_mining", "length_bucket_batching",
-    "speculative_execution_plan",
+    "speculative_execution_plan", "range_partition_advisor",
 )
 
 

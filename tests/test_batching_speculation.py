@@ -65,3 +65,30 @@ def test_speculation_decision_matrix(spark):
     assert out[7].reason == "TOO_YOUNG"
     assert out[8].reason == "NO_BASELINE"
     assert out[8].replacement_end_s is None
+
+
+def test_range_partition_plan_ties_and_uniform(spark):
+    from hadoop_source_spark import layout
+
+    # uniform keys → every partition ~n/N rows, skew ~1
+    uni = spark.range(800).selectExpr("cast(id as double) as k")
+    out = {r.partition_id: r for r in
+           layout.range_partition_plan(uni, "k", 4, exact=True).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(abs(r.skew - 1.0) < 0.02 for r in out.values())
+    assert out[0].lo is None and out[3].hi is None
+    # boundaries increase
+    bs = [out[i].hi for i in range(3)]
+    assert bs == sorted(bs)
+
+    # heavy ties: half the rows share one key → that bucket swallows
+    # them (ties can't split across a boundary) and skew flags it
+    sk = spark.range(800).selectExpr(
+        "case when id % 2 = 0 then 42.0 else cast(id as double) end as k"
+    )
+    out2 = layout.range_partition_plan(sk, "k", 4, exact=True).collect()
+    assert max(r.skew for r in out2) > 1.5
+
+    # approx mode returns the same shape (sketch path)
+    out3 = layout.range_partition_plan(uni, "k", 4, exact=False).collect()
+    assert len(out3) == 4 and sum(r.est_rows for r in out3) == 800
