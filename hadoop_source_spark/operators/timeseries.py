@@ -181,3 +181,74 @@ def ewma(
     num = F.sum(F.col(value_col) * inv).over(win)
     den = F.sum(inv).over(win)
     return num / den
+
+
+def cusum_detect(
+    buckets: DataFrame,
+    series_col: str = "series",
+    idx_col: str = "idx",
+    val_col: str = "val",
+    warmup: int = 7,
+    k_scale: float = 0.5,
+    h_scale: float = 4.0,
+) -> DataFrame:
+    """CUSUM drift detection per series (Page 1954, public semantics;
+    the sequential complement to rolling_zscore — a run of small
+    same-direction shifts alarms here long before any single bucket
+    is 3 sigma off).
+
+    Baseline mu/sd come from the first `warmup` buckets; slack k =
+    k_scale*sd, threshold h = h_scale*sd. Post-warmup fold:
+    sp = max(0, sp + x - mu - k), sn = max(0, sn + mu - x - k); alarm
+    when either exceeds h, then both reset (classic restart CUSUM).
+    Warmup rows emit null scores.
+
+    The fold is inherently sequential PER SERIES but bucket-bounded,
+    so it runs as one applyInPandas over (series)-grouped bucket
+    aggregates — the same shape every stateful kernel here uses:
+    parallelism = series population, state = one group in memory,
+    never raw-event-sized."""
+    import pandas as pd
+
+    out_schema = (
+        f"{series_col} string, {idx_col} int, {val_col} double, "
+        "mu double, sd double, sp double, sn double, alarm boolean"
+    )
+
+    def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        w = pdf[val_col].iloc[:warmup]
+        mu = float(w.mean())
+        sd = float(w.std(ddof=1)) if len(w) > 1 else 0.0
+        kk = k_scale * sd
+        h = h_scale * sd
+        sp = sn = 0.0
+        sps, sns, alarms = [], [], []
+        for i, x in enumerate(pdf[val_col]):
+            if i < warmup:
+                sps.append(None)
+                sns.append(None)
+                alarms.append(None)
+                continue
+            sp_raw = max(0.0, sp + (x - mu - kk))
+            sn_raw = max(0.0, sn + (mu - x - kk))
+            alarm = sp_raw > h or sn_raw > h
+            sps.append(sp_raw)
+            sns.append(sn_raw)
+            alarms.append(alarm)
+            sp, sn = (0.0, 0.0) if alarm else (sp_raw, sn_raw)
+        return pd.DataFrame(
+            {
+                series_col: pdf[series_col],
+                idx_col: pdf[idx_col],
+                val_col: pdf[val_col],
+                "mu": mu,
+                "sd": sd,
+                "sp": sps,
+                "sn": sns,
+                "alarm": alarms,
+            }
+        )
+
+    fold.__annotations__ = {}
+    return buckets.groupBy(series_col).applyInPandas(fold, out_schema)

@@ -7287,6 +7287,107 @@ def range_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_ORACLE = """
+WITH RECURSIVE d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+daily AS (
+  SELECT event_type AS series,
+         datediff('day', d0.d0, CAST(ts AS DATE)) AS idx,
+         sum(value) AS val
+  FROM events, d0 GROUP BY 1, 2
+),
+st AS (
+  SELECT *, row_number() OVER (PARTITION BY series ORDER BY idx) AS rn
+  FROM daily
+),
+wu AS (
+  SELECT series, avg(val) AS mu, stddev_samp(val) AS sd
+  FROM st WHERE rn <= 7 GROUP BY 1
+),
+rec AS (
+  SELECT series, CAST(7 AS BIGINT) AS rn,
+         CAST(NULL AS INTEGER) AS idx, CAST(NULL AS DOUBLE) AS val,
+         CAST(0 AS DOUBLE) AS sp_c, CAST(0 AS DOUBLE) AS sn_c,
+         CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS sn,
+         CAST(NULL AS BOOLEAN) AS alarm
+  FROM wu
+  UNION ALL
+  SELECT r.series, s.rn, s.idx, s.val,
+         CASE WHEN greatest(0, r.sp_c + s.val - w.mu - 0.5 * w.sd)
+                     > 2.0 * w.sd
+                OR greatest(0, r.sn_c + w.mu - s.val - 0.5 * w.sd)
+                     > 2.0 * w.sd
+              THEN 0
+              ELSE greatest(0, r.sp_c + s.val - w.mu - 0.5 * w.sd)
+              END AS sp_c,
+         CASE WHEN greatest(0, r.sp_c + s.val - w.mu - 0.5 * w.sd)
+                     > 2.0 * w.sd
+                OR greatest(0, r.sn_c + w.mu - s.val - 0.5 * w.sd)
+                     > 2.0 * w.sd
+              THEN 0
+              ELSE greatest(0, r.sn_c + w.mu - s.val - 0.5 * w.sd)
+              END AS sn_c,
+         greatest(0, r.sp_c + s.val - w.mu - 0.5 * w.sd) AS sp,
+         greatest(0, r.sn_c + w.mu - s.val - 0.5 * w.sd) AS sn,
+         (greatest(0, r.sp_c + s.val - w.mu - 0.5 * w.sd) > 2.0 * w.sd
+          OR greatest(0, r.sn_c + w.mu - s.val - 0.5 * w.sd)
+               > 2.0 * w.sd) AS alarm
+  FROM rec r
+  JOIN st s ON s.series = r.series AND s.rn = r.rn + 1
+  JOIN wu w ON w.series = r.series
+)
+SELECT s.series, CAST(s.idx AS INTEGER) AS idx, round(s.val, 2) AS val,
+       round(w.mu, 6) AS mu, round(w.sd, 6) AS sd,
+       CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS sn,
+       CAST(NULL AS BOOLEAN) AS alarm
+FROM st s JOIN wu w USING (series) WHERE s.rn <= 7
+UNION ALL
+SELECT r.series, CAST(r.idx AS INTEGER), round(r.val, 2),
+       round(w.mu, 6), round(w.sd, 6),
+       round(r.sp, 6), round(r.sn, 6), r.alarm
+FROM rec r JOIN wu w USING (series) WHERE r.rn > 7
+"""
+
+
+@register("cusum_drift_detection", _CUSUM_ORACLE)
+def cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over per-type daily revenue
+    (operators/timeseries.cusum_detect; Page 1954 restart CUSUM — the
+    sequential complement to anomaly_rolling_zscore: a run of small
+    same-direction shifts alarms long before any bucket is 3 sigma
+    off). The fold is inherently sequential PER SERIES but
+    bucket-bounded, so it runs as one applyInPandas over
+    (series)-grouped bucket aggregates; the oracle replays it as a
+    recursive CTE."""
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.groupBy(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.sum("value").alias("val"))
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "series",
+            F.datediff("day", "d0").alias("idx"),
+            "val",
+        )
+    )
+    out = tsr.cusum_detect(
+        daily, warmup=7, k_scale=0.5, h_scale=2.0
+    )
+    return out.select(
+        "series",
+        "idx",
+        F.round("val", 2).alias("val"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sd", 6).alias("sd"),
+        F.round("sp", 6).alias("sp"),
+        F.round("sn", 6).alias("sn"),
+        "alarm",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7351,9 +7452,10 @@ _WINDOW: list[str] = [
     "doc_chunking_rag", "drf_fair_share_ranking",
     "contrastive_pair_mining", "length_bucket_batching",
     "speculative_execution_plan", "range_partition_advisor",
+    "cusum_drift_detection",
 ]
 
-assert len(_WINDOW) == 119, len(_WINDOW)
+assert len(_WINDOW) == 120, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

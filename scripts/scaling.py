@@ -135,6 +135,7 @@ EXTRA = (
     "doc_chunking_rag", "drf_fair_share_ranking",
     "contrastive_pair_mining", "length_bucket_batching",
     "speculative_execution_plan", "range_partition_advisor",
+    "cusum_drift_detection",
 )
 
 

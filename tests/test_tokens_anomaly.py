@@ -126,3 +126,32 @@ def test_ewma_window_truncates_at_span(spark):
     )
     out = {r.idx: r.e for r in df.collect()}
     assert out[4] == pytest.approx(0.0)  # the 100 spike aged out entirely
+
+def test_cusum_catches_small_sustained_drift(spark):
+    # warmup: mean 10, sd 1. then a +1.5 sustained shift — under 2 sigma
+    # per bucket (z-score silent) but CUSUM accumulates and alarms, then
+    # restarts.
+    vals = [9.0, 10.0, 11.0, 10.0, 9.0, 10.0, 11.0] + [11.5] * 10
+    out = sorted(
+        tsr.cusum_detect(
+            _buckets(spark, [float(v) for v in vals]),
+            warmup=7, k_scale=0.5, h_scale=2.0,
+        ).collect(),
+        key=lambda r: r.idx,
+    )
+    assert all(r.alarm is None for r in out[:7])       # warmup unscored
+    alarms = [r.idx for r in out if r.alarm]
+    assert alarms, "sustained small drift must alarm"
+    first = alarms[0]
+    # drift of (11.5-10-0.5*sd)/step accumulates ~1.08/step vs h=2*sd≈1.67:
+    # alarm within a few steps, NOT on the first shifted bucket
+    assert 8 <= first <= 11
+    # restart semantics: the bucket after an alarm starts a fresh ramp
+    after = next(r for r in out if r.idx == first + 1)
+    pre = next(r for r in out if r.idx == first)
+    assert after.sp < pre.sp + 0.5  # reset, not continued accumulation
+    # a flat series never alarms
+    flat = tsr.cusum_detect(
+        _buckets(spark, [10.0] * 20), warmup=7, k_scale=0.5, h_scale=2.0
+    ).collect()
+    assert not any(r.alarm for r in flat if r.alarm is not None)
