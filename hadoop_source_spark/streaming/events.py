@@ -287,6 +287,95 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def cusum_stream(
+    stream: DataFrame,
+    warmup: int = 7,
+    k_scale: float = 0.5,
+    h_scale: float = 2.0,
+) -> DataFrame:
+    """STREAMING restart-CUSUM (the stateful twin of operators/
+    timeseries.cusum_detect): per-series drift detection whose
+    accumulators survive across micro-batches via
+    applyInPandasWithState — the arbitrary-state operator class, like
+    running_user_totals but with a real sequential state machine
+    (warmup moment collection → frozen baseline → sp/sn fold with
+    reset-on-alarm).
+
+    State is five scalars (n, sum, sumsq, sp, sn): the warmup baseline
+    freezes once `warmup` buckets arrived, so no buffer is kept — the
+    sample std comes from the moment identity (ss - n·mu²)/(n-1).
+    Requires in-order delivery per series (ordered replay / sorted
+    upstream); out-of-order feeds need a watermark+sort front end.
+    Input columns: series, idx, val. Output mirrors the batch kernel
+    (null scores during warmup)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, ss, sp, sn = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0)
+        )
+        idxs, vals, mus, sds, sps, sns, alarms = ([] for _ in range(7))
+        for pdf in pdfs:
+            pdf = pdf.sort_values("idx")
+            for idx, x in zip(pdf["idx"], pdf["val"]):
+                x = float(x)
+                if n < warmup:
+                    n += 1
+                    s += x
+                    ss += x * x
+                    row = (None, None, None, None, None)
+                else:
+                    mu = s / warmup
+                    var = max(0.0, (ss - warmup * mu * mu) / (warmup - 1))
+                    sd = math.sqrt(var)
+                    kk = k_scale * sd
+                    h = h_scale * sd
+                    spr = max(0.0, sp + (x - mu - kk))
+                    snr = max(0.0, sn + (mu - x - kk))
+                    alarm = bool(spr > h or snr > h)
+                    sp, sn = (0.0, 0.0) if alarm else (spr, snr)
+                    row = (mu, sd, spr, snr, alarm)
+                idxs.append(int(idx))
+                vals.append(x)
+                mus.append(row[0])
+                sds.append(row[1])
+                sps.append(row[2])
+                sns.append(row[3])
+                alarms.append(row[4])
+        state.update((n, s, ss, sp, sn))
+        yield pd.DataFrame(
+            {
+                "series": key[0],
+                "idx": idxs,
+                "val": vals,
+                "mu": mus,
+                "sd": sds,
+                "sp": sps,
+                "sn": sns,
+                "alarm": alarms,
+            }
+        )
+
+    return (
+        stream.select("series", "idx", "val")
+        .groupBy("series")
+        .applyInPandasWithState(
+            update,
+            outputStructType="series string, idx int, val double, "
+                             "mu double, sd double, sp double, "
+                             "sn double, alarm boolean",
+            stateStructType="n long, s double, ss double, sp double, "
+                            "sn double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Drain a stream with availableNow into an in-memory table and return

@@ -7388,6 +7388,73 @@ def cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_STREAM_ORACLE = _CUSUM_ORACLE.replace(
+    "round(w.mu, 6) AS mu, round(w.sd, 6) AS sd,\n"
+    "       CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS sn,",
+    "CAST(NULL AS DOUBLE) AS mu, CAST(NULL AS DOUBLE) AS sd,\n"
+    "       CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS sn,",
+)
+
+
+@register("streaming_cusum_drift", _CUSUM_STREAM_ORACLE)
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of cusum_drift_detection, hash-verified
+    against the same recursive-CTE oracle (warmup rows carry null
+    baselines in the stream — the state machine hasn't frozen mu/sd
+    yet): daily buckets replayed through the file source as two
+    mod-time-ordered micro-batches, restart-CUSUM state carried across
+    the batch boundary by applyInPandasWithState
+    (streaming/events.cusum_stream). Proves the sequential fold
+    survives micro-batching with byte-identical decisions."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from hadoop_source_spark.streaming import events as se
+
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.groupBy(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.sum("value").alias("val"))
+        .crossJoin(F.broadcast(d0))
+        .select("series", F.datediff("day", "d0").alias("idx"), "val")
+    )
+    d = tempfile.mkdtemp(prefix="hss_cusum_stream_")
+    mid = 15
+    daily.filter(F.col("idx") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.1)  # distinct mod time → deterministic batch order
+    daily.filter(F.col("idx") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema("series string, idx int, val double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = f"hss_cusum_{uuid.uuid4().hex[:8]}"
+    out = se.run_to_memory(
+        se.cusum_stream(stream, warmup=7, k_scale=0.5, h_scale=2.0),
+        name,
+    )
+    return out.select(
+        "series",
+        "idx",
+        F.round("val", 2).alias("val"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sd", 6).alias("sd"),
+        F.round("sp", 6).alias("sp"),
+        F.round("sn", 6).alias("sn"),
+        "alarm",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7452,10 +7519,10 @@ _WINDOW: list[str] = [
     "doc_chunking_rag", "drf_fair_share_ranking",
     "contrastive_pair_mining", "length_bucket_batching",
     "speculative_execution_plan", "range_partition_advisor",
-    "cusum_drift_detection",
+    "cusum_drift_detection", "streaming_cusum_drift",
 ]
 
-assert len(_WINDOW) == 120, len(_WINDOW)
+assert len(_WINDOW) == 121, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
