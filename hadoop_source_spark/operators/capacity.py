@@ -190,3 +190,65 @@ def drf_ranking(usage: DataFrame, totals: DataFrame) -> DataFrame:
         )
         .agg((F.count("__oq") + 1).cast("int").alias("schedule_rank"))
     )
+
+
+def preemption_plan(
+    queues: DataFrame, fair_threshold: float = 0.5
+) -> DataFrame:
+    """Fair-scheduler preemption round (reference: yarn fair
+    FairScheduler preemption — FSPreemptionThread/FSAppAttempt: a
+    queue below its MIN share past minSharePreemptionTimeout may
+    reclaim up to minShare - usage; a queue below
+    fairSharePreemptionThreshold * fairShare past the fair timeout may
+    reclaim up to fairShare - usage; resources come only from queues
+    ABOVE their fair share and a donor is never pushed below it).
+
+    Input per queue: queue, usage, min_share, fair_share, min_starved
+    and fair_starved (booleans — the timeouts already elapsed).
+    Closed form for one round: deficit = max(min-rule, fair-rule)
+    entitlement, surplus = max(0, usage - fair_share); donors give
+    proportionally to surplus, scaled by min(1, total_deficit /
+    total_surplus) so exactly the needed amount moves when it fits and
+    everything available moves when it doesn't (the real thread
+    iterates; one proportional round is its fixpoint for a static
+    snapshot). Two scalar partial aggs broadcast back — queue-count-
+    sized everywhere."""
+    d_min = F.when(
+        F.col("min_starved"),
+        F.greatest(F.col("min_share") - F.col("usage"), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    d_fair = F.when(
+        F.col("fair_starved")
+        & (F.col("usage") < F.lit(fair_threshold) * F.col("fair_share")),
+        F.greatest(F.col("fair_share") - F.col("usage"), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    q = queues.withColumn(
+        "deficit", F.greatest(d_min, d_fair)
+    ).withColumn(
+        "surplus",
+        F.greatest(F.col("usage") - F.col("fair_share"), F.lit(0.0)),
+    )
+    totals = q.agg(
+        F.sum("deficit").alias("__d"), F.sum("surplus").alias("__s")
+    )
+    ratio = F.when(
+        F.col("__s") > 0, F.least(F.col("__d") / F.col("__s"), F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    out = q.crossJoin(F.broadcast(totals)).withColumn(
+        "preempt", F.col("surplus") * ratio
+    )
+    role = (
+        F.when(F.col("deficit") > 0, F.lit("STARVED"))
+        .when(F.col("preempt") > 0, F.lit("DONOR"))
+        .otherwise(F.lit("OK"))
+    )
+    return out.select(
+        "queue",
+        "usage",
+        "min_share",
+        "fair_share",
+        F.round("deficit", 4).alias("deficit"),
+        F.round("surplus", 4).alias("surplus"),
+        F.round("preempt", 4).alias("preempt"),
+        role.alias("role"),
+    )

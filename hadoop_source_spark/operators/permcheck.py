@@ -27,7 +27,7 @@ cover: (perm & access) == access, exactly FsAction.implies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ACL_ENTRY_T = "array<struct<etype:string,name:string,perm:int>>"
@@ -122,3 +122,88 @@ def sticky_bit_violation(df: DataFrame) -> DataFrame:
         & (F.col("user") != F.col("owner"))
     )
     return df.withColumn("sticky_violated", violated)
+
+
+def apply_acl_ops(ops: DataFrame) -> DataFrame:
+    """setfacl feed resolution — `hdfs/server/namenode/
+    AclTransformation.java` as relational passes:
+
+    - mergeAclEntries (setfacl -m): add-or-replace an entry keyed by
+      (type, name) — last writer wins;
+    - filterAclEntries (setfacl -x): remove a named entry;
+    - replaceAll (setfacl -b): drop every EXTENDED entry (named users/
+      groups and the mask) — the base USER/GROUP/OTHER entries survive
+      with whatever bits they last had;
+    - the ACCESS-scope mask: an explicitly-set MASK entry is honored
+      (last writer wins, as a setfacl call that includes mask:: skips
+      recalculation); otherwise it is RECOMPUTED as the union of the
+      unnamed group entry and every named entry
+      (AclTransformation.calculateMaskedEntries) — and only exists
+      while extended entries do.
+
+    Input: inode, type (USER/GROUP/MASK/OTHER), name ('' for unnamed),
+    perm (0-7 rwx bitmask), op ('modify'|'remove'|'removeall'), seq
+    (total order — edit-log txid; removeall rows carry type='' name='').
+    Output: one row per surviving entry (inode, type, name, perm,
+    is_extended) with the mask row materialized per the rules above.
+    Two keyed windows + one per-inode bit_or — no fold: like the xattr
+    store, only the last op per key (relative to the last -b) decides.
+    """
+    base = (F.col("name") == "") & F.col("type").isin(
+        "USER", "GROUP", "OTHER"
+    )
+    wipe = Window.partitionBy("inode")
+    last_b = F.max(
+        F.when(F.col("op") == "removeall", F.col("seq"))
+    ).over(wipe)
+    alive = (
+        ops.withColumn("__b", F.coalesce(last_b, F.lit(-1)))
+        .filter(F.col("op") != "removeall")
+        # base entries survive -b with their bits; extended entries only
+        # exist if touched after the last -b
+        .filter(base | (F.col("seq") > F.col("__b")))
+    )
+    w = Window.partitionBy("inode", "type", "name").orderBy(
+        F.col("seq").desc()
+    )
+    last = (
+        alive.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") == "modify"))
+        .select("inode", "type", "name", "perm", "seq")
+    )
+    entries = last.filter(F.col("type") != "MASK")
+    named = entries.filter(~((F.col("name") == "") & F.col("type").isin(
+        "USER", "OTHER"
+    )))
+    # mask sources: unnamed GROUP + every named USER/GROUP entry
+    computed = (
+        named.filter(
+            (F.col("type") == "GROUP") | (F.col("name") != "")
+        )
+        .groupBy("inode")
+        .agg(
+            F.expr("bit_or(perm)").alias("__mperm"),
+            F.count(F.when(F.col("name") != "", 1)).alias("__next"),
+        )
+    )
+    explicit = last.filter(F.col("type") == "MASK").select(
+        "inode", F.col("perm").alias("__eperm")
+    )
+    mask = (
+        computed.join(explicit, "inode", "left")
+        .filter(F.col("__next") > 0)  # mask exists only with extended entries
+        .select(
+            "inode",
+            F.lit("MASK").alias("type"),
+            F.lit("").alias("name"),
+            F.coalesce("__eperm", "__mperm").alias("perm"),
+        )
+    )
+    return (
+        entries.select("inode", "type", "name", "perm")
+        .unionByName(mask)
+        .withColumn(
+            "is_extended",
+            (F.col("name") != "") | (F.col("type") == "MASK"),
+        )
+    )

@@ -7079,7 +7079,7 @@ def drf_fair_share_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTRASTIVE_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec, label AS query_label
-  FROM embeddings WHERE vec_id % 10 = 0
+  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 500
 ),
 scored AS (
   SELECT q.query_id, q.query_label, e.vec_id, e.label,
@@ -7110,11 +7110,16 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. Query slice broadcasts, scoring is one codegen corpus
     pass, top-k windows partition by (query, same-label) — bounded
     state, no corpus-sized sort; 6dp rounding before ranking keeps the
-    selection engine-portable."""
+    selection engine-portable. The anchor set is FIXED-size (<= 50)
+    regardless of corpus scale so the exact pass stays linear in the
+    corpus; mining pairs for EVERY corpus row at 100 TB composes the
+    same windows with ivf_topk/lsh_topk candidates instead of the
+    exact scorer (measured 10x-data ratio was quadratic before this
+    cap — scripts/scaling.py)."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding", "label"
-    )
+    q = e.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 500)
+    ).select(F.col("vec_id").alias("query_id"), "embedding", "label")
     out = sim.mine_contrastive_pairs(e, q, k_pos=3, k_neg=3)
     return out.select(
         "query_id", "query_label", "pair_type",
@@ -7455,6 +7460,209 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREEMPT_ORACLE = """
+WITH u AS (
+  SELECT source AS queue,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS n,
+         CAST(sum(n_chars) AS DOUBLE) AS usage
+  FROM documents GROUP BY 1, 2
+),
+w AS (
+  SELECT *, CAST(CASE n % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                            WHEN 3 THEN 6 ELSE 10 END AS DOUBLE) AS wt,
+         n % 2 = 0 AS min_starved, n % 3 = 0 AS fair_starved
+  FROM u
+),
+t AS (SELECT sum(usage) AS tot, sum(wt) AS sw FROM w),
+q AS (
+  SELECT queue, usage, t.tot * w.wt / t.sw AS fair_share,
+         (t.tot * w.wt / t.sw) / 2 AS min_share,
+         min_starved, fair_starved
+  FROM w, t
+),
+d AS (
+  SELECT *,
+    greatest(
+      CASE WHEN min_starved
+           THEN greatest(min_share - usage, 0.0) ELSE 0.0 END,
+      CASE WHEN fair_starved AND usage < 0.5 * fair_share
+           THEN greatest(fair_share - usage, 0.0) ELSE 0.0 END
+    ) AS deficit,
+    greatest(usage - fair_share, 0.0) AS surplus
+  FROM q
+),
+s AS (SELECT sum(deficit) AS td, sum(surplus) AS ts FROM d)
+SELECT queue, usage, min_share, fair_share,
+       round(deficit, 4) AS deficit, round(surplus, 4) AS surplus,
+       round(surplus * CASE WHEN s.ts > 0
+                            THEN least(s.td / s.ts, 1.0)
+                            ELSE 0.0 END, 4) AS preempt,
+       CASE WHEN deficit > 0 THEN 'STARVED'
+            WHEN surplus * CASE WHEN s.ts > 0
+                                THEN least(s.td / s.ts, 1.0)
+                                ELSE 0.0 END > 0 THEN 'DONOR'
+            ELSE 'OK' END AS role
+FROM d, s
+"""
+
+
+@register("preemption_reclaim_plan", _PREEMPT_ORACLE)
+def preemption_reclaim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair-scheduler preemption round (operators/capacity.
+    preemption_plan; reference yarn fair FSPreemptionThread semantics:
+    min-share rule and threshold-gated fair-share rule reclaim only
+    from queues above their fair share, proportionally to surplus,
+    never pushing a donor below it). Queue usage from the documents
+    corpus with weighted fair shares (weights 1/2/3/6/10 by queue
+    number) so starved, donor, and OK roles all appear; timeouts
+    modeled as elapsed flags. Two scalar partial aggs broadcast back —
+    queue-count-sized everywhere."""
+    from hadoop_source_spark.operators import capacity as cap
+
+    d = table(spark, sf_dir, "documents")
+    n = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    u = d.groupBy(F.col("source").alias("queue"), n.alias("n")).agg(
+        F.sum("n_chars").cast("double").alias("usage")
+    )
+    wt = (
+        F.when(F.col("n") % 5 == 0, 1.0)
+        .when(F.col("n") % 5 == 1, 2.0)
+        .when(F.col("n") % 5 == 2, 3.0)
+        .when(F.col("n") % 5 == 3, 6.0)
+        .otherwise(10.0)
+    )
+    w = u.withColumn("wt", wt).withColumn(
+        "min_starved", F.col("n") % 2 == 0
+    ).withColumn("fair_starved", F.col("n") % 3 == 0)
+    t = w.agg(F.sum("usage").alias("tot"), F.sum("wt").alias("sw"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "queue",
+        "usage",
+        (F.col("tot") * F.col("wt") / F.col("sw")).alias("fair_share"),
+        ((F.col("tot") * F.col("wt") / F.col("sw")) / 2).alias(
+            "min_share"
+        ),
+        "min_starved",
+        "fair_starved",
+    )
+    return cap.preemption_plan(q, fair_threshold=0.5)
+
+
+_ACLOPS_ORACLE = """
+WITH ops AS (
+  SELECT 'f' || (user_id % 40) AS inode,
+         CASE WHEN event_type = 'error' AND event_id % 25 = 0 THEN ''
+              WHEN event_id % 10 = 0 THEN 'USER'
+              WHEN event_id % 10 = 1 THEN 'GROUP'
+              WHEN event_id % 10 = 2 THEN 'OTHER'
+              WHEN event_id % 10 IN (3, 4, 8, 9) THEN 'USER'
+              WHEN event_id % 10 IN (5, 6) THEN 'GROUP'
+              ELSE 'MASK' END AS type,
+         CASE WHEN event_type = 'error' AND event_id % 25 = 0 THEN ''
+              WHEN event_id % 10 IN (3, 4) THEN 'u' || (event_id % 5)
+              WHEN event_id % 10 IN (8, 9)
+                THEN 'u' || (5 + event_id % 5)
+              WHEN event_id % 10 IN (5, 6) THEN 'g' || (event_id % 4)
+              ELSE '' END AS name,
+         CAST(event_id % 8 AS INTEGER) AS perm,
+         CASE WHEN event_type = 'error' AND event_id % 25 = 0
+                THEN 'removeall'
+              WHEN event_type = 'error' AND event_id % 10 >= 3
+                   AND event_id % 10 <> 7 THEN 'remove'
+              ELSE 'modify' END AS op,
+         event_id AS seq
+  FROM events
+),
+wiped AS (
+  SELECT *, coalesce(max(CASE WHEN op = 'removeall' THEN seq END)
+                       OVER (PARTITION BY inode), -1) AS b
+  FROM ops
+),
+alive AS (
+  SELECT * FROM wiped
+  WHERE op <> 'removeall'
+    AND ((name = '' AND type IN ('USER', 'GROUP', 'OTHER')) OR seq > b)
+),
+last AS (
+  SELECT inode, type, name, perm FROM (
+    SELECT *, row_number() OVER (PARTITION BY inode, type, name
+                                 ORDER BY seq DESC) AS rn
+    FROM alive
+  ) WHERE rn = 1 AND op = 'modify'
+),
+entries AS (SELECT * FROM last WHERE type <> 'MASK'),
+computed AS (
+  SELECT inode, CAST(bit_or(perm) AS INTEGER) AS mperm,
+         count(*) FILTER (name <> '') AS next
+  FROM entries
+  WHERE type = 'GROUP' OR name <> ''
+  GROUP BY 1
+),
+mask AS (
+  SELECT c.inode, 'MASK' AS type, '' AS name,
+         coalesce(e.perm, c.mperm) AS perm
+  FROM computed c
+  LEFT JOIN (SELECT inode, perm FROM last WHERE type = 'MASK') e
+    USING (inode)
+  WHERE c.next > 0
+)
+SELECT inode, type, name, perm,
+       (name <> '' OR type = 'MASK') AS is_extended
+FROM (SELECT inode, type, name, perm FROM entries
+      UNION ALL SELECT inode, type, name, perm FROM mask)
+"""
+
+
+@register("acl_transformation_apply", _ACLOPS_ORACLE)
+def acl_transformation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setfacl feed resolution (operators/permcheck.apply_acl_ops;
+    reference AclTransformation.java: mergeAclEntries -m /
+    filterAclEntries -x / replaceAll -b, mask recomputed as
+    union(unnamed group, named entries) unless explicitly set, and
+    only existing while extended entries do). Events replay as the
+    setfacl op feed (event_id = txid); resolution is the xattr-store
+    shape — base entries survive -b, extended entries exist only past
+    the last wipe, last-wins keyed windows, one per-inode bit_or for
+    the mask."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    k = eid % 10
+    is_wipe = (F.col("event_type") == "error") & (eid % 25 == 0)
+    ops = e.select(
+        F.concat(F.lit("f"), (F.col("user_id") % 40).cast("string")).alias(
+            "inode"
+        ),
+        F.when(is_wipe, F.lit(""))
+        .when(k == 0, F.lit("USER"))
+        .when(k == 1, F.lit("GROUP"))
+        .when(k == 2, F.lit("OTHER"))
+        .when(k.isin(3, 4, 8, 9), F.lit("USER"))
+        .when(k.isin(5, 6), F.lit("GROUP"))
+        .otherwise(F.lit("MASK"))
+        .alias("type"),
+        F.when(is_wipe, F.lit(""))
+        .when(k.isin(3, 4), F.concat(F.lit("u"), (eid % 5).cast("string")))
+        .when(
+            k.isin(8, 9), F.concat(F.lit("u"), (5 + eid % 5).cast("string"))
+        )
+        .when(k.isin(5, 6), F.concat(F.lit("g"), (eid % 4).cast("string")))
+        .otherwise(F.lit(""))
+        .alias("name"),
+        (eid % 8).cast("int").alias("perm"),
+        F.when(is_wipe, F.lit("removeall"))
+        .when(
+            (F.col("event_type") == "error") & (k >= 3) & (k != 7),
+            F.lit("remove"),
+        )
+        .otherwise(F.lit("modify"))
+        .alias("op"),
+        eid.alias("seq"),
+    )
+    return pc.apply_acl_ops(ops)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7520,9 +7728,10 @@ _WINDOW: list[str] = [
     "contrastive_pair_mining", "length_bucket_batching",
     "speculative_execution_plan", "range_partition_advisor",
     "cusum_drift_detection", "streaming_cusum_drift",
+    "preemption_reclaim_plan", "acl_transformation_apply",
 ]
 
-assert len(_WINDOW) == 121, len(_WINDOW)
+assert len(_WINDOW) == 123, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -105,7 +105,8 @@ def main() -> None:
         "doc_chunking_rag", "drf_fair_share_ranking",
         "contrastive_pair_mining", "length_bucket_batching",
         "speculative_execution_plan", "range_partition_advisor",
-        "cusum_drift_detection",
+        "cusum_drift_detection", "preemption_reclaim_plan",
+        "acl_transformation_apply",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -135,7 +135,8 @@ EXTRA = (
     "doc_chunking_rag", "drf_fair_share_ranking",
     "contrastive_pair_mining", "length_bucket_batching",
     "speculative_execution_plan", "range_partition_advisor",
-    "cusum_drift_detection",
+    "cusum_drift_detection", "preemption_reclaim_plan",
+    "acl_transformation_apply",
 )
 
 

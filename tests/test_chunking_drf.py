@@ -94,3 +94,52 @@ def test_drf_tie_breaks_by_queue_name(spark):
     out = {r.queue: r.schedule_rank for r in
            cap.drf_ranking(usage, totals).collect()}
     assert out == {"a": 1, "z": 2}
+
+
+def test_preemption_proportional_and_capped(spark):
+    def q(rows):
+        return spark.createDataFrame(
+            rows,
+            "queue string, usage double, min_share double, "
+            "fair_share double, min_starved boolean, fair_starved boolean",
+        )
+
+    # a starved by min rule needs 30; b and c are donors with surplus
+    # 60/20 → proportional take 30*(60/80)=22.5 and 30*(20/80)=7.5
+    rows = [
+        ("a", 20.0, 50.0, 100.0, True, False),
+        ("b", 160.0, 50.0, 100.0, False, False),
+        ("c", 120.0, 50.0, 100.0, False, False),
+        ("d", 100.0, 50.0, 100.0, False, False),
+    ]
+    from hadoop_source_spark.operators import capacity as cap
+
+    out = {r.queue: r for r in cap.preemption_plan(q(rows)).collect()}
+    assert out["a"].role == "STARVED" and out["a"].deficit == 30.0
+    assert out["b"].preempt == 22.5 and out["b"].role == "DONOR"
+    assert out["c"].preempt == 7.5
+    assert out["d"].role == "OK" and out["d"].preempt == 0.0
+    # donors never pushed below fair share
+    for r in out.values():
+        assert r.preempt <= r.surplus + 1e-9
+    # total moved == total needed when it fits
+    assert sum(r.preempt for r in out.values()) == 30.0
+
+    # deficit exceeds surplus → everything available moves, no more
+    rows2 = [
+        ("a", 0.0, 90.0, 100.0, True, False),
+        ("b", 110.0, 50.0, 100.0, False, False),
+    ]
+    out2 = {r.queue: r for r in cap.preemption_plan(q(rows2)).collect()}
+    assert out2["b"].preempt == 10.0  # capped at surplus
+
+    # fair rule gated by the threshold: usage 60 of fair 100 is NOT
+    # under 0.5*fair, so no deficit even though flagged starved
+    rows3 = [
+        ("a", 60.0, 10.0, 100.0, False, True),
+        ("b", 40.0, 10.0, 100.0, False, True),  # 40 < 50 → deficit 60
+        ("c", 200.0, 10.0, 100.0, False, False),
+    ]
+    out3 = {r.queue: r for r in cap.preemption_plan(q(rows3)).collect()}
+    assert out3["a"].deficit == 0.0 and out3["a"].role == "OK"
+    assert out3["b"].deficit == 60.0

@@ -108,3 +108,59 @@ def test_sticky_bit_rule(spark):
     got = {(r.user, r.parent_sticky): r.sticky_violated for r in out}
     for user, sticky, po, o, expect in rows:
         assert got[(user, sticky)] == expect, (user, sticky)
+
+
+def test_acl_transformation_merge_filter_replaceall_and_mask(spark):
+    """AclTransformation semantics: -m add/replace, -x remove, -b wipes
+    extended entries only, mask recomputed as union(group, named) unless
+    explicitly set, and the mask exists only while extended entries do."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    rows = [
+        # inode f1: base entries, then named user added twice (replace),
+        # a named group, and an explicit mask later removed by -x
+        ("f1", "USER", "", 7, "modify", 1),
+        ("f1", "GROUP", "", 5, "modify", 2),
+        ("f1", "OTHER", "", 4, "modify", 3),
+        ("f1", "USER", "alice", 4, "modify", 4),
+        ("f1", "USER", "alice", 6, "modify", 5),   # replace wins
+        ("f1", "GROUP", "devs", 2, "modify", 6),
+        # f2: extended entries wiped by -b; base modified before AND
+        # after the wipe
+        ("f2", "USER", "", 7, "modify", 1),
+        ("f2", "GROUP", "", 6, "modify", 2),
+        ("f2", "OTHER", "", 0, "modify", 3),
+        ("f2", "USER", "bob", 7, "modify", 4),
+        ("f2", "MASK", "", 7, "modify", 5),
+        ("f2", "", "", 0, "removeall", 6),
+        ("f2", "GROUP", "", 4, "modify", 7),       # base survives + updates
+        # f3: explicit mask honored over recompute; named entry removed
+        ("f3", "USER", "", 7, "modify", 1),
+        ("f3", "GROUP", "", 4, "modify", 2),
+        ("f3", "USER", "carol", 2, "modify", 3),
+        ("f3", "USER", "dave", 1, "modify", 4),
+        ("f3", "USER", "dave", 0, "remove", 5),    # -x removes dave
+        ("f3", "MASK", "", 5, "modify", 6),        # explicit mask wins
+    ]
+    ops = spark.createDataFrame(
+        rows,
+        "inode string, type string, name string, perm int, op string, "
+        "seq long",
+    )
+    out = {}
+    for r in pc.apply_acl_ops(ops).collect():
+        out[(r.inode, r.type, r.name)] = (r.perm, r.is_extended)
+    # f1: alice replaced to 6; mask = group(5) | alice(6) | devs(2) = 7
+    assert out[("f1", "USER", "alice")] == (6, True)
+    assert out[("f1", "GROUP", "devs")] == (2, True)
+    assert out[("f1", "MASK", "")] == (7, True)
+    assert out[("f1", "USER", "")] == (7, False)
+    # f2: bob and the mask wiped by -b; base group updated to 4
+    assert ("f2", "USER", "bob") not in out
+    assert ("f2", "MASK", "") not in out
+    assert out[("f2", "GROUP", "")] == (4, False)
+    assert out[("f2", "USER", "")] == (7, False)
+    # f3: dave removed, carol stays; explicit mask 5 beats recompute 6
+    assert ("f3", "USER", "dave") not in out
+    assert out[("f3", "USER", "carol")] == (2, True)
+    assert out[("f3", "MASK", "")] == (5, True)

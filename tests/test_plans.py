@@ -295,3 +295,37 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.collect()[0].n > 0
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark):
+    """MIN/MAX/COUNT over parquet can be answered from footer metadata
+    without scanning rows (spark.sql.parquet.aggregatePushdown) — the
+    scan node reports PushedAggregation and results stay correct."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(10_000).selectExpr(
+            "id", "cast(id % 97 as double) as v"
+        ).write.mode("overwrite").parquet(d)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        # pushdown is a DataSource V2 feature; parquet routes through V1
+        # unless removed from the V1 list
+        v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        try:
+            df = spark.read.parquet(d).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("id").alias("mn"),
+                F.max("id").alias("mx"),
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PushedAggregation: [COUNT(*)" in plan or (
+                "PushedAggregation" in plan and "COUNT" in plan
+            ), plan[:2000]
+            r = df.collect()[0]
+            assert (r.n, r.mn, r.mx) == (10_000, 0, 9_999)
+        finally:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+            spark.conf.set("spark.sql.sources.useV1SourceList", v1)
