@@ -7663,6 +7663,92 @@ def acl_transformation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc.apply_acl_ops(ops)
 
 
+_QJM_ORACLE = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+days AS (
+  SELECT DISTINCT datediff('day', d0.d0, CAST(ts AS DATE)) AS day
+  FROM events, d0
+),
+jns AS (SELECT unnest(range(0, 5)) AS jn),
+reports AS (
+  SELECT CAST(day * 100000 AS BIGINT) AS segment,
+         'jn' || jn AS jn,
+         CASE WHEN day = (SELECT max(day) FROM days)
+              THEN 'IN_PROGRESS' ELSE 'FINALIZED' END AS state,
+         CAST(day * 100000 + (day * 7919 + jn * 104729) % 5000
+              AS BIGINT) AS end_txid,
+         CAST(1 + (day + jn) % 3 AS BIGINT) AS accepted_epoch
+  FROM days, jns
+  WHERE CASE WHEN day % 13 = 0 THEN jn < 2
+             ELSE (day + jn) % 7 <> 0 END
+),
+chosen AS (
+  SELECT segment, accepted_epoch AS sync_epoch,
+         end_txid AS sync_end_txid, jn AS sync_source, n
+  FROM (
+    SELECT r.*, count(*) OVER (PARTITION BY segment) AS n,
+           row_number() OVER (PARTITION BY segment
+                              ORDER BY accepted_epoch DESC,
+                                       end_txid DESC, jn DESC) AS rn
+    FROM reports r
+  ) WHERE rn = 1
+)
+SELECT r.segment, r.jn, r.state, r.end_txid, r.accepted_epoch,
+       c.sync_epoch, c.sync_end_txid, c.sync_source,
+       c.n >= 3 AS has_quorum,
+       CASE WHEN c.n < 3 THEN 'NO_QUORUM'
+            WHEN r.end_txid > c.sync_end_txid THEN 'TRUNCATE'
+            WHEN r.end_txid < c.sync_end_txid THEN 'CATCH_UP'
+            ELSE 'FINALIZE' END AS action
+FROM reports r JOIN chosen c USING (segment)
+"""
+
+
+@register("qjm_segment_recovery", _QJM_ORACLE)
+def qjm_segment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quorum-journal segment recovery (operators/qjm; reference
+    Journal.java:784 prepareRecovery / :836 acceptRecovery and
+    SegmentRecoveryComparator: the synced state is the report with the
+    highest (acceptedInEpoch, endTxId) — a newer-epoch value wins even
+    with fewer transactions). Event days become journal segments
+    across 5 JNs with per-node divergent lengths and epochs, one
+    below-quorum segment, and the last segment in progress; the plan
+    emits each node's FINALIZE / TRUNCATE / CATCH_UP / NO_QUORUM
+    action. One segment-keyed max_by groupBy broadcast back — rows =
+    journals x segments, control-plane scale."""
+    from hadoop_source_spark.operators import qjm
+
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    days = (
+        e.crossJoin(F.broadcast(d0))
+        .select(F.datediff(F.to_date("ts"), F.col("d0")).alias("day"))
+        .distinct()
+    )
+    mx = days.agg(F.max("day").alias("mxd"))
+    day = F.col("day")
+    jn = F.col("id")
+    reports = (
+        days.crossJoin(spark.range(5))
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.when(day % 13 == 0, jn < 2).otherwise((day + jn) % 7 != 0)
+        )
+        .select(
+            (day * 100000).cast("long").alias("segment"),
+            F.concat(F.lit("jn"), jn.cast("string")).alias("jn"),
+            F.when(day == F.col("mxd"), F.lit("IN_PROGRESS"))
+            .otherwise(F.lit("FINALIZED"))
+            .alias("state"),
+            (day * 100000 + (day * 7919 + jn * 104729) % 5000)
+            .cast("long")
+            .alias("end_txid"),
+            (1 + (day + jn) % 3).cast("long").alias("accepted_epoch"),
+        )
+    )
+    return qjm.segment_recovery_plan(reports, n_journals=5)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7729,9 +7815,10 @@ _WINDOW: list[str] = [
     "speculative_execution_plan", "range_partition_advisor",
     "cusum_drift_detection", "streaming_cusum_drift",
     "preemption_reclaim_plan", "acl_transformation_apply",
+    "qjm_segment_recovery",
 ]
 
-assert len(_WINDOW) == 123, len(_WINDOW)
+assert len(_WINDOW) == 124, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -106,7 +106,7 @@ def main() -> None:
         "contrastive_pair_mining", "length_bucket_batching",
         "speculative_execution_plan", "range_partition_advisor",
         "cusum_drift_detection", "preemption_reclaim_plan",
-        "acl_transformation_apply",
+        "acl_transformation_apply", "qjm_segment_recovery",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

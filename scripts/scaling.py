@@ -136,7 +136,7 @@ EXTRA = (
     "contrastive_pair_mining", "length_bucket_batching",
     "speculative_execution_plan", "range_partition_advisor",
     "cusum_drift_detection", "preemption_reclaim_plan",
-    "acl_transformation_apply",
+    "acl_transformation_apply", "qjm_segment_recovery",
 )
 
 
