@@ -127,7 +127,10 @@ def resolve_rename_chains(log: DataFrame, max_iter: int = 30) -> DataFrame:
     `max_iter` doublings — a rename cycle (every member's ancestor is
     itself a rename dst, so the chain never reaches a root) or a chain
     deeper than 2**max_iter — raises ValueError instead of emitting
-    rows whose `inode` is a non-root intermediate name."""
+    rows whose `inode` is a non-root intermediate name. Likewise a
+    chain that RESOLVES but terminates at a name that was never
+    OP_ADDed (a rename whose src never existed) raises rather than
+    presenting that phantom terminal as the root inode."""
     ptr = (
         log.filter(F.col("op") == "OP_RENAME")
         .select(
@@ -164,6 +167,18 @@ def resolve_rename_chains(log: DataFrame, max_iter: int = 30) -> DataFrame:
         F.col("path").alias("inode"),
         F.lit(0).alias("depth"),
     )
+    phantom = (
+        ptr.join(roots.select(F.col("node").alias("anc")), "anc", "left_anti")
+        .select("anc")
+        .limit(5)
+        .collect()
+    )
+    if phantom:
+        raise ValueError(
+            "rename chains terminate at names never OP_ADDed (first few: "
+            f"{sorted(r.anc for r in phantom)}): the log renames paths "
+            "that have no creation record"
+        )
     return roots.unionByName(
         ptr.select("node", F.col("anc").alias("inode"), F.col("d").alias("depth"))
     )

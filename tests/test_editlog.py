@@ -145,3 +145,17 @@ def test_unrooted_or_cyclic_chains_raise(spark):
     ]
     with pytest.raises(ValueError, match="unresolved"):
         el.resolve_rename_chains(_log(spark, rows), max_iter=5)
+
+
+def test_phantom_terminal_raises(spark):
+    """A chain that resolves but ends at a name never OP_ADDed must not
+    present the phantom terminal as a root inode."""
+    import pytest
+
+    rows = [
+        ("OP_ADD", "real", None, 1.0, _ts(0), 0),
+        ("OP_RENAME", "ghost", "x", None, _ts(1), 1),
+        ("OP_RENAME", "x", "y", None, _ts(2), 2),
+    ]
+    with pytest.raises(ValueError, match="never OP_ADDed"):
+        el.resolve_rename_chains(_log(spark, rows))
