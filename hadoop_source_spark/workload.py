@@ -2926,11 +2926,16 @@ GROUP BY quartile
 
 @register("orders_price_quartiles", _NTILE_ORACLE)
 def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing (midKey/quantile partition hints, MapFile.java:527)."""
+    """ntile bucketing (midKey/quantile partition hints, MapFile.java:527).
+    Uses relational.global_ntile (range exchange + broadcast offsets) —
+    same result as F.ntile(4).over(Window.orderBy(...)) without the
+    single-partition sort of the fact table."""
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        relational.global_ntile(
+            o, ["o_totalprice", "o_orderkey"], 4, bucket_col="quartile"
+        )
+        .select("o_totalprice", "quartile")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
