@@ -47,3 +47,38 @@ def crc32(col: Column | str) -> Column:
     return F.crc32(
         F.encode(F.col(col) if isinstance(col, str) else col, "UTF-8")
     )
+
+
+def writable_hash(col: Column | str) -> Column:
+    """Bit-exact `WritableComparator.hashBytes` (WritableComparator.
+    java:192: `hash = 1; hash = 31*hash + (int)bytes[i]`) — the
+    hashCode every BinaryComparable Writable (Text included,
+    io/Text.java:353 via BinaryComparable) carries, and therefore the
+    hash the classic HashPartitioner shuffles on. Exact for ASCII
+    values, where the signed-byte fold and the code-point fold
+    coincide (multi-byte UTF-8 would need signed-byte semantics —
+    callers hash keys/paths, which are ASCII by construction here).
+
+    Pure fold over the characters with 32-bit signed wraparound done
+    in bigint arithmetic (ANSI-safe, reproducible in any engine):
+    h' = pmod(31*h + code + 2^31, 2^32) - 2^31 — pmod, not %, because
+    the intermediate goes negative and %'s sign follows the dividend."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.filter(F.split(c, ""), lambda s: F.length(s) > 0),
+        F.lit(1).cast("long"),
+        lambda h, ch: (
+            F.pmod(h * 31 + F.ascii(ch) + F.lit(2147483648), F.lit(4294967296))
+            - F.lit(2147483648)
+        ),
+    )
+
+
+def hash_partition(col: Column | str, num_partitions: int) -> Column:
+    """The HashPartitioner assignment `(hash & Integer.MAX_VALUE) %
+    numPartitions` over `writable_hash` — how every keyed record in
+    the reference's shuffle picks its reducer. The sign-bit clear is
+    `h + 2^31` for negative h (two's-complement 32-bit)."""
+    h = writable_hash(col)
+    nonneg = F.when(h < 0, h + F.lit(2147483648)).otherwise(h)
+    return (nonneg % num_partitions).cast("int")

@@ -1,0 +1,118 @@
+"""Distributed BPE tokenizer training: pair counting + merge rounds.
+
+Public algorithm (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units"; the tokenizer-training counterpart of
+the BPE-ish token COUNTING already in `llmops/textstats.py`): collapse
+the corpus to a (word, freq) table, represent each word as a symbol
+sequence, repeatedly count adjacent symbol pairs weighted by word
+frequency, merge the most frequent pair left-to-right non-overlapping,
+and record the merge order — that ordered merge list IS the tokenizer.
+
+Spark-first scale shape: the corpus-sized pass happens ONCE (word
+frequency groupBy); every training round then runs on the VOCAB-sized
+table — pairs explode to vocab x avg_word_len rows, one partial-agg
+groupBy finds the winner, and the merge applies as a fold
+(`aggregate` HOF) inside a projection. The per-round winner is a
+single row brought to the driver (bounded, one scalar per round —
+the same documented pattern as IVF centroid training); everything
+else stays on executors. At 100 TB the vocab table is still ~1e7
+rows, so rounds are metadata-scale after the one corpus pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): lowercase, alpha-run tokenization, corpus-wide
+    counts — the one corpus-sized pass."""
+    w = F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+    return (
+        docs.select(w)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def pair_counts(freqs: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over a (word|symbols, freq) table.
+    Accepts either raw words (string `word` column — symbols are the
+    characters) or an in-training `symbols` array column. Output:
+    (a, b, cnt), freq-weighted."""
+    if "symbols" in freqs.columns:
+        syms = F.col("symbols")
+    else:
+        syms = F.filter(
+            F.split(F.col("word"), ""), lambda s: F.length(s) > 0
+        )
+    d = freqs.withColumn("__s", syms).filter(F.size("__s") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("__s") - 2),
+        lambda i: F.struct(
+            F.get("__s", i.cast("int")).alias("a"),
+            F.get("__s", (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def apply_merge(freqs: DataFrame, a: str, b: str) -> DataFrame:
+    """One merge applied left-to-right non-overlapping (the classic
+    fold: 'aaa' under (a,a) becomes [aa, a]) — a pure projection over
+    the vocab table, no shuffle."""
+    if "symbols" not in freqs.columns:
+        freqs = freqs.withColumn(
+            "symbols",
+            F.filter(F.split(F.col("word"), ""), lambda s: F.length(s) > 0),
+        )
+    la, lb = F.lit(a), F.lit(b)
+    merged = F.aggregate(
+        F.col("symbols"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.size(acc)) == la)
+            & (s == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(la, lb))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return freqs.withColumn("symbols", merged)
+
+
+def train(
+    freqs: DataFrame, n_merges: int, min_count: int = 1
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Run `n_merges` rounds; returns (ordered merge list [(a, b,
+    count)], final symbolized vocab table). Ties break (count desc,
+    a asc, b asc) so training is deterministic. Stops early when no
+    pair reaches `min_count`. Each round localCheckpoints the vocab
+    projection so the plan doesn't grow linearly with rounds."""
+    if "symbols" not in freqs.columns:
+        freqs = freqs.withColumn(
+            "symbols",
+            F.filter(F.split(F.col("word"), ""), lambda s: F.length(s) > 0),
+        )
+    freqs = freqs.localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(freqs)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < min_count:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((a, b, cnt))
+        freqs = apply_merge(freqs, a, b).localCheckpoint(eager=False)
+    return merges, freqs

@@ -611,3 +611,32 @@ def bm25_rank(
         )
         .filter(F.col("rank") <= top_k)
     )
+
+
+def zipf_fit(word_freqs: DataFrame) -> DataFrame:
+    """Zipf's-law fit over a (word, freq) vocabulary: least-squares
+    slope/intercept/r2 of log10(freq) against log10(rank), plus corpus
+    totals — the standard corpus-health diagnostic (natural text runs
+    slope ≈ -1; boilerplate-heavy or synthetic corpora bend it).
+
+    Scale shape: rank is assigned with the range-exchange global-
+    position kernel (operators/relational.with_global_positions — no
+    single-partition window sort even at a 10^8-type vocabulary), and
+    the fit is one partial-aggregable pass (regr_* aggregates). Ties
+    rank deterministically (freq desc, word asc)."""
+    from hadoop_source_spark.operators import relational
+
+    ranked = relational.with_global_positions(
+        word_freqs.withColumn("__negf", -F.col("freq")),
+        ["__negf", "word"],
+        pos_col="__pos",
+    )
+    lx = F.log10(F.col("__pos") + 1)
+    ly = F.log10("freq")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(F.regr_slope(ly, lx), 4).alias("slope"),
+        F.round(F.regr_intercept(ly, lx), 4).alias("intercept"),
+        F.round(F.regr_r2(ly, lx), 4).alias("r2"),
+    )

@@ -7754,6 +7754,544 @@ def qjm_segment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qjm.segment_recovery_plan(reports, n_journals=5)
 
 
+_DISK_BALANCER_ORACLE = """
+WITH vols AS (
+  SELECT CAST(doc_id % 13 AS BIGINT) AS node,
+         'v' || CAST((doc_id // 13) % 4 AS VARCHAR) AS volume,
+         CAST((doc_id // 13) % 4 AS BIGINT) AS vidx,
+         CAST(sum(n_chars) AS BIGINT) AS used
+  FROM documents GROUP BY 1, 2, 3
+), cap AS (
+  SELECT node, volume, used,
+         (vidx + 1) * ((sum(used) OVER (PARTITION BY node) + 4) // 5)
+           AS capacity
+  FROM vols
+), dens AS (
+  SELECT node, volume, used, capacity,
+         CAST(sum(used) OVER (PARTITION BY node) AS DOUBLE)
+           / sum(capacity) OVER (PARTITION BY node) AS d,
+         CAST(floor(CAST(sum(used) OVER (PARTITION BY node) AS DOUBLE)
+           / sum(capacity) OVER (PARTITION BY node) * capacity) AS BIGINT)
+           AS ideal
+  FROM cap
+), over_v AS (
+  SELECT node, volume, used - ideal AS amt FROM dens
+  WHERE used > ideal AND CAST(used AS DOUBLE)/capacity - d > 0.1
+), under_v AS (
+  SELECT node, volume, ideal - used AS amt FROM dens
+  WHERE used < ideal AND d - CAST(used AS DOUBLE)/capacity > 0.1
+), o AS (
+  SELECT node, volume AS src_volume,
+         coalesce(sum(amt) OVER (PARTITION BY node ORDER BY amt DESC, volume
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS olo,
+         coalesce(sum(amt) OVER (PARTITION BY node ORDER BY amt DESC, volume
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + amt AS ohi
+  FROM over_v
+), u AS (
+  SELECT node, volume AS dst_volume,
+         coalesce(sum(amt) OVER (PARTITION BY node ORDER BY amt DESC, volume
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ulo,
+         coalesce(sum(amt) OVER (PARTITION BY node ORDER BY amt DESC, volume
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + amt AS uhi
+  FROM under_v
+)
+SELECT o.node, src_volume, dst_volume,
+       CAST(least(ohi, uhi) - greatest(olo, ulo) AS BIGINT) AS move_bytes
+FROM o JOIN u ON o.node = u.node AND olo < uhi AND ulo < ohi
+WHERE least(ohi, uhi) - greatest(olo, ulo) > 0
+"""
+
+
+@register("disk_balancer_plan", _DISK_BALANCER_ORACLE)
+def disk_balancer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-node disk balancer (operators/diskbalancer.node_plan;
+    reference hdfs/server/diskbalancer/planner/GreedyPlanner.java:66 —
+    per-node loop moving bytes from the volume most above the node's
+    ideal density to the one most below until all sit in the band).
+    Volumes derived per (doc_id % 13 node, 4 volumes) with capacity
+    proportional to volume index, so smaller volumes run dense (over)
+    and big ones sparse (under), and one mid volume lands INSIDE the
+    10% band — exercising the exclusion. The greedy fixed point is the
+    closed-form interval overlap, windows partitioned by node."""
+    from hadoop_source_spark.operators import diskbalancer
+
+    d = table(spark, sf_dir, "documents")
+    vidx = F.floor(F.col("doc_id") / 13) % 4
+    vols = d.groupBy(
+        (F.col("doc_id") % 13).cast("long").alias("node"),
+        F.concat(F.lit("v"), vidx.cast("string")).alias("volume"),
+        vidx.cast("long").alias("vidx"),
+    ).agg(F.sum("n_chars").cast("long").alias("used"))
+    wnode = Window.partitionBy("node")
+    vols = vols.select(
+        "node",
+        "volume",
+        "used",
+        (
+            (F.col("vidx") + 1)
+            * F.floor((F.sum("used").over(wnode) + 4) / 5)
+        ).alias("capacity"),
+    )
+    return diskbalancer.node_plan(vols, threshold=0.1)
+
+
+_READPATH_ORACLE = """
+WITH reps AS (
+  SELECT doc_id AS block_id, (doc_id * 31 + r * 17) % 60 AS node_id
+  FROM documents, (SELECT unnest(range(0, 3)) AS r) x
+  WHERE doc_id % 10 = 0
+), rep2 AS (
+  SELECT block_id, node_id, 'h' || node_id AS node,
+         'r' || (node_id // 10) AS rack,
+         'd' || ((node_id // 10) % 2) AS dc,
+         node_id % 19 = 0 AS decommissioned,
+         node_id % 13 = 0 AS stale
+  FROM reps
+), cl AS (
+  SELECT c AS client_id, 'h' || (c * 7) AS c_node,
+         'r' || ((c * 7) // 10) AS c_rack,
+         'd' || (((c * 7) // 10) % 2) AS c_dc
+  FROM (SELECT unnest(range(0, 4)) AS c) y
+), j AS (
+  SELECT block_id, client_id, node, node_id, rack, dc,
+         decommissioned, stale,
+         CASE WHEN node = c_node THEN 0 WHEN rack = c_rack THEN 2
+              WHEN dc = c_dc THEN 4 ELSE 6 END AS weight,
+         CASE WHEN decommissioned THEN 2 WHEN stale THEN 1 ELSE 0 END AS lv,
+         (block_id * 1000003 + client_id * 7919 + node_id * 104729)
+           % 999983 AS mk
+  FROM rep2, cl
+)
+SELECT block_id, client_id, node, weight, decommissioned, stale,
+       CAST(row_number() OVER (PARTITION BY block_id, client_id
+         ORDER BY lv, weight, mk, node) AS INTEGER) AS position
+FROM j
+"""
+
+
+@register("replica_read_ordering", _READPATH_ORACLE)
+def replica_read_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica read-path ordering (operators/readpath.sort_located_blocks;
+    reference common/net/NetworkTopology.java:758 getWeight 0/2/4/6
+    ladder, hdfs DatanodeManager.java:551 sortLocatedBlock —
+    decommissioned then stale replicas to the bottom, then network
+    distance, deterministic spread inside a class). 3 replicas per
+    block on a 60-node /dc/rack/node topology, 4 reader clients; one
+    projection + a window partitioned by (block, client)."""
+    from hadoop_source_spark.operators import readpath
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    node_id = (F.col("doc_id") * 31 + F.col("r") * 17) % 60
+    reps = (
+        d.select("doc_id")
+        .crossJoin(spark.range(3).select(F.col("id").alias("r")))
+        .select(
+            F.col("doc_id").alias("block_id"),
+            F.concat(F.lit("h"), node_id.cast("string")).alias("node"),
+            node_id.cast("long").alias("node_id"),
+            F.concat(F.lit("r"), F.floor(node_id / 10).cast("string")).alias(
+                "rack"
+            ),
+            F.concat(
+                F.lit("d"), (F.floor(node_id / 10) % 2).cast("string")
+            ).alias("dc"),
+            (node_id % 19 == 0).alias("decommissioned"),
+            (node_id % 13 == 0).alias("stale"),
+        )
+    )
+    cn = F.col("client_id") * 7
+    clients = spark.range(4).select(
+        F.col("id").alias("client_id")
+    ).select(
+        "client_id",
+        F.concat(F.lit("h"), cn.cast("string")).alias("c_node"),
+        F.concat(F.lit("r"), F.floor(cn / 10).cast("string")).alias("c_rack"),
+        F.concat(F.lit("d"), (F.floor(cn / 10) % 2).cast("string")).alias(
+            "c_dc"
+        ),
+    )
+    return readpath.sort_located_blocks(reps, clients).select(
+        "block_id", "client_id", "node", "weight", "decommissioned",
+        "stale", "position",
+    )
+
+
+_MOUNT_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         '/data/' || source || '/' || doc_id || '.txt' AS path,
+         CASE WHEN doc_id % 5 = 0 THEN '/archive/' || doc_id
+              ELSE NULL END AS extra
+  FROM documents
+), all_p AS (
+  SELECT doc_id, path FROM p
+  UNION ALL
+  SELECT doc_id, extra FROM p WHERE extra IS NOT NULL
+)
+SELECT path,
+  CASE WHEN path LIKE '/data/src1/%' THEN '/data/src1'
+       WHEN path LIKE '/data/src10/%' THEN '/data/src10'
+       WHEN path LIKE '/data/%' THEN '/data'
+       ELSE '/' END AS mount_src,
+  CASE WHEN path LIKE '/data/src1/%' THEN
+         CASE doc_id % 3 WHEN 0 THEN 'ns_a' WHEN 1 THEN 'ns_b'
+              ELSE 'ns_c' END
+       WHEN path LIKE '/data/src10/%' THEN 'ns_x'
+       WHEN path LIKE '/data/%' THEN
+         CASE doc_id % 2 WHEN 0 THEN 'ns_d0' ELSE 'ns_d1' END
+       ELSE 'ns_root' END AS dest_ns,
+  CASE WHEN path LIKE '/data/src1/%' THEN
+         (CASE doc_id % 3 WHEN 0 THEN '/a' WHEN 1 THEN '/b' ELSE '/c' END)
+           || substring(path, length('/data/src1') + 1)
+       WHEN path LIKE '/data/src10/%' THEN
+         '/x' || substring(path, length('/data/src10') + 1)
+       WHEN path LIKE '/data/%' THEN
+         (CASE doc_id % 2 WHEN 0 THEN '/warm' ELSE '/cold' END)
+           || substring(path, length('/data') + 1)
+       ELSE '/fallback' || path END AS dest_path,
+  TRUE AS matched
+FROM all_p
+"""
+
+
+@register("mount_table_resolution", _MOUNT_ORACLE)
+def mount_table_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF mount-table resolution (operators/federation.resolve_paths;
+    reference hdfs-rbf MountTableResolver.java:381/:542 — deepest
+    '/'-boundary prefix wins, remainder rewritten onto the
+    destination; order/HashResolver.java:78 — HASH entries route
+    sticky per path). The corpus's src1 vs src10 sources exercise the
+    component boundary for real; /archive paths fall through to the
+    root mount. Mount table collapses to one broadcast array row;
+    each path resolves in a single HOF projection — zero shuffles."""
+    from hadoop_source_spark.operators import federation
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+    )
+    extra = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("/archive/"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+    )
+    paths = base.unionByName(extra)
+    mounts = spark.createDataFrame(
+        [
+            ("/", [("ns_root", "/fallback")], "LOCAL"),
+            ("/data", [("ns_d0", "/warm"), ("ns_d1", "/cold")], "HASH"),
+            (
+                "/data/src1",
+                [("ns_a", "/a"), ("ns_b", "/b"), ("ns_c", "/c")],
+                "HASH",
+            ),
+            ("/data/src10", [("ns_x", "/x")], "LOCAL"),
+        ],
+        "src string, dests array<struct<ns:string,path:string>>,"
+        " policy string",
+    )
+    return federation.resolve_paths(
+        paths, mounts, hash_col=F.col("doc_id")
+    ).select("path", "mount_src", "dest_ns", "dest_path", "matched")
+
+
+_FILE_CHECKSUM_ORACLE = """
+SELECT doc_id,
+  CAST(ceil(CAST(length(text) AS DOUBLE)/256) AS BIGINT) AS n_blocks,
+  md5(array_to_string(
+    CASE WHEN length(text)=0 THEN []::VARCHAR[]
+    ELSE list_transform(
+      range(0, CAST(ceil(CAST(length(text) AS DOUBLE)/256) AS BIGINT)),
+      b -> md5(array_to_string(
+        list_transform(
+          range(0, least(4, CAST(ceil(CAST(length(text) AS DOUBLE)/64)
+                                AS BIGINT) - b*4)),
+          i -> md5(substring(text, CAST(b*256 + i*64 + 1 AS BIGINT), 64))),
+        '')))
+    END, '')) AS file_ck
+FROM documents
+"""
+
+
+@register("composite_file_checksum", _FILE_CHECKSUM_ORACLE)
+def composite_file_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distributed checksum (functions/filechecksum;
+    reference hdfs-client FileChecksumHelper.java:280-289 — per-block
+    digests of per-chunk digests, then one file digest over the
+    ordered block digests, so no machine ever streams the whole
+    file). 64-char chunks, 4 chunks per block; the whole tree is ONE
+    nested-HOF projection — no explode, no shuffle, codegen'd."""
+    from hadoop_source_spark.functions import filechecksum as fc
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.ceil(F.length("text") / 256).cast("long").alias("n_blocks"),
+        fc.composite_checksum("text", bytes_per_chunk=64, chunks_per_block=4)
+        .alias("file_ck"),
+    )
+
+
+_BPE_ORACLE = """
+WITH wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1
+), sym AS (
+  SELECT word, freq,
+         unnest(range(0, greatest(length(word) - 1, 0))) AS i
+  FROM wf
+)
+SELECT substring(word, CAST(i+1 AS BIGINT), 1) AS a,
+       substring(word, CAST(i+2 AS BIGINT), 1) AS b,
+       CAST(sum(freq) AS BIGINT) AS cnt
+FROM sym GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50
+"""
+
+
+@register("bpe_pair_merge", _BPE_ORACLE)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training round (llmops/bpetrain; Sennrich
+    et al. 2016): corpus → (word, freq) in ONE data-sized groupBy,
+    adjacent character-pair counts weighted by word frequency on the
+    vocab-sized table, top-50 merge candidates (cnt desc, pair asc —
+    deterministic). The iterative trainer (bpetrain.train) runs the
+    same kernel per round; pytest pins it against a pure-Python BPE."""
+    from hadoop_source_spark.llmops import bpetrain
+
+    d = table(spark, sf_dir, "documents")
+    wf = bpetrain.word_freqs(d, "text")
+    return (
+        bpetrain.pair_counts(wf)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+_WRITABLE_HASH_ORACLE = """
+WITH keys AS (
+  SELECT doc_id, '/data/' || source || '/' || doc_id || '.txt' AS key
+  FROM documents
+)
+SELECT doc_id, key,
+  list_reduce(
+    list_prepend(CAST(1 AS BIGINT),
+      list_transform(range(0, length(key)),
+        i -> CAST(ascii(substring(key, CAST(i+1 AS BIGINT), 1)) AS BIGINT))),
+    (h, c) -> ((31*h + c + 2147483648) % 4294967296 + 4294967296)
+              % 4294967296 - 2147483648
+  ) AS jhash,
+  CAST((CASE WHEN list_reduce(
+    list_prepend(CAST(1 AS BIGINT),
+      list_transform(range(0, length(key)),
+        i -> CAST(ascii(substring(key, CAST(i+1 AS BIGINT), 1)) AS BIGINT))),
+    (h, c) -> ((31*h + c + 2147483648) % 4294967296 + 4294967296)
+              % 4294967296 - 2147483648
+  ) < 0 THEN list_reduce(
+    list_prepend(CAST(1 AS BIGINT),
+      list_transform(range(0, length(key)),
+        i -> CAST(ascii(substring(key, CAST(i+1 AS BIGINT), 1)) AS BIGINT))),
+    (h, c) -> ((31*h + c + 2147483648) % 4294967296 + 4294967296)
+              % 4294967296 - 2147483648
+  ) + 2147483648 ELSE list_reduce(
+    list_prepend(CAST(1 AS BIGINT),
+      list_transform(range(0, length(key)),
+        i -> CAST(ascii(substring(key, CAST(i+1 AS BIGINT), 1)) AS BIGINT))),
+    (h, c) -> ((31*h + c + 2147483648) % 4294967296 + 4294967296)
+              % 4294967296 - 2147483648
+  ) END) % 16 AS INTEGER) AS part
+FROM keys
+"""
+
+
+@register("writable_hash_partitioning", _WRITABLE_HASH_ORACLE)
+def writable_hash_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact Writable hashing + HashPartitioner routing
+    (functions/hashes.writable_hash; reference common/io/
+    WritableComparator.java:192 `hash = 31*hash + byte` from 1, the
+    hashCode of every BinaryComparable Writable incl. Text, and the
+    `(hash & MAX_VALUE) % n` reducer pick every keyed shuffle in the
+    reference uses). Pure fold in bigint arithmetic with 32-bit
+    signed wraparound — one codegen'd projection, no UDF."""
+    from hadoop_source_spark.functions import hashes
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "key",
+        hashes.writable_hash("key").alias("jhash"),
+        hashes.hash_partition("key", 16).alias("part"),
+    )
+
+
+_TRASH_ORACLE = """
+WITH base AS (
+  SELECT 'u' || (user_id % 8) AS "user",
+         CASE WHEN event_id % 97 = 0 THEN 'corrupt-name'
+              WHEN CAST(ts AS DATE) =
+                   (SELECT max(CAST(ts AS DATE)) FROM events)
+              THEN 'Current'
+              ELSE strftime(date_trunc('day', ts), '%y%m%d') || '000000'
+         END AS dir,
+         CAST(length(coalesce(props, '')) AS BIGINT) AS size,
+         (SELECT max(ts) FROM events) AS now_ts
+  FROM events
+), g AS (
+  SELECT "user", dir, count(*) AS n_files, CAST(sum(size) AS BIGINT)
+           AS bytes, max(now_ts) AS now_ts
+  FROM base GROUP BY 1, 2
+), parsed AS (
+  SELECT *, try_strptime(dir, '%y%m%d%H%M%S') AS cp,
+         (epoch_us(now_ts) - epoch_us(try_strptime(dir, '%y%m%d%H%M%S')))
+           / 3.6e9 AS age_h
+  FROM g
+)
+SELECT "user", dir, n_files, bytes,
+  CASE WHEN dir = 'Current' THEN 'CHECKPOINT'
+       WHEN cp IS NULL THEN 'SKIP_BAD'
+       WHEN age_h >= 168 THEN 'DELETE'
+       ELSE 'KEEP' END AS action,
+  round(age_h, 4) AS age_hours,
+  CASE WHEN dir <> 'Current' AND cp IS NOT NULL AND age_h >= 168
+       THEN bytes ELSE 0 END AS reclaimed_bytes
+FROM parsed
+"""
+
+
+@register("trash_expunge_sweep", _TRASH_ORACLE)
+def trash_expunge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trash checkpoint/expunge sweep (operators/trash.expunge_plan;
+    reference common/fs/TrashPolicyDefault.java:224 deleteCheckpoint —
+    parse each yyMMddHHmmss checkpoint dir, delete past
+    fs.trash.interval, keep younger, never touch unparseable names;
+    :229 roots with a Current get a new checkpoint). Event days
+    become per-user checkpoint dirs, the newest day is Current, a
+    sprinkle of corrupt names exercises SKIP_BAD; 'now' is the corpus
+    max timestamp. One conditional groupBy."""
+    from hadoop_source_spark.operators import trash
+
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(
+        F.max("ts").alias("now_ts"),
+        F.max(F.to_date("ts")).alias("mxd"),
+    )
+    listing = e.crossJoin(F.broadcast(mx)).select(
+        F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias(
+            "user"
+        ),
+        F.when(F.col("event_id") % 97 == 0, F.lit("corrupt-name"))
+        .when(F.to_date("ts") == F.col("mxd"), F.lit("Current"))
+        .otherwise(
+            F.concat(F.date_format("ts", "yyMMdd"), F.lit("000000"))
+        )
+        .alias("dir"),
+        F.length(F.coalesce("props", F.lit(""))).cast("long").alias("size"),
+        "now_ts",
+    )
+    return trash.expunge_plan(
+        listing, F.col("now_ts"), deletion_interval_hours=168
+    )
+
+
+_VOLCHOICE_ORACLE = """
+WITH blocks AS (SELECT doc_id AS block_id FROM documents),
+picks AS (
+  SELECT block_id,
+         (block_id * 2654435761) % 100 < 75 AS prefer_high
+  FROM blocks
+)
+SELECT block_id, 'skewed' AS scenario,
+  CASE WHEN prefer_high THEN ['v2','v3','v5'][CAST(block_id % 3 AS INTEGER) + 1]
+       ELSE ['v0','v1','v4'][CAST(block_id % 3 AS INTEGER) + 1] END AS volume,
+  CASE WHEN prefer_high THEN 'HIGH_AVAIL' ELSE 'LOW_AVAIL' END AS tier
+FROM picks
+UNION ALL
+SELECT block_id, 'balanced',
+  ['w0','w1'][CAST(block_id % 2 AS INTEGER) + 1], 'BALANCED_RR'
+FROM blocks
+"""
+
+
+@register("volume_choice_assignment", _VOLCHOICE_ORACLE)
+def volume_choice_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Available-space volume choosing (operators/volumechoice;
+    reference hdfs AvailableSpaceVolumeChoosingPolicy.java:213
+    balanced check, :246/:260 low/high split, :161 preference
+    fraction 0.75). Two scenarios: a skewed volume set routing ~75%
+    of writes to the roomy disks, and a balanced set degrading to
+    plain round-robin — both as one broadcast-array projection with a
+    deterministic preference draw."""
+    from hadoop_source_spark.operators import volumechoice
+
+    blocks = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("block_id")
+    )
+    skewed = spark.createDataFrame(
+        [("v0", 500), ("v1", 900), ("v2", 12000), ("v3", 15000),
+         ("v4", 800), ("v5", 20000)],
+        "volume string, available long",
+    )
+    balanced = spark.createDataFrame(
+        [("w0", 1000), ("w1", 1200)], "volume string, available long"
+    )
+    a = volumechoice.choose_volumes(blocks, skewed, threshold=5000).select(
+        "block_id", F.lit("skewed").alias("scenario"), "volume", "tier"
+    )
+    b = volumechoice.choose_volumes(blocks, balanced, threshold=5000).select(
+        "block_id", F.lit("balanced").alias("scenario"), "volume", "tier"
+    )
+    return a.unionByName(b)
+
+
+_ZIPF_ORACLE = """
+WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1
+), ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, word) AS rank
+  FROM wf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       round(regr_slope(log10(CAST(freq AS DOUBLE)),
+                        log10(CAST(rank AS DOUBLE))), 4) AS slope,
+       round(regr_intercept(log10(CAST(freq AS DOUBLE)),
+                            log10(CAST(rank AS DOUBLE))), 4) AS intercept,
+       round(regr_r2(log10(CAST(freq AS DOUBLE)),
+                     log10(CAST(rank AS DOUBLE))), 4) AS r2
+FROM ranked
+"""
+
+
+@register("zipf_token_spectrum", _ZIPF_ORACLE)
+def zipf_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus diagnostic (llmops/textstats.zipf_fit):
+    vocabulary rank via the range-exchange global-position kernel (no
+    single-partition sort at any vocab size), then one partial-agg
+    regr_slope/intercept/r2 fit of log-freq on log-rank — the
+    standard natural-text health check for a training corpus."""
+    from hadoop_source_spark.llmops import bpetrain
+
+    d = table(spark, sf_dir, "documents")
+    return ts.zipf_fit(bpetrain.word_freqs(d, "text"))
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -7821,9 +8359,15 @@ _WINDOW: list[str] = [
     "cusum_drift_detection", "streaming_cusum_drift",
     "preemption_reclaim_plan", "acl_transformation_apply",
     "qjm_segment_recovery",
+    # round 5
+    "disk_balancer_plan", "replica_read_ordering",
+    "mount_table_resolution", "composite_file_checksum",
+    "bpe_pair_merge", "writable_hash_partitioning",
+    "trash_expunge_sweep", "volume_choice_assignment",
+    "zipf_token_spectrum",
 ]
 
-assert len(_WINDOW) == 124, len(_WINDOW)
+assert len(_WINDOW) == 133, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

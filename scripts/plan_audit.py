@@ -107,6 +107,11 @@ def main() -> None:
         "speculative_execution_plan", "range_partition_advisor",
         "cusum_drift_detection", "preemption_reclaim_plan",
         "acl_transformation_apply", "qjm_segment_recovery",
+        "disk_balancer_plan", "replica_read_ordering",
+        "mount_table_resolution", "composite_file_checksum",
+        "writable_hash_partitioning", "trash_expunge_sweep",
+        "volume_choice_assignment", "zipf_token_spectrum",
+        "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

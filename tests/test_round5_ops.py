@@ -1,0 +1,365 @@
+"""Round-5 operator pins: intra-node disk balancer, replica read-path
+ordering, RBF mount-table resolution, composite file checksum, BPE
+training — each against hand-computed or pure-Python ground truth."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hadoop_source_spark.functions import filechecksum as fc
+from hadoop_source_spark.llmops import bpetrain
+from hadoop_source_spark.operators import diskbalancer, federation, readpath
+
+
+# ---------------------------------------------------------------- disk
+def _volumes(spark, rows):
+    return spark.createDataFrame(
+        rows, "node string, volume string, capacity long, used long"
+    )
+
+
+def test_diskbalancer_moves_to_ideal(spark):
+    # node n1: density = 600/1200 = 0.5 → ideals 200/400; v0 holds 500
+    # (over by 300), v1 holds 100 (under by 300) → one 300-byte move.
+    # node n2 is perfectly balanced → no moves.
+    rows = [
+        ("n1", "v0", 400, 500), ("n1", "v1", 800, 100),
+        ("n2", "v0", 400, 200), ("n2", "v1", 400, 200),
+    ]
+    out = diskbalancer.node_plan(_volumes(spark, rows), threshold=0.1).collect()
+    assert len(out) == 1
+    m = out[0]
+    assert (m.node, m.src_volume, m.dst_volume, m.move_bytes) == (
+        "n1", "v0", "v1", 300
+    )
+
+
+def test_diskbalancer_threshold_band_excludes(spark):
+    # v0 sits 5% dense above ideal — inside the 10% band, no move even
+    # though v1 is far below.
+    rows = [("n1", "v0", 1000, 575), ("n1", "v1", 1000, 475)]
+    out = diskbalancer.node_plan(_volumes(spark, rows), threshold=0.1).collect()
+    assert out == []
+
+
+def test_diskbalancer_conserves_bytes_multi_volume(spark):
+    # 3 over + 2 under volumes: total moved == min(total excess, total
+    # deficit) and every move is positive.
+    rows = [
+        ("n1", "a", 100, 90), ("n1", "b", 100, 80), ("n1", "c", 100, 70),
+        ("n1", "d", 100, 5), ("n1", "e", 100, 5),
+    ]
+    # density = 250/500 = 0.5 → ideal 50 each; excess 40+30+20=90,
+    # deficit 45+45=90
+    out = diskbalancer.node_plan(_volumes(spark, rows), threshold=0.1).collect()
+    assert sum(m.move_bytes for m in out) == 90
+    assert all(m.move_bytes > 0 for m in out)
+    assert all(m.src_volume in "abc" and m.dst_volume in "de" for m in out)
+
+
+# ------------------------------------------------------------ readpath
+def _replicas(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "block_id long, node string, node_id long, rack string, dc string,"
+        " decommissioned boolean, stale boolean",
+    )
+
+
+def _clients(spark, rows):
+    return spark.createDataFrame(
+        rows, "client_id long, c_node string, c_rack string, c_dc string"
+    )
+
+
+def test_readpath_weight_ladder(spark):
+    reps = _replicas(spark, [
+        (1, "h1", 1, "r1", "d1", False, False),   # same node  → 0
+        (1, "h2", 2, "r1", "d1", False, False),   # same rack  → 2
+        (1, "h3", 3, "r2", "d1", False, False),   # same dc    → 4
+        (1, "h4", 4, "r9", "d2", False, False),   # cross-dc   → 6
+    ])
+    cl = _clients(spark, [(7, "h1", "r1", "d1")])
+    out = {r.node: r for r in
+           readpath.sort_located_blocks(reps, cl).collect()}
+    assert [out[f"h{i}"].weight for i in (1, 2, 3, 4)] == [0, 2, 4, 6]
+    assert [out[f"h{i}"].position for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_readpath_inactive_sort_last(spark):
+    # decommissioned local replica reads LAST despite weight 0; stale
+    # same-rack replica after all healthy but before decommissioned.
+    reps = _replicas(spark, [
+        (5, "h1", 1, "r1", "d1", True, False),
+        (5, "h2", 2, "r1", "d1", False, True),
+        (5, "h3", 3, "r9", "d2", False, False),
+    ])
+    cl = _clients(spark, [(7, "h1", "r1", "d1")])
+    out = {r.node: r.position for r in
+           readpath.sort_located_blocks(reps, cl).collect()}
+    assert out == {"h3": 1, "h2": 2, "h1": 3}
+    # without stale avoidance the stale rack-local copy wins
+    out2 = {r.node: r.position for r in
+            readpath.sort_located_blocks(reps, cl, consider_stale=False)
+            .collect()}
+    assert out2 == {"h2": 1, "h3": 2, "h1": 3}
+
+
+# ---------------------------------------------------------- federation
+def _mounts(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "src string, dests array<struct<ns:string,path:string>>,"
+        " policy string",
+    )
+
+
+def test_federation_longest_prefix_and_boundary(spark):
+    mounts = _mounts(spark, [
+        ("/", [("ns0", "/root")], "HASH"),
+        ("/data", [("ns1", "/d")], "HASH"),
+        ("/data/dir1", [("ns2", "/one")], "HASH"),
+    ])
+    paths = spark.createDataFrame(
+        [("/data/dir1/f",), ("/data/dir10/f",), ("/other/x",)],
+        "path string",
+    )
+    out = {r.path: r for r in
+           federation.resolve_paths(paths, mounts).collect()}
+    # deepest match wins; /data/dir10 must NOT match /data/dir1
+    assert out["/data/dir1/f"].dest_ns == "ns2"
+    assert out["/data/dir1/f"].dest_path == "/one/f"
+    assert out["/data/dir10/f"].dest_ns == "ns1"
+    assert out["/data/dir10/f"].dest_path == "/d/dir10/f"
+    assert out["/other/x"].dest_ns == "ns0"
+    assert out["/other/x"].dest_path == "/root/other/x"
+    assert all(r.matched for r in out.values())
+
+
+def test_federation_hash_policy_sticky_and_unmatched(spark):
+    mounts = _mounts(spark, [
+        ("/multi", [("nsA", "/a"), ("nsB", "/b"), ("nsC", "/c")], "HASH"),
+        ("/first", [("nsA", "/a"), ("nsB", "/b")], "LOCAL"),
+    ])
+    paths = spark.createDataFrame(
+        [(f"/multi/f{i}", i) for i in range(30)]
+        + [("/first/x", 99), ("/nowhere/y", 100)],
+        "path string, k long",
+    )
+    out = federation.resolve_paths(paths, mounts, hash_col=F.col("k"))
+    rows = {r.path: r for r in out.collect()}
+    # sticky: k mod 3 decides, so the pick is reproducible
+    for i in range(30):
+        assert rows[f"/multi/f{i}"].dest_ns == "ns" + "ABC"[i % 3]
+    # non-HASH policy: first destination
+    assert rows["/first/x"].dest_ns == "nsA"
+    # no entry (and no root mount): unmatched
+    assert not rows["/nowhere/y"].matched
+    assert rows["/nowhere/y"].dest_path is None
+
+
+# ------------------------------------------------------- file checksum
+def _py_composite(text: str, bpc: int = 512, cpb: int = 8) -> str:
+    def md5(s: bytes) -> str:
+        return hashlib.md5(s).hexdigest()
+
+    chunks = [text[i:i + bpc] for i in range(0, len(text), bpc)]
+    blocks = [chunks[i:i + cpb] for i in range(0, len(chunks), cpb)]
+    bd = [md5("".join(md5(c.encode()) for c in blk).encode())
+          for blk in blocks]
+    return md5("".join(bd).encode())
+
+
+def test_composite_checksum_matches_hashlib(spark):
+    texts = ["", "a", "x" * 511, "y" * 512, "z" * 513,
+             "w" * (512 * 8), "v" * (512 * 8 + 1), "unicode…é" * 300]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        "text", fc.composite_checksum("text", 512, 8).alias("ck")
+    ).collect()
+    for r in out:
+        assert r.ck == _py_composite(r.text), f"len={len(r.text)}"
+
+
+def test_composite_checksum_block_locality(spark):
+    # flipping one char in block 1 changes ONLY block 1's digest
+    base = "A" * (512 * 8 * 3)
+    mut = base[: 512 * 8 + 5] + "Z" + base[512 * 8 + 6:]
+    df = spark.createDataFrame([(base, mut)], "t1 string, t2 string")
+    r = df.select(
+        fc.block_digests("t1").alias("b1"), fc.block_digests("t2").alias("b2")
+    ).collect()[0]
+    assert len(r.b1) == len(r.b2) == 3
+    assert r.b1[0] == r.b2[0] and r.b1[2] == r.b2[2]
+    assert r.b1[1] != r.b2[1]
+
+
+# ----------------------------------------------------------------- bpe
+def _py_bpe(word_freqs: dict[str, int], n: int):
+    merges = []
+    vocab = {w: list(w) for w in word_freqs}
+    for _ in range(n):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "lowest": 4}
+    freqs = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    got_merges, final = bpetrain.train(freqs, 8)
+    exp_merges, exp_vocab = _py_bpe(wf, 8)
+    assert got_merges == exp_merges
+    got_vocab = {r.word: list(r.symbols) for r in final.collect()}
+    assert got_vocab == exp_vocab
+
+
+def test_bpe_merge_nonoverlapping_fold(spark):
+    # 'aaaa' under (a,a): left-to-right gives [aa, aa]; 'aaa' → [aa, a]
+    freqs = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1)], "word string, freq long"
+    )
+    out = {r.word: list(r.symbols) for r in
+           bpetrain.apply_merge(freqs, "a", "a").collect()}
+    assert out == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_word_freqs_tokenization(spark):
+    docs = spark.createDataFrame(
+        [("The cat, the CAT—and 42 cats!",)], "text string"
+    )
+    out = {r.word: r.freq for r in bpetrain.word_freqs(docs).collect()}
+    assert out == {"the": 2, "cat": 2, "and": 1, "cats": 1}
+
+
+# -------------------------------------------------- writable hash
+def _java_hash_bytes(s: str) -> int:
+    h = 1
+    for ch in s.encode():
+        b = ch if ch < 128 else ch - 256
+        h = ((31 * h + b + 2**31) % 2**32) - 2**31
+    return h
+
+
+def test_writable_hash_matches_java_fold(spark):
+    from hadoop_source_spark.functions import hashes
+
+    vals = ["", "a", "abc", "/data/src1/42.txt", "x" * 100,
+            "part-00000", "key\twith\ttabs"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = {r.s: (r.h, r.p) for r in df.select(
+        "s", hashes.writable_hash("s").alias("h"),
+        hashes.hash_partition("s", 7).alias("p")).collect()}
+    for v in vals:
+        exp = _java_hash_bytes(v)
+        assert out[v][0] == exp, v
+        assert out[v][1] == (exp & 0x7FFFFFFF) % 7, v
+
+
+# --------------------------------------------------------- trash
+def test_trash_expunge_actions(spark):
+    import datetime as dt
+    from hadoop_source_spark.operators import trash
+
+    now = dt.datetime(2024, 3, 10, 12, 0, 0)
+    rows = [
+        ("u1", "Current", 10), ("u1", "Current", 20),
+        ("u1", "240301120000", 100),   # 216h old -> DELETE at 168h
+        ("u1", "240309120000", 7),     # 24h -> KEEP
+        ("u2", "notatimestamp", 5),    # SKIP_BAD
+    ]
+    df = spark.createDataFrame(rows, "user string, dir string, size long")
+    out = {(r.user, r.dir): r for r in trash.expunge_plan(
+        df, F.lit(now), deletion_interval_hours=168).collect()}
+    assert out[("u1", "Current")].action == "CHECKPOINT"
+    assert out[("u1", "Current")].n_files == 2
+    assert out[("u1", "Current")].bytes == 30
+    assert out[("u1", "240301120000")].action == "DELETE"
+    assert out[("u1", "240301120000")].reclaimed_bytes == 100
+    assert out[("u1", "240301120000")].age_hours == 216.0
+    assert out[("u1", "240309120000")].action == "KEEP"
+    assert out[("u1", "240309120000")].reclaimed_bytes == 0
+    assert out[("u2", "notatimestamp")].action == "SKIP_BAD"
+
+
+# --------------------------------------------------- volume choice
+def test_volume_choice_balanced_round_robin(spark):
+    from hadoop_source_spark.operators import volumechoice
+
+    vols = spark.createDataFrame(
+        [("v0", 1000), ("v1", 1050), ("v2", 990)],
+        "volume string, available long",
+    )
+    blocks = spark.createDataFrame(
+        [(i, 10) for i in range(9)], "block_id long, size long"
+    )
+    out = {r.block_id: r for r in volumechoice.choose_volumes(
+        blocks, vols, threshold=100).collect()}
+    assert all(r.tier == "BALANCED_RR" for r in out.values())
+    # round robin over name-sorted volumes: block_id % 3
+    for i in range(9):
+        assert out[i].volume == f"v{i % 3}"
+
+
+def test_volume_choice_preference_split(spark):
+    from hadoop_source_spark.operators import volumechoice
+
+    vols = spark.createDataFrame(
+        [("v0", 100), ("v1", 150), ("v2", 5000), ("v3", 6000)],
+        "volume string, available long",
+    )
+    blocks = spark.createDataFrame(
+        [(i, 10) for i in range(40)], "block_id long, size long"
+    )
+    out = volumechoice.choose_volumes(blocks, vols, threshold=1000).collect()
+    tiers = {r.block_id: r for r in out}
+    n_high = sum(1 for r in out if r.tier == "HIGH_AVAIL")
+    # deterministic draw: expect roughly 75% to the high set
+    assert 20 <= n_high <= 36
+    for r in out:
+        if r.tier == "HIGH_AVAIL":
+            assert r.volume in ("v2", "v3")
+            assert r.volume == ("v2", "v3")[r.block_id % 2]
+        else:
+            assert r.tier == "LOW_AVAIL"
+            assert r.volume in ("v0", "v1")
+            assert r.volume == ("v0", "v1")[r.block_id % 2]
+
+
+# ------------------------------------------------------------ zipf
+def test_zipf_fit_matches_lstsq(spark):
+    import numpy as np
+    from hadoop_source_spark.llmops import textstats
+
+    freqs = [("w%02d" % i, max(1, int(1000 / (i + 1)))) for i in range(40)]
+    df = spark.createDataFrame(freqs, "word string, freq long")
+    r = textstats.zipf_fit(df).collect()[0]
+    # ranks follow freq desc, word asc == input order here
+    x = np.log10(np.arange(1, 41))
+    y = np.log10([f for _, f in freqs])
+    A = np.vstack([x, np.ones_like(x)]).T
+    (slope, intercept), res, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert abs(r.slope - slope) < 1e-3
+    assert abs(r.intercept - intercept) < 1e-3
+    assert r.n_types == 40 and r.n_tokens == sum(f for _, f in freqs)
+    assert 0.9 < r.r2 <= 1.0
