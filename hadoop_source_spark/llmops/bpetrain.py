@@ -88,6 +88,94 @@ def apply_merge(freqs: DataFrame, a: str, b: str) -> DataFrame:
     return freqs.withColumn("symbols", merged)
 
 
+def segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge list: tokenize each document the same way
+    `word_freqs` does and split every word into BPE pieces by
+    repeatedly merging the LOWEST-RANK applicable pair (standard BPE
+    inference — merge priority is training order, not greedy length).
+
+    The per-word merge loop is inherently sequential, so this is the
+    engine's documented Pandas-UDF seam: an Arrow-batched mapInPandas
+    with the (broadcast-small) rank table in closure, word-level
+    memoized per batch. Adds n_words, n_pieces, pieces_per_word
+    (fertility — the tokenizer-quality metric), first_pieces (first 8
+    pieces, for inspection)."""
+    import re
+
+    # accept train()'s (a, b, count) triples or bare (a, b) pairs
+    merges = [(m[0], m[1]) for m in merges]
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    word_re = re.compile(r"[a-z]+")
+
+    def enc(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            # standard BPE inference: best-ranked pair, then merge ALL
+            # its occurrences left-to-right non-overlapping, repeat
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    schema = (
+        "doc_id long, n_words long, n_pieces long,"
+        " pieces_per_word double, first_pieces array<string>"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = word_re.findall((text or "").lower())
+                pieces = []
+                for w in words:
+                    pieces.extend(enc(w, cache))
+                n_w, n_p = len(words), len(pieces)
+                rows.append(
+                    (
+                        doc_id,
+                        n_w,
+                        n_p,
+                        round(n_p / n_w, 4) if n_w else 0.0,
+                        pieces[:8],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_words", "n_pieces", "pieces_per_word",
+                    "first_pieces",
+                ],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema)
+
+
 def train(
     freqs: DataFrame, n_merges: int, min_count: int = 1
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:

@@ -84,3 +84,58 @@ def resolve_paths(paths: DataFrame, mounts: DataFrame,
             F.col("__m").isNotNull().alias("matched"),
         )
     )
+
+
+def aggregate_quota(
+    usage: DataFrame,
+    quotas: DataFrame,
+    mount_col: str = "mount_src",
+    files_col: str = "n_files",
+    bytes_col: str = "n_bytes",
+) -> DataFrame:
+    """Federation-wide quota view per mount entry (`hdfs-rbf/router/
+    Quota.java:127-133` getQuotaUsage → `aggregateQuota` :256 — the
+    Router SUMS namespace and space consumption across every
+    destination subcluster of a mount and reports it against the
+    mount entry's single quota).
+
+    usage: per-(mount, subcluster) consumption rows. quotas: mount,
+    ns_quota, ss_quota (-1 = unset, HdfsConstants.QUOTA_RESET).
+    One partial-agg groupBy on the mount key plus a broadcast join of
+    the (control-plane-sized) quota table. Emits remaining counts and
+    the violation flags FSDirectory would throw as
+    NSQuotaExceededException / DSQuotaExceededException."""
+    agg = usage.groupBy(F.col(mount_col).alias("mount")).agg(
+        F.sum(files_col).alias("files_used"),
+        F.sum(bytes_col).alias("bytes_used"),
+        F.count(F.lit(1)).alias("n_subclusters"),
+    )
+    q = quotas.select(
+        F.col("mount").alias("__qm"), "ns_quota", "ss_quota"
+    )
+    j = agg.join(F.broadcast(q), agg["mount"] == F.col("__qm"), "left")
+    unset = F.lit(-1)
+    return j.select(
+        "mount",
+        "n_subclusters",
+        "files_used",
+        "bytes_used",
+        F.coalesce("ns_quota", unset).alias("ns_quota"),
+        F.coalesce("ss_quota", unset).alias("ss_quota"),
+        F.when(
+            F.coalesce("ns_quota", unset) >= 0,
+            F.col("ns_quota") - F.col("files_used"),
+        ).alias("ns_remaining"),
+        F.when(
+            F.coalesce("ss_quota", unset) >= 0,
+            F.col("ss_quota") - F.col("bytes_used"),
+        ).alias("ss_remaining"),
+        (
+            (F.coalesce("ns_quota", unset) >= 0)
+            & (F.col("files_used") > F.coalesce("ns_quota", unset))
+        ).alias("ns_violated"),
+        (
+            (F.coalesce("ss_quota", unset) >= 0)
+            & (F.col("bytes_used") > F.coalesce("ss_quota", unset))
+        ).alias("ss_violated"),
+    )

@@ -8292,6 +8292,246 @@ def zipf_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.zipf_fit(bpetrain.word_freqs(d, "text"))
 
 
+_BLOCK_SCANNER_ORACLE = """
+WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+blocks AS (
+  SELECT 'v' || (user_id % 6) AS volume,
+         event_id AS block_id,
+         CAST(length(coalesce(props, '')) AS BIGINT) * 65536 AS size_bytes,
+         CASE WHEN event_id % 37 = 0 THEN NULL ELSE ts END AS last_scan_ts,
+         event_type = 'error' AS suspect,
+         CASE WHEN event_type = 'error' THEN ts END AS suspect_ts,
+         now_ts
+  FROM events, mx
+), due AS (
+  SELECT * FROM blocks
+  WHERE suspect OR last_scan_ts IS NULL
+     OR (epoch_us(now_ts) - epoch_us(last_scan_ts)) / 3.6e9 >= 168
+)
+SELECT volume, block_id, size_bytes, suspect,
+  CAST(row_number() OVER w AS INTEGER) AS position,
+  CAST(coalesce(sum(size_bytes) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+    AS bytes_ahead
+FROM due
+WINDOW w AS (PARTITION BY volume
+             ORDER BY suspect DESC, suspect_ts ASC NULLS LAST,
+                      last_scan_ts ASC NULLS FIRST, block_id ASC)
+"""
+
+
+@register("block_scanner_queue", _BLOCK_SCANNER_ORACLE)
+def block_scanner_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume block-scanner planning (operators/blockscanner.scan_queue;
+    reference hdfs/server/datanode/VolumeScanner.java:355-396 rescan
+    period, :411 byte throttle, :135/:539 suspects jump the queue).
+    Events become blocks: error events are suspects, a sprinkle never
+    scanned, the rest aged by their timestamp against 'now' = max ts;
+    per-volume windows order and meter the queue."""
+    from hadoop_source_spark.operators import blockscanner
+
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now_ts"))
+    blocks = e.crossJoin(F.broadcast(mx)).select(
+        F.concat(F.lit("v"), (F.col("user_id") % 6).cast("string")).alias(
+            "volume"
+        ),
+        F.col("event_id").alias("block_id"),
+        (F.length(F.coalesce("props", F.lit(""))).cast("long") * 65536).alias(
+            "size_bytes"
+        ),
+        F.when(F.col("event_id") % 37 == 0, F.lit(None)).otherwise(
+            F.col("ts")
+        ).alias("last_scan_ts"),
+        (F.col("event_type") == "error").alias("suspect"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias(
+            "suspect_ts"
+        ),
+        "now_ts",
+    )
+    return blockscanner.scan_queue(
+        blocks, F.col("now_ts"), scan_period_hours=168,
+        bytes_per_sec=1048576,
+    ).drop("eta_hours")
+
+
+_OBSERVER_ORACLE = """
+SELECT event_id, user_id AS client_id, event_id % 1100 AS last_seen_txid,
+  CASE WHEN event_id % 1100 <= 940 THEN 'nn2'
+       WHEN event_id % 1100 <= 995 THEN 'nn1'
+       ELSE 'nn0' END AS serving_nn,
+  CASE WHEN event_id % 1100 <= 995 THEN 'OBSERVER'
+       ELSE 'ACTIVE_FALLBACK' END AS serving_mode,
+  CAST(CASE WHEN event_id % 1100 <= 940 THEN 60
+            WHEN event_id % 1100 <= 995 THEN 5
+            ELSE 0 END AS BIGINT) AS lag_txns
+FROM events
+"""
+
+
+@register("observer_read_routing", _OBSERVER_ORACLE)
+def observer_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observer-read routing (operators/observer.route_reads;
+    reference hdfs-client ObserverReadProxyProvider.java + server
+    GlobalStateIdContext.java:136-150 — an observer serves a read only
+    once its applied txid has caught up to the client's last-seen
+    stateId; otherwise the read falls through, ultimately to the
+    Active; standbys never serve). Event ids become client stateIds
+    against a 4-node fleet; one broadcast-HOF projection."""
+    from hadoop_source_spark.operators import observer
+
+    e = table(spark, sf_dir, "events")
+    reads = e.select(
+        "event_id",
+        F.col("user_id").alias("client_id"),
+        (F.col("event_id") % 1100).alias("last_seen_txid"),
+    )
+    nns = spark.createDataFrame(
+        [("nn0", "ACTIVE", 1000, 1.0), ("nn1", "OBSERVER", 995, 4.0),
+         ("nn2", "OBSERVER", 940, 2.0), ("nn3", "STANDBY", 1000, 0.5)],
+        "nn string, state string, applied_txid long, latency_ms double",
+    )
+    return observer.route_reads(reads, nns)
+
+
+_RBF_QUOTA_ORACLE = """
+WITH resolved AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN source = 'src1' THEN '/data/src1'
+         WHEN source = 'src10' THEN '/data/src10'
+         ELSE '/data' END AS mount_src,
+    CASE WHEN source = 'src1' THEN
+           CASE doc_id % 3 WHEN 0 THEN 'ns_a' WHEN 1 THEN 'ns_b'
+                ELSE 'ns_c' END
+         WHEN source = 'src10' THEN 'ns_x'
+         ELSE CASE doc_id % 2 WHEN 0 THEN 'ns_d0' ELSE 'ns_d1' END
+    END AS dest_ns
+  FROM documents
+), usage AS (
+  SELECT mount_src, dest_ns, count(*) AS n_files,
+         CAST(sum(n_chars) AS BIGINT) AS n_bytes
+  FROM resolved GROUP BY 1, 2
+), agg AS (
+  SELECT mount_src AS mount, count(*) AS n_subclusters,
+         CAST(sum(n_files) AS BIGINT) AS files_used,
+         CAST(sum(n_bytes) AS BIGINT) AS bytes_used
+  FROM usage GROUP BY 1
+), q AS (
+  SELECT * FROM (VALUES ('/data', CAST(20000 AS BIGINT),
+                         CAST(200000000 AS BIGINT)),
+                        ('/data/src1', CAST(10 AS BIGINT),
+                         CAST(-1 AS BIGINT)),
+                        ('/data/src10', CAST(-1 AS BIGINT),
+                         CAST(4000 AS BIGINT)))
+       t(mount, ns_quota, ss_quota)
+)
+SELECT a.mount, n_subclusters, files_used, bytes_used,
+       q.ns_quota, q.ss_quota,
+       CASE WHEN q.ns_quota >= 0 THEN q.ns_quota - files_used END
+         AS ns_remaining,
+       CASE WHEN q.ss_quota >= 0 THEN q.ss_quota - bytes_used END
+         AS ss_remaining,
+       q.ns_quota >= 0 AND files_used > q.ns_quota AS ns_violated,
+       q.ss_quota >= 0 AND bytes_used > q.ss_quota AS ss_violated
+FROM agg a JOIN q ON a.mount = q.mount
+"""
+
+
+@register("rbf_quota_report", _RBF_QUOTA_ORACLE)
+def rbf_quota_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation quota aggregation (operators/federation.
+    aggregate_quota; reference hdfs-rbf router/Quota.java:127-133,
+    :256 aggregateQuota — the Router sums each mount's consumption
+    across ALL destination subclusters and reports it against the
+    mount entry's single quota). Composes with resolve_paths: docs
+    resolve through the mount table, usage rolls up per (mount,
+    subcluster), quotas sized so src1 violates namespace and src10
+    violates space while /data stays clean."""
+    from hadoop_source_spark.operators import federation
+
+    d = table(spark, sf_dir, "documents")
+    paths = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+    )
+    mounts = spark.createDataFrame(
+        [
+            ("/data", [("ns_d0", "/warm"), ("ns_d1", "/cold")], "HASH"),
+            (
+                "/data/src1",
+                [("ns_a", "/a"), ("ns_b", "/b"), ("ns_c", "/c")],
+                "HASH",
+            ),
+            ("/data/src10", [("ns_x", "/x")], "LOCAL"),
+        ],
+        "src string, dests array<struct<ns:string,path:string>>,"
+        " policy string",
+    )
+    resolved = federation.resolve_paths(
+        paths, mounts, hash_col=F.col("doc_id")
+    )
+    usage = resolved.groupBy("mount_src", "dest_ns").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+    )
+    quotas = spark.createDataFrame(
+        [("/data", 20000, 200000000), ("/data/src1", 10, -1),
+         ("/data/src10", -1, 4000)],
+        "mount string, ns_quota long, ss_quota long",
+    )
+    return federation.aggregate_quota(usage, quotas)
+
+
+@register("bpe_segmentation_stats")
+def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply (llmops/bpetrain.segment): train 16 merges on
+    the corpus, then segment every document with standard rank-
+    priority BPE inference — the per-word merge loop is inherently
+    sequential, so this is the engine's documented Arrow/mapInPandas
+    seam (rows-only driver check; the algorithm itself is pinned
+    against pure-Python BPE in pytest). Emits fertility
+    (pieces_per_word), the tokenizer-quality metric."""
+    from hadoop_source_spark.llmops import bpetrain
+
+    d = table(spark, sf_dir, "documents")
+    merges, _ = bpetrain.train(bpetrain.word_freqs(d, "text"), 16)
+    return bpetrain.segment(d, merges).drop("first_pieces")
+
+
+_CURRICULUM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+      AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS phase
+FROM toks
+"""
+
+
+@register("curriculum_phases", _CURRICULUM_ORACLE)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase assignment (shortest docs first — the
+    standard warmup curriculum for LM training): whitespace token
+    budget per doc, then 4 phases via the scale-safe global-ntile
+    kernel (operators/relational.global_ntile — range exchange +
+    broadcast offsets, NO single-partition window sort; the oracle's
+    plain NTILE proves result equivalence)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", ts.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return relational.global_ntile(
+        toks, ["n_tokens", "doc_id"], 4, bucket_col="phase"
+    ).select("doc_id", "n_tokens", F.col("phase").cast("int").alias("phase"))
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -8364,10 +8604,12 @@ _WINDOW: list[str] = [
     "mount_table_resolution", "composite_file_checksum",
     "bpe_pair_merge", "writable_hash_partitioning",
     "trash_expunge_sweep", "volume_choice_assignment",
-    "zipf_token_spectrum",
+    "zipf_token_spectrum", "block_scanner_queue",
+    "observer_read_routing", "rbf_quota_report",
+    "bpe_segmentation_stats", "curriculum_phases",
 ]
 
-assert len(_WINDOW) == 133, len(_WINDOW)
+assert len(_WINDOW) == 138, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -111,6 +111,8 @@ def main() -> None:
         "mount_table_resolution", "composite_file_checksum",
         "writable_hash_partitioning", "trash_expunge_sweep",
         "volume_choice_assignment", "zipf_token_spectrum",
+        "block_scanner_queue", "observer_read_routing",
+        "rbf_quota_report", "curriculum_phases",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

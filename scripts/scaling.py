@@ -141,6 +141,8 @@ EXTRA = (
     "mount_table_resolution", "composite_file_checksum",
     "writable_hash_partitioning", "trash_expunge_sweep",
     "volume_choice_assignment", "zipf_token_spectrum",
+    "block_scanner_queue", "observer_read_routing",
+    "rbf_quota_report", "curriculum_phases",
     "bpe_pair_merge",
 )
 

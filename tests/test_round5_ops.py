@@ -363,3 +363,114 @@ def test_zipf_fit_matches_lstsq(spark):
     assert abs(r.intercept - intercept) < 1e-3
     assert r.n_types == 40 and r.n_tokens == sum(f for _, f in freqs)
     assert 0.9 < r.r2 <= 1.0
+
+
+# ---------------------------------------------------- block scanner
+def test_block_scanner_queue(spark):
+    import datetime as dt
+    from hadoop_source_spark.operators import blockscanner
+
+    now = dt.datetime(2024, 6, 1)
+    old = dt.datetime(2024, 4, 1)     # ~1464h ago, past 504h period
+    fresh = dt.datetime(2024, 5, 31)  # 24h ago, waits this cycle out
+    rows = [
+        # volume, block, size, last_scan, suspect, suspect_ts
+        ("v1", 1, 3600 * 1048576, old, False, None),
+        ("v1", 2, 3600 * 1048576, None, False, None),
+        ("v1", 3, 100, fresh, True, dt.datetime(2024, 5, 31, 10)),
+        ("v1", 4, 100, fresh, False, None),   # dropped: fresh, not suspect
+        ("v2", 5, 7200 * 1048576, None, False, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "volume string, block_id long, size_bytes long,"
+        " last_scan_ts timestamp, suspect boolean, suspect_ts timestamp",
+    )
+    out = {r.block_id: r for r in
+           blockscanner.scan_queue(df, F.lit(now)).collect()}
+    assert 4 not in out
+    # suspect first, then never-scanned (null oldest), then stale
+    assert out[3].position == 1 and out[3].eta_hours == 0.0
+    assert out[3].bytes_ahead == 0
+    assert out[2].position == 2
+    assert out[1].position == 3
+    # block 1 waits behind the suspect (tiny) + block 2 (1h at 1 MiB/s)
+    assert abs(out[1].eta_hours - 1.0) < 0.01
+    assert out[5].position == 1 and out[5].eta_hours == 0.0
+
+
+# -------------------------------------------------- observer reads
+def test_observer_read_routing(spark):
+    from hadoop_source_spark.operators import observer
+
+    nns = spark.createDataFrame(
+        [("nn0", "ACTIVE", 1000, 1.0),
+         ("nn1", "OBSERVER", 990, 5.0),
+         ("nn2", "OBSERVER", 970, 2.0),
+         ("nn3", "STANDBY", 1000, 0.5)],
+        "nn string, state string, applied_txid long, latency_ms double",
+    )
+    reads = spark.createDataFrame(
+        [(1, 960), (2, 980), (3, 995), (4, 1000)],
+        "client_id long, last_seen_txid long",
+    )
+    out = {r.client_id: r for r in
+           observer.route_reads(reads, nns).collect()}
+    # client 1: both observers caught up -> lowest latency nn2
+    assert (out[1].serving_nn, out[1].serving_mode) == ("nn2", "OBSERVER")
+    assert out[1].lag_txns == 30
+    # client 2: only nn1 caught up
+    assert out[2].serving_nn == "nn1" and out[2].lag_txns == 10
+    # clients 3, 4: no observer caught up -> Active (STANDBY never serves)
+    assert out[3].serving_mode == "ACTIVE_FALLBACK"
+    assert out[3].serving_nn == "nn0" and out[3].lag_txns == 0
+    assert out[4].serving_mode == "ACTIVE_FALLBACK"
+
+
+# ------------------------------------------------------- rbf quota
+def test_rbf_quota_aggregation(spark):
+    from hadoop_source_spark.operators import federation
+
+    usage = spark.createDataFrame(
+        [("/m1", "ns0", 10, 100), ("/m1", "ns1", 15, 250),
+         ("/m2", "ns0", 3, 30)],
+        "mount_src string, sub string, n_files long, n_bytes long",
+    )
+    quotas = spark.createDataFrame(
+        [("/m1", 20, 1000), ("/m2", -1, -1)],
+        "mount string, ns_quota long, ss_quota long",
+    )
+    out = {r.mount: r for r in
+           federation.aggregate_quota(usage, quotas).collect()}
+    m1 = out["/m1"]
+    assert (m1.files_used, m1.bytes_used, m1.n_subclusters) == (25, 350, 2)
+    assert m1.ns_violated and not m1.ss_violated
+    assert m1.ns_remaining == -5 and m1.ss_remaining == 650
+    m2 = out["/m2"]
+    assert not m2.ns_violated and not m2.ss_violated
+    assert m2.ns_remaining is None and m2.ss_remaining is None
+
+
+# ------------------------------------------------------ bpe segment
+def test_bpe_segment_matches_training_symbols(spark):
+    # applying the trained merges to the training words must reproduce
+    # the trainer's final symbol table (BPE consistency property)
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "lowest": 4}
+    freqs = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    merges, final = bpetrain.train(freqs, 10)
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(wf)], "doc_id long, text string"
+    )
+    seg = {r.doc_id: r for r in bpetrain.segment(docs, merges).collect()}
+    trained = {r.word: list(r.symbols) for r in final.collect()}
+    for i, w in enumerate(wf):
+        assert list(seg[i].first_pieces) == trained[w][:8], w
+        assert seg[i].n_words == 1
+        assert seg[i].n_pieces == len(trained[w])
+
+
+def test_bpe_segment_rank_priority_not_greedy(spark):
+    # merges ranked: (b,c) before (a,b): "abc" must become [a, bc]
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    out = bpetrain.segment(docs, [("b", "c"), ("a", "b")]).collect()[0]
+    assert list(out.first_pieces) == ["a", "bc"]
