@@ -81,3 +81,69 @@ def sync_plan_from_diff(diff: DataFrame, change_col: str = "change") -> DataFram
         .when(c == "M", "UPDATE")
         .when(c == "R", "RENAME"),
     )
+
+
+def checksum_sync_plan(
+    src: DataFrame,
+    dst: DataFrame,
+    path_col: str = "path",
+    text_col: str = "text",
+    bytes_per_chunk: int = 64,
+    chunks_per_block: int = 4,
+) -> DataFrame:
+    """Checksum-gated sync (-update with checksum comparison): same-size
+    files can still differ, so the reference's CopyMapper skips a file
+    only when the DISTRIBUTED FILE CHECKSUMS match (the hierarchical
+    MD5-of-block-MD5s of hdfs-client FileChecksumHelper.java:280 —
+    comparable across clusters precisely because it composes per-block
+    digests). Built on functions/filechecksum.block_digests, which also
+    yields the block-level delta: how many blocks actually changed — the
+    rsync-style re-copy lower bound.
+
+      COPY          — source only
+      DELETE        — target only
+      SKIP          — checksums equal
+      UPDATE        — checksums differ (n_blocks_changed > 0)
+
+    Both digest trees evaluate inside the projection feeding ONE
+    full-outer path join — no second pass over the data."""
+    from hadoop_source_spark.functions import filechecksum as fc
+
+    def digests(df, prefix):
+        return df.select(
+            F.col(path_col).alias("path"),
+            fc.block_digests(
+                F.col(text_col), bytes_per_chunk, chunks_per_block
+            ).alias(prefix + "_blocks"),
+        )
+
+    s, d = digests(src, "src"), digests(dst, "dst")
+    j = s.join(d, "path", "full_outer")
+    sb, db = F.col("src_blocks"), F.col("dst_blocks")
+    mx = F.greatest(
+        F.coalesce(F.size(sb), F.lit(0)), F.coalesce(F.size(db), F.lit(0))
+    )
+    changed = F.size(
+        F.filter(
+            F.sequence(F.lit(0), mx - 1),
+            lambda i: (i >= F.size(sb))
+            | (i >= F.size(db))
+            | (F.get(sb, i.cast("int")) != F.get(db, i.cast("int"))),
+        )
+    )
+    changed = F.when(mx > 0, changed).otherwise(F.lit(0))
+    src_only = sb.isNotNull() & db.isNull()
+    dst_only = sb.isNull() & db.isNotNull()
+    op = (
+        F.when(src_only, F.lit("COPY"))
+        .when(dst_only, F.lit("DELETE"))
+        .when(changed == 0, F.lit("SKIP"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    return j.select(
+        "path",
+        op.alias("op"),
+        F.coalesce(F.size(sb), F.lit(0)).alias("src_blocks_n"),
+        F.coalesce(F.size(db), F.lit(0)).alias("dst_blocks_n"),
+        changed.alias("n_blocks_changed"),
+    )

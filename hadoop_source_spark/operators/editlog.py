@@ -213,3 +213,62 @@ def replay(log: DataFrame) -> DataFrame:
         ).alias("live_size"),
         F.max("ts").alias("mtime_ts"),
     )
+
+
+def retention_purge(
+    images: DataFrame,
+    segments: DataFrame,
+    retain_images: int = 2,
+    extra_edits: int = 10000,
+) -> DataFrame:
+    """NNStorage retention sweep (`hdfs/server/namenode/
+    NNStorageRetentionManager.java:111` purgeOldStorage): keep the
+    newest `retain_images` fsimages (dfs.namenode.num.checkpoints.
+    retained); with fsimage_N the OLDEST retained image, everything up
+    to txid N is reflected in it, so edit segments are purgeable below
+    `purgeLogsFrom = max(0, N + 1 - extra_edits)` (:133-134 — the
+    extra-edits cushion keeps a tail of already-applied txns for HA
+    peers catching up); a segment containing purgeLogsFrom is kept
+    WHOLE (the trimming loop at :150 never splits a segment).
+
+    images: txid. segments: first_txid, last_txid. Output one row per
+    artifact: kind ('image'|'edits'), first_txid, last_txid (= txid
+    for images), action ('KEEP'|'PURGE'), reason ('RETAINED_IMAGE' /
+    'OLD_IMAGE' / 'REQUIRED' — covers txns past the oldest retained
+    image / 'CUSHION' — kept only by the extra-edits tail /
+    'PURGEABLE'). Both inputs are checkpoint-count-sized control-plane
+    tables; the one global window is deliberate and bounded, the same
+    documented shape as operators/balancer."""
+    w = Window.orderBy(F.col("txid").desc())
+    ranked = images.select(
+        "txid", F.row_number().over(w).alias("__r")
+    )
+    scalars = ranked.filter(F.col("__r") <= retain_images).agg(
+        F.min("txid").alias("__min_img")
+    )
+    img = ranked.crossJoin(F.broadcast(scalars)).select(
+        F.lit("image").alias("kind"),
+        F.col("txid").alias("first_txid"),
+        F.col("txid").alias("last_txid"),
+        F.when(F.col("__r") <= retain_images, F.lit("KEEP"))
+        .otherwise(F.lit("PURGE"))
+        .alias("action"),
+        F.when(F.col("__r") <= retain_images, F.lit("RETAINED_IMAGE"))
+        .otherwise(F.lit("OLD_IMAGE"))
+        .alias("reason"),
+    )
+    min_required = F.col("__min_img") + 1
+    purge_from = F.greatest(min_required - extra_edits, F.lit(0))
+    seg = segments.crossJoin(F.broadcast(scalars)).select(
+        F.lit("edits").alias("kind"),
+        "first_txid",
+        "last_txid",
+        F.when(F.col("last_txid") < purge_from, F.lit("PURGE"))
+        .otherwise(F.lit("KEEP"))
+        .alias("action"),
+        F.when(F.col("last_txid") < purge_from, F.lit("PURGEABLE"))
+        .when(F.col("last_txid") < min_required, F.lit("CUSHION"))
+        .otherwise(F.lit("REQUIRED"))
+        .alias("reason"),
+    )
+    return img.unionByName(seg)

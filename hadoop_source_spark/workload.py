@@ -8532,6 +8532,170 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", F.col("phase").cast("int").alias("phase"))
 
 
+_RETENTION_PURGE_ORACLE = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+days AS (
+  SELECT DISTINCT datediff('day', d0.d0, CAST(ts AS DATE)) AS day
+  FROM events, d0
+),
+images AS (
+  SELECT CAST(day * 100000 + 99999 AS BIGINT) AS txid FROM days
+  WHERE day % 3 = 0
+),
+segments AS (
+  SELECT CAST(day * 100000 AS BIGINT) AS first_txid,
+         CAST(day * 100000 + 99999 AS BIGINT) AS last_txid
+  FROM days
+),
+ranked AS (
+  SELECT txid, row_number() OVER (ORDER BY txid DESC) AS r FROM images
+),
+s AS (SELECT min(txid) AS min_img FROM ranked WHERE r <= 2)
+SELECT 'image' AS kind, txid AS first_txid, txid AS last_txid,
+       CASE WHEN r <= 2 THEN 'KEEP' ELSE 'PURGE' END AS action,
+       CASE WHEN r <= 2 THEN 'RETAINED_IMAGE' ELSE 'OLD_IMAGE' END AS reason
+FROM ranked
+UNION ALL
+SELECT 'edits', first_txid, last_txid,
+       CASE WHEN last_txid < greatest(min_img + 1 - 250000, 0)
+            THEN 'PURGE' ELSE 'KEEP' END,
+       CASE WHEN last_txid < greatest(min_img + 1 - 250000, 0)
+            THEN 'PURGEABLE'
+            WHEN last_txid < min_img + 1 THEN 'CUSHION'
+            ELSE 'REQUIRED' END
+FROM segments, s
+"""
+
+
+@register("nnstorage_retention", _RETENTION_PURGE_ORACLE)
+def nnstorage_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fsimage/edits retention sweep (operators/editlog.retention_purge;
+    reference hdfs NNStorageRetentionManager.java:111 purgeOldStorage —
+    keep the newest N checkpoints, purge edit segments wholly below
+    the extra-edits cushion under the oldest retained image, never
+    split a segment). Event days become daily edit segments with an
+    fsimage every third day; retain 2 images, 2.5 days of cushion —
+    PURGE/CUSHION/REQUIRED all land on the board."""
+    from hadoop_source_spark.operators import editlog
+
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    days = (
+        e.crossJoin(F.broadcast(d0))
+        .select(F.datediff(F.to_date("ts"), F.col("d0")).alias("day"))
+        .distinct()
+    )
+    images = days.filter(F.col("day") % 3 == 0).select(
+        (F.col("day") * 100000 + 99999).cast("long").alias("txid")
+    )
+    segments = days.select(
+        (F.col("day") * 100000).cast("long").alias("first_txid"),
+        (F.col("day") * 100000 + 99999).cast("long").alias("last_txid"),
+    )
+    return editlog.retention_purge(
+        images, segments, retain_images=2, extra_edits=250000
+    )
+
+
+_DISTCP_CHECKSUM_ORACLE = """
+WITH src AS (
+  SELECT '/data/' || doc_id AS path, text AS t FROM documents
+  WHERE doc_id % 11 <> 0
+),
+dst AS (
+  SELECT '/data/' || doc_id AS path,
+         CASE WHEN doc_id % 7 = 0 THEN text || 'MUTATION' ELSE text END AS t
+  FROM documents
+  UNION ALL
+  SELECT '/extra/' || doc_id AS path, text AS t FROM documents
+  WHERE doc_id % 13 = 0
+),
+sd AS (
+  SELECT path,
+    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+    ELSE list_transform(
+      range(0, CAST(ceil(CAST(length(t) AS DOUBLE)/256) AS BIGINT)),
+      b -> md5(array_to_string(list_transform(
+        range(0, least(4, CAST(ceil(CAST(length(t) AS DOUBLE)/64)
+                              AS BIGINT) - b*4)),
+        i -> md5(substring(t, CAST(b*256 + i*64 + 1 AS BIGINT), 64))), '')))
+    END AS sb
+  FROM src
+),
+dd AS (
+  SELECT path,
+    CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+    ELSE list_transform(
+      range(0, CAST(ceil(CAST(length(t) AS DOUBLE)/256) AS BIGINT)),
+      b -> md5(array_to_string(list_transform(
+        range(0, least(4, CAST(ceil(CAST(length(t) AS DOUBLE)/64)
+                              AS BIGINT) - b*4)),
+        i -> md5(substring(t, CAST(b*256 + i*64 + 1 AS BIGINT), 64))), '')))
+    END AS db
+  FROM dst
+),
+j AS (
+  SELECT coalesce(sd.path, dd.path) AS path, sb, db,
+         greatest(coalesce(len(sb), 0), coalesce(len(db), 0)) AS mx
+  FROM sd FULL OUTER JOIN dd ON sd.path = dd.path
+),
+c AS (
+  SELECT path, sb, db,
+    CASE WHEN mx > 0 THEN
+      len(list_filter(range(0, mx),
+          i -> i >= len(sb) OR i >= len(db) OR sb[CAST(i+1 AS BIGINT)]
+               <> db[CAST(i+1 AS BIGINT)]))
+    ELSE 0 END AS n_blocks_changed
+  FROM j
+)
+SELECT path,
+  CASE WHEN sb IS NOT NULL AND db IS NULL THEN 'COPY'
+       WHEN sb IS NULL AND db IS NOT NULL THEN 'DELETE'
+       WHEN n_blocks_changed = 0 THEN 'SKIP'
+       ELSE 'UPDATE' END AS op,
+  CAST(coalesce(len(sb), 0) AS INTEGER) AS src_blocks_n,
+  CAST(coalesce(len(db), 0) AS INTEGER) AS dst_blocks_n,
+  CAST(n_blocks_changed AS INTEGER) AS n_blocks_changed
+FROM c
+"""
+
+
+@register("distcp_checksum_delta", _DISTCP_CHECKSUM_ORACLE)
+def distcp_checksum_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-gated DistCp (operators/distcp.checksum_sync_plan;
+    reference: CopyMapper under -update skips a file only when the
+    DISTRIBUTED file checksums match — hdfs-client
+    FileChecksumHelper.java:280's composable MD5-of-block-MD5s is what
+    makes cross-cluster comparison possible at all). Composes round-5's
+    functions/filechecksum.block_digests: mutated docs show exactly
+    which blocks changed (rsync-style re-copy lower bound), absent
+    docs become COPY/DELETE. One full-outer path join; both digest
+    trees evaluate inside its input projections."""
+    from hadoop_source_spark.operators import distcp
+
+    d = table(spark, sf_dir, "documents")
+    path = F.concat(F.lit("/data/"), F.col("doc_id").cast("string"))
+    src = d.filter(F.col("doc_id") % 11 != 0).select(
+        path.alias("path"), "text"
+    )
+    dst = d.select(
+        path.alias("path"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit("MUTATION"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 13 == 0).select(
+            F.concat(F.lit("/extra/"), F.col("doc_id").cast("string")).alias(
+                "path"
+            ),
+            "text",
+        )
+    )
+    return distcp.checksum_sync_plan(
+        src, dst, bytes_per_chunk=64, chunks_per_block=4
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -8607,9 +8771,10 @@ _WINDOW: list[str] = [
     "zipf_token_spectrum", "block_scanner_queue",
     "observer_read_routing", "rbf_quota_report",
     "bpe_segmentation_stats", "curriculum_phases",
+    "nnstorage_retention", "distcp_checksum_delta",
 ]
 
-assert len(_WINDOW) == 138, len(_WINDOW)
+assert len(_WINDOW) == 140, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

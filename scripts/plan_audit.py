@@ -113,6 +113,7 @@ def main() -> None:
         "volume_choice_assignment", "zipf_token_spectrum",
         "block_scanner_queue", "observer_read_routing",
         "rbf_quota_report", "curriculum_phases",
+        "nnstorage_retention", "distcp_checksum_delta",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

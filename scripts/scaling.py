@@ -143,6 +143,7 @@ EXTRA = (
     "volume_choice_assignment", "zipf_token_spectrum",
     "block_scanner_queue", "observer_read_routing",
     "rbf_quota_report", "curriculum_phases",
+    "nnstorage_retention", "distcp_checksum_delta",
     "bpe_pair_merge",
 )
 

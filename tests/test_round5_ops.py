@@ -474,3 +474,69 @@ def test_bpe_segment_rank_priority_not_greedy(spark):
     docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     out = bpetrain.segment(docs, [("b", "c"), ("a", "b")]).collect()[0]
     assert list(out.first_pieces) == ["a", "bc"]
+
+
+# -------------------------------------------- nnstorage retention
+def test_retention_purge_rules(spark):
+    from hadoop_source_spark.operators import editlog as el
+
+    images = spark.createDataFrame(
+        [(100,), (200,), (300,)], "txid long"
+    )
+    segments = spark.createDataFrame(
+        [(1, 80), (81, 150), (151, 199), (200, 260), (261, 310)],
+        "first_txid long, last_txid long",
+    )
+    out = {(r.kind, r.first_txid): r for r in el.retention_purge(
+        images, segments, retain_images=2, extra_edits=50).collect()}
+    # images: keep 300, 200; purge 100
+    assert out[("image", 300)].action == "KEEP"
+    assert out[("image", 200)].action == "KEEP"
+    assert out[("image", 100)].action == "PURGE"
+    # min retained image = 200 -> min_required = 201, purge_from = 151
+    assert out[("edits", 1)].action == "PURGE"
+    assert out[("edits", 81)].action == "PURGE"
+    # segment 151-199: last < 201 but >= purge_from -> CUSHION, kept whole
+    s3 = out[("edits", 151)]
+    assert (s3.action, s3.reason) == ("KEEP", "CUSHION")
+    assert out[("edits", 200)].reason == "REQUIRED"
+    assert out[("edits", 261)].reason == "REQUIRED"
+
+
+def test_retention_purge_from_floor_at_zero(spark):
+    from hadoop_source_spark.operators import editlog as el
+
+    images = spark.createDataFrame([(5,)], "txid long")
+    segments = spark.createDataFrame(
+        [(1, 4), (5, 9)], "first_txid long, last_txid long"
+    )
+    out = {r.first_txid: r for r in el.retention_purge(
+        images, segments, retain_images=1, extra_edits=1000).collect()
+        if r.kind == "edits"}
+    # purge_from = max(6 - 1000, 0) = 0 -> nothing purgeable
+    assert all(r.action == "KEEP" for r in out.values())
+
+
+# ----------------------------------------------- checksum distcp
+def test_checksum_sync_plan_ops(spark):
+    from hadoop_source_spark.operators import distcp
+
+    src = spark.createDataFrame(
+        [("/same", "A" * 600), ("/diff", "B" * 600), ("/srconly", "x")],
+        "path string, text string",
+    )
+    dst = spark.createDataFrame(
+        # /diff: first block (4*64=256 chars) intact, tail changed
+        [("/same", "A" * 600), ("/diff", "B" * 256 + "C" * 344),
+         ("/dstonly", "y")],
+        "path string, text string",
+    )
+    out = {r.path: r for r in
+           distcp.checksum_sync_plan(src, dst).collect()}
+    assert out["/same"].op == "SKIP" and out["/same"].n_blocks_changed == 0
+    d = out["/diff"]
+    assert d.op == "UPDATE"
+    # 600 chars -> 3 blocks of 256; block 0 equal, blocks 1-2 differ
+    assert (d.src_blocks_n, d.dst_blocks_n, d.n_blocks_changed) == (3, 3, 2)
+    assert out["/srconly"].op == "COPY"
+    assert out["/dstonly"].op == "DELETE"
