@@ -13,6 +13,11 @@ Scale shape, explicitly:
 - APPLICATION is distributed: the learned merge ranks broadcast as a plain
   dict closure into ONE mapInPandas pass, with per-batch word caching
   (Zipf means a batch re-tokenizes few distinct words) — zero shuffles.
+
+See `llmops/bpetrain.py` for the complementary FULLY DISTRIBUTED
+trainer (per-round pair counting as Spark aggregations, vocab never
+collected) — the regime where the deduped vocabulary itself exceeds
+driver memory, at the cost of one groupBy per merge.
 """
 
 from __future__ import annotations

@@ -1,4 +1,17 @@
-"""Distributed BPE tokenizer training: pair counting + merge rounds.
+"""FULLY DISTRIBUTED BPE tokenizer training: pair counting as Spark
+aggregations, merge rounds as projections.
+
+Relationship to `llmops/bpe.py` (the bounded-sample trainer): bpe.py
+trains driver-side over a top-V collected word table — the
+SentencePiece/GPT-2 shape, right when the vocab fits one machine and
+you want thousands of merges fast. THIS module keeps the vocabulary
+DISTRIBUTED through training: every pair count is a Spark partial-agg
+groupBy (so each round is externally ORACLE-VERIFIABLE — the
+`bpe_pair_merge` driver query checks round 1 against plain SQL, which
+a driver-side merge loop cannot offer), and the word table never
+collects — the regime where the deduped vocab itself exceeds driver
+memory. Same split as similarity.py's brute-force vs LSH ANN pair:
+two scale regimes, one semantics, cross-tested.
 
 Public algorithm (Sennrich et al. 2016, "Neural Machine Translation of
 Rare Words with Subword Units"; the tokenizer-training counterpart of

@@ -8488,13 +8488,17 @@ def rbf_quota_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bpe_segmentation_stats")
 def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer apply (llmops/bpetrain.segment): train 16 merges on
-    the corpus, then segment every document with standard rank-
-    priority BPE inference — the per-word merge loop is inherently
-    sequential, so this is the engine's documented Arrow/mapInPandas
-    seam (rows-only driver check; the algorithm itself is pinned
-    against pure-Python BPE in pytest). Emits fertility
-    (pieces_per_word), the tokenizer-quality metric."""
+    """Tokenizer apply over DISTRIBUTED-trained merges
+    (llmops/bpetrain.segment): train 16 merges with the fully
+    distributed trainer (pair counting stays a Spark groupBy — the
+    vocab-exceeds-driver regime; `bpe_tokenize_stats` covers the
+    complementary bounded-sample trainer in llmops/bpe.py), then
+    segment every document with standard rank-priority BPE inference —
+    the per-word merge loop is inherently sequential, so this is the
+    engine's documented Arrow/mapInPandas seam (rows-only driver
+    check; the algorithm itself is pinned against pure-Python BPE in
+    pytest). Emits fertility (pieces_per_word), the tokenizer-quality
+    metric."""
     from hadoop_source_spark.llmops import bpetrain
 
     d = table(spark, sf_dir, "documents")
