@@ -1298,3 +1298,124 @@ def mine_contrastive_pairs(
         label_col,
         "cosine",
     )
+
+
+def margin_bitext_mine(
+    src: DataFrame,
+    dst: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Margin-based parallel-corpus (bitext) mining between two
+    embedding spaces (Artetxe & Schwenk 2019, "Margin-based Parallel
+    Corpus Mining with Multilingual Sentence Embeddings" — the
+    LASER/CCMatrix recipe): for every source vector, its best target
+    candidate scored by the RATIO margin
+    ``cos(x, y) / ((avgTopK(x→dst) + avgTopK(y→src)) / 2)`` — the
+    neighborhood normalization that suppresses hub vectors plain
+    cosine thresholds mis-mine.
+
+    Scale shape: a BIPARTITE block-pair decomposition (the same
+    bounded-memory kernel as embedding_dup_pairs_blocked): src and dst
+    each hash into ``num_blocks`` blocks, every (bi, bj) pair scores
+    one BLAS product and emits only its LOCAL top-k per source row and
+    per target row — top-k is mergeable, so two windows finish the
+    global ranking over ~N·B·k rows, never N·M pairs. Exact result; at
+    extreme scale the sub-quadratic path is IVF/LSH candidate pruning
+    before the same margin arithmetic. No driver-side corpus.
+
+    Output: one row per source vector — src_id, dst_id (best
+    candidate), cosine, margin (round 6), mutual (the candidate's own
+    best source is this x — the forward-backward agreement filter)."""
+    import pandas as pd
+
+    spark = src.sparkSession
+    bpairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(num_blocks)],
+        "bi int, bj int",
+    )
+    tag = lambda df, side: df.select(  # noqa: E731
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)) + (0 if side == "s" else 1),
+               F.lit(num_blocks)).cast("int").alias("__b"),
+        F.lit(side).alias("__side"),
+    )
+    exploded = (
+        bpairs.join(tag(src, "s"), F.col("bi") == F.col("__b"))
+        .unionByName(bpairs.join(tag(dst, "d"), F.col("bj") == F.col("__b")))
+    )
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        s = pdf[pdf["__side"] == "s"]
+        d = pdf[pdf["__side"] == "d"]
+        if len(s) == 0 or len(d) == 0:
+            return pd.DataFrame(
+                {"dir": [], "qid": [], "cid": [], "cosine": []}
+            )
+        sm = np.array([list(v) for v in s["__vec"]], dtype=np.float64)
+        dm = np.array([list(v) for v in d["__vec"]], dtype=np.float64)
+        sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+        dm /= np.linalg.norm(dm, axis=1, keepdims=True)
+        cos = np.round(sm @ dm.T, 6)
+        sids, dids = s["__id"].to_numpy(), d["__id"].to_numpy()
+        kk = min(k, cos.shape[1])
+        # local top-k per source row (x → dst direction); tie-break by
+        # ascending candidate id to MATCH the global window order, so a
+        # boundary tie never drops the globally-kept candidate
+        rows = []
+        for i in range(cos.shape[0]):
+            top = np.lexsort((dids, -cos[i]))[:kk]
+            rows += [("x", sids[i], dids[j], cos[i, j]) for j in top]
+        kk2 = min(k, cos.shape[0])
+        for i in range(cos.shape[1]):
+            top = np.lexsort((sids, -cos[:, i]))[:kk2]
+            rows += [("y", dids[i], sids[j], cos[j, i]) for j in top]
+        out = pd.DataFrame(rows, columns=["dir", "qid", "cid", "cosine"])
+        return out
+
+    local = exploded.groupBy("bi", "bj").applyInPandas(
+        score, "dir string, qid long, cid long, cosine double"
+    )
+    w = Window.partitionBy("dir", "qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    ranked = local.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+    tx = ranked.filter(F.col("dir") == "x")
+    ty = ranked.filter(F.col("dir") == "y")
+    ax = tx.groupBy(F.col("qid").alias("__x")).agg(
+        F.avg("cosine").alias("avg_x")
+    )
+    ay = ty.groupBy(F.col("qid").alias("__y")).agg(
+        F.avg("cosine").alias("avg_y")
+    )
+    best = tx.filter(F.col("rank") == 1).select(
+        F.col("qid").alias("src_id"),
+        F.col("cid").alias("dst_id"),
+        "cosine",
+    )
+    back = ty.filter(F.col("rank") == 1).select(
+        F.col("qid").alias("dst_id"), F.col("cid").alias("__back")
+    )
+    return (
+        best.join(ax, best["src_id"] == F.col("__x"))
+        .join(ay, best["dst_id"] == F.col("__y"))
+        .join(back, "dst_id", "left")
+        .select(
+            "src_id",
+            "dst_id",
+            "cosine",
+            F.round(
+                F.col("cosine") / ((F.col("avg_x") + F.col("avg_y")) / 2), 6
+            ).alias("margin"),
+            F.coalesce(F.col("__back") == F.col("src_id"), F.lit(False)).alias(
+                "mutual"
+            ),
+        )
+    )

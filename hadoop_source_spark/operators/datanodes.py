@@ -114,3 +114,67 @@ def safemode_status(
             | (F.col("live_datanodes") < F.lit(datanode_threshold))
         ).alias("in_safemode"),
     )
+
+
+def slow_peer_outliers(
+    reports: DataFrame,
+    min_nodes: int = 10,
+    low_threshold_ms: float = 5.0,
+) -> DataFrame:
+    """Slow-peer detection by median absolute deviation (reference
+    `hdfs/server/blockmanagement/SlowPeerTracker.java` collects
+    peer-latency reports per reported node; `hdfs/server/datanode/
+    metrics/OutlierDetector.java:110` getOutliers — a node is slow
+    when its aggregate latency exceeds
+    ``max(lowThresholdMs, median * 3, median + 3 * MAD)`` with
+    ``MAD = 1.4826 * median(|x - median|)`` (:68 MAD_MULTIPLIER,
+    :80 DEVIATION_MULTIPLIER, :88 MEDIAN_MULTIPLIER), and detection
+    is skipped entirely below ``minNumResources`` nodes (:111)).
+
+    reports: (reporting_node, reported_node, latency_ms). One groupBy
+    aggregates per reported node; the median/MAD scalars are one more
+    tiny agg broadcast back — two partial-agg passes, no window over
+    the fleet. Emits per node: n_reports, avg_latency_ms, plus the
+    fleet median/mad/threshold and is_outlier."""
+    per_node = reports.groupBy(
+        F.col("reported_node").alias("node")
+    ).agg(
+        F.count(F.lit(1)).alias("n_reports"),
+        F.round(F.avg("latency_ms"), 6).alias("avg_latency_ms"),
+    )
+    med = per_node.agg(
+        F.percentile(F.col("avg_latency_ms"), F.lit(0.5)).alias("__med"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mad = (
+        per_node.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(
+                F.abs(F.col("avg_latency_ms") - F.col("__med")), F.lit(0.5)
+            ).alias("__mad_raw"),
+            F.first("__med").alias("__med"),
+            F.first("__n").alias("__n"),
+        )
+        .select(
+            "__med",
+            "__n",
+            (F.col("__mad_raw") * 1.4826).alias("__mad"),
+        )
+    )
+    thr = F.greatest(
+        F.lit(low_threshold_ms),
+        F.col("__med") * 3,
+        F.col("__med") + 3 * F.col("__mad"),
+    )
+    return per_node.crossJoin(F.broadcast(mad)).select(
+        "node",
+        "n_reports",
+        "avg_latency_ms",
+        F.round("__med", 6).alias("median_ms"),
+        F.round("__mad", 6).alias("mad_ms"),
+        F.round(thr, 6).alias("threshold_ms"),
+        (
+            (F.col("__n") >= min_nodes)
+            & (F.col("avg_latency_ms") > thr)
+        ).alias("is_outlier"),
+    )

@@ -8700,6 +8700,108 @@ def distcp_checksum_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLOW_PEER_ORACLE = """
+WITH reports AS (
+  SELECT 'r' || (user_id % 20) AS reporting_node,
+         'dn' || (event_id % 15) AS reported_node,
+         CAST(10 + (event_id % 7) + CASE WHEN event_id % 15 = 13
+              THEN 90 ELSE 0 END AS DOUBLE) AS latency_ms
+  FROM events
+), per_node AS (
+  SELECT reported_node AS node, count(*) AS n_reports,
+         round(avg(latency_ms), 6) AS avg_latency_ms
+  FROM reports GROUP BY 1
+), sc AS (
+  SELECT quantile_cont(avg_latency_ms, 0.5) AS med,
+         count(*) AS n
+  FROM per_node
+), sc2 AS (
+  SELECT med, n,
+         quantile_cont(abs(avg_latency_ms - med), 0.5) * 1.4826 AS mad
+  FROM per_node, sc GROUP BY med, n
+)
+SELECT node, n_reports, avg_latency_ms,
+       round(med, 6) AS median_ms, round(mad, 6) AS mad_ms,
+       round(greatest(5.0, med * 3, med + 3 * mad), 6) AS threshold_ms,
+       n >= 10 AND avg_latency_ms > greatest(5.0, med * 3, med + 3 * mad)
+         AS is_outlier
+FROM per_node, sc2
+"""
+
+
+@register("slow_peer_report", _SLOW_PEER_ORACLE)
+def slow_peer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-peer outlier report (operators/datanodes.slow_peer_outliers;
+    reference SlowPeerTracker.java peer-latency reports +
+    OutlierDetector.java:110 — slow iff aggregate latency exceeds
+    max(lowThreshold, median*3, median + 3*MAD), MAD = 1.4826 *
+    median absolute deviation, skipped below minNumResources). Events
+    become latency reports with one genuinely slow datanode; two
+    partial-agg passes, no fleet-wide window."""
+    from hadoop_source_spark.operators import datanodes
+
+    e = table(spark, sf_dir, "events")
+    reports = e.select(
+        F.concat(F.lit("r"), (F.col("user_id") % 20).cast("string")).alias(
+            "reporting_node"
+        ),
+        F.concat(F.lit("dn"), (F.col("event_id") % 15).cast("string")).alias(
+            "reported_node"
+        ),
+        (
+            10
+            + (F.col("event_id") % 7)
+            + F.when(F.col("event_id") % 15 == 13, F.lit(90)).otherwise(0)
+        )
+        .cast("double")
+        .alias("latency_ms"),
+    )
+    return datanodes.slow_peer_outliers(
+        reports, min_nodes=10, low_threshold_ms=5.0
+    )
+
+
+_BITEXT_ORACLE = """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+d AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+sc AS (
+  SELECT s.vec_id AS x, d.vec_id AS y,
+         round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                      d.embedding::DOUBLE[]), 6) AS cosine
+  FROM s CROSS JOIN d
+),
+tx AS (SELECT *, row_number() OVER (PARTITION BY x
+        ORDER BY cosine DESC, y) AS r FROM sc),
+ty AS (SELECT *, row_number() OVER (PARTITION BY y
+        ORDER BY cosine DESC, x) AS r FROM sc),
+ax AS (SELECT x, avg(cosine) AS avg_x FROM tx WHERE r <= 4 GROUP BY x),
+ay AS (SELECT y, avg(cosine) AS avg_y FROM ty WHERE r <= 4 GROUP BY y),
+best AS (SELECT x, y, cosine FROM tx WHERE r = 1),
+back AS (SELECT y, x AS bk FROM ty WHERE r = 1)
+SELECT b.x AS src_id, b.y AS dst_id, b.cosine,
+       round(b.cosine / ((ax.avg_x + ay.avg_y) / 2), 6) AS margin,
+       coalesce(bk = b.x, FALSE) AS mutual
+FROM best b JOIN ax ON ax.x = b.x JOIN ay ON ay.y = b.y
+LEFT JOIN back ON back.y = b.y
+"""
+
+
+@register("bitext_margin_mining", _BITEXT_ORACLE)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-corpus mining (llmops/similarity.
+    margin_bitext_mine; Artetxe & Schwenk 2019 ratio margin — the
+    LASER/CCMatrix bitext recipe): even-label embeddings as the source
+    language, odd-label as the target; per source vector its best
+    candidate with neighborhood-normalized margin and the
+    forward-backward mutual flag. Bipartite block-pair BLAS with
+    mergeable local top-k — bounded executor memory, no driver-side
+    corpus, exact result vs the full SQL cross join oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("label") % 2 == 0).select("vec_id", "embedding")
+    dst = e.filter(F.col("label") % 2 == 1).select("vec_id", "embedding")
+    return sim.margin_bitext_mine(src, dst, k=4, num_blocks=4)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -8776,9 +8878,10 @@ _WINDOW: list[str] = [
     "observer_read_routing", "rbf_quota_report",
     "bpe_segmentation_stats", "curriculum_phases",
     "nnstorage_retention", "distcp_checksum_delta",
+    "slow_peer_report", "bitext_margin_mining",
 ]
 
-assert len(_WINDOW) == 140, len(_WINDOW)
+assert len(_WINDOW) == 142, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -114,6 +114,7 @@ def main() -> None:
         "block_scanner_queue", "observer_read_routing",
         "rbf_quota_report", "curriculum_phases",
         "nnstorage_retention", "distcp_checksum_delta",
+        "slow_peer_report", "bitext_margin_mining",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

@@ -144,6 +144,7 @@ EXTRA = (
     "block_scanner_queue", "observer_read_routing",
     "rbf_quota_report", "curriculum_phases",
     "nnstorage_retention", "distcp_checksum_delta",
+    "slow_peer_report", "bitext_margin_mining",
     "bpe_pair_merge",
 )
 

@@ -540,3 +540,75 @@ def test_checksum_sync_plan_ops(spark):
     assert (d.src_blocks_n, d.dst_blocks_n, d.n_blocks_changed) == (3, 3, 2)
     assert out["/srconly"].op == "COPY"
     assert out["/dstonly"].op == "DELETE"
+
+
+# ----------------------------------------------------- slow peers
+def test_slow_peer_mad_outlier(spark):
+    from hadoop_source_spark.operators import datanodes
+
+    # 11 nodes tightly clustered at ~10ms, one at 100ms
+    rows = []
+    for n in range(11):
+        lat = 10.0 + n * 0.1
+        rows += [(f"rep{r}", f"dn{n}", lat) for r in range(3)]
+    rows += [("rep0", "slow", 100.0), ("rep1", "slow", 100.0)]
+    df = spark.createDataFrame(
+        rows, "reporting_node string, reported_node string, latency_ms double"
+    )
+    out = {r.node: r for r in datanodes.slow_peer_outliers(df).collect()}
+    assert out["slow"].is_outlier
+    assert not any(r.is_outlier for n, r in out.items() if n != "slow")
+    # threshold respects max(low, median*3, median+3*MAD)
+    r = out["slow"]
+    import math
+    assert math.isclose(r.threshold_ms, max(5.0, r.median_ms * 3,
+                                            r.median_ms + 3 * r.mad_ms),
+                        rel_tol=1e-6)
+
+
+def test_slow_peer_min_nodes_gate(spark):
+    from hadoop_source_spark.operators import datanodes
+
+    rows = [("r0", "a", 10.0), ("r0", "b", 500.0)]
+    df = spark.createDataFrame(
+        rows, "reporting_node string, reported_node string, latency_ms double"
+    )
+    out = datanodes.slow_peer_outliers(df, min_nodes=10).collect()
+    assert not any(r.is_outlier for r in out)
+
+
+# --------------------------------------------------- bitext mining
+def test_margin_bitext_exact_vs_numpy(spark):
+    import numpy as np
+    from hadoop_source_spark.llmops import similarity as sim2
+
+    rng = np.random.RandomState(7)
+    S = rng.randn(12, 16); D = rng.randn(15, 16)
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in S[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    dst = spark.createDataFrame(
+        [(100 + i, [float(x) for x in D[i]]) for i in range(15)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.src_id: r for r in
+           sim2.margin_bitext_mine(src, dst, k=3, num_blocks=2).collect()}
+
+    # numpy ground truth (float32 like the arrow path reads, then f64)
+    Sf = S.astype("float32").astype("float64")
+    Df = D.astype("float32").astype("float64")
+    Sn = Sf / np.linalg.norm(Sf, axis=1, keepdims=True)
+    Dn = Df / np.linalg.norm(Df, axis=1, keepdims=True)
+    cos = np.round(Sn @ Dn.T, 6)
+    for i in range(12):
+        order = np.lexsort((np.arange(15) + 100, -cos[i]))
+        best = order[0]
+        avg_x = cos[i, order[:3]].mean()
+        oy = np.lexsort((np.arange(12), -cos[:, best]))
+        avg_y = cos[oy[:3], best].mean()
+        r = got[i]
+        assert r.dst_id == 100 + best, i
+        assert abs(r.cosine - cos[i, best]) < 1e-9
+        assert abs(r.margin - round(cos[i, best] / ((avg_x + avg_y) / 2), 6)) < 2e-6
+        assert r.mutual == (oy[0] == i)
