@@ -113,3 +113,46 @@ def plan_replicas(
             F.col("s.rack").alias("rack"),
         )
     )
+
+
+def ec_policy_feasibility(topology: DataFrame, policies: DataFrame) -> DataFrame:
+    """Erasure-coding policy feasibility against a topology (reference
+    `hdfs/server/blockmanagement/BlockPlacementPolicyRackFaultTolerant.
+    java:37` getMaxNodesPerRack — replicas clamp to cluster size; one
+    rack or one unit → all together; more racks than units → one per
+    rack; else evenly spread rounding UP: (total-1)/racks + 1).
+
+    topology: (node, rack). policies: (policy, data_units, parity_units).
+    Per policy: group_size, effective units actually placeable,
+    max_per_rack under the reference's spread, full_group_placeable
+    (enough nodes for k+m distinct datanodes — below this the policy
+    enable should be refused), and rack_failures_tolerated = parity //
+    max_per_rack (losing a rack loses at most max_per_rack units;
+    recovery survives while total lost ≤ parity). Two scalar counts
+    broadcast onto a policy-count-sized table — nothing data-sized."""
+    scal = topology.agg(
+        F.countDistinct("node").alias("n_nodes"),
+        F.countDistinct("rack").alias("n_racks"),
+    )
+    p = policies.crossJoin(F.broadcast(scal))
+    group = F.col("data_units") + F.col("parity_units")
+    total = F.least(group, F.col("n_nodes"))
+    mpr = (
+        F.when((F.col("n_racks") <= 1) | (total <= 1), total)
+        .when(total < F.col("n_racks"), F.lit(1))
+        .otherwise(F.floor((total - 1) / F.col("n_racks")) + 1)
+    )
+    return p.select(
+        "policy",
+        "data_units",
+        "parity_units",
+        group.cast("int").alias("group_size"),
+        "n_nodes",
+        "n_racks",
+        total.cast("int").alias("effective_units"),
+        mpr.cast("int").alias("max_per_rack"),
+        (F.col("n_nodes") >= group).alias("full_group_placeable"),
+        F.floor(F.col("parity_units") / mpr).cast("int").alias(
+            "rack_failures_tolerated"
+        ),
+    )

@@ -90,3 +90,46 @@ def sort_located_blocks(
         "weight",
         F.row_number().over(w).alias("position"),
     )
+
+
+def hedged_read_eta(
+    ordered: DataFrame,
+    threshold_ms: float,
+    latency_col: str = "latency_ms",
+) -> DataFrame:
+    """Hedged-read planning over an already-sorted replica list
+    (reference `hdfs-client/impl/DfsClientConf.java:148,264`
+    `dfs.client.hedged.read.threshold.millis`; DFSInputStream's hedged
+    loop starts a SECOND replica read once the first has been out that
+    long and takes whichever returns first). With `ordered` =
+    sort_located_blocks output plus a per-replica latency estimate:
+
+      eta_ms       = min(l1, threshold + l2)   (l1 alone if no 2nd)
+      hedged_helps = the hedge, not the primary, would win
+
+    One groupBy per (block, client) with min_by picks — the same
+    partition key the ordering window already used, so Catalyst reuses
+    the exchange."""
+    l1 = F.min_by(F.col(latency_col), F.col("position"))
+    picks = ordered.groupBy("block_id", "client_id").agg(
+        F.min_by("node", "position").alias("primary_node"),
+        l1.alias("__l1"),
+        F.min_by(
+            F.when(F.col("position") >= 2, F.col(latency_col)),
+            F.when(F.col("position") >= 2, F.col("position")),
+        ).alias("__l2"),
+    )
+    eta = F.when(
+        F.col("__l2").isNotNull(),
+        F.least(F.col("__l1"), F.col("__l2") + threshold_ms),
+    ).otherwise(F.col("__l1"))
+    return picks.select(
+        "block_id",
+        "client_id",
+        "primary_node",
+        F.round(F.col("__l1"), 4).alias("primary_ms"),
+        F.round(eta, 4).alias("eta_ms"),
+        F.coalesce(
+            F.col("__l2") + threshold_ms < F.col("__l1"), F.lit(False)
+        ).alias("hedged_helps"),
+    )

@@ -8802,6 +8802,118 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.margin_bitext_mine(src, dst, k=4, num_blocks=4)
 
 
+_EC_FEASIBILITY_ORACLE = """
+WITH topo AS (
+  SELECT DISTINCT 'n' || (doc_id % 37) AS node,
+         'r' || ((doc_id % 37) % 9) AS rack
+  FROM documents
+), scal AS (
+  SELECT count(DISTINCT node) AS n_nodes, count(DISTINCT rack) AS n_racks
+  FROM topo
+), pol AS (
+  SELECT * FROM (VALUES ('XOR-2-1', 2, 1), ('RS-3-2', 3, 2),
+                        ('RS-6-3', 6, 3), ('RS-10-4', 10, 4),
+                        ('RS-14-10', 14, 10))
+       t(policy, data_units, parity_units)
+)
+SELECT policy, data_units, parity_units,
+  CAST(data_units + parity_units AS INTEGER) AS group_size,
+  n_nodes, n_racks,
+  CAST(least(data_units + parity_units, n_nodes) AS INTEGER)
+    AS effective_units,
+  CAST(CASE WHEN n_racks <= 1
+              OR least(data_units + parity_units, n_nodes) <= 1
+            THEN least(data_units + parity_units, n_nodes)
+            WHEN least(data_units + parity_units, n_nodes) < n_racks THEN 1
+            ELSE (least(data_units + parity_units, n_nodes) - 1)
+                 // n_racks + 1 END AS INTEGER) AS max_per_rack,
+  n_nodes >= data_units + parity_units AS full_group_placeable,
+  CAST(parity_units // (CASE WHEN n_racks <= 1
+              OR least(data_units + parity_units, n_nodes) <= 1
+            THEN least(data_units + parity_units, n_nodes)
+            WHEN least(data_units + parity_units, n_nodes) < n_racks THEN 1
+            ELSE (least(data_units + parity_units, n_nodes) - 1)
+                 // n_racks + 1 END) AS INTEGER) AS rack_failures_tolerated
+FROM pol, scal
+"""
+
+
+@register("ec_policy_matrix", _EC_FEASIBILITY_ORACLE)
+def ec_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EC policy feasibility matrix (operators/placement.
+    ec_policy_feasibility; reference
+    BlockPlacementPolicyRackFaultTolerant.java:37 getMaxNodesPerRack —
+    clamp to cluster size, one-per-rack when racks outnumber units,
+    else even spread rounding up) against the corpus-derived 37-node /
+    9-rack topology: which of the five standard EC policies can place
+    a full group, how units pack per rack, and how many whole-rack
+    failures each survives."""
+    from hadoop_source_spark.operators import placement
+
+    d = table(spark, sf_dir, "documents")
+    topo = d.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 37).cast("string")).alias(
+            "node"
+        ),
+        F.concat(
+            F.lit("r"), ((F.col("doc_id") % 37) % 9).cast("string")
+        ).alias("rack"),
+    ).distinct()
+    pol = spark.createDataFrame(
+        [("XOR-2-1", 2, 1), ("RS-3-2", 3, 2), ("RS-6-3", 6, 3),
+         ("RS-10-4", 10, 4), ("RS-14-10", 14, 10)],
+        "policy string, data_units int, parity_units int",
+    )
+    return placement.ec_policy_feasibility(topo, pol)
+
+
+_HEDGED_ORACLE = """
+WITH ordered AS ({readpath}),
+lat AS (
+  SELECT block_id, client_id, node, position,
+         1.0 + weight * 2
+             + (CAST(substring(node, 2) AS BIGINT) % 5) * 0.25 AS latency_ms
+  FROM ordered
+),
+picks AS (
+  SELECT block_id, client_id,
+         arg_min(node, position) AS primary_node,
+         arg_min(latency_ms, position) AS l1,
+         arg_min(latency_ms, position) FILTER (WHERE position >= 2) AS l2
+  FROM lat GROUP BY 1, 2
+)
+SELECT block_id, client_id, primary_node,
+       round(l1, 4) AS primary_ms,
+       round(CASE WHEN l2 IS NOT NULL THEN least(l1, l2 + 3.0)
+                  ELSE l1 END, 4) AS eta_ms,
+       coalesce(l2 + 3.0 < l1, FALSE) AS hedged_helps
+FROM picks
+"""
+
+
+@register("hedged_read_plan", _HEDGED_ORACLE.format(readpath=_READPATH_ORACLE))
+def hedged_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hedged-read planning (operators/readpath.hedged_read_eta;
+    reference hdfs-client DfsClientConf.java:148,:264
+    dfs.client.hedged.read.threshold.millis — a second replica read
+    races the first once it has been out that long). Composes the
+    replica ordering query's exact derivation with a deterministic
+    per-replica latency model (distance-weighted + node jitter):
+    which (block, client) reads the hedge actually rescues, and the
+    expected latency with hedging on. groupBy reuses the ordering
+    window's partition key."""
+    from hadoop_source_spark.operators import readpath
+
+    ordered = replica_read_ordering(spark, sf_dir)
+    lat = ordered.withColumn(
+        "latency_ms",
+        1.0
+        + F.col("weight") * 2
+        + (F.substring("node", 2, 10).cast("long") % 5) * 0.25,
+    )
+    return readpath.hedged_read_eta(lat, threshold_ms=3.0)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -8879,9 +8991,10 @@ _WINDOW: list[str] = [
     "bpe_segmentation_stats", "curriculum_phases",
     "nnstorage_retention", "distcp_checksum_delta",
     "slow_peer_report", "bitext_margin_mining",
+    "ec_policy_matrix", "hedged_read_plan",
 ]
 
-assert len(_WINDOW) == 142, len(_WINDOW)
+assert len(_WINDOW) == 144, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

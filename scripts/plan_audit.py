@@ -115,6 +115,7 @@ def main() -> None:
         "rbf_quota_report", "curriculum_phases",
         "nnstorage_retention", "distcp_checksum_delta",
         "slow_peer_report", "bitext_margin_mining",
+        "ec_policy_matrix", "hedged_read_plan",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

@@ -145,6 +145,7 @@ EXTRA = (
     "rbf_quota_report", "curriculum_phases",
     "nnstorage_retention", "distcp_checksum_delta",
     "slow_peer_report", "bitext_margin_mining",
+    "ec_policy_matrix", "hedged_read_plan",
     "bpe_pair_merge",
 )
 

@@ -612,3 +612,73 @@ def test_margin_bitext_exact_vs_numpy(spark):
         assert abs(r.cosine - cos[i, best]) < 1e-9
         assert abs(r.margin - round(cos[i, best] / ((avg_x + avg_y) / 2), 6)) < 2e-6
         assert r.mutual == (oy[0] == i)
+
+
+# ------------------------------------------------- ec feasibility
+def test_ec_policy_feasibility_rules(spark):
+    from hadoop_source_spark.operators import placement
+
+    topo = spark.createDataFrame(
+        [(f"n{i}", f"r{i % 3}") for i in range(12)], "node string, rack string"
+    )
+    pol = spark.createDataFrame(
+        [("XOR-2-1", 2, 1), ("RS-3-2", 3, 2), ("RS-6-3", 6, 3),
+         ("RS-10-4", 10, 4), ("RS-BIG", 20, 8)],
+        "policy string, data_units int, parity_units int",
+    )
+    out = {r.policy: r for r in
+           placement.ec_policy_feasibility(topo, pol).collect()}
+    # 12 nodes, 3 racks
+    x = out["XOR-2-1"]     # group 3, total 3, racks 3 -> mpr (3-1)//3+1 = 1
+    assert (x.max_per_rack, x.rack_failures_tolerated,
+            x.full_group_placeable) == (1, 1, True)
+    r63 = out["RS-6-3"]    # group 9 -> mpr (9-1)//3+1 = 3 -> tol 3//3 = 1
+    assert (r63.max_per_rack, r63.rack_failures_tolerated) == (3, 1)
+    r104 = out["RS-10-4"]  # group 14 > 12 nodes -> total 12, mpr 4, tol 1
+    assert (r104.effective_units, r104.max_per_rack,
+            r104.full_group_placeable) == (12, 4, False)
+    big = out["RS-BIG"]    # group 28 -> total 12
+    assert big.effective_units == 12 and not big.full_group_placeable
+
+
+def test_ec_policy_single_rack_and_oneunit(spark):
+    from hadoop_source_spark.operators import placement
+
+    topo = spark.createDataFrame(
+        [(f"n{i}", "r0") for i in range(5)], "node string, rack string"
+    )
+    pol = spark.createDataFrame(
+        [("RS-3-2", 3, 2), ("ONE", 1, 0)],
+        "policy string, data_units int, parity_units int",
+    )
+    out = {r.policy: r for r in
+           placement.ec_policy_feasibility(topo, pol).collect()}
+    # single rack: all units co-rack -> zero rack failures tolerated
+    assert out["RS-3-2"].max_per_rack == 5
+    assert out["RS-3-2"].rack_failures_tolerated == 0
+    assert out["ONE"].max_per_rack == 1
+
+
+# ---------------------------------------------------- hedged reads
+def test_hedged_read_eta(spark):
+    from hadoop_source_spark.operators import readpath
+
+    rows = [
+        # block 1: slow primary (10ms), fast secondary (2ms) -> hedge wins
+        (1, 7, "h1", 1, 10.0), (1, 7, "h2", 2, 2.0),
+        # block 2: fast primary -> hedge never fires
+        (2, 7, "h1", 1, 1.0), (2, 7, "h2", 2, 2.0),
+        # block 3: single replica
+        (3, 7, "h9", 1, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "block_id long, client_id long, node string, position int,"
+        " latency_ms double",
+    )
+    out = {r.block_id: r for r in
+           readpath.hedged_read_eta(df, threshold_ms=3.0).collect()}
+    assert out[1].primary_node == "h1"
+    assert out[1].eta_ms == 5.0 and out[1].hedged_helps
+    assert out[2].eta_ms == 1.0 and not out[2].hedged_helps
+    assert out[3].eta_ms == 4.0 and not out[3].hedged_helps
