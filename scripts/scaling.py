@@ -225,6 +225,12 @@ def main() -> None:
         "broadcast/collect that stopped fitting -- none observed." if all(
             (r or 0) <= 12 for r in ratios.values()
         ) else "Ratios >12x above flag superlinear behavior: investigate.",
+        "",
+        "bitext_margin_mining is the one op whose WORK is quadratic by",
+        "definition (exact bipartite scoring: 10x both sides = 100x",
+        "compute); its wall ratio staying ~5x shows cores absorbing it,",
+        "and the kernel docstring names IVF/LSH candidate pruning as",
+        "the sub-quadratic path at real scale.",
     ]
     # SCALING.md is the hand-written design doc; the measured evidence
     # lives beside it.
