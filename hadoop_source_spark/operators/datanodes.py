@@ -178,3 +178,95 @@ def slow_peer_outliers(
             & (F.col("avg_latency_ms") > thr)
         ).alias("is_outlier"),
     )
+
+
+def block_report_diff(expected: DataFrame, reported: DataFrame) -> DataFrame:
+    """Full block-report reconciliation (reference `hdfs/server/
+    blockmanagement/BlockManager.java:3075` reportDiffSorted — the
+    NameNode merges a datanode's sorted report against its own view
+    and buckets every block):
+
+      TO_INVALIDATE — reported but unknown to the NN (:3079,:3124 —
+                      the DN should delete it)
+      TO_REMOVE     — in the NN's view for this node but absent from
+                      the report (the replica is gone; redundancy
+                      accounting updates)
+      TO_CORRUPT    — present on both sides with a generation-stamp or
+                      length mismatch (:3080, markBlockAsCorrupt)
+      TO_UC         — reported in an under-construction state (:3081)
+      TO_ADD        — matching but not yet recorded for the storage
+      OK            — matching and already recorded
+
+    expected: node, block_id, genstamp, num_bytes, recorded (bool).
+    reported: node, block_id, genstamp, num_bytes, state ('FINALIZED'
+    | 'RBW' | 'RWR' | ...). The reference walks two sorted iterators
+    per node; here it is ONE full-outer equi-join on (node, block_id)
+    hash-partitioned across the fleet — every node's report diffs in
+    parallel, and the sort the reference needs is what the shuffle
+    already provides."""
+    e = expected.select(
+        "node", "block_id",
+        F.col("genstamp").alias("e_gs"),
+        F.col("num_bytes").alias("e_len"),
+        "recorded",
+    )
+    r = reported.select(
+        "node", "block_id",
+        F.col("genstamp").alias("r_gs"),
+        F.col("num_bytes").alias("r_len"),
+        "state",
+    )
+    j = e.join(r, ["node", "block_id"], "full_outer")
+    action = (
+        F.when(F.col("e_gs").isNull(), F.lit("TO_INVALIDATE"))
+        .when(F.col("r_gs").isNull(), F.lit("TO_REMOVE"))
+        .when(F.col("state") != "FINALIZED", F.lit("TO_UC"))
+        .when(
+            (F.col("e_gs") != F.col("r_gs"))
+            | (F.col("e_len") != F.col("r_len")),
+            F.lit("TO_CORRUPT"),
+        )
+        .when(~F.coalesce("recorded", F.lit(False)), F.lit("TO_ADD"))
+        .otherwise(F.lit("OK"))
+    )
+    return j.select("node", "block_id", action.alias("action"))
+
+
+def maintenance_readiness(
+    replicas: DataFrame,
+    entering: DataFrame,
+    min_maintenance_repl: int = 1,
+) -> DataFrame:
+    """Maintenance-entry gate (reference `hdfs/server/blockmanagement/
+    DatanodeAdminManager.java:67` — a node moves ENTERING_MAINTENANCE →
+    IN_MAINTENANCE only once every block it holds keeps at least
+    `dfs.namenode.maintenance.replication.min` live replicas on nodes
+    NOT going into maintenance; `isSufficient` :311 is the per-block
+    check). replicas: block_id, node, live (bool). entering: node.
+    Output per entering node: n_blocks, n_blocking (blocks that would
+    drop below the floor), ready.
+
+    Shape: one broadcast semi/anti classification of the replica table
+    + a block-keyed partial agg + one join back — no per-node loop,
+    the whole fleet gates in one pass."""
+    ent = F.broadcast(entering.select(F.col("node").alias("__m")))
+    marked = replicas.join(
+        ent, replicas["node"] == F.col("__m"), "left"
+    ).withColumn("__entering", F.col("__m").isNotNull())
+    outside = (
+        marked.filter(F.col("live") & ~F.col("__entering"))
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("__outside"))
+    )
+    on_entering = marked.filter(F.col("__entering")).select(
+        "block_id", "node"
+    )
+    checked = on_entering.join(outside, "block_id", "left").withColumn(
+        "__blocked",
+        F.coalesce("__outside", F.lit(0)) < min_maintenance_repl,
+    )
+    return checked.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("__blocked").cast("long")).alias("n_blocking"),
+        (F.sum(F.col("__blocked").cast("long")) == 0).alias("ready"),
+    )

@@ -100,3 +100,54 @@ def snapshot_diff(
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     """ViewFs-style union of N conformant sources (ViewFileSystem.java:89)."""
     return reduce(lambda x, y: x.unionByName(y), dfs)
+
+
+def snapshot_delete_reclaim(
+    files: DataFrame,
+    snapshots: DataFrame,
+) -> DataFrame:
+    """Bytes reclaimed by deleting each snapshot (reference
+    `hdfs/server/namenode/snapshot/FileWithSnapshotFeature.java`
+    collectBlocksAndClear — a deleted file's blocks are destroyed only
+    once NO remaining snapshot still references it; until then the
+    snapshot keeps them alive — and `SnapshotManager.deleteSnapshot`,
+    which triggers exactly this sweep).
+
+    files: file_id, bytes, created_gen, deleted_gen (null = still
+    live — never reclaimable by a snapshot delete). snapshots: gen.
+    A dead file is retained by snapshot g iff created_gen <= g <
+    deleted_gen; deleting g reclaims the files whose ONLY retaining
+    snapshot is g. Output per snapshot gen: n_sole_files,
+    reclaimed_bytes (0 rows appear too, for snapshots holding
+    nothing exclusively).
+
+    Shape: files × snapshots containment is an equi-free theta join,
+    but the snapshot list is control-plane-sized → broadcast; then one
+    file-keyed agg (retainer count) and one snapshot-keyed rollup."""
+    dead = files.filter(F.col("deleted_gen").isNotNull())
+    snaps = F.broadcast(snapshots.select(F.col("gen")))
+    retained = dead.join(
+        snaps,
+        (F.col("created_gen") <= F.col("gen"))
+        & (F.col("gen") < F.col("deleted_gen")),
+    )
+    sole = (
+        retained.groupBy("file_id", "bytes")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("gen").alias("__g"),
+        )
+        .filter(F.col("__n") == 1)
+    )
+    per_snap = sole.groupBy(F.col("__g").alias("gen")).agg(
+        F.count(F.lit(1)).alias("n_sole_files"),
+        F.sum("bytes").alias("reclaimed_bytes"),
+    )
+    return (
+        snapshots.join(per_snap, "gen", "left")
+        .select(
+            "gen",
+            F.coalesce("n_sole_files", F.lit(0)).alias("n_sole_files"),
+            F.coalesce("reclaimed_bytes", F.lit(0)).alias("reclaimed_bytes"),
+        )
+    )

@@ -8914,6 +8914,204 @@ def hedged_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readpath.hedged_read_eta(lat, threshold_ms=3.0)
 
 
+_BLOCK_REPORT_ORACLE = """
+WITH base AS (
+  SELECT doc_id, n_chars, r,
+         'dn' || ((doc_id * 31 + r * 17) % 40) AS node
+  FROM documents, (SELECT unnest(range(0, 3)) AS r) x
+), expected AS (
+  SELECT node, doc_id AS block_id, CAST(100 AS BIGINT) AS e_gs,
+         n_chars AS e_len, (doc_id + r) % 29 <> 0 AS recorded
+  FROM base
+), reported AS (
+  SELECT node, doc_id AS block_id,
+         CAST(CASE WHEN (doc_id + r) % 19 = 0 THEN 101 ELSE 100 END
+              AS BIGINT) AS r_gs,
+         n_chars AS r_len,
+         CASE WHEN (doc_id + r) % 17 = 0 THEN 'RBW'
+              ELSE 'FINALIZED' END AS state
+  FROM base WHERE (doc_id * 7 + r) % 23 <> 0
+  UNION ALL
+  SELECT 'dn0', doc_id + 1000000, 100, CAST(0 AS BIGINT), 'FINALIZED'
+  FROM documents WHERE doc_id % 31 = 0
+)
+SELECT coalesce(e.node, r.node) AS node,
+       coalesce(e.block_id, r.block_id) AS block_id,
+       CASE WHEN e.e_gs IS NULL THEN 'TO_INVALIDATE'
+            WHEN r.r_gs IS NULL THEN 'TO_REMOVE'
+            WHEN r.state <> 'FINALIZED' THEN 'TO_UC'
+            WHEN e.e_gs <> r.r_gs OR e.e_len <> r.r_len THEN 'TO_CORRUPT'
+            WHEN NOT coalesce(e.recorded, FALSE) THEN 'TO_ADD'
+            ELSE 'OK' END AS action
+FROM expected e FULL OUTER JOIN reported r
+  ON e.node = r.node AND e.block_id = r.block_id
+"""
+
+
+@register("block_report_reconcile", _BLOCK_REPORT_ORACLE)
+def block_report_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-report reconciliation (operators/datanodes.
+    block_report_diff; reference BlockManager.java:3075
+    reportDiffSorted — the NameNode's per-node sorted-merge of report
+    vs view becomes ONE fleet-wide full-outer join bucketing every
+    block into OK / TO_ADD / TO_REMOVE / TO_INVALIDATE / TO_CORRUPT /
+    TO_UC). Derived mutations put every bucket on the board: dropped
+    replicas, genstamp bumps, RBW states, unknown blocks."""
+    from hadoop_source_spark.operators import datanodes
+
+    d = table(spark, sf_dir, "documents")
+    base = d.crossJoin(
+        spark.range(3).select(F.col("id").alias("r"))
+    ).select(
+        "doc_id", "n_chars", "r",
+        F.concat(
+            F.lit("dn"),
+            ((F.col("doc_id") * 31 + F.col("r") * 17) % 40).cast("string"),
+        ).alias("node"),
+    )
+    expected = base.select(
+        "node",
+        F.col("doc_id").alias("block_id"),
+        F.lit(100).cast("long").alias("genstamp"),
+        F.col("n_chars").alias("num_bytes"),
+        ((F.col("doc_id") + F.col("r")) % 29 != 0).alias("recorded"),
+    )
+    reported = base.filter(
+        (F.col("doc_id") * 7 + F.col("r")) % 23 != 0
+    ).select(
+        "node",
+        F.col("doc_id").alias("block_id"),
+        F.when((F.col("doc_id") + F.col("r")) % 19 == 0, F.lit(101))
+        .otherwise(F.lit(100))
+        .cast("long")
+        .alias("genstamp"),
+        F.col("n_chars").alias("num_bytes"),
+        F.when((F.col("doc_id") + F.col("r")) % 17 == 0, F.lit("RBW"))
+        .otherwise(F.lit("FINALIZED"))
+        .alias("state"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 31 == 0).select(
+            F.lit("dn0").alias("node"),
+            (F.col("doc_id") + 1000000).alias("block_id"),
+            F.lit(100).cast("long").alias("genstamp"),
+            F.lit(0).cast("long").alias("num_bytes"),
+            F.lit("FINALIZED").alias("state"),
+        )
+    )
+    return datanodes.block_report_diff(expected, reported)
+
+
+_MAINTENANCE_ORACLE = """
+WITH reps AS (
+  SELECT doc_id AS block_id,
+         'dn' || ((doc_id * 31 + r * 17) % 40) AS node,
+         (doc_id * 31 + r * 17) % 40 AS node_id,
+         (doc_id + r) % 13 <> 0 AS live
+  FROM documents, (SELECT unnest(range(0, 3)) AS r) x
+), outside AS (
+  SELECT block_id, count(*) AS n_out FROM reps
+  WHERE live AND node_id >= 5 GROUP BY 1
+), on_ent AS (
+  SELECT r.block_id, r.node, coalesce(o.n_out, 0) < 1 AS blocked
+  FROM reps r LEFT JOIN outside o USING (block_id)
+  WHERE r.node_id < 5
+)
+SELECT node, count(*) AS n_blocks,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocking,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END) = 0 AS ready
+FROM on_ent GROUP BY 1
+"""
+
+
+@register("maintenance_readiness_report", _MAINTENANCE_ORACLE)
+def maintenance_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-entry gate (operators/datanodes.
+    maintenance_readiness; reference DatanodeAdminManager.java:67/:311
+    — ENTERING_MAINTENANCE completes only when every held block keeps
+    >= dfs.namenode.maintenance.replication.min live replicas on
+    non-maintenance nodes). Nodes dn0-dn4 enter together (the
+    concurrent-maintenance case that actually bites); dead replicas
+    sprinkle in so some blocks block the gate."""
+    from hadoop_source_spark.operators import datanodes
+
+    d = table(spark, sf_dir, "documents")
+    reps = d.crossJoin(
+        spark.range(3).select(F.col("id").alias("r"))
+    ).select(
+        F.col("doc_id").alias("block_id"),
+        F.concat(
+            F.lit("dn"),
+            ((F.col("doc_id") * 31 + F.col("r") * 17) % 40).cast("string"),
+        ).alias("node"),
+        ((F.col("doc_id") + F.col("r")) % 13 != 0).alias("live"),
+    )
+    entering = spark.createDataFrame(
+        [(f"dn{i}",) for i in range(5)], "node string"
+    )
+    return datanodes.maintenance_readiness(
+        reps, entering, min_maintenance_repl=1
+    )
+
+
+_SNAPSHOT_RECLAIM_ORACLE = """
+WITH files AS (
+  SELECT o_orderkey AS file_id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS bytes,
+         CAST(o_orderkey % 7 AS BIGINT) AS created_gen,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 7 + 1 + o_orderkey % 3 AS BIGINT)
+         END AS deleted_gen
+  FROM orders
+), snaps AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS gen),
+retained AS (
+  SELECT f.file_id, f.bytes, s.gen
+  FROM files f JOIN snaps s
+    ON f.created_gen <= s.gen AND s.gen < f.deleted_gen
+  WHERE f.deleted_gen IS NOT NULL
+), sole AS (
+  SELECT file_id, bytes, min(gen) AS g
+  FROM retained GROUP BY 1, 2 HAVING count(*) = 1
+), per AS (
+  SELECT g AS gen, count(*) AS n_sole_files,
+         CAST(sum(bytes) AS BIGINT) AS reclaimed_bytes
+  FROM sole GROUP BY 1
+)
+SELECT s.gen, coalesce(n_sole_files, 0) AS n_sole_files,
+       coalesce(reclaimed_bytes, 0) AS reclaimed_bytes
+FROM snaps s LEFT JOIN per ON per.gen = s.gen
+"""
+
+
+@register("snapshot_reclaim_report", _SNAPSHOT_RECLAIM_ORACLE)
+def snapshot_reclaim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-delete reclaim accounting (operators/setops.
+    snapshot_delete_reclaim; reference snapshot/
+    FileWithSnapshotFeature.java collectBlocksAndClear — a deleted
+    file's blocks free only once NO remaining snapshot references it,
+    so the bytes a `deleteSnapshot` actually reclaims are exactly the
+    files that snapshot retains ALONE). Order lifetimes become file
+    generation intervals against 10 snapshots; live files never
+    reclaim, twice-retained files reclaim on neither single delete."""
+    from hadoop_source_spark.operators import setops
+
+    o = table(spark, sf_dir, "orders")
+    files = o.select(
+        F.col("o_orderkey").alias("file_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bytes"),
+        (F.col("o_orderkey") % 7).cast("long").alias("created_gen"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.lit(None).cast("long")
+        ).otherwise(
+            (F.col("o_orderkey") % 7 + 1 + F.col("o_orderkey") % 3).cast(
+                "long"
+            )
+        ).alias("deleted_gen"),
+    )
+    snaps = spark.range(10).select(F.col("id").cast("long").alias("gen"))
+    return setops.snapshot_delete_reclaim(files, snaps)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -8992,9 +9190,11 @@ _WINDOW: list[str] = [
     "nnstorage_retention", "distcp_checksum_delta",
     "slow_peer_report", "bitext_margin_mining",
     "ec_policy_matrix", "hedged_read_plan",
+    "block_report_reconcile", "maintenance_readiness_report",
+    "snapshot_reclaim_report",
 ]
 
-assert len(_WINDOW) == 144, len(_WINDOW)
+assert len(_WINDOW) == 147, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

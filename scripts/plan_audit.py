@@ -116,6 +116,8 @@ def main() -> None:
         "nnstorage_retention", "distcp_checksum_delta",
         "slow_peer_report", "bitext_margin_mining",
         "ec_policy_matrix", "hedged_read_plan",
+        "block_report_reconcile", "maintenance_readiness_report",
+        "snapshot_reclaim_report",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

@@ -146,6 +146,8 @@ EXTRA = (
     "nnstorage_retention", "distcp_checksum_delta",
     "slow_peer_report", "bitext_margin_mining",
     "ec_policy_matrix", "hedged_read_plan",
+    "block_report_reconcile", "maintenance_readiness_report",
+    "snapshot_reclaim_report",
     "bpe_pair_merge",
 )
 

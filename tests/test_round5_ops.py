@@ -682,3 +682,73 @@ def test_hedged_read_eta(spark):
     assert out[1].eta_ms == 5.0 and out[1].hedged_helps
     assert out[2].eta_ms == 1.0 and not out[2].hedged_helps
     assert out[3].eta_ms == 4.0 and not out[3].hedged_helps
+
+
+# ------------------------------------------------ block report diff
+def test_block_report_diff_buckets(spark):
+    from hadoop_source_spark.operators import datanodes
+
+    expected = spark.createDataFrame(
+        [("dn1", 1, 10, 100, True), ("dn1", 2, 10, 100, True),
+         ("dn1", 3, 10, 100, True), ("dn1", 4, 10, 100, False),
+         ("dn1", 6, 10, 100, True)],
+        "node string, block_id long, genstamp long, num_bytes long,"
+        " recorded boolean",
+    )
+    reported = spark.createDataFrame(
+        [("dn1", 1, 10, 100, "FINALIZED"),   # OK
+         ("dn1", 2, 11, 100, "FINALIZED"),   # genstamp -> TO_CORRUPT
+         ("dn1", 4, 10, 100, "FINALIZED"),   # unrecorded -> TO_ADD
+         ("dn1", 5, 10, 100, "FINALIZED"),   # unknown -> TO_INVALIDATE
+         ("dn1", 6, 10, 100, "RBW")],        # under construction -> TO_UC
+        "node string, block_id long, genstamp long, num_bytes long,"
+        " state string",
+    )
+    out = {r.block_id: r.action for r in
+           datanodes.block_report_diff(expected, reported).collect()}
+    assert out == {1: "OK", 2: "TO_CORRUPT", 3: "TO_REMOVE",
+                   4: "TO_ADD", 5: "TO_INVALIDATE", 6: "TO_UC"}
+
+
+# ------------------------------------------------ maintenance gate
+def test_maintenance_readiness(spark):
+    from hadoop_source_spark.operators import datanodes
+
+    replicas = spark.createDataFrame(
+        [(1, "m1", True), (1, "a", True),          # fine: 1 outside
+         (2, "m1", True),                          # blocking: 0 outside
+         (3, "m2", True), (3, "b", True), (3, "c", True),
+         (4, "m2", True), (4, "m1", True)],        # blocking: both entering
+        "block_id long, node string, live boolean",
+    )
+    entering = spark.createDataFrame([("m1",), ("m2",)], "node string")
+    out = {r.node: r for r in
+           datanodes.maintenance_readiness(replicas, entering).collect()}
+    assert out["m1"].n_blocks == 3 and out["m1"].n_blocking == 2
+    assert not out["m1"].ready
+    assert out["m2"].n_blocks == 2 and out["m2"].n_blocking == 1
+    assert not out["m2"].ready
+    # with the floor at 0 every node is ready
+    out0 = {r.node: r.ready for r in datanodes.maintenance_readiness(
+        replicas, entering, min_maintenance_repl=0).collect()}
+    assert out0 == {"m1": True, "m2": True}
+
+
+# --------------------------------------------- snapshot reclaim
+def test_snapshot_delete_reclaim(spark):
+    from hadoop_source_spark.operators import setops
+
+    files = spark.createDataFrame(
+        # created, deleted: f1 retained by snaps 2 only; f2 by 2,3;
+        # f3 live (never reclaimable); f4 retained by none (died
+        # between snapshots)
+        [(1, 100, 2, 3), (2, 50, 2, 4), (3, 70, 0, None), (4, 30, 5, 6)],
+        "file_id long, bytes long, created_gen long, deleted_gen long",
+    )
+    snaps = spark.createDataFrame([(2,), (3,), (7,)], "gen long")
+    out = {r.gen: r for r in
+           setops.snapshot_delete_reclaim(files, snaps).collect()}
+    assert out[2].n_sole_files == 1 and out[2].reclaimed_bytes == 100
+    # f2 retained by 2 AND 3 -> deleting either alone reclaims nothing
+    assert out[3].n_sole_files == 0 and out[3].reclaimed_bytes == 0
+    assert out[7].n_sole_files == 0
