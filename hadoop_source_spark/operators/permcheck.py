@@ -207,3 +207,58 @@ def apply_acl_ops(ops: DataFrame) -> DataFrame:
             (F.col("name") != "") | (F.col("type") == "MASK"),
         )
     )
+
+
+def proxy_user_authorize(
+    requests: DataFrame,
+    proxy_conf: DataFrame,
+) -> DataFrame:
+    """Proxy-user (impersonation) authorization (reference
+    `common/security/authorize/DefaultImpersonationProvider.java:109`
+    `authorize` — a connection where real user != effective user is
+    allowed only when (a) the superuser's proxyuser ACL admits the
+    impersonated user by name or by group ('*' admits anyone,
+    AccessControlList semantics) AND (b) the client address is on the
+    superuser's proxy host list ('*' = any host); a request with no
+    real user — no impersonation — passes trivially).
+
+    requests: real_user (null = not proxying), effective_user,
+    effective_groups (array<string>), client_host. proxy_conf:
+    superuser, allowed_users (array, may hold '*'), allowed_groups
+    (array, may hold '*'), allowed_hosts (array, may hold '*').
+    Output adds allowed (bool) and deny_reason
+    (null / 'NO_PROXY_CONF' / 'USER_NOT_ALLOWED' / 'HOST_DENIED').
+    One broadcast join on superuser — the proxyuser table is
+    conf-sized."""
+    conf = F.broadcast(
+        proxy_conf.select(
+            F.col("superuser").alias("real_user"),
+            "allowed_users", "allowed_groups", "allowed_hosts",
+        )
+    )
+    j = requests.join(conf, "real_user", "left")
+    user_ok = (
+        F.array_contains("allowed_users", "*")
+        | F.array_contains(F.col("allowed_users"), F.col("effective_user"))
+        | F.array_contains("allowed_groups", "*")
+        | (
+            F.size(
+                F.array_intersect("allowed_groups", "effective_groups")
+            )
+            > 0
+        )
+    )
+    host_ok = F.array_contains("allowed_hosts", "*") | F.array_contains(
+        F.col("allowed_hosts"), F.col("client_host")
+    )
+    reason = (
+        F.when(F.col("real_user").isNull(), F.lit(None).cast("string"))
+        .when(F.col("allowed_users").isNull(), F.lit("NO_PROXY_CONF"))
+        .when(~user_ok, F.lit("USER_NOT_ALLOWED"))
+        .when(~host_ok, F.lit("HOST_DENIED"))
+    )
+    return j.select(
+        *requests.columns,
+        reason.isNull().alias("allowed"),
+        reason.alias("deny_reason"),
+    )

@@ -28,7 +28,7 @@ aggregate to priority levels without touching the log again).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # share-of-total thresholds for 4 priority levels (DecayRpcScheduler
@@ -128,3 +128,71 @@ def backoff_by_response_time(
             > F.get(thr, F.col("priority").cast("int"))
         ).alias("backoff"),
     )
+
+
+def retry_schedule(
+    calls: DataFrame,
+    policies: DataFrame,
+) -> DataFrame:
+    """Retry-policy schedule matrix (reference `common/io/retry/
+    RetryPolicies.java`): for every (failed call, policy), the action
+    at each attempt and the cumulative wait. Policies modeled exactly:
+
+      TRY_ONCE_THEN_FAIL (:65)     — fail at the first retry decision
+      RETRY_FOREVER (:72)          — always retry, no sleep
+      FIXED_SLEEP (:91)            — sleep t while retries < max
+      PROPORTIONAL_SLEEP (:112)    — sleep t*(retries+1) (:333)
+      EXPONENTIAL_BACKOFF (:124)   — sleep min(t * 2^(retries+1), cap)
+        (:726); the reference multiplies by a random in [0.5, 1.5) —
+        here the deterministic expectation (x1.0), the same
+        substitution operators/readpath makes for the tie shuffle.
+
+    calls: call_id, n_failures (how many times it has failed).
+    policies: policy, max_retries, sleep_ms. Output one row per
+    (call, policy, attempt 0..n_failures-1): action RETRY/FAIL,
+    sleep_ms, cum_sleep_ms before giving up or succeeding. Attempts
+    fan out via sequence() — a pure projection, no shuffle until the
+    (bounded) per-call window for the cumulative sum."""
+    fan = calls.crossJoin(F.broadcast(policies)).select(
+        "call_id", "policy", "max_retries", "sleep_ms",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_failures") - 1)
+        ).alias("attempt"),
+    )
+    a = F.col("attempt")
+    sleep = (
+        F.when(F.col("policy") == "RETRY_FOREVER", F.lit(0.0))
+        .when(F.col("policy") == "FIXED_SLEEP", F.col("sleep_ms"))
+        .when(
+            F.col("policy") == "PROPORTIONAL_SLEEP",
+            F.col("sleep_ms") * (a + 1),
+        )
+        .when(
+            F.col("policy") == "EXPONENTIAL_BACKOFF",
+            F.least(
+                F.col("sleep_ms") * F.pow(F.lit(2.0), a + 1),
+                F.lit(9.0e15),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    fails = F.when(
+        F.col("policy") == "TRY_ONCE_THEN_FAIL", F.lit(True)
+    ).otherwise(
+        (F.col("policy") != "RETRY_FOREVER") & (a >= F.col("max_retries"))
+    )
+    w = (
+        Window.partitionBy("call_id", "policy")
+        .orderBy("attempt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = fan.select(
+        "call_id", "policy", "attempt",
+        F.when(fails, F.lit("FAIL")).otherwise(F.lit("RETRY")).alias(
+            "action"
+        ),
+        F.when(fails, F.lit(0.0)).otherwise(sleep).alias("sleep_ms"),
+    )
+    return stepped.withColumn(
+        "cum_sleep_ms", F.round(F.sum("sleep_ms").over(w), 4)
+    ).withColumn("sleep_ms", F.round("sleep_ms", 4))

@@ -9112,6 +9112,242 @@ def snapshot_reclaim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.snapshot_delete_reclaim(files, snaps)
 
 
+_CONF_RESOLUTION_ORACLE = r"""
+WITH dep(old, new) AS (VALUES ('prop.57','prop.7'), ('prop.58','prop.8')),
+props AS (
+  SELECT doc_id AS ord,
+         coalesce(d.new, 'prop.' || (doc_id % 60)) AS name,
+         CASE WHEN doc_id % 13 = 0
+              THEN '${prop.' || ((doc_id + 1) % 60) || '}/v'
+              ELSE 'v' || doc_id END AS value,
+         doc_id % 17 = 0 AS fin
+  FROM documents LEFT JOIN dep d ON 'prop.' || (doc_id % 60) = d.old
+),
+res1 AS (
+  SELECT name,
+         CASE WHEN bool_or(fin)
+              THEN min(CASE WHEN fin THEN ord END)
+              ELSE max(ord) END AS source_order,
+         bool_or(fin) AS final
+  FROM props GROUP BY name
+),
+res2 AS (
+  SELECT r.name,
+         max(CASE WHEN p.ord = r.source_order THEN p.value END) AS value,
+         r.final, CAST(r.source_order AS BIGINT) AS source_order,
+         CAST(count(CASE WHEN p.ord > r.source_order THEN 1 END)
+              AS INTEGER) AS n_ignored
+  FROM res1 r JOIN props p ON p.name = r.name
+  GROUP BY r.name, r.final, r.source_order
+),
+ex AS (
+  WITH RECURSIVE rec AS (
+    SELECT name, value, final, source_order, n_ignored, 0 AS d FROM res2
+    UNION ALL
+    SELECT e.name,
+           substr(e.value, 1, strpos(e.value, '${' || var || '}') - 1)
+             || m.value
+             || substr(e.value, strpos(e.value, '${' || var || '}')
+                               + length('${' || var || '}')),
+           e.final, e.source_order, e.n_ignored, e.d + 1
+    FROM (SELECT *, regexp_extract(value, '\$\{([^}]*)\}', 1) AS var
+          FROM rec) e
+    JOIN res2 m ON m.name = e.var
+    WHERE e.d < 20 AND e.var <> ''
+  ) SELECT * FROM rec
+)
+SELECT name, value, final, source_order, n_ignored
+FROM (SELECT *, row_number() OVER (PARTITION BY name ORDER BY d DESC)
+        AS rn FROM ex)
+WHERE rn = 1
+"""
+
+
+@register("config_resolution", _CONF_RESOLUTION_ORACLE)
+def config_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered configuration resolution (operators/confres; reference
+    common/conf/Configuration.java — the most-used class in the tree:
+    later resources override EXCEPT first-final freezes with later
+    assignments ignored (:314 finalParameters), deprecated names alias
+    onto replacements (:424 DeprecationDelta), and values expand
+    ${var} one substitution per round up to MAX_SUBST=20 (:1037,
+    :1134) with unbound vars kept literal). Docs become a 60-key
+    property stream with finals, two deprecated aliases, and chained
+    ${} references; the oracle's recursive CTE replays the exact
+    loop."""
+    from hadoop_source_spark.operators import confres
+
+    d = table(spark, sf_dir, "documents")
+    props = d.select(
+        F.col("doc_id").cast("int").alias("resource_order"),
+        F.concat(F.lit("prop."), (F.col("doc_id") % 60).cast("string")).alias(
+            "name"
+        ),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("${prop."),
+                ((F.col("doc_id") + 1) % 60).cast("string"),
+                F.lit("}/v"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("v"), F.col("doc_id").cast("string")))
+        .alias("value"),
+        (F.col("doc_id") % 17 == 0).alias("final"),
+    )
+    dep = spark.createDataFrame(
+        [("prop.57", "prop.7"), ("prop.58", "prop.8")],
+        "old_name string, new_name string",
+    )
+    resolved = confres.resolve_layers(props, dep).select(
+        "name", "value", "final",
+        F.col("source_order").cast("long").alias("source_order"),
+        F.col("n_ignored").cast("int").alias("n_ignored"),
+    )
+    return confres.expand_vars(resolved)
+
+
+_PROXY_ORACLE = """
+WITH reqs AS (
+  SELECT event_id,
+    CASE user_id % 5 WHEN 0 THEN 'oozie' WHEN 1 THEN 'hive'
+         WHEN 2 THEN 'hue' WHEN 3 THEN 'nobody' END AS real_user,
+    'u' || (user_id % 7) AS effective_user,
+    'g' || (user_id % 3) AS grp,
+    'h' || (event_id % 4) AS client_host
+  FROM events
+)
+SELECT event_id, real_user, effective_user, client_host,
+  CASE WHEN real_user IS NULL THEN NULL
+       WHEN real_user = 'oozie' THEN
+         CASE WHEN client_host IN ('h0', 'h1') THEN NULL
+              ELSE 'HOST_DENIED' END
+       WHEN real_user = 'hive' THEN
+         CASE WHEN grp IN ('g0', 'g1') THEN NULL
+              ELSE 'USER_NOT_ALLOWED' END
+       WHEN real_user = 'hue' THEN
+         CASE WHEN effective_user NOT IN ('u1', 'u2')
+              THEN 'USER_NOT_ALLOWED'
+              WHEN client_host <> 'h2' THEN 'HOST_DENIED'
+              ELSE NULL END
+       ELSE 'NO_PROXY_CONF' END AS deny_reason,
+  CASE WHEN real_user IS NULL THEN TRUE
+       WHEN real_user = 'oozie' THEN client_host IN ('h0', 'h1')
+       WHEN real_user = 'hive' THEN grp IN ('g0', 'g1')
+       WHEN real_user = 'hue' THEN effective_user IN ('u1', 'u2')
+                                   AND client_host = 'h2'
+       ELSE FALSE END AS allowed
+FROM reqs
+"""
+
+
+@register("proxy_user_matrix", _PROXY_ORACLE)
+def proxy_user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy-user authorization sweep (operators/permcheck.
+    proxy_user_authorize; reference common/security/authorize/
+    DefaultImpersonationProvider.java:109 — impersonation passes only
+    when the superuser's ACL admits the effective user by name/group
+    ('*' wildcards) AND the client host is on the proxy host list;
+    no real user = not proxying = trivially allowed). Event traffic
+    against a three-superuser config exercising every deny reason."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    e = table(spark, sf_dir, "events")
+    reqs = e.select(
+        "event_id",
+        F.when(F.col("user_id") % 5 == 0, F.lit("oozie"))
+        .when(F.col("user_id") % 5 == 1, F.lit("hive"))
+        .when(F.col("user_id") % 5 == 2, F.lit("hue"))
+        .when(F.col("user_id") % 5 == 3, F.lit("nobody"))
+        .alias("real_user"),
+        F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string")).alias(
+            "effective_user"
+        ),
+        F.array(
+            F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string"))
+        ).alias("effective_groups"),
+        F.concat(F.lit("h"), (F.col("event_id") % 4).cast("string")).alias(
+            "client_host"
+        ),
+    )
+    conf = spark.createDataFrame(
+        [
+            ("oozie", ["*"], [], ["h0", "h1"]),
+            ("hive", [], ["g0", "g1"], ["*"]),
+            ("hue", ["u1", "u2"], [], ["h2"]),
+        ],
+        "superuser string, allowed_users array<string>,"
+        " allowed_groups array<string>, allowed_hosts array<string>",
+    )
+    return pc.proxy_user_authorize(reqs, conf).select(
+        "event_id", "real_user", "effective_user", "client_host",
+        "deny_reason", "allowed",
+    )
+
+
+_RETRY_ORACLE = """
+WITH calls AS (
+  SELECT event_id AS call_id, CAST(1 + event_id % 6 AS INTEGER) AS n_failures
+  FROM events WHERE event_type = 'error'
+), pol(policy, max_retries, sleep_ms) AS (
+  VALUES ('TRY_ONCE_THEN_FAIL', 0, 0.0), ('RETRY_FOREVER', 0, 0.0),
+         ('FIXED_SLEEP', 3, 10.0), ('PROPORTIONAL_SLEEP', 3, 10.0),
+         ('EXPONENTIAL_BACKOFF', 3, 10.0)
+), fan AS (
+  SELECT call_id, policy, max_retries, sleep_ms,
+         CAST(unnest(range(0, n_failures)) AS INTEGER) AS attempt
+  FROM calls, pol
+), stepped AS (
+  SELECT call_id, policy, attempt,
+    CASE WHEN policy = 'TRY_ONCE_THEN_FAIL' THEN 'FAIL'
+         WHEN policy = 'RETRY_FOREVER' THEN 'RETRY'
+         WHEN attempt >= max_retries THEN 'FAIL'
+         ELSE 'RETRY' END AS action,
+    CASE WHEN policy = 'TRY_ONCE_THEN_FAIL' THEN 0.0
+         WHEN policy = 'RETRY_FOREVER' THEN 0.0
+         WHEN attempt >= max_retries THEN 0.0
+         WHEN policy = 'FIXED_SLEEP' THEN sleep_ms
+         WHEN policy = 'PROPORTIONAL_SLEEP' THEN sleep_ms * (attempt + 1)
+         WHEN policy = 'EXPONENTIAL_BACKOFF'
+           THEN least(sleep_ms * power(2.0, attempt + 1), 9.0e15)
+         ELSE 0.0 END AS sleep_ms
+  FROM fan
+)
+SELECT call_id, policy, attempt, action,
+       round(sleep_ms, 4) AS sleep_ms,
+       round(sum(sleep_ms) OVER (PARTITION BY call_id, policy
+             ORDER BY attempt ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW), 4) AS cum_sleep_ms
+FROM stepped
+"""
+
+
+@register("retry_schedule_matrix", _RETRY_ORACLE)
+def retry_schedule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC retry-policy schedules (operators/rpcsched.retry_schedule;
+    reference common/io/retry/RetryPolicies.java — TryOnceThenFail
+    :65, RetryForever :72, fixed sleep :91/:296, proportional
+    sleep :112/:333, exponential backoff :124/:726 with the
+    randomized multiplier replaced by its deterministic expectation).
+    Every error event replays its failure history against all five
+    policies; attempts fan out with sequence(), cumulative wait via a
+    bounded per-call window."""
+    from hadoop_source_spark.operators import rpcsched
+
+    e = table(spark, sf_dir, "events")
+    calls = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("call_id"),
+        (1 + F.col("event_id") % 6).cast("int").alias("n_failures"),
+    )
+    pol = spark.createDataFrame(
+        [("TRY_ONCE_THEN_FAIL", 0, 0.0), ("RETRY_FOREVER", 0, 0.0),
+         ("FIXED_SLEEP", 3, 10.0), ("PROPORTIONAL_SLEEP", 3, 10.0),
+         ("EXPONENTIAL_BACKOFF", 3, 10.0)],
+        "policy string, max_retries int, sleep_ms double",
+    )
+    return rpcsched.retry_schedule(calls, pol)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -9192,9 +9428,10 @@ _WINDOW: list[str] = [
     "ec_policy_matrix", "hedged_read_plan",
     "block_report_reconcile", "maintenance_readiness_report",
     "snapshot_reclaim_report",
+    "config_resolution", "proxy_user_matrix", "retry_schedule_matrix",
 ]
 
-assert len(_WINDOW) == 147, len(_WINDOW)
+assert len(_WINDOW) == 150, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -118,6 +118,8 @@ def main() -> None:
         "ec_policy_matrix", "hedged_read_plan",
         "block_report_reconcile", "maintenance_readiness_report",
         "snapshot_reclaim_report",
+        "config_resolution", "proxy_user_matrix",
+        "retry_schedule_matrix",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

@@ -148,6 +148,8 @@ EXTRA = (
     "ec_policy_matrix", "hedged_read_plan",
     "block_report_reconcile", "maintenance_readiness_report",
     "snapshot_reclaim_report",
+    "config_resolution", "proxy_user_matrix",
+    "retry_schedule_matrix",
     "bpe_pair_merge",
 )
 

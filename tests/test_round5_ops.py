@@ -752,3 +752,136 @@ def test_snapshot_delete_reclaim(spark):
     # f2 retained by 2 AND 3 -> deleting either alone reclaims nothing
     assert out[3].n_sole_files == 0 and out[3].reclaimed_bytes == 0
     assert out[7].n_sole_files == 0
+
+
+# ------------------------------------------------ config resolution
+def test_config_layering_final_and_deprecation(spark):
+    from hadoop_source_spark.operators import confres
+
+    props = spark.createDataFrame(
+        [
+            (0, "a", "default-a", False),
+            (1, "a", "site-a", False),          # later wins
+            (0, "b", "default-b", True),        # final freezes
+            (1, "b", "site-b", False),          # ignored
+            (2, "b", "cluster-b", True),        # ignored too
+            (0, "old.key", "via-old", False),   # deprecated alias of c
+            (1, "c", "via-new", False),
+        ],
+        "resource_order int, name string, value string, final boolean",
+    )
+    dep = spark.createDataFrame(
+        [("old.key", "c")], "old_name string, new_name string"
+    )
+    out = {r.name: r for r in
+           confres.resolve_layers(props, dep).collect()}
+    assert out["a"].value == "site-a" and not out["a"].final
+    assert out["b"].value == "default-b" and out["b"].final
+    assert out["b"].n_ignored == 2
+    # both names collapse onto c; later resource wins
+    assert out["c"].value == "via-new"
+    assert "old.key" not in out
+
+
+def test_config_var_expansion(spark):
+    from hadoop_source_spark.operators import confres
+
+    resolved = spark.createDataFrame(
+        [
+            ("base", "/opt"),
+            ("dir", "${base}/data"),
+            ("deep", "${dir}/x and ${dir}/y"),
+            ("unbound", "${nope}/z"),
+            ("plain", "v"),
+        ],
+        "name string, value string",
+    )
+    out = {r.name: r.value for r in
+           confres.expand_vars(resolved).collect()}
+    assert out["dir"] == "/opt/data"
+    assert out["deep"] == "/opt/data/x and /opt/data/y"
+    assert out["unbound"] == "${nope}/z"
+    assert out["plain"] == "v"
+
+
+def test_config_max_subst_cap(spark):
+    from hadoop_source_spark.operators import confres
+
+    # a chain deeper than max_subst stops partially expanded
+    rows = [("k0", "end")] + [
+        (f"k{i}", f"${{k{i-1}}}+") for i in range(1, 6)
+    ]
+    resolved = spark.createDataFrame(rows, "name string, value string")
+    out = {r.name: r.value for r in
+           confres.expand_vars(resolved, max_subst=2).collect()}
+    # two rounds: k5 -> ${k4}+ -> ${k3}++ (depends on snapshot rounds);
+    # the important property: still contains an unexpanded ${...}
+    assert "${" in out["k5"]
+    full = {r.name: r.value for r in
+            confres.expand_vars(resolved, max_subst=20).collect()}
+    assert full["k5"] == "end+++++"
+
+
+# ------------------------------------------------------ proxy users
+def test_proxy_user_authorize_matrix(spark):
+    from hadoop_source_spark.operators import permcheck as pc
+
+    conf = spark.createDataFrame(
+        [
+            ("oozie", ["*"], [], ["h1", "h2"]),
+            ("hive", [], ["analysts"], ["*"]),
+            ("hue", ["alice"], [], []),
+        ],
+        "superuser string, allowed_users array<string>,"
+        " allowed_groups array<string>, allowed_hosts array<string>",
+    )
+    reqs = spark.createDataFrame(
+        [
+            (1, "oozie", "bob", ["eng"], "h1"),      # user wildcard + host ok
+            (2, "oozie", "bob", ["eng"], "h9"),      # HOST_DENIED
+            (3, "hive", "carol", ["analysts"], "x"), # group + host wildcard
+            (4, "hive", "dave", ["eng"], "x"),       # USER_NOT_ALLOWED
+            (5, "hue", "alice", [], "h1"),           # empty host list denies
+            (6, "nobody", "z", [], "h1"),            # NO_PROXY_CONF
+            (7, None, "self", [], "h1"),             # not proxying
+        ],
+        "req long, real_user string, effective_user string,"
+        " effective_groups array<string>, client_host string",
+    )
+    out = {r.req: r for r in
+           pc.proxy_user_authorize(reqs, conf).collect()}
+    assert out[1].allowed and out[1].deny_reason is None
+    assert (not out[2].allowed) and out[2].deny_reason == "HOST_DENIED"
+    assert out[3].allowed
+    assert out[4].deny_reason == "USER_NOT_ALLOWED"
+    assert out[5].deny_reason == "HOST_DENIED"
+    assert out[6].deny_reason == "NO_PROXY_CONF"
+    assert out[7].allowed
+
+
+# --------------------------------------------------- retry schedule
+def test_retry_schedule_policies(spark):
+    from hadoop_source_spark.operators import rpcsched
+
+    calls = spark.createDataFrame([(1, 5)], "call_id long, n_failures int")
+    pol = spark.createDataFrame(
+        [("TRY_ONCE_THEN_FAIL", 0, 0.0), ("RETRY_FOREVER", 0, 0.0),
+         ("FIXED_SLEEP", 3, 10.0), ("PROPORTIONAL_SLEEP", 3, 10.0),
+         ("EXPONENTIAL_BACKOFF", 3, 10.0)],
+        "policy string, max_retries int, sleep_ms double",
+    )
+    rows = rpcsched.retry_schedule(calls, pol).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.policy, {})[r.attempt] = r
+    assert all(r.action == "FAIL" for r in by["TRY_ONCE_THEN_FAIL"].values())
+    assert all(r.action == "RETRY" and r.sleep_ms == 0.0
+               for r in by["RETRY_FOREVER"].values())
+    f = by["FIXED_SLEEP"]
+    assert [f[i].action for i in range(5)] == ["RETRY"] * 3 + ["FAIL"] * 2
+    assert f[2].cum_sleep_ms == 30.0
+    p = by["PROPORTIONAL_SLEEP"]
+    assert [p[i].sleep_ms for i in range(3)] == [10.0, 20.0, 30.0]
+    e = by["EXPONENTIAL_BACKOFF"]
+    assert [e[i].sleep_ms for i in range(3)] == [20.0, 40.0, 80.0]
+    assert e[4].action == "FAIL" and e[4].sleep_ms == 0.0
