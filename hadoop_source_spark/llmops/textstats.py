@@ -640,3 +640,43 @@ def zipf_fit(word_freqs: DataFrame) -> DataFrame:
         F.round(F.regr_intercept(ly, lx), 4).alias("intercept"),
         F.round(F.regr_r2(ly, lx), 4).alias("r2"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group token-distribution diagnostics: Shannon entropy of
+    the unigram distribution (bits/token), perplexity (2^H), type and
+    token counts, type-token ratio — the standard corpus-diversity /
+    compressibility panel (a boilerplate-flooded or template-heavy
+    source shows up as low entropy long before eyeballing finds it).
+
+    Two partial-agg passes — (group, word) counts then the entropy
+    fold via the identity H = log2(N) - sum(c*log2 c)/N — both
+    shuffle-partial-aggregable; nothing is ever per-character or
+    per-token row-expanded beyond the tokenize explode itself."""
+    w = F.explode(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    ).alias("word")
+    counts = (
+        docs.select(F.col(by).alias("grp"), w)
+        .filter(F.length("word") > 0)
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = counts.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("__clog"),
+    )
+    h = F.log2("n_tokens") - F.col("__clog") / F.col("n_tokens")
+    return g.select(
+        "grp",
+        "n_tokens",
+        "n_types",
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 4).alias("perplexity"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

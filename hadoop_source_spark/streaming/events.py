@@ -389,3 +389,80 @@ def run_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    capacity: int,
+    group_col: str = "grp",
+    key_col: str = "key",
+) -> DataFrame:
+    """Streaming heavy hitters per group via the Misra-Gries summary
+    (Misra & Gries 1982, "Finding repeated elements" — the classic
+    bounded-state frequent-items sketch; SpaceSaving is its sibling):
+    the state holds at most `capacity` (key, count) counters; a new
+    key increments its counter, takes a free slot if any, and
+    otherwise DECREMENTS every counter (dropping zeros) — guaranteeing
+    every true count is under-counted by at most N/capacity, and any
+    key with frequency > N/(capacity+1) is present.
+
+    Third arbitrary-state operator in this engine (after
+    running_user_totals and cusum_stream): state = parallel key/count
+    arrays + a batch sequence, carried across micro-batches by
+    applyInPandasWithState. With capacity >= distinct keys the sketch
+    degenerates to EXACT counting (that deterministic regime is the
+    driver query's oracle-checked slice; the lossy regime's error
+    bound is pytest-gated). Emits the counter table after every
+    micro-batch tagged with the batch sequence; downstream keeps the
+    last batch per group for the final answer."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_col} string, {key_col} string, cnt long, batch long"
+    )
+    state_schema = (
+        "keys array<string>, counts array<long>, batch long"
+    )
+
+    def fold(grp_key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            keys, counts, batch = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters, batch = {}, 0
+        for pdf in pdf_iter:
+            for k in pdf[key_col]:
+                k = str(k)
+                if k in counters:
+                    counters[k] += 1
+                elif len(counters) < capacity:
+                    counters[k] = 1
+                else:
+                    for kk in list(counters):
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            del counters[kk]
+        batch += 1
+        state.update((list(counters), [int(v) for v in counters.values()],
+                      batch))
+        yield pd.DataFrame(
+            {
+                group_col: [grp_key[0]] * len(counters),
+                key_col: list(counters),
+                "cnt": [int(v) for v in counters.values()],
+                "batch": [batch] * len(counters),
+            }
+        )
+
+    return (
+        stream.groupBy(group_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -9348,6 +9348,99 @@ def retry_schedule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rpcsched.retry_schedule(calls, pol)
 
 
+_TOKEN_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT source AS grp, word, count(*) AS c FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1, 2
+), g AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(c * log2(c)) AS clog
+  FROM counts GROUP BY 1
+)
+SELECT grp, n_tokens, n_types,
+       round(log2(n_tokens) - clog / n_tokens, 6) AS entropy_bits,
+       round(power(2.0, log2(n_tokens) - clog / n_tokens), 4)
+         AS perplexity,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+FROM g
+"""
+
+
+@register("token_entropy_report", _TOKEN_ENTROPY_ORACLE)
+def token_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy panel (llmops/textstats.
+    token_entropy): Shannon entropy, perplexity, type/token counts
+    and ratio — the corpus-diversity diagnostic that exposes
+    boilerplate-flooded or template-heavy sources long before manual
+    inspection. Two partial-agg passes via the identity
+    H = log2(N) - sum(c*log2 c)/N."""
+    d = table(spark, sf_dir, "documents")
+    return ts.token_entropy(d, by="source")
+
+
+_HEAVY_HITTERS_ORACLE = """
+SELECT event_type AS grp, 'u' || (user_id % 40) AS key,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("streaming_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (streaming/events.
+    heavy_hitters_stream; Misra & Gries 1982) — the engine's third
+    custom arbitrary-state operator: per-event-type user counters
+    carried across two REAL micro-batches by applyInPandasWithState,
+    capacity 64 over 40 distinct keys so the sketch runs in its EXACT
+    regime and the final counter table is hash-verifiable against a
+    plain GROUP BY (the lossy regime's N/capacity undercount bound is
+    pytest-gated). Emissions are per-batch; the last batch per group
+    is the answer."""
+    import tempfile
+    import time
+    import uuid
+
+    from hadoop_source_spark.streaming import events as se
+
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.col("event_type").alias("grp"),
+        F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string")).alias(
+            "key"
+        ),
+        "event_id",
+    )
+    d = tempfile.mkdtemp(prefix="hss_hh_stream_")
+    keyed.filter(F.col("event_id") % 2 == 0).drop("event_id").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    keyed.filter(F.col("event_id") % 2 == 1).drop("event_id").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("grp string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = f"hss_hh_{uuid.uuid4().hex[:8]}"
+    out = se.run_to_memory(
+        se.heavy_hitters_stream(stream, capacity=64),
+        name,
+        output_mode="update",
+    )
+    w = Window.partitionBy("grp")
+    return (
+        out.withColumn("__mx", F.max("batch").over(w))
+        .filter(F.col("batch") == F.col("__mx"))
+        .select("grp", "key", "cnt")
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -9429,9 +9522,10 @@ _WINDOW: list[str] = [
     "block_report_reconcile", "maintenance_readiness_report",
     "snapshot_reclaim_report",
     "config_resolution", "proxy_user_matrix", "retry_schedule_matrix",
+    "token_entropy_report", "streaming_heavy_hitters",
 ]
 
-assert len(_WINDOW) == 150, len(_WINDOW)
+assert len(_WINDOW) == 152, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -120,6 +120,7 @@ def main() -> None:
         "snapshot_reclaim_report",
         "config_resolution", "proxy_user_matrix",
         "retry_schedule_matrix",
+        "token_entropy_report",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

@@ -150,6 +150,7 @@ EXTRA = (
     "snapshot_reclaim_report",
     "config_resolution", "proxy_user_matrix",
     "retry_schedule_matrix",
+    "token_entropy_report",
     "bpe_pair_merge",
 )
 

@@ -885,3 +885,94 @@ def test_retry_schedule_policies(spark):
     e = by["EXPONENTIAL_BACKOFF"]
     assert [e[i].sleep_ms for i in range(3)] == [20.0, 40.0, 80.0]
     assert e[4].action == "FAIL" and e[4].sleep_ms == 0.0
+
+
+# --------------------------------------------------- token entropy
+def test_token_entropy_hand_computed(spark):
+    import math
+    from hadoop_source_spark.llmops import textstats as ts2
+
+    docs = spark.createDataFrame(
+        [("s1", "a a a a b b c d"),   # counts 4,2,1,1 over N=8
+         ("s2", "x x x x")],          # single type -> H = 0
+        "source string, text string",
+    )
+    out = {r.grp: r for r in ts2.token_entropy(docs).collect()}
+    probs = [4 / 8, 2 / 8, 1 / 8, 1 / 8]
+    h = -sum(p * math.log2(p) for p in probs)
+    assert abs(out["s1"].entropy_bits - round(h, 6)) < 1e-6
+    assert out["s1"].n_tokens == 8 and out["s1"].n_types == 4
+    assert abs(out["s1"].perplexity - round(2 ** h, 4)) < 1e-3
+    assert out["s2"].entropy_bits == 0.0 and out["s2"].perplexity == 1.0
+
+
+# ---------------------------------------------- heavy hitters (MG)
+def _mg_fold(seq, capacity):
+    c = {}
+    for k in seq:
+        if k in c:
+            c[k] += 1
+        elif len(c) < capacity:
+            c[k] = 1
+        else:
+            for kk in list(c):
+                c[kk] -= 1
+                if c[kk] == 0:
+                    del c[kk]
+    return c
+
+
+def test_mg_bound_property():
+    # classic Misra-Gries guarantee on the lossy regime
+    seq = (["a"] * 40 + ["b"] * 25 + ["c"] * 5 + ["d"] * 5
+           + [f"z{i}" for i in range(25)])
+    c = _mg_fold(seq, capacity=3)
+    n = len(seq)
+    true = {"a": 40, "b": 25, "c": 5, "d": 5}
+    for k, v in c.items():
+        t = true.get(k, 1)
+        assert v <= t and t - v <= n / 3
+    # any key with freq > n/(cap+1) = 25 must survive
+    assert "a" in c
+
+
+def test_heavy_hitters_stream_exact_regime(spark):
+    import collections
+    import tempfile
+    import time
+    import uuid
+    from hadoop_source_spark.streaming import events as se
+
+    with tempfile.TemporaryDirectory() as d:
+        half1 = [("g1", f"k{i % 5}") for i in range(20)] + [
+            ("g2", f"k{i % 3}") for i in range(6)
+        ]
+        half2 = [("g1", f"k{i % 4}") for i in range(16)] + [
+            ("g2", f"k{i % 3}") for i in range(9)
+        ]
+        spark.createDataFrame(half1, "grp string, key string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        time.sleep(1.1)
+        spark.createDataFrame(half2, "grp string, key string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("grp string, key string")
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        name = f"t_hh_{uuid.uuid4().hex[:8]}"
+        out = se.run_to_memory(
+            se.heavy_hitters_stream(stream, capacity=16),
+            name, output_mode="update",
+        )
+        fb = {r.grp: r.b for r in out.groupBy("grp").agg(
+            F.max("batch").alias("b")).collect()}
+        final = [r for r in out.collect() if r.batch == fb[r.grp]]
+        got = {(r.grp, r.key): r.cnt for r in final}
+        want = collections.Counter()
+        for g, k in half1 + half2:
+            want[(g, k)] += 1
+        assert got == dict(want)
+        # statefulness: two emissions for g1 (one per micro-batch)
+        assert len({r.batch for r in out.collect() if r.grp == "g1"}) == 2
