@@ -9179,7 +9179,8 @@ def config_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     props = d.select(
-        F.col("doc_id").cast("int").alias("resource_order"),
+        # long, not int: scaled corpora re-key doc_id past 2^31
+        F.col("doc_id").cast("long").alias("resource_order"),
         F.concat(F.lit("prop."), (F.col("doc_id") % 60).cast("string")).alias(
             "name"
         ),
