@@ -262,3 +262,51 @@ def proxy_user_authorize(
         reason.isNull().alias("allowed"),
         reason.alias("deny_reason"),
     )
+
+
+def _parse_machine_entry(entry: str) -> tuple[int, int, bool]:
+    """(base_int, prefix_len, wildcard) for one MachineList entry —
+    parsed driver-side (the list is conf-sized), matched engine-side."""
+    if entry == "*":
+        return (0, 0, True)
+    if "/" in entry:
+        ip, n = entry.split("/")
+        n = int(n)
+    else:
+        ip, n = entry, 32
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return (a * 16777216 + b * 65536 + c * 256 + d, n, False)
+
+
+def machine_list_includes(
+    ip_col: Column | str,
+    entries: list[str],
+) -> Column:
+    """`MachineList.includes` as one codegen'd expression (reference
+    `common/util/MachineList.java:44` — the host-list type behind
+    proxy-user host restrictions and service ACLs: a list that is
+    exactly ['*'] admits everything (:100 WILDCARD_VALUE), plain IPs
+    match exactly, and CIDR entries match by subnet (:66,:178
+    SubnetUtils.SubnetInfo.isInRange)).
+
+    The dotted quad becomes a bigint and each CIDR test is a shift
+    compare `ip >> (32-n) == base >> (32-n)` — the entry list is
+    conf-sized so it compiles into the expression; no join, no UDF."""
+    ip = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    parsed = [_parse_machine_entry(e) for e in entries]
+    if any(w for _, _, w in parsed):
+        return F.lit(True)
+    parts = F.split(ip, r"\.")
+    ip_int = (
+        F.get(parts, 0).cast("long") * 16777216
+        + F.get(parts, 1).cast("long") * 65536
+        + F.get(parts, 2).cast("long") * 256
+        + F.get(parts, 3).cast("long")
+    )
+    cond = F.lit(False)
+    for base, n, _ in parsed:
+        shift = 32 - n
+        cond = cond | (
+            F.floor(ip_int / (1 << shift)) == (base >> shift)
+        )
+    return cond

@@ -9442,6 +9442,67 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SERVICE_ACL_ORACLE = """
+WITH reqs AS (
+  SELECT event_id, user_id,
+         '10.' || (user_id % 4) || '.' || (event_id % 250) || '.'
+              || (user_id % 200) AS client_ip
+  FROM events
+)
+SELECT event_id, svc, client_ip,
+  CASE svc
+    WHEN 'namenode.rpc' THEN user_id % 4 IN (0, 1)
+    WHEN 'datanode.ipc' THEN user_id % 4 = 2
+                             OR (user_id % 4 = 3 AND event_id % 250 = 0)
+    ELSE user_id % 4 = 1 AND event_id % 250 = 5 AND user_id % 200 = 101
+  END AS allowed
+FROM reqs, (SELECT unnest(['namenode.rpc', 'datanode.ipc',
+                           'admin.operations']) AS svc) s
+"""
+
+
+@register("service_acl_host_matrix", _SERVICE_ACL_ORACLE)
+def service_acl_host_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-level host authorization (operators/permcheck.
+    machine_list_includes; reference common/util/MachineList.java:44 —
+    the host-list type behind service ACLs and proxy-host checks:
+    ['*'] admits all, plain IPs match exactly, CIDR entries by subnet
+    (:178) — compiled into ONE codegen'd shift-compare expression per
+    service, no join, no UDF; the list parse happens driver-side on
+    the conf-sized entries, exactly where the reference parses it).
+    Per-service lists exercise /15 and /16 subnets, a /24, and an
+    exact address."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    e = table(spark, sf_dir, "events")
+    reqs = e.select(
+        "event_id",
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 4).cast("string"),
+            F.lit("."), (F.col("event_id") % 250).cast("string"),
+            F.lit("."), (F.col("user_id") % 200).cast("string"),
+        ).alias("client_ip"),
+    )
+    lists = {
+        "namenode.rpc": ["10.0.0.0/15"],
+        "datanode.ipc": ["10.2.0.0/16", "10.3.0.0/24"],
+        "admin.operations": ["10.1.5.101"],
+    }
+    branches = [
+        reqs.select(
+            "event_id",
+            F.lit(svc).alias("svc"),
+            "client_ip",
+            pc.machine_list_includes("client_ip", entries).alias("allowed"),
+        )
+        for svc, entries in lists.items()
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -9524,9 +9585,10 @@ _WINDOW: list[str] = [
     "snapshot_reclaim_report",
     "config_resolution", "proxy_user_matrix", "retry_schedule_matrix",
     "token_entropy_report", "streaming_heavy_hitters",
+    "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 152, len(_WINDOW)
+assert len(_WINDOW) == 153, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

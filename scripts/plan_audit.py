@@ -121,6 +121,7 @@ def main() -> None:
         "config_resolution", "proxy_user_matrix",
         "retry_schedule_matrix",
         "token_entropy_report",
+        "service_acl_host_matrix",
         "bpe_pair_merge",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)

@@ -151,6 +151,7 @@ EXTRA = (
     "config_resolution", "proxy_user_matrix",
     "retry_schedule_matrix",
     "token_entropy_report",
+    "service_acl_host_matrix",
     "bpe_pair_merge",
 )
 

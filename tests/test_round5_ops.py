@@ -976,3 +976,21 @@ def test_heavy_hitters_stream_exact_regime(spark):
         assert got == dict(want)
         # statefulness: two emissions for g1 (one per micro-batch)
         assert len({r.batch for r in out.collect() if r.grp == "g1"}) == 2
+
+
+# --------------------------------------------------- machine lists
+def test_machine_list_includes(spark):
+    from hadoop_source_spark.operators import permcheck as pc
+
+    ips = ["10.1.5.5", "10.1.5.6", "10.2.77.3", "10.3.0.1",
+           "192.168.1.200", "192.168.2.1"]
+    df = spark.createDataFrame([(i,) for i in ips], "ip string")
+    entries = ["10.1.5.5", "10.2.0.0/16", "192.168.1.0/24"]
+    out = {r.ip: r.m for r in df.select(
+        "ip", pc.machine_list_includes("ip", entries).alias("m")).collect()}
+    assert out == {"10.1.5.5": True, "10.1.5.6": False,
+                   "10.2.77.3": True, "10.3.0.1": False,
+                   "192.168.1.200": True, "192.168.2.1": False}
+    # exact wildcard list admits everything
+    allw = df.select(pc.machine_list_includes("ip", ["*"]).alias("m"))
+    assert all(r.m for r in allw.collect())
