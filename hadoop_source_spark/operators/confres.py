@@ -84,7 +84,12 @@ def expand_vars(resolved: DataFrame, max_subst: int = MAX_SUBST) -> DataFrame:
     """${var} expansion over a resolved (name, value) map: one FIRST-
     occurrence substitution per round, up to `max_subst` rounds;
     unbound variables keep their literal text (the reference's exact
-    loop, substituteVars :1134). Extra columns pass through."""
+    loop, substituteVars :1134). If a BOUND variable still remains
+    after `max_subst` rounds — a reference cycle like a=${b}, b=${a},
+    or a chain deeper than the budget — this RAISES exactly as the
+    reference does ("Variable substitution depth too large", :1146)
+    instead of returning quietly partial values. Extra columns pass
+    through."""
     cur = resolved.localCheckpoint(eager=False)
     for _ in range(max_subst):
         var = F.regexp_extract("value", _VAR_RE, 1)
@@ -119,4 +124,23 @@ def expand_vars(resolved: DataFrame, max_subst: int = MAX_SUBST) -> DataFrame:
         ).localCheckpoint(eager=False)
         if changed == 0:
             break
+    # a BOUND ${var} surviving the loop — depth exhausted, a cycle, or
+    # a self-referential fixed point — is an error in the reference
+    # regardless of which: substituteVars loops MAX_SUBST times and
+    # throws (:1146); only UNBOUND vars stay as literal text.
+    lookup = F.broadcast(cur.select(F.col("name").alias("__var")))
+    still = (
+        cur.withColumn("__var", F.regexp_extract("value", _VAR_RE, 1))
+        .filter(F.col("__var") != "")
+        .join(lookup, "__var", "left_semi")
+        .select("name")
+        .limit(20)
+        .collect()
+    )
+    if still:
+        names = ", ".join(sorted(r.name for r in still))
+        raise ValueError(
+            f"Variable substitution depth too large: {max_subst} "
+            f"(unresolved: {names})"
+        )
     return cur.select(*resolved.columns)

@@ -134,12 +134,14 @@ def apply_acl_ops(ops: DataFrame) -> DataFrame:
     - replaceAll (setfacl -b): drop every EXTENDED entry (named users/
       groups and the mask) — the base USER/GROUP/OTHER entries survive
       with whatever bits they last had;
-    - the ACCESS-scope mask: an explicitly-set MASK entry is honored
-      (last writer wins, as a setfacl call that includes mask:: skips
-      recalculation); otherwise it is RECOMPUTED as the union of the
-      unnamed group entry and every named entry
-      (AclTransformation.calculateMaskedEntries) — and only exists
-      while extended entries do.
+    - the ACCESS-scope mask (AclTransformation.calculateMasks, :356):
+      an explicitly-set MASK entry is honored ONLY while no later op
+      touches the scope — a provided mask survives "if the scope is
+      not dirty or the mask is dirty" (:387), so any SUBSEQUENT
+      modify/remove of another entry that arrives without a mask
+      recalculates it as the union of the unnamed group entry and
+      every named entry; the mask only exists while extended entries
+      do.
 
     Input: inode, type (USER/GROUP/MASK/OTHER), name ('' for unnamed),
     perm (0-7 rwx bitmask), op ('modify'|'remove'|'removeall'), seq
@@ -156,12 +158,25 @@ def apply_acl_ops(ops: DataFrame) -> DataFrame:
     last_b = F.max(
         F.when(F.col("op") == "removeall", F.col("seq"))
     ).over(wipe)
+    with_b = ops.withColumn("__b", F.coalesce(last_b, F.lit(-1)))
     alive = (
-        ops.withColumn("__b", F.coalesce(last_b, F.lit(-1)))
-        .filter(F.col("op") != "removeall")
+        with_b.filter(F.col("op") != "removeall")
         # base entries survive -b with their bits; extended entries only
         # exist if touched after the last -b
         .filter(base | (F.col("seq") > F.col("__b")))
+    )
+    # last non-mask op after the wipe: any such op past the explicit
+    # mask's seq makes the scope dirty and forces recalculation
+    # (calculateMasks :387 — provided mask survives only an unchanged
+    # scope)
+    gm = (
+        with_b.filter(
+            (F.col("op") != "removeall")
+            & (F.col("type") != "MASK")
+            & (F.col("seq") > F.col("__b"))
+        )
+        .groupBy("inode")
+        .agg(F.max("seq").alias("__gmax"))
     )
     w = Window.partitionBy("inode", "type", "name").orderBy(
         F.col("seq").desc()
@@ -187,16 +202,22 @@ def apply_acl_ops(ops: DataFrame) -> DataFrame:
         )
     )
     explicit = last.filter(F.col("type") == "MASK").select(
-        "inode", F.col("perm").alias("__eperm")
+        "inode",
+        F.col("perm").alias("__eperm"),
+        F.col("seq").alias("__eseq"),
     )
+    honored = F.col("__eseq") > F.coalesce(F.col("__gmax"), F.lit(-1))
     mask = (
         computed.join(explicit, "inode", "left")
+        .join(gm, "inode", "left")
         .filter(F.col("__next") > 0)  # mask exists only with extended entries
         .select(
             "inode",
             F.lit("MASK").alias("type"),
             F.lit("").alias("name"),
-            F.coalesce("__eperm", "__mperm").alias("perm"),
+            F.when(honored, F.col("__eperm"))
+            .otherwise(F.col("__mperm"))
+            .alias("perm"),
         )
     )
     return (
@@ -225,15 +246,24 @@ def proxy_user_authorize(
     requests: real_user (null = not proxying), effective_user,
     effective_groups (array<string>), client_host. proxy_conf:
     superuser, allowed_users (array, may hold '*'), allowed_groups
-    (array, may hold '*'), allowed_hosts (array, may hold '*').
-    Output adds allowed (bool) and deny_reason
+    (array, may hold '*'), allowed_hosts (array, may hold '*') — any
+    of the three may be NULL for the unset side of a group-only or
+    user-only config (hadoop.proxyuser.X.groups without .users is a
+    common real shape; a null list simply admits nothing, it does NOT
+    mean unconfigured). NO_PROXY_CONF means the superuser has no row
+    in proxy_conf at all — keyed on the join miss, not on any one
+    column being null. Output adds allowed (bool) and deny_reason
     (null / 'NO_PROXY_CONF' / 'USER_NOT_ALLOWED' / 'HOST_DENIED').
     One broadcast join on superuser — the proxyuser table is
     conf-sized."""
+    empty = F.array().cast("array<string>")
     conf = F.broadcast(
         proxy_conf.select(
             F.col("superuser").alias("real_user"),
-            "allowed_users", "allowed_groups", "allowed_hosts",
+            F.coalesce("allowed_users", empty).alias("allowed_users"),
+            F.coalesce("allowed_groups", empty).alias("allowed_groups"),
+            F.coalesce("allowed_hosts", empty).alias("allowed_hosts"),
+            F.lit(True).alias("__has_conf"),
         )
     )
     j = requests.join(conf, "real_user", "left")
@@ -243,7 +273,10 @@ def proxy_user_authorize(
         | F.array_contains("allowed_groups", "*")
         | (
             F.size(
-                F.array_intersect("allowed_groups", "effective_groups")
+                F.array_intersect(
+                    "allowed_groups",
+                    F.coalesce("effective_groups", empty),
+                )
             )
             > 0
         )
@@ -253,7 +286,7 @@ def proxy_user_authorize(
     )
     reason = (
         F.when(F.col("real_user").isNull(), F.lit(None).cast("string"))
-        .when(F.col("allowed_users").isNull(), F.lit("NO_PROXY_CONF"))
+        .when(F.col("__has_conf").isNull(), F.lit("NO_PROXY_CONF"))
         .when(~user_ok, F.lit("USER_NOT_ALLOWED"))
         .when(~host_ok, F.lit("HOST_DENIED"))
     )
@@ -264,18 +297,16 @@ def proxy_user_authorize(
     )
 
 
-def _parse_machine_entry(entry: str) -> tuple[int, int, bool]:
-    """(base_int, prefix_len, wildcard) for one MachineList entry —
+def _parse_machine_entry(entry: str) -> tuple[int, int]:
+    """(base_int, prefix_len) for one non-wildcard MachineList entry —
     parsed driver-side (the list is conf-sized), matched engine-side."""
-    if entry == "*":
-        return (0, 0, True)
     if "/" in entry:
         ip, n = entry.split("/")
         n = int(n)
     else:
         ip, n = entry, 32
     a, b, c, d = (int(x) for x in ip.split("."))
-    return (a * 16777216 + b * 65536 + c * 256 + d, n, False)
+    return (a * 16777216 + b * 65536 + c * 256 + d, n)
 
 
 def machine_list_includes(
@@ -285,17 +316,23 @@ def machine_list_includes(
     """`MachineList.includes` as one codegen'd expression (reference
     `common/util/MachineList.java:44` — the host-list type behind
     proxy-user host restrictions and service ACLs: a list that is
-    exactly ['*'] admits everything (:100 WILDCARD_VALUE), plain IPs
-    match exactly, and CIDR entries match by subnet (:66,:178
-    SubnetUtils.SubnetInfo.isInRange)).
+    EXACTLY the singleton ['*'] admits everything (:100 — `size()==1
+    && contains(WILDCARD_VALUE)`; a '*' inside a longer list is NOT a
+    wildcard, it parses as a literal hostname that can never match a
+    dotted-quad address), plain IPs match exactly, and CIDR entries
+    match by subnet (:66,:178 SubnetUtils.SubnetInfo.isInRange)).
 
     The dotted quad becomes a bigint and each CIDR test is a shift
     compare `ip >> (32-n) == base >> (32-n)` — the entry list is
     conf-sized so it compiles into the expression; no join, no UDF."""
     ip = F.col(ip_col) if isinstance(ip_col, str) else ip_col
-    parsed = [_parse_machine_entry(e) for e in entries]
-    if any(w for _, _, w in parsed):
+    if len(entries) == 1 and entries[0] == "*":
         return F.lit(True)
+    # non-singleton '*' entries are dead hostname entries (reference
+    # parses them into hostNames, which an IP lookup never matches)
+    parsed = [_parse_machine_entry(e) for e in entries if e != "*"]
+    if not parsed:
+        return F.lit(False)
     parts = F.split(ip, r"\.")
     ip_int = (
         F.get(parts, 0).cast("long") * 16777216
@@ -304,7 +341,7 @@ def machine_list_includes(
         + F.get(parts, 3).cast("long")
     )
     cond = F.lit(False)
-    for base, n, _ in parsed:
+    for base, n in parsed:
         shift = 32 - n
         cond = cond | (
             F.floor(ip_int / (1 << shift)) == (base >> shift)

@@ -7589,13 +7589,13 @@ alive AS (
     AND ((name = '' AND type IN ('USER', 'GROUP', 'OTHER')) OR seq > b)
 ),
 last AS (
-  SELECT inode, type, name, perm FROM (
+  SELECT inode, type, name, perm, seq FROM (
     SELECT *, row_number() OVER (PARTITION BY inode, type, name
                                  ORDER BY seq DESC) AS rn
     FROM alive
   ) WHERE rn = 1 AND op = 'modify'
 ),
-entries AS (SELECT * FROM last WHERE type <> 'MASK'),
+entries AS (SELECT inode, type, name, perm FROM last WHERE type <> 'MASK'),
 computed AS (
   SELECT inode, CAST(bit_or(perm) AS INTEGER) AS mperm,
          count(*) FILTER (name <> '') AS next
@@ -7603,12 +7603,19 @@ computed AS (
   WHERE type = 'GROUP' OR name <> ''
   GROUP BY 1
 ),
+gmax AS (
+  SELECT inode, max(seq) AS gmax FROM wiped
+  WHERE op <> 'removeall' AND type <> 'MASK' AND seq > b
+  GROUP BY 1
+),
 mask AS (
   SELECT c.inode, 'MASK' AS type, '' AS name,
-         coalesce(e.perm, c.mperm) AS perm
+         CASE WHEN e.seq > coalesce(g.gmax, -1) THEN e.perm
+              ELSE c.mperm END AS perm
   FROM computed c
-  LEFT JOIN (SELECT inode, perm FROM last WHERE type = 'MASK') e
+  LEFT JOIN (SELECT inode, perm, seq FROM last WHERE type = 'MASK') e
     USING (inode)
+  LEFT JOIN gmax g USING (inode)
   WHERE c.next > 0
 )
 SELECT inode, type, name, perm,
@@ -7623,8 +7630,10 @@ def acl_transformation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """setfacl feed resolution (operators/permcheck.apply_acl_ops;
     reference AclTransformation.java: mergeAclEntries -m /
     filterAclEntries -x / replaceAll -b, mask recomputed as
-    union(unnamed group, named entries) unless explicitly set, and
-    only existing while extended entries do). Events replay as the
+    union(unnamed group, named entries) unless an explicit mask is
+    the LATEST scope-touching op — calculateMasks :387 preserves a
+    provided mask only while the scope is unchanged — and the mask
+    only exists while extended entries do). Events replay as the
     setfacl op feed (event_id = txid); resolution is the xattr-store
     shape — base entries survive -b, extended entries exist only past
     the last wipe, last-wins keyed windows, one per-inode bit_or for
@@ -7675,37 +7684,57 @@ days AS (
   FROM events, d0
 ),
 jns AS (SELECT unnest(range(0, 5)) AS jn),
-reports AS (
-  SELECT CAST(day * 100000 AS BIGINT) AS segment,
-         'jn' || jn AS jn,
-         CASE WHEN day = (SELECT max(day) FROM days)
-              THEN 'IN_PROGRESS' ELSE 'FINALIZED' END AS state,
-         CAST(day * 100000 + (day * 7919 + jn * 104729) % 5000
-              AS BIGINT) AS end_txid,
-         CAST(1 + (day + jn) % 3 AS BIGINT) AS accepted_epoch
-  FROM days, jns
+mx AS (SELECT max(day) AS mxd FROM days),
+base AS (
+  SELECT day, jn,
+         (day = mxd OR ((day + jn) % 5 = 0 AND day % 3 = 1)) AS ip
+  FROM days, jns, mx
   WHERE CASE WHEN day % 13 = 0 THEN jn < 2
              ELSE (day + jn) % 7 <> 0 END
 ),
+reports AS (
+  SELECT CAST(day * 100000 AS BIGINT) AS segment,
+         'jn' || jn AS jn,
+         CASE WHEN ip THEN 'IN_PROGRESS' ELSE 'FINALIZED' END AS state,
+         CAST(day * 100000 +
+              CASE WHEN ip THEN (day * 7919 + jn * 104729) % 5000
+                   ELSE (day * 7919) % 5000 END AS BIGINT) AS end_txid,
+         CAST(CASE WHEN ip THEN 1 + (day + jn) % 3 ELSE 0 END
+              AS BIGINT) AS accepted_epoch,
+         CAST(1 + (day * 3 + jn) % 4 AS BIGINT) AS last_writer_epoch
+  FROM base
+),
+fmis AS (
+  SELECT segment, count(DISTINCT end_txid) > 1 AS finalized_mismatch
+  FROM reports WHERE state = 'FINALIZED' GROUP BY segment
+),
 chosen AS (
-  SELECT segment, accepted_epoch AS sync_epoch,
-         end_txid AS sync_end_txid, jn AS sync_source, n
+  SELECT segment, sync_epoch, sync_end_txid, sync_source, n
   FROM (
-    SELECT r.*, count(*) OVER (PARTITION BY segment) AS n,
+    SELECT r.segment,
+           greatest(accepted_epoch, last_writer_epoch) AS sync_epoch,
+           end_txid AS sync_end_txid, jn AS sync_source,
+           count(*) OVER (PARTITION BY segment) AS n,
            row_number() OVER (PARTITION BY segment
-                              ORDER BY accepted_epoch DESC,
+                              ORDER BY (state IS NOT NULL) DESC,
+                                       (state = 'FINALIZED') DESC,
+                                       greatest(accepted_epoch,
+                                                last_writer_epoch) DESC,
                                        end_txid DESC, jn DESC) AS rn
     FROM reports r
   ) WHERE rn = 1
 )
 SELECT r.segment, r.jn, r.state, r.end_txid, r.accepted_epoch,
+       r.last_writer_epoch,
        c.sync_epoch, c.sync_end_txid, c.sync_source,
        c.n >= 3 AS has_quorum,
+       coalesce(f.finalized_mismatch, false) AS finalized_length_mismatch,
        CASE WHEN c.n < 3 THEN 'NO_QUORUM'
-            WHEN r.end_txid > c.sync_end_txid THEN 'TRUNCATE'
             WHEN r.end_txid < c.sync_end_txid THEN 'CATCH_UP'
+            WHEN r.end_txid > c.sync_end_txid THEN 'TRUNCATE'
             ELSE 'FINALIZE' END AS action
 FROM reports r JOIN chosen c USING (segment)
+LEFT JOIN fmis f USING (segment)
 """
 
 
@@ -7713,14 +7742,21 @@ FROM reports r JOIN chosen c USING (segment)
 def qjm_segment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quorum-journal segment recovery (operators/qjm; reference
     Journal.java:784 prepareRecovery / :836 acceptRecovery and
-    SegmentRecoveryComparator: the synced state is the report with the
-    highest (acceptedInEpoch, endTxId) — a newer-epoch value wins even
-    with fewer transactions). Event days become journal segments
-    across 5 JNs with per-node divergent lengths and epochs, one
-    below-quorum segment, and the last segment in progress; the plan
-    emits each node's FINALIZE / TRUNCATE / CATCH_UP / NO_QUORUM
-    action. One segment-keyed max_by groupBy broadcast back — rows =
-    journals x segments, control-plane scale."""
+    SegmentRecoveryComparator.java:49-89: any FINALIZED copy beats
+    any IN_PROGRESS copy regardless of length; between in-progress
+    copies the highest max(acceptedInEpoch, lastWriterEpoch) wins —
+    a value accepted in a newer epoch wins even with fewer
+    transactions — then endTxId; two finalized copies must agree on
+    length). Event days become journal segments across 5 JNs: every
+    finalized copy of a segment shares its length (as the reference
+    asserts), crashed nodes hold divergent-length in-progress copies
+    (day%3==1 segments mix finalized and in-progress reports — some
+    in-progress copies run PAST the finalized length and must
+    truncate), the last segment is in progress on all nodes, and one
+    segment is below quorum; the plan emits each node's FINALIZE /
+    TRUNCATE / CATCH_UP / NO_QUORUM action. One segment-keyed max_by
+    groupBy broadcast back — rows = journals x segments,
+    control-plane scale."""
     from hadoop_source_spark.operators import qjm
 
     e = table(spark, sf_dir, "events")
@@ -7733,6 +7769,7 @@ def qjm_segment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = days.agg(F.max("day").alias("mxd"))
     day = F.col("day")
     jn = F.col("id")
+    ip = (day == F.col("mxd")) | (((day + jn) % 5 == 0) & (day % 3 == 1))
     reports = (
         days.crossJoin(spark.range(5))
         .crossJoin(F.broadcast(mx))
@@ -7742,13 +7779,22 @@ def qjm_segment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (day * 100000).cast("long").alias("segment"),
             F.concat(F.lit("jn"), jn.cast("string")).alias("jn"),
-            F.when(day == F.col("mxd"), F.lit("IN_PROGRESS"))
+            F.when(ip, F.lit("IN_PROGRESS"))
             .otherwise(F.lit("FINALIZED"))
             .alias("state"),
-            (day * 100000 + (day * 7919 + jn * 104729) % 5000)
+            (
+                day * 100000
+                + F.when(ip, (day * 7919 + jn * 104729) % 5000).otherwise(
+                    (day * 7919) % 5000
+                )
+            )
             .cast("long")
             .alias("end_txid"),
-            (1 + (day + jn) % 3).cast("long").alias("accepted_epoch"),
+            F.when(ip, 1 + (day + jn) % 3)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("accepted_epoch"),
+            (1 + (day * 3 + jn) % 4).cast("long").alias("last_writer_epoch"),
         )
     )
     return qjm.segment_recovery_plan(reports, n_journals=5)
@@ -9271,10 +9317,13 @@ def proxy_user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "client_host"
         ),
     )
+    # hive is a GROUP-ONLY config (allowed_users null — the
+    # hadoop.proxyuser.hive.groups-without-.users shape): it must
+    # authorize by group membership, not report NO_PROXY_CONF
     conf = spark.createDataFrame(
         [
             ("oozie", ["*"], [], ["h0", "h1"]),
-            ("hive", [], ["g0", "g1"], ["*"]),
+            ("hive", None, ["g0", "g1"], ["*"]),
             ("hue", ["u1", "u2"], [], ["h2"]),
         ],
         "superuser string, allowed_users array<string>,"
@@ -9454,10 +9503,12 @@ SELECT event_id, svc, client_ip,
     WHEN 'namenode.rpc' THEN user_id % 4 IN (0, 1)
     WHEN 'datanode.ipc' THEN user_id % 4 = 2
                              OR (user_id % 4 = 3 AND event_id % 250 = 0)
-    ELSE user_id % 4 = 1 AND event_id % 250 = 5 AND user_id % 200 = 101
+    WHEN 'admin.operations' THEN user_id % 4 = 1 AND event_id % 250 = 5
+                                 AND user_id % 200 = 101
+    ELSE user_id % 4 = 1 AND event_id % 250 = 6 AND user_id % 200 = 7
   END AS allowed
 FROM reqs, (SELECT unnest(['namenode.rpc', 'datanode.ipc',
-                           'admin.operations']) AS svc) s
+                           'admin.operations', 'web.admin']) AS svc) s
 """
 
 
@@ -9466,12 +9517,15 @@ def service_acl_host_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service-level host authorization (operators/permcheck.
     machine_list_includes; reference common/util/MachineList.java:44 —
     the host-list type behind service ACLs and proxy-host checks:
-    ['*'] admits all, plain IPs match exactly, CIDR entries by subnet
+    EXACTLY ['*'] admits all (:100 — size()==1 && contains('*'); a
+    '*' inside a longer list is a dead hostname entry, NOT a
+    wildcard), plain IPs match exactly, CIDR entries by subnet
     (:178) — compiled into ONE codegen'd shift-compare expression per
     service, no join, no UDF; the list parse happens driver-side on
     the conf-sized entries, exactly where the reference parses it).
-    Per-service lists exercise /15 and /16 subnets, a /24, and an
-    exact address."""
+    Per-service lists exercise /15 and /16 subnets, a /24, an exact
+    address, and a mixed list carrying a non-singleton '*' that must
+    NOT admit-all."""
     from hadoop_source_spark.operators import permcheck as pc
 
     e = table(spark, sf_dir, "events")
@@ -9487,6 +9541,7 @@ def service_acl_host_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "namenode.rpc": ["10.0.0.0/15"],
         "datanode.ipc": ["10.2.0.0/16", "10.3.0.0/24"],
         "admin.operations": ["10.1.5.101"],
+        "web.admin": ["*", "10.1.6.7"],
     }
     branches = [
         reqs.select(

@@ -164,3 +164,43 @@ def test_acl_transformation_merge_filter_replaceall_and_mask(spark):
     assert ("f3", "USER", "dave") not in out
     assert out[("f3", "USER", "carol")] == (2, True)
     assert out[("f3", "MASK", "")] == (5, True)
+
+
+def test_acl_explicit_mask_recalculated_on_later_scope_change(spark):
+    """calculateMasks (AclTransformation.java:387): a provided mask is
+    preserved only while the scope is UNCHANGED — any later setfacl op
+    touching another access entry recalculates the mask as
+    union(unnamed group, named entries)."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    rows = [
+        # f4: explicit mask, then a later NAMED modify → recomputed
+        ("f4", "USER", "", 7, "modify", 1),
+        ("f4", "GROUP", "", 4, "modify", 2),
+        ("f4", "USER", "erin", 2, "modify", 3),
+        ("f4", "MASK", "", 1, "modify", 4),
+        ("f4", "USER", "erin", 6, "modify", 5),
+        # f5: explicit mask, then a later BASE (other::) modify — the
+        # scope is dirty even though the group class didn't change →
+        # recomputed
+        ("f5", "USER", "", 7, "modify", 1),
+        ("f5", "GROUP", "", 4, "modify", 2),
+        ("f5", "USER", "fay", 2, "modify", 3),
+        ("f5", "MASK", "", 0, "modify", 4),
+        ("f5", "OTHER", "", 5, "modify", 5),
+        # f6: the mask is the FINAL op → honored
+        ("f6", "USER", "", 7, "modify", 1),
+        ("f6", "GROUP", "", 4, "modify", 2),
+        ("f6", "USER", "gil", 2, "modify", 3),
+        ("f6", "MASK", "", 1, "modify", 4),
+    ]
+    ops = spark.createDataFrame(
+        rows,
+        "inode string, type string, name string, perm int, op string, "
+        "seq long",
+    )
+    out = {(r.inode, r.type, r.name): r.perm
+           for r in pc.apply_acl_ops(ops).collect()}
+    assert out[("f4", "MASK", "")] == 6   # group(4) | erin(6)
+    assert out[("f5", "MASK", "")] == 6   # group(4) | fay(2)
+    assert out[("f6", "MASK", "")] == 1   # explicit, scope unchanged

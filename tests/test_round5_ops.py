@@ -805,21 +805,36 @@ def test_config_var_expansion(spark):
 
 
 def test_config_max_subst_cap(spark):
+    import pytest
+
     from hadoop_source_spark.operators import confres
 
-    # a chain deeper than max_subst stops partially expanded
+    # a BOUND chain deeper than max_subst RAISES — the reference throws
+    # "Variable substitution depth too large" (Configuration.java:1146)
+    # rather than returning quietly partial values
     rows = [("k0", "end")] + [
         (f"k{i}", f"${{k{i-1}}}+") for i in range(1, 6)
     ]
     resolved = spark.createDataFrame(rows, "name string, value string")
-    out = {r.name: r.value for r in
-           confres.expand_vars(resolved, max_subst=2).collect()}
-    # two rounds: k5 -> ${k4}+ -> ${k3}++ (depends on snapshot rounds);
-    # the important property: still contains an unexpanded ${...}
-    assert "${" in out["k5"]
+    with pytest.raises(ValueError, match="substitution depth too large"):
+        confres.expand_vars(resolved, max_subst=2).collect()
     full = {r.name: r.value for r in
             confres.expand_vars(resolved, max_subst=20).collect()}
     assert full["k5"] == "end+++++"
+
+
+def test_config_cycle_raises(spark):
+    import pytest
+
+    from hadoop_source_spark.operators import confres
+
+    # a=${b}, b=${a} never converges — fail loudly, naming the keys
+    resolved = spark.createDataFrame(
+        [("a", "${b}"), ("b", "${a}"), ("ok", "v")],
+        "name string, value string",
+    )
+    with pytest.raises(ValueError, match="substitution depth too large"):
+        confres.expand_vars(resolved, max_subst=4).collect()
 
 
 # ------------------------------------------------------ proxy users
@@ -857,6 +872,38 @@ def test_proxy_user_authorize_matrix(spark):
     assert out[5].deny_reason == "HOST_DENIED"
     assert out[6].deny_reason == "NO_PROXY_CONF"
     assert out[7].allowed
+
+
+def test_proxy_user_group_only_conf(spark):
+    """A group-only proxyuser config (allowed_users NULL — the
+    hadoop.proxyuser.X.groups-without-.users shape) is CONFIGURED:
+    it authorizes by group and denies by user, never NO_PROXY_CONF;
+    that reason is reserved for a superuser with no conf row at all
+    (DefaultImpersonationProvider.java:109)."""
+    from hadoop_source_spark.operators import permcheck as pc
+
+    conf = spark.createDataFrame(
+        [("hive", None, ["analysts"], None)],
+        "superuser string, allowed_users array<string>,"
+        " allowed_groups array<string>, allowed_hosts array<string>",
+    )
+    reqs = spark.createDataFrame(
+        [
+            (1, "hive", "carol", ["analysts"], "h1"),  # group admits...
+            (2, "hive", "dave", ["eng"], "h1"),        # wrong group
+            (3, "hive", "erin", None, "h1"),           # null groups
+            (4, "ghost", "z", ["analysts"], "h1"),     # truly unconfigured
+        ],
+        "req long, real_user string, effective_user string,"
+        " effective_groups array<string>, client_host string",
+    )
+    out = {r.req: r for r in
+           pc.proxy_user_authorize(reqs, conf).collect()}
+    # ...but the null host list admits no host
+    assert out[1].deny_reason == "HOST_DENIED"
+    assert out[2].deny_reason == "USER_NOT_ALLOWED"
+    assert out[3].deny_reason == "USER_NOT_ALLOWED"
+    assert out[4].deny_reason == "NO_PROXY_CONF"
 
 
 # --------------------------------------------------- retry schedule
@@ -994,3 +1041,15 @@ def test_machine_list_includes(spark):
     # exact wildcard list admits everything
     allw = df.select(pc.machine_list_includes("ip", ["*"]).alias("m"))
     assert all(r.m for r in allw.collect())
+    # MachineList.java:100: wildcard only for the exact singleton
+    # ['*'] — '*' in a MIXED list is a dead hostname entry, so only
+    # the concrete entries match (fail-open would be an auth hole)
+    mixed = {r.ip: r.m for r in df.select(
+        "ip", pc.machine_list_includes("ip", ["*", "10.1.5.5"]).alias("m")
+    ).collect()}
+    assert mixed == {"10.1.5.5": True, "10.1.5.6": False,
+                     "10.2.77.3": False, "10.3.0.1": False,
+                     "192.168.1.200": False, "192.168.2.1": False}
+    # a list of ONLY dead '*' entries admits nothing
+    none = df.select(pc.machine_list_includes("ip", ["*", "*"]).alias("m"))
+    assert not any(r.m for r in none.collect())
