@@ -1322,9 +1322,12 @@ def margin_bitext_mine(
     each hash into ``num_blocks`` blocks, every (bi, bj) pair scores
     one BLAS product and emits only its LOCAL top-k per source row and
     per target row — top-k is mergeable, so two windows finish the
-    global ranking over ~N·B·k rows, never N·M pairs. Exact result; at
-    extreme scale the sub-quadratic path is IVF/LSH candidate pruning
-    before the same margin arithmetic. No driver-side corpus.
+    global ranking over ~N·B·k rows, never N·M pairs. Exact result —
+    the WORK is still the full N·M bipartite product, which makes this
+    the ground-truth kernel; the sub-quadratic production path is
+    `margin_bitext_mine_ivf` (IVF candidate pruning in front of the
+    same margin arithmetic, recall-gated against this kernel). No
+    driver-side corpus.
 
     Output: one row per source vector — src_id, dst_id (best
     candidate), cosine, margin (round 6), mutual (the candidate's own
@@ -1381,6 +1384,21 @@ def margin_bitext_mine(
     local = exploded.groupBy("bi", "bj").applyInPandas(
         score, "dir string, qid long, cid long, cosine double"
     )
+    return _margin_tail(local, k)
+
+
+def _margin_tail(local: DataFrame, k: int) -> DataFrame:
+    """Shared back half of bitext mining: merge per-group local top-k
+    candidate lists (dir ∈ {'x','y'}, qid, cid, cosine) into global
+    per-vector top-k, then the Artetxe–Schwenk ratio margin and the
+    forward-backward mutual flag. Input rows per qid are ~groups·k —
+    the windows never see the full candidate cross product.
+
+    `local` feeds FOUR consumers (both direction top-ks, the best-pair
+    pick, and the backward check); a lazy localCheckpoint pins the
+    candidate lists (~N·k rows — the small post-pruning side) so the
+    scoring pipeline runs once, not four times."""
+    local = local.localCheckpoint(eager=False)
     w = Window.partitionBy("dir", "qid").orderBy(
         F.col("cosine").desc(), F.col("cid").asc()
     )
@@ -1418,4 +1436,162 @@ def margin_bitext_mine(
                 "mutual"
             ),
         )
+    )
+
+
+def _probe_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent,
+    nprobe: int,
+):
+    """One Arrow pass attaching each vector's `nprobe` nearest coarse
+    cells (ordered, L2 — the same argmax v·c − ||c||²/2 score the
+    assigner uses, so element 0 IS the vector's home cell). Deterministic
+    (stable argsort)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def fn(vecs):
+        c = bc.value
+        m = np.asarray(list(vecs), dtype=np.float64)
+        scores = m @ c.T - 0.5 * (c * c).sum(axis=1)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    probe = pandas_udf(fn, "array<int>")
+    return corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        probe(F.col(vec_col)).alias("__cells"),
+    )
+
+
+def margin_bitext_mine_ivf(
+    src: DataFrame,
+    dst: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Sub-quadratic margin-based bitext mining: IVF candidate pruning
+    in front of the exact ratio-margin arithmetic of
+    `margin_bitext_mine` (Artetxe & Schwenk 2019 §4 use exactly this —
+    LASER/CCMatrix mine candidates with a FAISS IVF index, then apply
+    the margin; the reference's BloomMapFile candidate-then-verify is
+    the same shape, `common/io/BloomMapFile.java:264`).
+
+    One coarse quantizer trains on a driver-bounded sample of BOTH
+    sides (multilingual embeddings share one space — a per-side
+    quantizer would misalign cells). Each vector lands in its home
+    cell; each QUERY side explodes into its `nprobe` nearest cells, so
+    direction x (src→dst) is an equi-join of src probes against
+    dst members on cell id, scored per cell with row-blocked BLAS and
+    local top-k — work is Σ_cell |probes|·|members| ≈ N·M·nprobe/num_cells,
+    never the N·M bipartite product; pick num_cells ~ sqrt(N) and the
+    whole mine is ~N^1.5·nprobe. Direction y mirrors it. The global
+    top-k merge and margin/mutual arithmetic are shared with the exact
+    kernel (`_margin_tail`).
+
+    Approximate: a true neighbor outside the probed cells is missed
+    (recall gated ≥0.9 vs the exact kernel in pytest); a src vector
+    whose probed cells hold no dst member emits no row. Deterministic:
+    seeded k-means, stable probe order, id tie-breaks."""
+    import numpy as np
+    import pandas as pd
+
+    train = src.select(id_col, vec_col).unionByName(
+        dst.select(id_col, vec_col)
+    )
+    cent, _ = _train_and_assign_cells(
+        train, id_col, vec_col, num_cells, train_fraction
+    )
+
+    # each side's probe output feeds BOTH its member branch and its
+    # probe-explode branch — checkpoint so the Arrow probe pass and the
+    # upstream scan run once per side, not twice
+    sp = _probe_cells(src, id_col, vec_col, cent, nprobe).localCheckpoint(
+        eager=False
+    )
+    dp = _probe_cells(dst, id_col, vec_col, cent, nprobe).localCheckpoint(
+        eager=False
+    )
+    s_mem = sp.select("__id", "__vec", F.get("__cells", 0).alias("cell"))
+    d_mem = dp.select("__id", "__vec", F.get("__cells", 0).alias("cell"))
+    s_probe = sp.select(
+        "__id", "__vec", F.explode("__cells").alias("cell")
+    )
+    d_probe = dp.select(
+        "__id", "__vec", F.explode("__cells").alias("cell")
+    )
+
+    def _local_topk(probe, mem, dirname: str) -> DataFrame:
+        both = probe.select(
+            "cell", "__id", "__vec", F.lit(0).alias("__side")
+        ).unionByName(
+            mem.select("cell", "__id", "__vec", F.lit(1).alias("__side"))
+        )
+
+        def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            q = pdf[pdf["__side"] == 0]
+            m = pdf[pdf["__side"] == 1]
+            if q.empty or m.empty:
+                return pd.DataFrame(
+                    {"dir": [], "qid": [], "cid": [], "cosine": []}
+                ).astype({"qid": "int64", "cid": "int64",
+                          "cosine": "float64", "dir": "object"})
+            mm = np.array([list(v) for v in m["__vec"]], dtype=np.float64)
+            mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+            mids = m["__id"].to_numpy()
+            qids_all = q["__id"].to_numpy()
+            qm_all = np.array([list(v) for v in q["__vec"]],
+                              dtype=np.float64)
+            qm_all /= np.linalg.norm(qm_all, axis=1, keepdims=True)
+            kk = min(k, len(mids))
+            rows = []
+            # row-blocked BLAS: memory O(block × cell), never cell²
+            for lo in range(0, len(qids_all), 1024):
+                qm = qm_all[lo:lo + 1024]
+                qids = qids_all[lo:lo + 1024]
+                cos = np.round(qm @ mm.T, 6)
+                for i in range(cos.shape[0]):
+                    # ascending-id tie-break matches the global window
+                    top = np.lexsort((mids, -cos[i]))[:kk]
+                    rows += [
+                        (dirname, qids[i], mids[j], cos[i, j]) for j in top
+                    ]
+            return pd.DataFrame(
+                rows, columns=["dir", "qid", "cid", "cosine"]
+            )
+
+        return both.groupBy("cell").applyInPandas(
+            score, "dir string, qid long, cid long, cosine double"
+        )
+
+    local = _local_topk(s_probe, d_mem, "x").unionByName(
+        _local_topk(d_probe, s_mem, "y")
+    )
+    return _margin_tail(local, k)
+
+
+def cluster_shift_expr(vec_col: str, cluster_col: str, amp: float = 2.0) -> Column:
+    """Deterministic cluster-keyed offset: shifts each vector by a
+    pseudo-random direction derived from xxhash64('clu', cluster, j) —
+    turns isotropic synthetic embeddings into an ALIGNED clustered
+    space (vectors sharing `cluster_col` share a center), the regime
+    IVF candidate pruning and bitext mining actually target; isotropic
+    noise has no neighborhood structure for ANY index to exploit.
+    Constant-foldable expression, no side data."""
+    return F.expr(
+        f"zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1), "
+        f"j -> {amp} * cast(xxhash64('clu', {cluster_col}, j) as double) "
+        f"/ 9.223372036854775808E18), (x, o) -> cast(x as double) + o)"
     )

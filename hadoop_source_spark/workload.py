@@ -8848,6 +8848,47 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.margin_bitext_mine(src, dst, k=4, num_blocks=4)
 
 
+@register("bitext_margin_mining_ivf", None)
+def bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic bitext mining (llmops/similarity.
+    margin_bitext_mine_ivf): IVF candidate pruning in front of the
+    same Artetxe & Schwenk ratio-margin arithmetic — the production
+    path for the exact `bitext_margin_mining` kernel, which remains
+    the oracle-backed ground truth.
+
+    Input is the ALIGNED-cluster derivation of the embeddings table
+    (labels 2m and 2m+1 share a hash-derived cluster center via
+    cluster_shift_expr — the multilingual-space regime mining
+    targets; the raw synthetic embeddings are isotropic, where no
+    index has structure to exploit). Cell count auto-scales as
+    (N·M)^0.25 ≈ sqrt(geomean side) with nprobe fixed, so scored
+    candidate work is ~nprobe·(N·M)^0.75, not N·M — the FAISS IVF
+    deployment rule. Rows-only by design (the coarse quantizer is
+    Lloyd's k-means — not SQL-expressible); recall is pytest-gated
+    ≥0.9 vs the exact kernel and ≥0.9 on planted translations
+    (test_llmops.py::test_margin_bitext_ivf_*)."""
+    e = table(spark, sf_dir, "embeddings")
+    clustered = e.select(
+        "vec_id", "label",
+        sim.cluster_shift_expr(
+            "embedding", "(label div 2)", amp=2.0
+        ).alias("embedding"),
+    )
+    src = clustered.filter(F.col("label") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    dst = clustered.filter(F.col("label") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    # one metadata-cheap count sizes the quantizer: with N ≈ M ≈
+    # total/2, (N·M)^0.25 = sqrt(total/2)
+    total = e.count()
+    cells = max(16, int(round((total / 2) ** 0.5)))
+    return sim.margin_bitext_mine_ivf(
+        src, dst, k=4, num_cells=cells, nprobe=4
+    )
+
+
 _EC_FEASIBILITY_ORACLE = """
 WITH topo AS (
   SELECT DISTINCT 'n' || (doc_id % 37) AS node,
@@ -9634,7 +9675,7 @@ _WINDOW: list[str] = [
     "observer_read_routing", "rbf_quota_report",
     "bpe_segmentation_stats", "curriculum_phases",
     "nnstorage_retention", "distcp_checksum_delta",
-    "slow_peer_report", "bitext_margin_mining",
+    "slow_peer_report", "bitext_margin_mining", "bitext_margin_mining_ivf",
     "ec_policy_matrix", "hedged_read_plan",
     "block_report_reconcile", "maintenance_readiness_report",
     "snapshot_reclaim_report",
@@ -9643,11 +9684,12 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 153, len(_WINDOW)
+assert len(_WINDOW) == 154, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:
-    """The driver surface: exactly the 50 window queries, in order."""
+    """The driver surface: every _WINDOW query, in order (the count is
+    pinned by the assert above; keep it in lockstep with additions)."""
     missing = [n for n in _WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"window names not registered: {missing}")

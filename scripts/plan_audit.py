@@ -115,6 +115,7 @@ def main() -> None:
         "rbf_quota_report", "curriculum_phases",
         "nnstorage_retention", "distcp_checksum_delta",
         "slow_peer_report", "bitext_margin_mining",
+        "bitext_margin_mining_ivf",
         "ec_policy_matrix", "hedged_read_plan",
         "block_report_reconcile", "maintenance_readiness_report",
         "snapshot_reclaim_report",

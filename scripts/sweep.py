@@ -15,6 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hadoop_source_spark import get_spark, workload  # noqa: E402
 
+# per-query wall budget at sf0.1 (seconds): a future quadratic cannot
+# hide in the sweep tail — any query over this fails the run loudly.
+# Warm-session queries run 0.1-6.5 s today; the first query carries
+# ~7 s of session/JIT warm-up, hence the headroom.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET", "10"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,17 +51,35 @@ def main() -> None:
         f"Total: {total:.1f} s for {len(rows)} queries; "
         f"{len(failed)} failures; max single query {rows[0][1]:.1f} s.",
         "",
+        f"Growth guard: any query over {BUDGET_SEC:.0f} s (except the "
+        "warm-up-carrying first) FAILS the sweep — a future quadratic "
+        "cannot hide in the tail.",
+        "",
         "| query | sec | rows |",
         "|---|---|---|",
     ]
     lines += [f"| {n} | {t:.2f} | {c} |" for n, t, c in rows]
+    # the chronologically FIRST query carries session warm-up — exempt it
+    first_name = next(iter(workload.queries()))
+    over = [(n, t) for n, t, _ in rows
+            if t > BUDGET_SEC and n != first_name]
+    if over:
+        lines += ["", f"## OVER BUDGET (> {BUDGET_SEC:.0f} s)", ""] + [
+            f"- {n}: {t:.1f} s" for n, t in over
+        ]
     if failed:
         lines += ["", "## FAILURES", ""] + [f"- {n}: {e}" for n, e in failed]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SWEEP_SF01.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"total {total:.1f}s, {len(failed)} failures")
+    print(f"total {total:.1f}s, {len(failed)} failures, "
+          f"{len(over)} over budget")
     spark.stop()
+    if failed or over:
+        raise SystemExit(
+            f"sweep gate: {len(failed)} failures, {len(over)} queries over "
+            f"the {BUDGET_SEC:.0f}s budget: {[n for n, _ in over]}"
+        )
 
 
 if __name__ == "__main__":

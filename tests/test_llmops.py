@@ -799,3 +799,87 @@ def test_duplicate_span_rewrite_keep_one_copy(spark):
         assert r.n_tokens - r.n_removed == len(
             r.clean_text.split()
         ) if r.clean_text else r.n_tokens == r.n_removed
+
+
+def _aligned_bitext_sides(spark, amp=2.0):
+    """Even labels = source language, odd = target, with labels 2m and
+    2m+1 sharing a cluster center (aligned multilingual space — true
+    matches live in the same region). Raw isotropic test embeddings
+    have NO neighborhood structure for any index to exploit, so recall
+    gates run on this aligned-cluster derivation."""
+    e = table(spark, SF, "embeddings")
+    clustered = e.select(
+        "vec_id", "label",
+        sim.cluster_shift_expr(
+            "embedding", "(label div 2)", amp=amp
+        ).alias("embedding"),
+    )
+    src = clustered.filter(F.col("label") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    dst = clustered.filter(F.col("label") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    return src, dst
+
+
+def test_margin_bitext_ivf_recall_vs_exact(spark):
+    """IVF candidate pruning must keep ≥0.9 of the exact kernel's best
+    pairs (Artetxe & Schwenk mine with a FAISS IVF index in front of
+    the same margin — the approximation is WHICH candidates are
+    scored, not how), probing only 3 of 8 cells."""
+    src, dst = _aligned_bitext_sides(spark)
+    exact = {r.src_id: r for r in
+             sim.margin_bitext_mine(src, dst, k=4, num_blocks=2).collect()}
+    approx = {r.src_id: r for r in
+              sim.margin_bitext_mine_ivf(
+                  src, dst, k=4, num_cells=8, nprobe=3).collect()}
+    assert exact, "empty exact baseline"
+    hit = sum(
+        1 for sid, r in exact.items()
+        if sid in approx and approx[sid].dst_id == r.dst_id
+    )
+    recall = hit / len(exact)
+    assert recall >= 0.9, f"best-pair recall {recall:.3f}"
+    # where the best pair matches, cosine is exact and the margin is
+    # within the approximation of the avgTopK normalizer
+    for sid, r in exact.items():
+        a = approx.get(sid)
+        if a is not None and a.dst_id == r.dst_id:
+            assert abs(a.cosine - r.cosine) < 1e-9
+            assert abs(a.margin - r.margin) < 0.1
+
+
+def test_margin_bitext_ivf_planted_pairs(spark):
+    """Planted true translations (a perturbed copy of every 5th source
+    vector injected into the target side) must be mined as best+mutual
+    pairs — the deployment-meaningful recall: real translation pairs
+    are CLOSE, and closeness survives cell pruning."""
+    src, dst_nat = _aligned_bitext_sides(spark)
+    planted = src.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, j) -> x + 0.05 * "
+            "cast(xxhash64('jit', vec_id, j) as double) "
+            "/ 9.223372036854775808E18)"
+        ).alias("embedding"),
+    )
+    dst = dst_nat.unionByName(planted)
+    n_planted = planted.count()
+    out = {r.src_id: r for r in
+           sim.margin_bitext_mine_ivf(
+               src, dst, k=4, num_cells=16, nprobe=4).collect()}
+    hits = sum(
+        1 for sid, r in out.items()
+        if sid % 5 == 0 and r.dst_id == sid + 1000000000 and r.mutual
+    )
+    assert hits / n_planted >= 0.9, f"planted recall {hits}/{n_planted}"
+
+
+def test_margin_bitext_ivf_deterministic(spark):
+    src, dst = _aligned_bitext_sides(spark)
+    a = sorted(map(tuple, sim.margin_bitext_mine_ivf(
+        src, dst, k=4, num_cells=8, nprobe=3).collect()))
+    b = sorted(map(tuple, sim.margin_bitext_mine_ivf(
+        src, dst, k=4, num_cells=8, nprobe=3).collect()))
+    assert a == b
