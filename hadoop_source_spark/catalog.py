@@ -214,3 +214,74 @@ def stat_format(df: DataFrame, fmt: str, mapping: dict[str, str]) -> DataFrame:
             pieces.append(F.lit(fmt[i:j]))
             i = j
     return df.select(F.concat(*pieces).alias("stat"))
+
+
+def file_distribution(
+    inodes: DataFrame,
+    max_size: int,
+    step: int,
+    type_col: str = "inode_type",
+    size_col: str = "size",
+    repl_col: str = "replication",
+    blocks_col: str = "blocks",
+) -> DataFrame:
+    """OIV FileDistribution (hdfs offline image viewer
+    `FileDistributionCalculator.java:62,118`): the namespace image's
+    file-size histogram over segments of `step` up to `max_size`, plus
+    the totals the tool prints.
+
+    Bucketing is the reference's exact rule (:137-141): bucket =
+    ceil(size / step) — so segment i counts sizes in ((i-1)·step,
+    i·step], size 0 in bucket 0 — files larger than max_size land in
+    the LAST bucket, and the index clamps there too when step does not
+    divide max_size evenly. Zero-count buckets are skipped, as
+    output() does (:157).
+
+    inodes: (inode_type 'FILE'|'DIRECTORY', size, replication,
+    blocks). Output rows: (stat, size, value) — stat='bucket' rows
+    carry the segment label size = i·step (:166, the segment's upper
+    bound as printed) and value = NumFiles; five totals rows
+    (totalFiles, totalDirectories, totalBlocks, totalSpace =
+    Σ size·replication, maxFileSize — :172-176) carry size NULL.
+    One scan: a groupBy for the histogram, a partial-agg reduce +
+    melt for the totals."""
+    last = max_size // step
+    is_file = F.col(type_col) == "FILE"
+    files = inodes.filter(is_file)
+    bucket = F.least(
+        F.when(F.col(size_col) > max_size, F.lit(last)).otherwise(
+            F.ceil(F.col(size_col) / F.lit(step))
+        ),
+        F.lit(last),
+    )
+    hist = (
+        files.groupBy(bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit("bucket").alias("stat"),
+            (F.col("__b") * step).cast("long").alias("size"),
+            F.col("value").cast("long"),
+        )
+    )
+    t = inodes.agg(
+        F.count(F.when(is_file, 1)).alias("totalFiles"),
+        F.count(F.when(F.col(type_col) == "DIRECTORY", 1)).alias(
+            "totalDirectories"
+        ),
+        F.sum(F.when(is_file, F.col(blocks_col))).alias("totalBlocks"),
+        F.sum(
+            F.when(is_file, F.col(size_col) * F.col(repl_col))
+        ).alias("totalSpace"),
+        F.max(F.when(is_file, F.col(size_col))).alias("maxFileSize"),
+    )
+    totals = t.selectExpr(
+        "stack(5, 'totalFiles', totalFiles, "
+        "'totalDirectories', totalDirectories, "
+        "'totalBlocks', totalBlocks, 'totalSpace', totalSpace, "
+        "'maxFileSize', maxFileSize) AS (stat, value)"
+    ).select(
+        "stat",
+        F.lit(None).cast("long").alias("size"),
+        F.col("value").cast("long"),
+    )
+    return hist.unionByName(totals)

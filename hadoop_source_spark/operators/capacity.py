@@ -55,12 +55,25 @@ def allocate(
     a = apps.join(F.broadcast(queues), queue_col).select(
         app_col,
         queue_col,
+        F.lit("").alias("__lbl"),
         F.col(demand_col).cast("long").alias("demand"),
         F.floor(F.lit(cluster_total) * F.col("cap_pct")).alias("guar"),
         F.floor(F.lit(cluster_total) * F.col("max_pct")).alias("qmax"),
+        F.lit(cluster_total).cast("long").alias("ctotal"),
     )
+    return _two_phase(a, "__lbl", queue_col, app_col).drop("__lbl")
+
+
+def _two_phase(a: DataFrame, label_col: str, queue_col: str,
+               app_col: str) -> DataFrame:
+    """The closed-form two-phase allocation round over rows carrying
+    (label, queue, app, demand, guar, qmax, ctotal). Every window
+    partitions by label: label partitions are INDEPENDENT schedulers
+    by construction (RMNodeLabelsManager.getResourceByLabel — each
+    partition owns its nodes' resources). allocate() runs it with a
+    single '' label."""
     wq = (
-        Window.partitionBy(queue_col)
+        Window.partitionBy(label_col, queue_col)
         .orderBy(app_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -79,7 +92,7 @@ def allocate(
         ),
     ).withColumn("resid", F.col("demand") - F.col("alloc_guaranteed"))
     # per-queue phase-1 consumption and elastic headroom
-    wq_all = Window.partitionBy(queue_col)
+    wq_all = Window.partitionBy(label_col, queue_col)
     a = a.withColumn(
         "headroom",
         F.greatest(
@@ -102,12 +115,13 @@ def allocate(
             ),
         ),
     )
-    # global admission against the cluster leftover, in (queue, app) order
-    leftover = F.lit(cluster_total) - F.sum("alloc_guaranteed").over(
-        Window.partitionBy()
+    # per-partition admission against the partition's leftover,
+    # in (queue, app) order
+    leftover = F.col("ctotal") - F.sum("alloc_guaranteed").over(
+        Window.partitionBy(label_col)
     )
     wg = (
-        Window.partitionBy()
+        Window.partitionBy(label_col)
         .orderBy(queue_col, app_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -128,6 +142,7 @@ def allocate(
     return a.select(
         app_col,
         queue_col,
+        label_col,
         "demand",
         "alloc_guaranteed",
         "alloc_elastic",
@@ -137,6 +152,74 @@ def allocate(
         .otherwise("PENDING")
         .alias("state"),
     )
+
+
+def label_partition_resources(
+    nodes: DataFrame,
+    label_col: str = "label",
+    resource_col: str = "resource",
+) -> DataFrame:
+    """`RMNodeLabelsManager.getResourceByLabel` (:515): each label
+    partition owns the summed resources of its RUNNING nodes; nodes
+    without a label (null or '') form the NO_LABEL partition. nodes:
+    (node, label, resource, running bool). One partial-agg groupBy."""
+    return (
+        nodes.filter(F.col("running"))
+        .groupBy(
+            F.coalesce(F.col(label_col), F.lit("")).alias("label")
+        )
+        .agg(F.sum(resource_col).cast("long").alias("cluster_total"))
+    )
+
+
+def allocate_labeled(
+    apps: DataFrame,
+    queues: DataFrame,
+    label_totals: DataFrame,
+    app_col: str = "app_id",
+    queue_col: str = "queue",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Node-label-partitioned capacity allocation (reference:
+    CommonNodeLabelsManager.java:65 / RMNodeLabelsManager.java:343,515
+    — cluster resources PARTITION by node label, queues hold
+    per-partition capacities (capacity-scheduler
+    accessible-node-labels.<label>.capacity), and the scheduler runs
+    the same two-phase guaranteed+elastic round independently inside
+    every partition; an app's resource request names its label
+    expression).
+
+    apps: (app_id, queue, label, demand) — label '' is the default
+    (no-label) partition. queues: (queue, label, cap_pct, max_pct) —
+    per-partition shares; guaranteed shares must sum ≤ 1 WITHIN each
+    label (validated — the scheduler refuses oversubscribed partition
+    configs at refresh). label_totals: (label, cluster_total), e.g.
+    from `label_partition_resources`. Output is allocate()'s shape
+    plus the label column; windows partition by (label, queue), so
+    adding partitions adds parallelism, never a wider shuffle."""
+    sums: dict[str, float] = {}
+    for r in queues.select("label", "cap_pct").collect():
+        sums[r.label] = sums.get(r.label, 0.0) + r.cap_pct
+    bad = {k: v for k, v in sums.items() if v > 1.0 + 1e-9}
+    if bad:
+        raise ValueError(
+            f"per-label cap_pct sums exceed 1: {bad} (guaranteed shares "
+            "oversubscribe their label partitions)"
+        )
+    a = (
+        apps.join(F.broadcast(queues), [queue_col, "label"])
+        .join(F.broadcast(label_totals), "label")
+        .select(
+            app_col,
+            queue_col,
+            "label",
+            F.col(demand_col).cast("long").alias("demand"),
+            F.floor(F.col("cluster_total") * F.col("cap_pct")).alias("guar"),
+            F.floor(F.col("cluster_total") * F.col("max_pct")).alias("qmax"),
+            F.col("cluster_total").cast("long").alias("ctotal"),
+        )
+    )
+    return _two_phase(a, "label", queue_col, app_col)
 
 
 def drf_ranking(usage: DataFrame, totals: DataFrame) -> DataFrame:

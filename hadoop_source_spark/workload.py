@@ -923,6 +923,79 @@ def content_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILE_DIST_ORACLE = """
+WITH inodes AS (
+  SELECT 'FILE' AS inode_type, CAST(n_chars AS BIGINT) AS size,
+         CAST(1 + doc_id % 3 AS BIGINT) AS replication,
+         CAST(ceil(n_chars / 100) AS BIGINT) AS blocks
+  FROM documents
+  UNION ALL
+  SELECT 'DIRECTORY', NULL, NULL, NULL
+  FROM (SELECT DISTINCT source FROM documents)
+),
+files AS (SELECT * FROM inodes WHERE inode_type = 'FILE'),
+hist AS (
+  SELECT 'bucket' AS stat, CAST(b * 50 AS BIGINT) AS size,
+         CAST(count(*) AS BIGINT) AS value
+  FROM (
+    SELECT least(CASE WHEN size > 400 THEN 8
+                      ELSE CAST(ceil(size / 50) AS BIGINT) END, 8) AS b
+    FROM files
+  ) GROUP BY b
+),
+tot AS (
+  SELECT CAST(count(*) FILTER (inode_type = 'FILE') AS BIGINT) AS nf,
+         CAST(count(*) FILTER (inode_type = 'DIRECTORY') AS BIGINT) AS nd,
+         CAST(sum(blocks) AS BIGINT) AS nb,
+         CAST(sum(size * replication) AS BIGINT) AS sp,
+         CAST(max(size) AS BIGINT) AS mx
+  FROM inodes
+)
+SELECT stat, size, value FROM hist
+UNION ALL SELECT 'totalFiles', NULL, nf FROM tot
+UNION ALL SELECT 'totalDirectories', NULL, nd FROM tot
+UNION ALL SELECT 'totalBlocks', NULL, nb FROM tot
+UNION ALL SELECT 'totalSpace', NULL, sp FROM tot
+UNION ALL SELECT 'maxFileSize', NULL, mx FROM tot
+"""
+
+
+@register("oiv_file_distribution", _FILE_DIST_ORACLE)
+def oiv_file_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OIV FileDistribution histogram (catalog.file_distribution;
+    reference FileDistributionCalculator.java:62 visit / :118 run —
+    the offline-image-viewer file-size distribution with ceil(size/
+    step) bucketing, oversize files clamped to the last segment, and
+    the totalFiles/totalDirectories/totalBlocks/totalSpace/maxFileSize
+    footer). Documents are the namespace image: each doc a FILE inode
+    (size = n_chars, replication = 1 + doc_id % 3, blocks =
+    ceil(size/100)), each source a DIRECTORY inode; maxSize = 400,
+    step = 50 spans the corpus size range with a populated overflow
+    bucket. One scan + one groupBy + a melted totals reduce."""
+    from hadoop_source_spark import catalog
+
+    d = table(spark, sf_dir, "documents")
+    files = d.select(
+        F.lit("FILE").alias("inode_type"),
+        F.col("n_chars").cast("long").alias("size"),
+        (1 + F.col("doc_id") % 3).cast("long").alias("replication"),
+        F.ceil(F.col("n_chars") / 100).cast("long").alias("blocks"),
+    )
+    dirs = (
+        d.select("source")
+        .distinct()
+        .select(
+            F.lit("DIRECTORY").alias("inode_type"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("long").alias("replication"),
+            F.lit(None).cast("long").alias("blocks"),
+        )
+    )
+    return catalog.file_distribution(
+        files.unionByName(dirs), max_size=400, step=50
+    )
+
+
 _FIND_ORACLE = """
 SELECT doc_id, source, n_chars
 FROM documents
@@ -4783,6 +4856,249 @@ def capacity_scheduler_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
         "queue string, cap_pct double, max_pct double",
     )
     return capacity.allocate(apps, queues, cluster_total=5000)
+
+
+_RESERVATION_ORACLE = """
+WITH res AS (
+  SELECT event_id, 'q' || (user_id % 3) AS queue, 'u' || (user_id % 7) AS user,
+         CAST(event_id % 96 AS BIGINT) AS start,
+         CAST(event_id % 96 + 1 + event_id % 8 AS BIGINT) AS "end",
+         CAST(1 + event_id % 10 AS BIGINT) AS amount,
+         event_id % 10 >= 8 AS is_req
+  FROM events
+),
+existing AS (
+  SELECT DISTINCT queue, user, start, "end", amount FROM res WHERE NOT is_req
+),
+requests AS (
+  SELECT event_id AS request_id, queue, user, start, "end", amount
+  FROM res WHERE is_req
+),
+caps AS (SELECT * FROM (VALUES ('q0', CAST(420 AS BIGINT)),
+                               ('q1', 440), ('q2', 460)) c(queue, capacity)),
+ev AS (
+  SELECT queue, t, sum(d) AS d FROM (
+    SELECT queue, start AS t, amount AS d FROM existing
+    UNION ALL SELECT queue, "end", -amount FROM existing)
+  GROUP BY 1, 2
+),
+stair AS (
+  SELECT queue, t,
+         CAST(sum(d) OVER (PARTITION BY queue ORDER BY t) AS BIGINT) AS load,
+         coalesce(lead(t) OVER (PARTITION BY queue ORDER BY t),
+                  4611686018427387904) AS t_next
+  FROM ev
+),
+uev AS (
+  SELECT queue, user, t, sum(d) AS d FROM (
+    SELECT queue, user, start AS t, amount AS d FROM existing
+    UNION ALL SELECT queue, user, "end", -amount FROM existing)
+  GROUP BY 1, 2, 3
+),
+ustair AS (
+  SELECT queue, user, t,
+         CAST(sum(d) OVER (PARTITION BY queue, user ORDER BY t)
+              AS BIGINT) AS load,
+         coalesce(lead(t) OVER (PARTITION BY queue, user ORDER BY t),
+                  4611686018427387904) AS t_next
+  FROM uev
+),
+pk AS (
+  SELECT r.request_id, r.queue, r.user, r.start, r."end", r.amount,
+         CAST(coalesce(max(CASE WHEN st.t < r."end" AND st.t_next > r.start
+                                THEN st.load END), 0) AS BIGINT) AS peak_load
+  FROM requests r LEFT JOIN stair st USING (queue)
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+upk AS (
+  SELECT r.request_id,
+         CAST(coalesce(max(CASE WHEN us.t < r."end" AND us.t_next > r.start
+                                THEN us.load END), 0) AS BIGINT) AS user_peak
+  FROM requests r
+  LEFT JOIN ustair us ON r.queue = us.queue AND r.user = us.user
+  GROUP BY 1
+)
+SELECT p.request_id, p.queue, p.user, p.start, p."end", p.amount,
+       p.peak_load, u.user_peak,
+       CAST(c.capacity - p.peak_load - p.amount AS BIGINT) AS headroom,
+       CASE WHEN p.peak_load + p.amount > c.capacity THEN FALSE
+            WHEN u.user_peak + p.amount > c.capacity * 0.0625 THEN FALSE
+            ELSE TRUE END AS accepted,
+       CASE WHEN p.peak_load + p.amount > c.capacity THEN 'PLAN_CAPACITY'
+            WHEN u.user_peak + p.amount > c.capacity * 0.0625
+              THEN 'USER_INSTANTANEOUS_QUOTA' END AS reject_reason
+FROM pk p JOIN upk u USING (request_id) JOIN caps c ON p.queue = c.queue
+"""
+
+
+@register("reservation_admission_plan", _RESERVATION_ORACLE)
+def reservation_admission_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN ReservationSystem admission (operators/reservations;
+    reference RLESparseResourceAllocation.java:38-44 — the RLE
+    cumulative-capacity staircase — with NoOverCommitPolicy's
+    plan-capacity check and CapacityOverTimePolicy.java:52's per-user
+    instantaneous maxInst quota, wired by ReservationSystem.java:45).
+    Events become reservations on a 96-slot horizon across 3 queues
+    and 7 users; 80% form the accepted plan (deduped — the derivation
+    space saturates, keeping the staircase scale-stable), 20% are
+    admission requests evaluated against it. The staircase is one
+    groupBy + one window cumsum; admission is a broadcast
+    interval-overlap join + max. All three outcomes — ACCEPT,
+    PLAN_CAPACITY, USER_INSTANTANEOUS_QUOTA (maxInst = 1/16, exact in
+    binary so both engines compare identically) — occur at sf0.01."""
+    from hadoop_source_spark.operators import reservations
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    res = e.select(
+        eid.alias("event_id"),
+        F.concat(F.lit("q"), (uid % 3).cast("string")).alias("queue"),
+        F.concat(F.lit("u"), (uid % 7).cast("string")).alias("user"),
+        (eid % 96).cast("long").alias("start"),
+        (eid % 96 + 1 + eid % 8).cast("long").alias("end"),
+        (1 + eid % 10).cast("long").alias("amount"),
+        (eid % 10 >= 8).alias("is_req"),
+    )
+    existing = (
+        res.filter(~F.col("is_req"))
+        .select("queue", "user", "start", "end", "amount")
+        .distinct()
+    )
+    requests = res.filter(F.col("is_req")).select(
+        eid.alias("request_id"), "queue", "user", "start", "end", "amount"
+    )
+    caps = spark.createDataFrame(
+        [("q0", 420), ("q1", 440), ("q2", 460)],
+        "queue string, capacity long",
+    )
+    return reservations.reservation_admission(
+        requests, existing, caps, max_inst=0.0625
+    )
+
+
+_NODE_LABEL_ORACLE = """
+WITH nids AS (SELECT DISTINCT user_id % 40 AS i FROM events),
+nodes AS (
+  SELECT 'n' || i AS node,
+         CASE WHEN i % 5 = 3 THEN 'gpu'
+              WHEN i % 5 = 4 THEN 'ssd' ELSE '' END AS label,
+         CAST(100 + (i % 7) * 20 AS BIGINT) AS resource,
+         i % 11 <> 5 AS running
+  FROM nids
+),
+totals AS (
+  SELECT label, CAST(sum(resource) AS BIGINT) AS cluster_total
+  FROM nodes WHERE running GROUP BY 1
+),
+apps AS (
+  SELECT user_id AS app_id, 'q' || CAST(user_id % 2 AS VARCHAR) AS queue,
+         CASE WHEN user_id % 4 = 3 THEN 'gpu'
+              WHEN user_id % 4 = 2 THEN 'ssd' ELSE '' END AS label,
+         count(*) AS demand
+  FROM events GROUP BY 1, 2, 3
+),
+q(queue, label, cap_pct, max_pct) AS (
+  VALUES ('q0', '', 0.5, 0.75), ('q0', 'gpu', 0.25, 0.5),
+         ('q0', 'ssd', 0.25, 0.5),
+         ('q1', '', 0.375, 0.625), ('q1', 'gpu', 0.5, 0.75),
+         ('q1', 'ssd', 0.25, 0.375)
+),
+a AS (
+  SELECT app_id, queue, apps.label, demand,
+         CAST(floor(cluster_total * cap_pct) AS BIGINT) AS guar,
+         CAST(floor(cluster_total * max_pct) AS BIGINT) AS qmax,
+         cluster_total AS ctotal
+  FROM apps JOIN q USING (queue, label) JOIN totals USING (label)
+),
+p1 AS (
+  SELECT *, greatest(0, least(demand, guar - least(coalesce(
+           sum(demand) OVER (PARTITION BY label, queue ORDER BY app_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), guar)))
+           AS alloc_guaranteed
+  FROM a
+),
+p2 AS (
+  SELECT *, demand - alloc_guaranteed AS resid,
+         greatest(0, qmax - sum(alloc_guaranteed)
+                       OVER (PARTITION BY label, queue)) AS headroom
+  FROM p1
+),
+p3 AS (
+  SELECT *, greatest(0, least(resid, headroom - least(coalesce(
+           sum(resid) OVER (PARTITION BY label, queue ORDER BY app_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           headroom))) AS qcand,
+         ctotal - sum(alloc_guaranteed) OVER (PARTITION BY label) AS leftover
+  FROM p2
+),
+p4 AS (
+  SELECT *, greatest(0, least(qcand, leftover - least(coalesce(
+           sum(qcand) OVER (PARTITION BY label ORDER BY queue, app_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           leftover))) AS alloc_elastic
+  FROM p3
+)
+SELECT app_id, queue, label, CAST(demand AS BIGINT) AS demand,
+       CAST(alloc_guaranteed AS BIGINT) AS alloc_guaranteed,
+       CAST(alloc_elastic AS BIGINT) AS alloc_elastic,
+       CAST(alloc_guaranteed + alloc_elastic AS BIGINT) AS total_alloc,
+       CASE WHEN alloc_guaranteed + alloc_elastic >= demand THEN 'FULLY'
+            WHEN alloc_guaranteed + alloc_elastic > 0 THEN 'PARTIAL'
+            ELSE 'PENDING' END AS state
+FROM p4
+"""
+
+
+@register("node_label_allocation", _NODE_LABEL_ORACLE)
+def node_label_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-label-partitioned capacity allocation (operators/capacity.
+    allocate_labeled; reference CommonNodeLabelsManager.java:65 /
+    RMNodeLabelsManager.java:343,515 — cluster resources partition by
+    node label, queues hold per-partition capacities, and the
+    two-phase guaranteed+elastic round runs independently inside every
+    partition). A 40-node registry (some down, some labeled gpu/ssd)
+    yields per-label partition totals via getResourceByLabel's sum;
+    apps name their label expression; capacity fractions are
+    exact-binary (0.25/0.375/0.5/...) so floor() agrees bit-for-bit
+    across engines. The three partitions produce DIFFERENT
+    FULLY/PARTIAL/PENDING splits at sf0.01; all windows partition by
+    (label, queue) — adding labels adds parallelism."""
+    from hadoop_source_spark.operators import capacity
+
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    nodes = (
+        e.select((uid % 40).alias("i"))
+        .distinct()
+        .select(
+            F.concat(F.lit("n"), F.col("i").cast("string")).alias("node"),
+            F.when(F.col("i") % 5 == 3, F.lit("gpu"))
+            .when(F.col("i") % 5 == 4, F.lit("ssd"))
+            .otherwise(F.lit(""))
+            .alias("label"),
+            (100 + (F.col("i") % 7) * 20).cast("long").alias("resource"),
+            (F.col("i") % 11 != 5).alias("running"),
+        )
+    )
+    totals = capacity.label_partition_resources(nodes)
+    apps = e.groupBy(
+        uid.alias("app_id"),
+        F.concat(F.lit("q"), (uid % 2).cast("string")).alias("queue"),
+        F.when(uid % 4 == 3, F.lit("gpu"))
+        .when(uid % 4 == 2, F.lit("ssd"))
+        .otherwise(F.lit(""))
+        .alias("label"),
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    queues = spark.createDataFrame(
+        [
+            ("q0", "", 0.5, 0.75), ("q0", "gpu", 0.25, 0.5),
+            ("q0", "ssd", 0.25, 0.5),
+            ("q1", "", 0.375, 0.625), ("q1", "gpu", 0.5, 0.75),
+            ("q1", "ssd", 0.25, 0.375),
+        ],
+        "queue string, label string, cap_pct double, max_pct double",
+    )
+    return capacity.allocate_labeled(apps, queues, totals)
 
 
 _TABLE_STATS_ORACLE = """
@@ -9624,11 +9940,14 @@ _WINDOW: list[str] = [
     "set_algebra", "snapshot_diff_orders",
     "snapshot_diff_upsert_generations", "asof_purchase_click",
     "asof_nearest_tolerance",
-    "kv_suite", "content_summary_docs", "dist_stats_by_type",
+    "kv_suite", "content_summary_docs", "oiv_file_distribution",
+    "dist_stats_by_type",
     "table_stats_report",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter",
-    "capacity_scheduler_allocation", "doc_profile",
+    "capacity_scheduler_allocation", "reservation_admission_plan",
+    "node_label_allocation",
+    "doc_profile",
     "dedup_exact", "dedup_span_exact", "dsir_selection",
     "dedup_jaccard_suite",
     "dedup_connected_components",
@@ -9684,7 +10003,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 154, len(_WINDOW)
+assert len(_WINDOW) == 157, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -124,6 +124,8 @@ def main() -> None:
         "token_entropy_report",
         "service_acl_host_matrix",
         "bpe_pair_merge",
+        "reservation_admission_plan", "node_label_allocation",
+        "oiv_file_distribution",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

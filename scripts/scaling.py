@@ -154,6 +154,8 @@ EXTRA = (
     "token_entropy_report",
     "service_acl_host_matrix",
     "bpe_pair_merge",
+    "reservation_admission_plan", "node_label_allocation",
+    "oiv_file_distribution",
 )
 
 

@@ -582,3 +582,111 @@ def test_ordered_funnel_strict_ordering_and_rates(spark):
         "view>click": (2, 0.5),
         "view>click>purchase": (1, 0.25),
     }
+
+
+def test_node_label_allocation_partition_independence(spark):
+    """allocate_labeled: label partitions are independent schedulers
+    (RMNodeLabelsManager.getResourceByLabel) — a saturated gpu
+    partition must not eat into the default partition's leftover, and
+    each partition's result equals a standalone allocate() run."""
+    from hadoop_source_spark.operators import capacity
+
+    apps = spark.createDataFrame(
+        [(1, "q0", "", 100), (2, "q0", "", 900),
+         (3, "q0", "gpu", 500), (4, "q1", "gpu", 500)],
+        "app_id long, queue string, label string, demand long",
+    )
+    queues = spark.createDataFrame(
+        [("q0", "", 0.5, 1.0), ("q0", "gpu", 0.5, 0.5),
+         ("q1", "gpu", 0.5, 0.5)],
+        "queue string, label string, cap_pct double, max_pct double",
+    )
+    totals = spark.createDataFrame(
+        [("", 1000), ("gpu", 400)], "label string, cluster_total long"
+    )
+    out = {r.app_id: r for r in
+           capacity.allocate_labeled(apps, queues, totals).collect()}
+    # default partition: q0 may grow to max 1.0 — both apps fully served
+    assert out[1].state == "FULLY" and out[2].state == "FULLY"
+    assert out[1].total_alloc + out[2].total_alloc == 1000
+    # gpu partition: 400 total, each queue capped at 200 — both PARTIAL,
+    # untouched by the default partition's demand
+    assert out[3].total_alloc == 200 and out[3].state == "PARTIAL"
+    assert out[4].total_alloc == 200 and out[4].state == "PARTIAL"
+    # equivalence: each label slice == standalone allocate() on it
+    solo = {r.app_id: r for r in capacity.allocate(
+        apps.filter(F.col("label") == "").drop("label"),
+        queues.filter(F.col("label") == "").drop("label"),
+        cluster_total=1000).collect()}
+    for i in (1, 2):
+        assert solo[i].total_alloc == out[i].total_alloc
+
+
+def test_node_label_oversubscribed_partition_rejected(spark):
+    import pytest
+
+    from hadoop_source_spark.operators import capacity
+
+    apps = spark.createDataFrame(
+        [(1, "q0", "gpu", 10)],
+        "app_id long, queue string, label string, demand long",
+    )
+    queues = spark.createDataFrame(
+        [("q0", "gpu", 0.7, 0.8), ("q1", "gpu", 0.6, 0.8),
+         ("q0", "", 0.5, 0.5)],
+        "queue string, label string, cap_pct double, max_pct double",
+    )
+    totals = spark.createDataFrame(
+        [("gpu", 100), ("", 100)], "label string, cluster_total long"
+    )
+    with pytest.raises(ValueError, match="gpu"):
+        capacity.allocate_labeled(apps, queues, totals)
+
+
+def test_label_partition_resources_no_label_and_down_nodes(spark):
+    from hadoop_source_spark.operators import capacity
+
+    nodes = spark.createDataFrame(
+        [("n0", None, 100, True), ("n1", "", 50, True),
+         ("n2", "gpu", 200, True), ("n3", "gpu", 200, False)],
+        "node string, label string, resource long, running boolean",
+    )
+    out = {r.label: r.cluster_total for r in
+           capacity.label_partition_resources(nodes).collect()}
+    # null and '' merge into the NO_LABEL partition; down nodes excluded
+    assert out == {"": 150, "gpu": 200}
+
+
+def test_oiv_file_distribution_bucket_rules(spark):
+    """FileDistributionCalculator.java:137-141: bucket = ceil(size/step)
+    — an exact multiple stays in its own segment ((i-1)·step, i·step] —
+    size 0 lands in bucket 0, oversize files clamp to the LAST segment
+    (even when step does not divide maxSize), zero buckets are skipped."""
+    from hadoop_source_spark import catalog
+
+    rows = [
+        ("FILE", 0, 1, 0),     # bucket 0
+        ("FILE", 1, 1, 1),     # bucket 1
+        ("FILE", 100, 2, 1),   # exactly step → bucket 1
+        ("FILE", 101, 1, 2),   # bucket 2
+        ("FILE", 250, 3, 3),   # maxSize=250, step=100 → ceil=3 (clamp 2)
+        ("FILE", 9999, 1, 10),  # oversize → last bucket
+        ("DIRECTORY", None, None, None),
+        ("DIRECTORY", None, None, None),
+    ]
+    inodes = spark.createDataFrame(
+        rows,
+        "inode_type string, size long, replication long, blocks long",
+    )
+    out = catalog.file_distribution(inodes, max_size=250, step=100)
+    got = {(r.stat, r.size): r.value for r in out.collect()}
+    # last index = 250//100 = 2 → label 200; 250, 9999 both clamp there
+    assert got[("bucket", 0)] == 1
+    assert got[("bucket", 100)] == 2
+    assert got[("bucket", 200)] == 3
+    assert ("bucket", 300) not in got
+    assert got[("totalFiles", None)] == 6
+    assert got[("totalDirectories", None)] == 2
+    assert got[("totalBlocks", None)] == 17
+    assert got[("totalSpace", None)] == 0 + 1 + 200 + 101 + 750 + 9999
+    assert got[("maxFileSize", None)] == 9999
