@@ -996,6 +996,132 @@ def oiv_file_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEBHDFS_ORACLE = """
+WITH f AS (
+  SELECT '/data/' || source || '/doc' || doc_id AS path,
+         'doc' || doc_id AS name, 'FILE' AS type, FALSE AS is_dir,
+         CAST(n_chars AS BIGINT) AS length,
+         'u' || (doc_id % 5) AS owner, 'g' || (doc_id % 3) AS "group",
+         CAST(448 + (doc_id % 8) * 8 + doc_id % 4 AS INTEGER)
+           AS permission,
+         CAST(1600000000000 + doc_id * 1000 AS BIGINT) AS access_time_ms,
+         CAST(1600000000500 + doc_id * 1000 AS BIGINT)
+           AS modification_time_ms,
+         CAST(134217728 AS BIGINT) AS block_size,
+         CAST(1 + doc_id % 3 AS INTEGER) AS replication,
+         CAST(doc_id AS BIGINT) AS file_id,
+         CAST(-1 AS INTEGER) AS children_num,
+         CAST(5 * (doc_id % 2) AS INTEGER) AS storage_policy,
+         doc_id % 7 = 0 AS has_acl, FALSE AS encrypted,
+         doc_id % 11 = 0 AS erasure_coded, FALSE AS snapshot_enabled,
+         CAST(NULL AS VARCHAR) AS symlink
+  FROM documents
+),
+d AS (
+  SELECT '/data/' || source || '/sub' AS path,
+         'sub' AS name, 'DIRECTORY' AS type, TRUE AS is_dir,
+         CAST(0 AS BIGINT) AS length,
+         'admin' AS owner, 'adm' AS "group",
+         CAST(493 AS INTEGER) AS permission,
+         CAST(0 AS BIGINT) AS access_time_ms,
+         CAST(0 AS BIGINT) AS modification_time_ms,
+         CAST(0 AS BIGINT) AS block_size,
+         CAST(0 AS INTEGER) AS replication,
+         CAST(0 AS BIGINT) AS file_id,
+         CAST(count(*) AS INTEGER) AS children_num,
+         CAST(0 AS INTEGER) AS storage_policy,
+         FALSE AS has_acl, FALSE AS encrypted,
+         FALSE AS erasure_coded, FALSE AS snapshot_enabled,
+         CAST(NULL AS VARCHAR) AS symlink
+  FROM documents GROUP BY source
+)
+SELECT * FROM f UNION ALL SELECT * FROM d
+"""
+
+
+@register("webhdfs_liststatus_scan", _WEBHDFS_ORACLE)
+def webhdfs_liststatus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebHDFS REST connector round trip (webhdfs.parse_liststatus;
+    reference hdfs-client/web/WebHdfsFileSystem.java:1704 LISTSTATUS →
+    JsonUtilClient.toHdfsFileStatusArray:201/toFileStatus:118).
+    Documents become one LISTSTATUS JSON response body per source
+    directory (each doc a FILE status with octal permission, millis
+    times, optional flag keys omitted when false — to_json drops
+    nulls, exercising absent-means-false — plus one DIRECTORY child
+    whose omitted fileId/storagePolicy parse to the reference
+    defaults 0, and childrenNum set); the connector decodes them back
+    to catalog rows in one from_json + explode, all codegen. The
+    oracle computes the same statuses DIRECTLY from the table — parity
+    proves the wire round trip is lossless."""
+    from hadoop_source_spark import webhdfs
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    file_st = F.struct(
+        F.concat(F.lit("doc"), did.cast("string")).alias("pathSuffix"),
+        F.lit("FILE").alias("type"),
+        F.col("n_chars").cast("long").alias("length"),
+        F.concat(F.lit("u"), (did % 5).cast("string")).alias("owner"),
+        F.concat(F.lit("g"), (did % 3).cast("string")).alias("group"),
+        F.concat(
+            F.lit("7"), (did % 8).cast("string"), (did % 4).cast("string")
+        ).alias("permission"),
+        (F.lit(1600000000000) + did * 1000).alias("accessTime"),
+        (F.lit(1600000000500) + did * 1000).alias("modificationTime"),
+        F.lit(134217728).cast("long").alias("blockSize"),
+        (1 + did % 3).cast("int").alias("replication"),
+        did.cast("long").alias("fileId"),
+        F.lit(None).cast("int").alias("childrenNum"),
+        F.when(did % 2 == 1, F.lit(5)).cast("int").alias("storagePolicy"),
+        F.when(did % 7 == 0, F.lit(True)).alias("aclBit"),
+        F.lit(None).cast("boolean").alias("encBit"),
+        F.when(did % 11 == 0, F.lit(True)).alias("ecBit"),
+        F.lit(None).cast("boolean").alias("snapshotEnabled"),
+        F.lit(None).cast("string").alias("symlink"),
+    )
+    per_dir = (
+        d.select(F.col("source"), file_st.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.collect_list("st").alias("files"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    dir_st = F.struct(
+        F.lit("sub").alias("pathSuffix"),
+        F.lit("DIRECTORY").alias("type"),
+        F.lit(0).cast("long").alias("length"),
+        F.lit("admin").alias("owner"),
+        F.lit("adm").alias("group"),
+        F.lit("755").alias("permission"),
+        F.lit(0).cast("long").alias("accessTime"),
+        F.lit(0).cast("long").alias("modificationTime"),
+        F.lit(0).cast("long").alias("blockSize"),
+        F.lit(0).cast("int").alias("replication"),
+        F.lit(None).cast("long").alias("fileId"),
+        F.col("n").cast("int").alias("childrenNum"),
+        F.lit(None).cast("int").alias("storagePolicy"),
+        F.lit(None).cast("boolean").alias("aclBit"),
+        F.lit(None).cast("boolean").alias("encBit"),
+        F.lit(None).cast("boolean").alias("ecBit"),
+        F.lit(None).cast("boolean").alias("snapshotEnabled"),
+        F.lit(None).cast("string").alias("symlink"),
+    )
+    responses = per_dir.select(
+        F.concat(F.lit("/data/"), F.col("source")).alias("path"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.concat(F.array(dir_st), F.col("files")).alias(
+                        "FileStatus"
+                    )
+                ).alias("FileStatuses")
+            )
+        ).alias("response"),
+    )
+    return webhdfs.parse_liststatus(responses)
+
+
 _FIND_ORACLE = """
 SELECT doc_id, source, n_chars
 FROM documents
@@ -9941,6 +10067,7 @@ _WINDOW: list[str] = [
     "snapshot_diff_upsert_generations", "asof_purchase_click",
     "asof_nearest_tolerance",
     "kv_suite", "content_summary_docs", "oiv_file_distribution",
+    "webhdfs_liststatus_scan",
     "dist_stats_by_type",
     "table_stats_report",
     "events_hourly", "events_sessionize", "events_stats_json",
@@ -10003,7 +10130,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 157, len(_WINDOW)
+assert len(_WINDOW) == 158, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

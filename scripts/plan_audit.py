@@ -125,7 +125,7 @@ def main() -> None:
         "service_acl_host_matrix",
         "bpe_pair_merge",
         "reservation_admission_plan", "node_label_allocation",
-        "oiv_file_distribution",
+        "oiv_file_distribution", "webhdfs_liststatus_scan",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

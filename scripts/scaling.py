@@ -155,7 +155,7 @@ EXTRA = (
     "service_acl_host_matrix",
     "bpe_pair_merge",
     "reservation_admission_plan", "node_label_allocation",
-    "oiv_file_distribution",
+    "oiv_file_distribution", "webhdfs_liststatus_scan",
 )
 
 
