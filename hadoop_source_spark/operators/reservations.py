@@ -135,3 +135,160 @@ def reservation_admission(
         reason.isNull().alias("accepted"),
         reason.alias("reject_reason"),
     )
+
+
+def integral_quota_check(
+    requests: DataFrame,
+    existing: DataFrame,
+    capacities: DataFrame,
+    max_avg: float,
+    valid_window: int,
+) -> DataFrame:
+    """CapacityOverTimePolicy's INTEGRAL quota
+    (`CapacityOverTimePolicy.java:95-203`): over any window of length
+    `valid_window`, a user's average allocation must stay ≤ maxAvg ×
+    cluster capacity. Mirrors the reference construction exactly:
+
+    - toCheck = the user's own committed consumption plus the new
+      reservation, clipped to [start − W, end + W] (:95-121 — events
+      at/before the range start collapse into an initial level there);
+    - intermediate points every W inside long flat segments (:132-146
+      — an exact-multiple landing on the next breakpoint is overridden
+      by it, so it is skipped here);
+    - a running point-wise integral I(t), normalized by ROUNDING
+      I/W per point (normalizeToResource :209 — Math.round, half-up
+      for the non-negative values involved);
+    - an UP staircase at each point t carrying round(I(t)/W) and a
+      DOWN staircase at t + W with the same value (:149-167); their
+      difference is the staircase sliding-window average the reference
+      tests (:172-181);
+    - REJECT when that staircase exceeds maxAvg × capacity anywhere in
+      the check range (:186-196 subtractTestNonNegative).
+
+    requests/existing/capacities as in `reservation_admission`.
+    Output: the request columns + integral_peak (the staircase max),
+    integral_limit, integral_ok. Per-request candidate sets are
+    user-staircase-sized — the joins broadcast; every window
+    partitions by request_id."""
+    W = int(valid_window)
+    rid_cols = requests.columns
+    uev = existing.select(
+        "queue", "user", F.col("start").alias("t"),
+        F.col("amount").alias("d"),
+    ).unionByName(
+        existing.select(
+            "queue", "user", F.col("end").alias("t"),
+            (-F.col("amount")).alias("d"),
+        )
+    )
+    cs = F.col("start") - W
+    ce = F.col("end") + W
+    j = requests.join(F.broadcast(uev), ["queue", "user"], "left")
+    user_pts = (
+        j.filter(F.col("t").isNotNull() & (F.col("t") <= ce))
+        # events at/before the range start collapse into the initial
+        # level AT the range start (the reference's range clipping)
+        .select(
+            *rid_cols,
+            F.greatest(F.col("t"), cs).alias("t"),
+            F.col("d"),
+        )
+    )
+    req_pts = requests.select(
+        *rid_cols, F.col("start").alias("t"), F.col("amount").alias("d")
+    ).unionByName(
+        requests.select(
+            *rid_cols, F.col("end").alias("t"),
+            (-F.col("amount")).alias("d"),
+        )
+    )
+    pts = (
+        user_pts.unionByName(req_pts)
+        .groupBy(*rid_cols, "t")
+        .agg(F.sum("d").alias("__d"))
+    )
+    wo = Window.partitionBy("request_id").orderBy("t")
+    stepped = pts.select(
+        *rid_cols,
+        "t",
+        F.sum("__d").over(wo).alias("__load"),
+        F.lead("t").over(wo).alias("__tn"),
+    )
+    # intermediate points every W inside a segment, never ON its end
+    inter = stepped.filter(
+        F.col("__tn").isNotNull()
+        & (F.col("__tn") - F.col("t") > W)
+    ).select(
+        *rid_cols,
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.floor((F.col("__tn") - F.col("t") - 1) / W).cast("int"),
+            )
+        ).alias("__i"),
+        "t",
+        "__load",
+    ).select(
+        *rid_cols,
+        (F.col("t") + F.col("__i") * W).alias("t"),
+        F.col("__load"),
+    )
+    allpts = stepped.select(*rid_cols, "t", "__load").unionByName(inter)
+    w2 = Window.partitionBy("request_id").orderBy("t")
+    contrib = allpts.select(
+        *rid_cols,
+        "t",
+        "__load",
+        (
+            F.coalesce(F.lag("__load").over(w2), F.lit(0))
+            * (F.col("t") - F.coalesce(F.lag("t").over(w2), F.col("t")))
+        ).alias("__c"),
+    )
+    integ = contrib.select(
+        *rid_cols,
+        "t",
+        F.round(F.sum("__c").over(
+            Window.partitionBy("request_id").orderBy("t")
+        ) / W).cast("long").alias("__ri"),
+    )
+    fronts = integ.select(
+        *rid_cols, "t", F.col("__ri").alias("__up"),
+        F.lit(None).cast("long").alias("__dn"),
+    ).unionByName(
+        integ.select(
+            *rid_cols, (F.col("t") + W).alias("t"),
+            F.lit(None).cast("long").alias("__up"),
+            F.col("__ri").alias("__dn"),
+        )
+    )
+    merged = fronts.groupBy(*rid_cols, "t").agg(
+        F.max("__up").alias("__up"), F.max("__dn").alias("__dn")
+    )
+    w3 = (
+        Window.partitionBy("request_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stair = merged.select(
+        *rid_cols,
+        "t",
+        (
+            F.coalesce(F.last("__up", ignorenulls=True).over(w3), F.lit(0))
+            - F.coalesce(
+                F.last("__dn", ignorenulls=True).over(w3), F.lit(0)
+            )
+        ).alias("__avg"),
+    )
+    peaks = (
+        stair.filter(F.col("t") <= ce)
+        .groupBy(*rid_cols)
+        .agg(F.max("__avg").alias("integral_peak"))
+    )
+    out = peaks.join(F.broadcast(capacities), "queue")
+    limit = (F.col("capacity") * F.lit(max_avg)).cast("long")
+    return out.select(
+        *rid_cols,
+        "integral_peak",
+        limit.alias("integral_limit"),
+        (F.col("integral_peak") <= limit).alias("integral_ok"),
+    )

@@ -5102,6 +5102,156 @@ def reservation_admission_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESERVATION_INTEGRAL_ORACLE = """
+WITH res AS (
+  SELECT event_id, 'q' || (user_id % 3) AS queue, 'u' || (user_id % 7) AS user,
+         CAST(event_id % 96 AS BIGINT) AS start,
+         CAST(event_id % 96 + 1 + event_id % 8 AS BIGINT) AS "end",
+         CAST(1 + event_id % 10 AS BIGINT) AS amount,
+         event_id % 10 >= 8 AS is_req
+  FROM events
+),
+existing AS (
+  SELECT DISTINCT queue, user, start, "end", amount FROM res WHERE NOT is_req
+),
+requests AS (
+  SELECT event_id AS request_id, queue, user, start, "end", amount
+  FROM res WHERE is_req
+),
+caps AS (SELECT * FROM (VALUES ('q0', CAST(416 AS BIGINT)),
+                               ('q1', 440), ('q2', 464)) c(queue, capacity)),
+uev AS (
+  SELECT queue, user, start AS t, amount AS d FROM existing
+  UNION ALL SELECT queue, user, "end", -amount FROM existing
+),
+joined AS (
+  SELECT r.request_id, r.queue, r.user, r.start, r."end", r.amount,
+         greatest(u.t, r.start - 24) AS t, u.d
+  FROM requests r JOIN uev u USING (queue, user)
+  WHERE u.t <= r."end" + 24
+),
+reqpts AS (
+  SELECT request_id, queue, user, start, "end", amount, start AS t,
+         amount AS d FROM requests
+  UNION ALL
+  SELECT request_id, queue, user, start, "end", amount, "end", -amount
+  FROM requests
+),
+pts AS (
+  SELECT request_id, queue, user, start, "end", amount, t, sum(d) AS d
+  FROM (SELECT * FROM joined UNION ALL SELECT * FROM reqpts)
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+stepped AS (
+  SELECT *, sum(d) OVER (PARTITION BY request_id ORDER BY t) AS load,
+         lead(t) OVER (PARTITION BY request_id ORDER BY t) AS tn
+  FROM pts
+),
+inter AS (
+  SELECT request_id, queue, user, start, "end", amount,
+         t + 24 * i AS t, load
+  FROM stepped, unnest(range(1, CAST((tn - t - 1) // 24 AS BIGINT) + 1))
+       AS u(i)
+  WHERE tn IS NOT NULL AND tn - t > 24
+),
+allpts AS (
+  SELECT request_id, queue, user, start, "end", amount, t, load
+  FROM stepped
+  UNION ALL SELECT * FROM inter
+),
+contrib AS (
+  SELECT request_id, queue, user, start, "end", amount, t,
+    coalesce(lag(load) OVER (PARTITION BY request_id ORDER BY t), 0)
+    * (t - coalesce(lag(t) OVER (PARTITION BY request_id ORDER BY t), t))
+      AS c
+  FROM allpts
+),
+integ AS (
+  SELECT request_id, queue, user, start, "end", amount, t,
+    CAST(round(sum(c) OVER (PARTITION BY request_id ORDER BY t) / 24)
+         AS BIGINT) AS ri
+  FROM contrib
+),
+fronts AS (
+  SELECT request_id, queue, user, start, "end", amount, t,
+         ri AS up, CAST(NULL AS BIGINT) AS dn FROM integ
+  UNION ALL
+  SELECT request_id, queue, user, start, "end", amount, t + 24,
+         CAST(NULL AS BIGINT), ri FROM integ
+),
+merged AS (
+  SELECT request_id, queue, user, start, "end", amount, t,
+         max(up) AS up, max(dn) AS dn
+  FROM fronts GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+stair AS (
+  SELECT *,
+    coalesce(last_value(up IGNORE NULLS) OVER
+      (PARTITION BY request_id ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+    - coalesce(last_value(dn IGNORE NULLS) OVER
+      (PARTITION BY request_id ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS avgv
+  FROM merged
+),
+peaks AS (
+  SELECT request_id, queue, user, start, "end", amount,
+         CAST(max(avgv) AS BIGINT) AS integral_peak
+  FROM stair WHERE t <= "end" + 24 GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT p.request_id, p.queue, p.user, p.start, p."end", p.amount,
+       p.integral_peak,
+       CAST(c.capacity * 0.125 AS BIGINT) AS integral_limit,
+       p.integral_peak <= CAST(c.capacity * 0.125 AS BIGINT) AS integral_ok
+FROM peaks p JOIN caps c USING (queue)
+"""
+
+
+@register("reservation_integral_quota", _RESERVATION_INTEGRAL_ORACLE)
+def reservation_integral_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CapacityOverTimePolicy's integral quota (operators/reservations.
+    integral_quota_check; reference CapacityOverTimePolicy.java:95-203
+    — over ANY window of validWindow, a user's average allocation must
+    stay ≤ maxAvg × cluster: user consumption + the request clipped to
+    [start−W, end+W], intermediate points every W, a running integral
+    rounded per point, and the up/down front staircases whose
+    difference is the tested sliding average). Same event-derived
+    reservation plan as reservation_admission_plan; maxAvg = 1/8 with
+    capacities divisible by 8 (exact-binary limits — Spark truncates
+    double→long while DuckDB rounds, so .5 limits would diverge),
+    W = 24 slots. Both outcomes occur at sf0.01. Every window
+    partitions by request_id — per-request candidate sets are
+    user-staircase-sized."""
+    from hadoop_source_spark.operators import reservations
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    res = e.select(
+        eid.alias("event_id"),
+        F.concat(F.lit("q"), (uid % 3).cast("string")).alias("queue"),
+        F.concat(F.lit("u"), (uid % 7).cast("string")).alias("user"),
+        (eid % 96).cast("long").alias("start"),
+        (eid % 96 + 1 + eid % 8).cast("long").alias("end"),
+        (1 + eid % 10).cast("long").alias("amount"),
+        (eid % 10 >= 8).alias("is_req"),
+    )
+    existing = (
+        res.filter(~F.col("is_req"))
+        .select("queue", "user", "start", "end", "amount")
+        .distinct()
+    )
+    requests = res.filter(F.col("is_req")).select(
+        eid.alias("request_id"), "queue", "user", "start", "end", "amount"
+    )
+    caps = spark.createDataFrame(
+        [("q0", 416), ("q1", 440), ("q2", 464)],
+        "queue string, capacity long",
+    )
+    return reservations.integral_quota_check(
+        requests, existing, caps, max_avg=0.125, valid_window=24
+    )
+
+
 _NODE_LABEL_ORACLE = """
 WITH nids AS (SELECT DISTINCT user_id % 40 AS i FROM events),
 nodes AS (
@@ -10073,6 +10223,7 @@ _WINDOW: list[str] = [
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter",
     "capacity_scheduler_allocation", "reservation_admission_plan",
+    "reservation_integral_quota",
     "node_label_allocation",
     "doc_profile",
     "dedup_exact", "dedup_span_exact", "dsir_selection",
@@ -10130,7 +10281,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 158, len(_WINDOW)
+assert len(_WINDOW) == 159, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

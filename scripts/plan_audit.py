@@ -126,6 +126,7 @@ def main() -> None:
         "bpe_pair_merge",
         "reservation_admission_plan", "node_label_allocation",
         "oiv_file_distribution", "webhdfs_liststatus_scan",
+        "reservation_integral_quota",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

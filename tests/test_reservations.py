@@ -94,3 +94,53 @@ def test_admission_empty_queue_plan(spark):
            rv.reservation_admission(reqs, existing, caps).collect()}
     assert out[1].accepted and out[1].peak_load == 0
     assert not out[2].accepted
+
+
+def _caps(spark, cap=40):
+    return spark.createDataFrame([("q", cap)], "queue string, capacity long")
+
+
+def test_integral_quota_steady_load_within_budget(spark):
+    # existing [0,10)x8 + request [10,20)x8: continuous load 8 for 20
+    # units — every W=10 window averages 8 <= 0.25*40=10: OK.
+    # request 2 doubles to 16 in its window: the [10,20] window
+    # averages 16 > 10: REJECT.
+    existing = _alloc(spark, [("q", "a", 0, 10, 8)])
+    reqs = _reqs(spark, [(1, "q", "a", 10, 20, 8),
+                         (2, "q", "a", 10, 20, 16)])
+    out = {r.request_id: r for r in rv.integral_quota_check(
+        reqs, existing, _caps(spark), max_avg=0.25,
+        valid_window=10).collect()}
+    assert out[1].integral_peak == 8 and out[1].integral_ok
+    assert out[1].integral_limit == 10
+    assert out[2].integral_peak == 16 and not out[2].integral_ok
+
+
+def test_integral_quota_clips_old_consumption(spark):
+    # 100 units of prior load, but only the [start-W, end+W] range
+    # counts (CapacityOverTimePolicy.java:95 checkStart): the clipped
+    # integral window sees level 4 for 10 units then the 1-unit tail
+    existing = _alloc(spark, [("q", "a", 0, 100, 4)])
+    reqs = _reqs(spark, [(1, "q", "a", 100, 110, 1)])
+    r = rv.integral_quota_check(
+        reqs, existing, _caps(spark), max_avg=0.125,
+        valid_window=10).collect()[0]
+    assert r.integral_peak == 4 and r.integral_limit == 5
+    assert r.integral_ok
+
+
+def test_integral_quota_intermediate_points_staircase(spark):
+    # a request longer than the window with NO existing load: the
+    # reference inserts intermediate points every W (:132-146); the
+    # up/down staircase then reads 2 through the body and 3 at the
+    # final breakpoint (the staircase's conservative overestimate at
+    # segment ends — pinned as the REFERENCE's value, not the true
+    # sliding average 2)
+    existing = _alloc(spark, [("qq", "z", 0, 1, 1)])  # other queue/user
+    reqs = _reqs(spark, [(1, "q", "a", 0, 35, 2)])
+    r = rv.integral_quota_check(
+        reqs, existing, _caps(spark), max_avg=0.0625,
+        valid_window=10).collect()[0]
+    assert r.integral_peak == 3
+    assert r.integral_limit == 2
+    assert not r.integral_ok
