@@ -5115,8 +5115,11 @@ existing AS (
   SELECT DISTINCT queue, user, start, "end", amount FROM res WHERE NOT is_req
 ),
 requests AS (
-  SELECT event_id AS request_id, queue, user, start, "end", amount
-  FROM res WHERE is_req
+  SELECT queue || '|' || user || '|' || start || '|' || "end" || '|'
+           || amount AS request_id,
+         queue, user, start, "end", amount
+  FROM (SELECT DISTINCT queue, user, start, "end", amount
+        FROM res WHERE is_req)
 ),
 caps AS (SELECT * FROM (VALUES ('q0', CAST(416 AS BIGINT)),
                                ('q1', 440), ('q2', 464)) c(queue, capacity)),
@@ -5216,7 +5219,12 @@ def reservation_integral_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     [start−W, end+W], intermediate points every W, a running integral
     rounded per point, and the up/down front staircases whose
     difference is the tested sliding average). Same event-derived
-    reservation plan as reservation_admission_plan; maxAvg = 1/8 with
+    reservation plan as reservation_admission_plan, but checked per
+    DISTINCT request shape (queue, user, window, amount): the verdict
+    depends only on the shape, the derivation space is bounded, and
+    deduping first keeps the windowed integral work scale-stable
+    while the scan still grows with the data (the sweep's 10 s budget
+    caught the undeduped version at 10.5 s). maxAvg = 1/8 with
     capacities divisible by 8 (exact-binary limits — Spark truncates
     double→long while DuckDB rounds, so .5 limits would diverge),
     W = 24 slots. Both outcomes occur at sf0.01. Every window
@@ -5240,8 +5248,16 @@ def reservation_integral_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("queue", "user", "start", "end", "amount")
         .distinct()
     )
-    requests = res.filter(F.col("is_req")).select(
-        eid.alias("request_id"), "queue", "user", "start", "end", "amount"
+    requests = (
+        res.filter(F.col("is_req"))
+        .select("queue", "user", "start", "end", "amount")
+        .distinct()
+        .select(
+            F.concat_ws(
+                "|", "queue", "user", "start", "end", "amount"
+            ).alias("request_id"),
+            "queue", "user", "start", "end", "amount",
+        )
     )
     caps = spark.createDataFrame(
         [("q0", 416), ("q1", 440), ("q2", 464)],
