@@ -978,6 +978,10 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    method: str = "exact",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification of `queries` against the
     labeled `train` corpus — the standard embedding-space labeler
@@ -990,11 +994,27 @@ def knn_classify(
 
     Returns one row per query: (query_id, pred_label, votes). The vote
     tables are k·|queries| rows — negligible next to the scoring scan.
-    """
-    nn = brute_force_topk(
-        train, queries, k=k, id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col,
-    )
+
+    method='exact' (default) scores every pair — ground truth, work
+    |Q|·|C|, and the query slice ships driver-side; the right shape
+    while queries are a small labeled seed. method='ivf' routes
+    through `ivf_topk_bipartite` — both sides stay distributed and
+    work is ~|Q|·|C|·nprobe/num_cells, the shape for labeling a whole
+    corpus slice whose size grows WITH the corpus (prediction
+    agreement vs exact is pytest-gated)."""
+    if method == "ivf":
+        nn = ivf_topk_bipartite(
+            train, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, num_cells=num_cells,
+            nprobe=nprobe, train_fraction=train_fraction,
+        )
+    elif method == "exact":
+        nn = brute_force_topk(
+            train, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    else:
+        raise ValueError(f"unknown knn method: {method!r}")
     votes = (
         nn.join(train.select(id_col, label_col), id_col)
         .groupBy(query_id_col, label_col)
@@ -1533,53 +1553,117 @@ def margin_bitext_mine_ivf(
         "__id", "__vec", F.explode("__cells").alias("cell")
     )
 
-    def _local_topk(probe, mem, dirname: str) -> DataFrame:
-        both = probe.select(
-            "cell", "__id", "__vec", F.lit(0).alias("__side")
-        ).unionByName(
-            mem.select("cell", "__id", "__vec", F.lit(1).alias("__side"))
-        )
-
-        def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-            q = pdf[pdf["__side"] == 0]
-            m = pdf[pdf["__side"] == 1]
-            if q.empty or m.empty:
-                return pd.DataFrame(
-                    {"dir": [], "qid": [], "cid": [], "cosine": []}
-                ).astype({"qid": "int64", "cid": "int64",
-                          "cosine": "float64", "dir": "object"})
-            mm = np.array([list(v) for v in m["__vec"]], dtype=np.float64)
-            mm /= np.linalg.norm(mm, axis=1, keepdims=True)
-            mids = m["__id"].to_numpy()
-            qids_all = q["__id"].to_numpy()
-            qm_all = np.array([list(v) for v in q["__vec"]],
-                              dtype=np.float64)
-            qm_all /= np.linalg.norm(qm_all, axis=1, keepdims=True)
-            kk = min(k, len(mids))
-            rows = []
-            # row-blocked BLAS: memory O(block × cell), never cell²
-            for lo in range(0, len(qids_all), 1024):
-                qm = qm_all[lo:lo + 1024]
-                qids = qids_all[lo:lo + 1024]
-                cos = np.round(qm @ mm.T, 6)
-                for i in range(cos.shape[0]):
-                    # ascending-id tie-break matches the global window
-                    top = np.lexsort((mids, -cos[i]))[:kk]
-                    rows += [
-                        (dirname, qids[i], mids[j], cos[i, j]) for j in top
-                    ]
-            return pd.DataFrame(
-                rows, columns=["dir", "qid", "cid", "cosine"]
-            )
-
-        return both.groupBy("cell").applyInPandas(
-            score, "dir string, qid long, cid long, cosine double"
-        )
-
-    local = _local_topk(s_probe, d_mem, "x").unionByName(
-        _local_topk(d_probe, s_mem, "y")
+    local = _cell_local_topk(s_probe, d_mem, k, "x").unionByName(
+        _cell_local_topk(d_probe, s_mem, k, "y")
     )
     return _margin_tail(local, k)
+
+
+def _cell_local_topk(probe: DataFrame, mem: DataFrame, k: int,
+                     dirname: str) -> DataFrame:
+    """Per-cell exact top-k of probing rows against member rows —
+    the shared IVF scoring kernel for BIG query sides (the query side
+    co-shuffles into cells instead of broadcasting). probe/mem:
+    (cell, __id, __vec). Emits (dir, qid, cid, cosine) local top-k
+    per probe row per cell; a (dir, qid) window merges the nprobe
+    cells' lists into the global top-k. Row-blocked BLAS inside each
+    cell group — memory O(block × cell), never cell²."""
+    import pandas as pd
+
+    both = probe.select(
+        "cell", "__id", "__vec", F.lit(0).alias("__side")
+    ).unionByName(
+        mem.select("cell", "__id", "__vec", F.lit(1).alias("__side"))
+    )
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        q = pdf[pdf["__side"] == 0]
+        m = pdf[pdf["__side"] == 1]
+        if q.empty or m.empty:
+            return pd.DataFrame(
+                {"dir": [], "qid": [], "cid": [], "cosine": []}
+            ).astype({"qid": "int64", "cid": "int64",
+                      "cosine": "float64", "dir": "object"})
+        mm = np.array([list(v) for v in m["__vec"]], dtype=np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        mids = m["__id"].to_numpy()
+        qids_all = q["__id"].to_numpy()
+        qm_all = np.array([list(v) for v in q["__vec"]],
+                          dtype=np.float64)
+        qm_all /= np.linalg.norm(qm_all, axis=1, keepdims=True)
+        kk = min(k, len(mids))
+        rows = []
+        # row-blocked BLAS: memory O(block × cell), never cell²
+        for lo in range(0, len(qids_all), 1024):
+            qm = qm_all[lo:lo + 1024]
+            qids = qids_all[lo:lo + 1024]
+            cos = np.round(qm @ mm.T, 6)
+            for i in range(cos.shape[0]):
+                # ascending-id tie-break matches the global window
+                top = np.lexsort((mids, -cos[i]))[:kk]
+                rows += [
+                    (dirname, qids[i], mids[j], cos[i, j]) for j in top
+                ]
+        return pd.DataFrame(
+            rows, columns=["dir", "qid", "cid", "cosine"]
+        )
+
+    return both.groupBy("cell").applyInPandas(
+        score, "dir string, qid long, cid long, cosine double"
+    )
+
+
+def ivf_topk_bipartite(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF ANN for a LARGE query side: unlike `ivf_topk` (which
+    broadcasts the query slice — the right shape when queries are
+    few), both sides here stay distributed. The quantizer trains on a
+    driver-bounded sample of corpus ∪ queries; corpus vectors sit in
+    their home cell, each query explodes into its nprobe nearest
+    cells, and the equi-join on cell id feeds the shared per-cell
+    BLAS kernel — scored work ~|Q|·|C|·nprobe/num_cells. Same output
+    shape as ivf_topk: (query_id, vec_id, cosine, rank ≤ k).
+    Deterministic (seeded k-means, stable probes, id tie-breaks);
+    recall is the IVF trade — a true neighbor outside the probed
+    cells is missed."""
+    train = corpus.select(F.col(id_col).alias("__tid"),
+                          F.col(vec_col).alias("__tv")).unionByName(
+        queries.select(F.col(query_id_col).alias("__tid"),
+                       F.col(vec_col).alias("__tv"))
+    )
+    cent, _ = _train_and_assign_cells(
+        train, "__tid", "__tv", num_cells, train_fraction
+    )
+    mem = _probe_cells(corpus, id_col, vec_col, cent, nprobe).select(
+        "__id", "__vec", F.get("__cells", 0).alias("cell")
+    )
+    probe = _probe_cells(queries, query_id_col, vec_col, cent, nprobe).select(
+        "__id", "__vec", F.explode("__cells").alias("cell")
+    )
+    local = _cell_local_topk(probe, mem, k, "q")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.select(
+            F.col("qid").alias(query_id_col),
+            F.col("cid").alias(id_col),
+            "cosine",
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def cluster_shift_expr(vec_col: str, cluster_col: str, amp: float = 2.0) -> Column:

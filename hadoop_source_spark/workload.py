@@ -6322,6 +6322,45 @@ def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_label_classify_ivf", None)
+def knn_label_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN labeling at corpus scale (llmops/similarity.knn_classify
+    method='ivf' → ivf_topk_bipartite): the SAME vote semantics as
+    knn_label_classify, but the query side is a corpus slice that
+    GROWS with the data — so instead of broadcasting it (quadratic
+    work, the exact row's 7× wall at 10× data in SCALING_EMPIRICAL),
+    both sides co-shuffle into shared coarse cells and score only
+    cell-local candidates (~nprobe/num_cells of the pairs, cells
+    auto-scaled ~sqrt(N)). Input is the label-clustered derivation
+    (cluster_shift_expr — label propagation presumes embeddings
+    cluster by label; the raw synthetic vectors are isotropic).
+    Rows-only by design (k-means quantizer); prediction agreement
+    vs the exact kernel is pytest-gated
+    (test_llmops.py::test_knn_ivf_agreement)."""
+    e = table(spark, sf_dir, "embeddings")
+    clustered = e.select(
+        "vec_id", "label",
+        sim.cluster_shift_expr("embedding", "label", amp=2.0).alias(
+            "embedding"
+        ),
+    )
+    q = clustered.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        F.col("label").alias("true_label"),
+    )
+    train = clustered.filter(F.col("vec_id") % 10 != 7)
+    total = e.count()
+    cells = max(16, int(round(total ** 0.5)))
+    pred = sim.knn_classify(
+        train, q.select("query_id", "embedding"), k=10,
+        method="ivf", num_cells=cells, nprobe=4,
+    )
+    return pred.join(q.select("query_id", "true_label"), "query_id").select(
+        "query_id", "true_label", "pred_label", "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 _RRF_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
@@ -10265,7 +10304,8 @@ _WINDOW: list[str] = [
     "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
     "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
     "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
-    "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
+    "editlog_replay", "knn_label_classify", "knn_label_classify_ivf",
+    "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
     "streaming_audit_rollup", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",
@@ -10297,7 +10337,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 159, len(_WINDOW)
+assert len(_WINDOW) == 160, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -94,7 +94,8 @@ def main() -> None:
         "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
         "ann_pq_topk", "kll_quantile_store", "theta_retention_overlap",
         "funnel_conversion", "bpe_tokenize_stats", "editlog_replay",
-        "knn_label_classify", "hybrid_search_rrf",
+        "knn_label_classify", "knn_label_classify_ivf",
+        "hybrid_search_rrf",
         "audit_log_summary", "embedding_class_stats",
         "replication_repair_plan", "storage_type_quota_report",
         "permission_check_matrix", "nntop_window_users",

@@ -122,7 +122,8 @@ EXTRA = (
     "funnel_conversion",
     # eighth batch: log-round pointer doubling + window fold; kNN vote;
     # two-leg retrieval + list-sized fusion
-    "editlog_replay", "knn_label_classify", "hybrid_search_rrf",
+    "editlog_replay", "knn_label_classify", "knn_label_classify_ivf",
+    "hybrid_search_rrf",
     "audit_log_summary", "embedding_class_stats",
     "replication_repair_plan", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",

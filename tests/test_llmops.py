@@ -883,3 +883,25 @@ def test_margin_bitext_ivf_deterministic(spark):
     b = sorted(map(tuple, sim.margin_bitext_mine_ivf(
         src, dst, k=4, num_cells=8, nprobe=3).collect()))
     assert a == b
+
+
+def test_knn_ivf_agreement(spark):
+    """knn_classify(method='ivf') must agree with the exact kernel on
+    label-clustered data (the label-propagation regime): ≥0.9 same
+    predictions, and every query labeled."""
+    e = table(spark, SF, "embeddings")
+    clustered = e.select(
+        "vec_id", "label",
+        sim.cluster_shift_expr("embedding", "label", amp=2.0).alias(
+            "embedding"),
+    )
+    q = clustered.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    train = clustered.filter(F.col("vec_id") % 10 != 7)
+    exact = {r.query_id: r.pred_label for r in
+             sim.knn_classify(train, q, k=10).collect()}
+    ivf = {r.query_id: r.pred_label for r in sim.knn_classify(
+        train, q, k=10, method="ivf", num_cells=8, nprobe=3).collect()}
+    assert len(ivf) == len(exact)
+    agree = sum(1 for k_ in exact if ivf.get(k_) == exact[k_]) / len(exact)
+    assert agree >= 0.9, f"agreement {agree:.3f}"
