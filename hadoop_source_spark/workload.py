@@ -5268,6 +5268,103 @@ def reservation_integral_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FAIR_PLACEMENT_ORACLE = """
+WITH apps AS (
+  SELECT event_id AS app_id,
+         CASE WHEN user_id % 13 = 11 THEN 'team.11'
+              ELSE 'u' || (user_id % 13) END AS user,
+         'g' || (user_id % 5) AS primary_group,
+         ['s' || (user_id % 4), 's' || (user_id % 6)] AS secondary_groups,
+         CASE WHEN event_id % 7 = 0 THEN 'eng'
+              WHEN event_id % 7 = 1 THEN 'adhoc'
+              WHEN event_id % 7 = 2 THEN 'default' END AS specified_queue
+  FROM events
+),
+c AS (
+  SELECT *,
+    'root.' || replace(trim(user), '.', '_dot_') AS uq,
+    'root.' || replace(trim(primary_group), '.', '_dot_') AS gq,
+    CASE WHEN specified_queue IS NOT NULL
+         THEN 'root.' || replace(trim(specified_queue), '.', '_dot_')
+    END AS sq,
+    list_filter(
+      list_transform(secondary_groups,
+                     g -> 'root.' || replace(trim(g), '.', '_dot_')),
+      q -> q IN ('root.default', 'root.eng', 'root.g0', 'root.g1',
+                 'root.s2', 'root.s5', 'root.u3')) AS sgq
+  FROM apps
+),
+placed AS (
+  SELECT *, CASE
+    WHEN specified_queue IS NOT NULL AND trim(specified_queue) <> 'default'
+         AND sq IN ('root.default', 'root.eng', 'root.g0', 'root.g1',
+                    'root.s2', 'root.s5', 'root.u3') THEN 'specified'
+    WHEN uq IN ('root.default', 'root.eng', 'root.g0', 'root.g1',
+                'root.s2', 'root.s5', 'root.u3') THEN 'user'
+    WHEN len(sgq) > 0 THEN 'secondaryGroupExistingQueue'
+    WHEN gq IN ('root.default', 'root.eng', 'root.g0', 'root.g1',
+                'root.s2', 'root.s5', 'root.u3') THEN 'primaryGroup'
+    ELSE 'default' END AS matched_rule
+  FROM c
+)
+SELECT app_id, user, primary_group, specified_queue,
+  CASE matched_rule WHEN 'specified' THEN sq WHEN 'user' THEN uq
+       WHEN 'secondaryGroupExistingQueue' THEN sgq[1]
+       WHEN 'primaryGroup' THEN gq ELSE 'root.backfill'
+  END AS assigned_queue,
+  matched_rule,
+  matched_rule = 'default' AS created
+FROM placed
+"""
+
+
+@register("fair_queue_placement", _FAIR_PLACEMENT_ORACLE)
+def fair_queue_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FairScheduler queue placement (operators/fairplacement.
+    place_apps; reference QueuePlacementPolicy.java:54 rule chain +
+    resourcemanager/placement/*.java): specified → user(create=off) →
+    secondaryGroupExistingQueue → primaryGroup(create=off) →
+    default(create, to root.backfill). Event submissions exercise
+    every path: a specified queue that exists (eng), one that doesn't
+    and falls through (adhoc), the explicitly-skipped 'default'
+    literal, a dotted user cleaned to _dot_, per-user and per-group
+    queues that exist for some users only, the first-existing
+    secondary group, and the created fallback. One cascading
+    when-expression — rule order is expression order, queue existence
+    is a conf-sized literal list, zero joins, pure codegen."""
+    from hadoop_source_spark.operators import fairplacement as fp
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    apps = e.select(
+        eid.alias("app_id"),
+        F.when(uid % 13 == 11, F.lit("team.11"))
+        .otherwise(F.concat(F.lit("u"), (uid % 13).cast("string")))
+        .alias("user"),
+        F.concat(F.lit("g"), (uid % 5).cast("string")).alias(
+            "primary_group"
+        ),
+        F.array(
+            F.concat(F.lit("s"), (uid % 4).cast("string")),
+            F.concat(F.lit("s"), (uid % 6).cast("string")),
+        ).alias("secondary_groups"),
+        F.when(eid % 7 == 0, F.lit("eng"))
+        .when(eid % 7 == 1, F.lit("adhoc"))
+        .when(eid % 7 == 2, F.lit("default"))
+        .alias("specified_queue"),
+    )
+    rules = [
+        {"name": "specified"},
+        {"name": "user", "create": False},
+        {"name": "secondaryGroupExistingQueue"},
+        {"name": "primaryGroup", "create": False},
+        {"name": "default", "queue": "root.backfill", "create": True},
+    ]
+    existing = ["root.default", "root.eng", "root.g0", "root.g1",
+                "root.s2", "root.s5", "root.u3"]
+    return fp.place_apps(apps, rules, existing).drop("secondary_groups")
+
+
 _NODE_LABEL_ORACLE = """
 WITH nids AS (SELECT DISTINCT user_id % 40 AS i FROM events),
 nodes AS (
@@ -10278,6 +10375,7 @@ _WINDOW: list[str] = [
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter",
     "capacity_scheduler_allocation", "reservation_admission_plan",
+    "fair_queue_placement",
     "reservation_integral_quota",
     "node_label_allocation",
     "doc_profile",
@@ -10337,7 +10435,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 160, len(_WINDOW)
+assert len(_WINDOW) == 161, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -127,7 +127,7 @@ def main() -> None:
         "bpe_pair_merge",
         "reservation_admission_plan", "node_label_allocation",
         "oiv_file_distribution", "webhdfs_liststatus_scan",
-        "reservation_integral_quota",
+        "reservation_integral_quota", "fair_queue_placement",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

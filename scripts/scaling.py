@@ -157,7 +157,7 @@ EXTRA = (
     "bpe_pair_merge",
     "reservation_admission_plan", "node_label_allocation",
     "oiv_file_distribution", "webhdfs_liststatus_scan",
-    "reservation_integral_quota",
+    "reservation_integral_quota", "fair_queue_placement",
 )
 
 
