@@ -5268,6 +5268,77 @@ def reservation_integral_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPELINE_RECOVERY_ORACLE = """
+WITH f AS (
+  SELECT event_id,
+         CASE user_id % 4 WHEN 0 THEN 'DEFAULT' WHEN 1 THEN 'ALWAYS'
+              WHEN 2 THEN 'NEVER' ELSE 'DISABLE' END AS policy,
+         event_id % 2 = 0 AS best_effort,
+         CAST(1 + event_id % 4 AS INTEGER) AS replication,
+         CAST(event_id % 5 AS INTEGER) AS n_remaining,
+         event_id % 7 = 0 AS is_append,
+         event_id % 11 = 0 AS is_hflushed,
+         event_id % 3 <> 0 AS replacement_ok
+  FROM events
+),
+c AS (
+  SELECT *,
+    n_remaining > 0 AND n_remaining < replication AND
+    CASE policy
+      WHEN 'ALWAYS' THEN TRUE
+      WHEN 'DEFAULT' THEN replication >= 3 AND
+           (n_remaining <= replication // 2 OR is_append OR is_hflushed)
+      ELSE FALSE END AS needs_replacement
+  FROM f
+)
+SELECT event_id, policy, best_effort, replication, n_remaining,
+       is_append, is_hflushed, replacement_ok, needs_replacement,
+       CASE WHEN n_remaining = 0 THEN 'ABORT_NO_DATANODES'
+            WHEN needs_replacement AND replacement_ok
+              THEN 'REPLACED_CONTINUE'
+            WHEN needs_replacement AND NOT replacement_ok AND best_effort
+              THEN 'CONTINUE_DEGRADED'
+            WHEN needs_replacement AND NOT replacement_ok
+              THEN 'WRITE_FAILED'
+            WHEN n_remaining >= replication THEN 'CONTINUE'
+            ELSE 'CONTINUE_DEGRADED' END AS action
+FROM c
+"""
+
+
+@register("pipeline_recovery_plan", _PIPELINE_RECOVERY_ORACLE)
+def pipeline_recovery_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-pipeline replace-datanode-on-failure decisions
+    (operators/writepath.pipeline_recovery_plan; reference
+    ReplaceDatanodeOnFailure.java:128 satisfy — no replacement when
+    the pipeline is empty or still full, DEFAULT requires r ≥ 3 and
+    (n ≤ r/2 or append/hflushed), ALWAYS/NEVER/DISABLE as named —
+    and :120 bestEffort deciding whether a failed replacement kills
+    the write). Events play a fleet's pipeline-failure log across all
+    four policies, both bestEffort settings, r ∈ 1..4, n ∈ 0..4, and
+    append/hflush flags; every action occurs at sf0.01. One cascading
+    when-expression, zero joins, pure codegen."""
+    from hadoop_source_spark.operators import writepath
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    failures = e.select(
+        "event_id",
+        F.when(uid % 4 == 0, F.lit("DEFAULT"))
+        .when(uid % 4 == 1, F.lit("ALWAYS"))
+        .when(uid % 4 == 2, F.lit("NEVER"))
+        .otherwise(F.lit("DISABLE"))
+        .alias("policy"),
+        (eid % 2 == 0).alias("best_effort"),
+        (1 + eid % 4).cast("int").alias("replication"),
+        (eid % 5).cast("int").alias("n_remaining"),
+        (eid % 7 == 0).alias("is_append"),
+        (eid % 11 == 0).alias("is_hflushed"),
+        (eid % 3 != 0).alias("replacement_ok"),
+    )
+    return writepath.pipeline_recovery_plan(failures)
+
+
 _FAIR_PLACEMENT_ORACLE = """
 WITH apps AS (
   SELECT event_id AS app_id,
@@ -10375,7 +10446,7 @@ _WINDOW: list[str] = [
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter",
     "capacity_scheduler_allocation", "reservation_admission_plan",
-    "fair_queue_placement",
+    "fair_queue_placement", "pipeline_recovery_plan",
     "reservation_integral_quota",
     "node_label_allocation",
     "doc_profile",
@@ -10435,7 +10506,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 161, len(_WINDOW)
+assert len(_WINDOW) == 162, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

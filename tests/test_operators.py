@@ -690,3 +690,44 @@ def test_oiv_file_distribution_bucket_rules(spark):
     assert got[("totalBlocks", None)] == 17
     assert got[("totalSpace", None)] == 0 + 1 + 200 + 101 + 750 + 9999
     assert got[("maxFileSize", None)] == 9999
+
+
+def test_pipeline_recovery_satisfy_boundaries(spark):
+    """ReplaceDatanodeOnFailure.satisfy (:128): no replacement when the
+    pipeline is empty or still full; DEFAULT needs r>=3 AND (n <= r/2
+    integer-division OR append OR hflushed); bestEffort decides whether
+    a failed replacement kills the write."""
+    from hadoop_source_spark.operators import writepath
+
+    rows = [
+        # id, policy, best_effort, r, n, append, hflushed, repl_ok
+        (1, "DEFAULT", False, 3, 1, False, False, True),   # 1<=1 → replace
+        (2, "DEFAULT", False, 4, 2, False, False, True),   # 2<=2 → replace
+        (3, "DEFAULT", False, 4, 3, False, False, True),   # 3>2 → continue short
+        (4, "DEFAULT", False, 4, 3, False, True, True),    # hflushed → replace
+        (5, "DEFAULT", False, 2, 1, True, True, True),     # r<3 → never
+        (6, "ALWAYS", False, 2, 1, False, False, False),   # fails, no BE
+        (7, "ALWAYS", True, 2, 1, False, False, False),    # fails, BE
+        (8, "NEVER", True, 3, 1, True, True, True),        # policy off
+        (9, "ALWAYS", True, 3, 0, False, False, True),     # nothing left
+        (10, "ALWAYS", True, 3, 3, False, False, True),    # pipeline full
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, policy string, best_effort boolean, "
+        "replication int, n_remaining int, is_append boolean, "
+        "is_hflushed boolean, replacement_ok boolean",
+    )
+    out = {r.event_id: r for r in
+           writepath.pipeline_recovery_plan(df).collect()}
+    assert out[1].needs_replacement and out[1].action == "REPLACED_CONTINUE"
+    assert out[2].needs_replacement
+    assert not out[3].needs_replacement
+    assert out[3].action == "CONTINUE_DEGRADED"
+    assert out[4].needs_replacement
+    assert not out[5].needs_replacement
+    assert out[6].action == "WRITE_FAILED"
+    assert out[7].action == "CONTINUE_DEGRADED"
+    assert not out[8].needs_replacement
+    assert out[9].action == "ABORT_NO_DATANODES"
+    assert not out[10].needs_replacement and out[10].action == "CONTINUE"
