@@ -196,3 +196,69 @@ def retry_schedule(
     return stepped.withColumn(
         "cum_sleep_ms", F.round(F.sum("sleep_ms").over(w), 4)
     ).withColumn("sleep_ms", F.round("sleep_ms", 4))
+
+
+def wrr_drain_order(
+    calls: DataFrame,
+    num_queues: int,
+    weights: list[int] | None = None,
+    queue_col: str = "queue",
+    order_col: str = "arrival_seq",
+) -> DataFrame:
+    """FairCallQueue drain schedule under the weighted-round-robin
+    multiplexer (reference `ipc/WeightedRoundRobinMultiplexer.java:41`
+    — weights [9,4,1] mean a 14-read cycle serving queue 0 nine
+    times, queue 1 four, queue 2 once, repeat; default weights are
+    2^N, doubling toward the highest-priority queue, :95-104; a
+    weights list that does not match the queue count is a
+    configuration error, :76-80).
+
+    In the saturated regime (every queue backlogged — exactly when
+    the multiplexer's fairness matters; an empty queue makes the
+    reader scan ahead, a race the reference explicitly tolerates,
+    :39-40) the schedule has a CLOSED FORM: with cycle length
+    L = Σw and prefix_i = Σ_{j<i} w_j, the p-th call of queue i
+    (FIFO) is served at global slot
+    (p div w_i)·L + prefix_i + (p mod w_i).
+
+    calls: (…, queue int 0-based, arrival_seq — FIFO order within the
+    queue). Output adds fifo_pos, cycle, and serve_slot (the global
+    drain position). One per-queue window + pure arithmetic — no
+    scheduler loop, no shuffle beyond the window's."""
+    if weights is None:
+        # getDefaultQueueWeights: 2^N, lowest queue weight 1
+        weights = [1 << (num_queues - 1 - i) for i in range(num_queues)]
+    if len(weights) != num_queues:
+        raise ValueError(
+            f"must specify exactly {num_queues} weights: one for each "
+            "priority level"
+        )
+    total = sum(weights)
+    prefix = [sum(weights[:i]) for i in range(num_queues)]
+    w_expr = F.lit(None).cast("long")
+    p_expr = F.lit(None).cast("long")
+    for i in range(num_queues - 1, -1, -1):
+        w_expr = F.when(F.col(queue_col) == i, F.lit(weights[i])).otherwise(
+            w_expr
+        )
+        p_expr = F.when(F.col(queue_col) == i, F.lit(prefix[i])).otherwise(
+            p_expr
+        )
+    win = Window.partitionBy(queue_col).orderBy(order_col)
+    pos = F.row_number().over(win) - 1
+    out = calls.select(
+        *calls.columns,
+        pos.alias("fifo_pos"),
+        w_expr.alias("__w"),
+        p_expr.alias("__p"),
+    )
+    return out.select(
+        *calls.columns,
+        "fifo_pos",
+        F.floor(F.col("fifo_pos") / F.col("__w")).alias("cycle"),
+        (
+            F.floor(F.col("fifo_pos") / F.col("__w")) * total
+            + F.col("__p")
+            + F.pmod(F.col("fifo_pos"), F.col("__w"))
+        ).cast("long").alias("serve_slot"),
+    )

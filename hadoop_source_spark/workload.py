@@ -7246,6 +7246,51 @@ FROM pr p JOIN lvl l USING (priority)
 """
 
 
+_WRR_ORACLE = """
+WITH calls AS (
+  SELECT event_id AS call_id,
+         CAST(event_id % 4 AS INTEGER) AS queue,
+         event_id AS arrival_seq
+  FROM events
+),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY queue ORDER BY arrival_seq)
+            - 1 AS fifo_pos
+  FROM calls
+),
+wts AS (SELECT * FROM (VALUES (0, 8, 0), (1, 4, 8), (2, 2, 12),
+                              (3, 1, 14)) w(queue, w, pfx))
+SELECT p.call_id, p.queue, p.arrival_seq, CAST(p.fifo_pos AS BIGINT)
+         AS fifo_pos,
+       CAST(p.fifo_pos // w.w AS BIGINT) AS cycle,
+       CAST(p.fifo_pos // w.w * 15 + w.pfx + p.fifo_pos % w.w AS BIGINT)
+         AS serve_slot
+FROM pos p JOIN wts w USING (queue)
+"""
+
+
+@register("wrr_callqueue_drain", _WRR_ORACLE)
+def wrr_callqueue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FairCallQueue weighted-round-robin drain schedule
+    (operators/rpcsched.wrr_drain_order; reference
+    ipc/WeightedRoundRobinMultiplexer.java:41 — default 2^N weights
+    [8,4,2,1] over the four DecayRpcScheduler priority levels give a
+    15-read cycle; in the saturated regime the p-th FIFO call of
+    queue i drains at the closed-form slot (p div w)·15 + prefix +
+    (p mod w)). Events are the queued-call log across the four
+    levels; one per-queue window + pure arithmetic — the scheduler
+    loop never materializes."""
+    from hadoop_source_spark.operators import rpcsched
+
+    e = table(spark, sf_dir, "events")
+    calls = e.select(
+        F.col("event_id").alias("call_id"),
+        (F.col("event_id") % 4).cast("int").alias("queue"),
+        F.col("event_id").alias("arrival_seq"),
+    )
+    return rpcsched.wrr_drain_order(calls, num_queues=4)
+
+
 @register("rpc_scheduler_priority", _RPCSCHED_ORACLE)
 def rpc_scheduler_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecayRpcScheduler + FairCallQueue backoff (operators/rpcsched;
@@ -10478,7 +10523,8 @@ _WINDOW: list[str] = [
     "audit_log_summary", "embedding_class_stats", "replication_repair_plan",
     "streaming_audit_rollup", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",
-    "rpc_scheduler_priority", "datanode_liveness_report",
+    "rpc_scheduler_priority", "wrr_callqueue_drain",
+    "datanode_liveness_report",
     "safemode_report", "anomaly_rolling_zscore",
     "delegation_token_sweep", "pca_embedding_projection",
     "lease_recovery_sweep", "xattr_store_report",
@@ -10506,7 +10552,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 162, len(_WINDOW)
+assert len(_WINDOW) == 163, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -128,7 +128,7 @@ def main() -> None:
         "reservation_admission_plan", "node_label_allocation",
         "oiv_file_distribution", "webhdfs_liststatus_scan",
         "reservation_integral_quota", "fair_queue_placement",
-        "pipeline_recovery_plan",
+        "pipeline_recovery_plan", "wrr_callqueue_drain",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

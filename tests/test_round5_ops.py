@@ -1053,3 +1053,45 @@ def test_machine_list_includes(spark):
     # a list of ONLY dead '*' entries admits nothing
     none = df.select(pc.machine_list_includes("ip", ["*", "*"]).alias("m"))
     assert not any(r.m for r in none.collect())
+
+
+# ------------------------------------------------ WRR call multiplexer
+def test_wrr_drain_order_reference_example(spark):
+    """The javadoc's own example (WeightedRoundRobinMultiplexer.java:30):
+    weights [9,4,1] → a 14-read cycle reading queue 0 nine times, queue
+    1 four times, queue 2 once, then repeat."""
+    from hadoop_source_spark.operators import rpcsched
+
+    calls = spark.createDataFrame(
+        [(100 * q + p, q, p) for q in range(3) for p in range(20)],
+        "call_id long, queue int, arrival_seq long",
+    )
+    out = {r.call_id: r.serve_slot for r in rpcsched.wrr_drain_order(
+        calls, num_queues=3, weights=[9, 4, 1]).collect()}
+    # first cycle
+    assert [out[p] for p in range(9)] == list(range(9))        # q0 p0-8
+    assert [out[100 + p] for p in range(4)] == [9, 10, 11, 12]  # q1 p0-3
+    assert out[200] == 13                                       # q2 p0
+    # second cycle picks up where the first left off
+    assert out[9] == 14 and out[104] == 23 and out[201] == 27
+    # saturated schedule is a permutation: no two calls share a slot
+    slots = list(out.values())
+    assert len(slots) == len(set(slots))
+
+
+def test_wrr_default_weights_and_validation(spark):
+    import pytest
+
+    from hadoop_source_spark.operators import rpcsched
+
+    calls = spark.createDataFrame(
+        [(q, q, 0) for q in range(4)],
+        "call_id long, queue int, arrival_seq long",
+    )
+    # default 2^N weights [8,4,2,1]: first call of each queue drains at
+    # its prefix (0, 8, 12, 14)
+    out = {r.queue: r.serve_slot for r in
+           rpcsched.wrr_drain_order(calls, num_queues=4).collect()}
+    assert out == {0: 0, 1: 8, 2: 12, 3: 14}
+    with pytest.raises(ValueError, match="exactly 4 weights"):
+        rpcsched.wrr_drain_order(calls, num_queues=4, weights=[1, 2])
