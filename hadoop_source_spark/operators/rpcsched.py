@@ -262,3 +262,84 @@ def wrr_drain_order(
             + F.pmod(F.col("fifo_pos"), F.col("__w"))
         ).cast("long").alias("serve_slot"),
     )
+
+
+def retry_cache_replay(
+    calls: DataFrame,
+    expiry: int,
+    client_col: str = "client_id",
+    call_col: str = "call_id",
+    ts_col: str = "ts",
+    success_col: str = "succeeded",
+) -> DataFrame:
+    """RPC at-most-once retry cache (reference `ipc/RetryCache.java:46`
+    — non-idempotent NameNode ops are cached by the unique
+    (clientId, callId) of the request so a RETRY of an already-applied
+    op returns the cached outcome instead of re-executing):
+
+    - first arrival of a key EXECUTES and adds an entry whose
+      expiration anchors at add time (:72 — re-executions do NOT
+      extend it);
+    - a retry that finds an un-expired entry is a CACHE HIT
+      (`waitForCompletion` — metrics incrCacheHit); but when the
+      cached attempt FAILED, the retry flips the entry back to
+      INPROGRESS and re-executes (:waitForCompletion tail: "previous
+      request has failed, the expectation is that it will be retried
+      again");
+    - expired entries are evicted on access (LightWeightCache), so an
+      arrival past the epoch's expiration executes as a NEW entry —
+      checked BEFORE the failed-retry rule, exactly the lookup order.
+
+    calls: (client_id, call_id, ts, succeeded — the outcome IF the
+    attempt executes). Output per attempt adds action (NEW /
+    CACHE_HIT / RETRY_EXECUTE / NEW_AFTER_EXPIRY), executed (bool),
+    epoch_start (the live entry's add time). The fold runs per
+    (client, call) key via applyInPandas — groups are retry-chain
+    sized (a handful of rows), so state is bounded and the single
+    shuffle keys on the cache key itself."""
+    import pandas as pd
+
+    out_schema = (
+        f"{client_col} string, {call_col} long, {ts_col} long, "
+        f"{success_col} boolean, action string, executed boolean, "
+        "epoch_start long"
+    )
+
+    def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        actions, executed_l, epochs = [], [], []
+        epoch_start = None
+        last_success = None
+        for ts, ok in zip(pdf[ts_col], pdf[success_col]):
+            if epoch_start is None:
+                action, executed = "NEW", True
+                epoch_start = ts
+            elif ts > epoch_start + expiry:
+                action, executed = "NEW_AFTER_EXPIRY", True
+                epoch_start = ts
+            elif not last_success:
+                action, executed = "RETRY_EXECUTE", True
+            else:
+                action, executed = "CACHE_HIT", False
+            if executed:
+                last_success = bool(ok)
+            actions.append(action)
+            executed_l.append(executed)
+            epochs.append(epoch_start)
+        return pd.DataFrame(
+            {
+                client_col: pdf[client_col],
+                call_col: pdf[call_col],
+                ts_col: pdf[ts_col],
+                success_col: pdf[success_col],
+                "action": actions,
+                "executed": executed_l,
+                "epoch_start": epochs,
+            }
+        )
+
+    return (
+        calls.select(client_col, call_col, ts_col, success_col)
+        .groupBy(client_col, call_col)
+        .applyInPandas(fold, out_schema)
+    )

@@ -7246,6 +7246,65 @@ FROM pr p JOIN lvl l USING (priority)
 """
 
 
+_RETRY_CACHE_ORACLE = """
+WITH RECURSIVE a AS (
+  SELECT 'c' || (user_id % 50) AS client_id,
+         CAST(event_id % 40 AS BIGINT) AS call_id,
+         CAST(event_id AS BIGINT) AS ts,
+         event_id % 5 <> 0 AS succeeded,
+         row_number() OVER (PARTITION BY user_id % 50, event_id % 40
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT client_id, call_id, ts, succeeded, rn,
+         'NEW' AS action, TRUE AS executed,
+         ts AS epoch_start, succeeded AS last_success
+  FROM a WHERE rn = 1
+  UNION ALL
+  SELECT n.client_id, n.call_id, n.ts, n.succeeded, n.rn,
+    CASE WHEN n.ts > p.epoch_start + 2000 THEN 'NEW_AFTER_EXPIRY'
+         WHEN NOT p.last_success THEN 'RETRY_EXECUTE'
+         ELSE 'CACHE_HIT' END,
+    n.ts > p.epoch_start + 2000 OR NOT p.last_success,
+    CASE WHEN n.ts > p.epoch_start + 2000 THEN n.ts
+         ELSE p.epoch_start END,
+    CASE WHEN n.ts > p.epoch_start + 2000 OR NOT p.last_success
+         THEN n.succeeded ELSE p.last_success END
+  FROM r p JOIN a n ON n.client_id = p.client_id
+                   AND n.call_id = p.call_id AND n.rn = p.rn + 1
+)
+SELECT client_id, call_id, ts, succeeded, action, executed, epoch_start
+FROM r
+"""
+
+
+@register("retry_cache_replay", _RETRY_CACHE_ORACLE)
+def retry_cache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC at-most-once retry cache replay (operators/rpcsched.
+    retry_cache_replay; reference ipc/RetryCache.java:46 — entries
+    keyed by (clientId, callId), expiration anchored at add time,
+    cache hits return the cached outcome, FAILED attempts re-execute
+    on retry, expired entries evict before lookup). Events play the
+    RPC attempt log: 50 clients × 40 call ids give multi-attempt
+    retry chains; every 5th attempt fails (driving RETRY_EXECUTE) and
+    a 2000-tick expiry splits epochs (driving NEW_AFTER_EXPIRY). The
+    per-key fold is retry-chain-sized state behind one shuffle on the
+    cache key; the oracle is the same state machine as a recursive
+    CTE. All four actions occur at sf0.01."""
+    from hadoop_source_spark.operators import rpcsched
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    calls = e.select(
+        F.concat(F.lit("c"), (uid % 50).cast("string")).alias("client_id"),
+        (eid % 40).cast("long").alias("call_id"),
+        eid.cast("long").alias("ts"),
+        (eid % 5 != 0).alias("succeeded"),
+    )
+    return rpcsched.retry_cache_replay(calls, expiry=2000)
+
+
 _WRR_ORACLE = """
 WITH calls AS (
   SELECT event_id AS call_id,
@@ -10524,6 +10583,7 @@ _WINDOW: list[str] = [
     "streaming_audit_rollup", "storage_type_quota_report",
     "permission_check_matrix", "nntop_window_users",
     "rpc_scheduler_priority", "wrr_callqueue_drain",
+    "retry_cache_replay",
     "datanode_liveness_report",
     "safemode_report", "anomaly_rolling_zscore",
     "delegation_token_sweep", "pca_embedding_projection",
@@ -10552,7 +10612,7 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
 ]
 
-assert len(_WINDOW) == 163, len(_WINDOW)
+assert len(_WINDOW) == 164, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

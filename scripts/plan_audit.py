@@ -129,6 +129,7 @@ def main() -> None:
         "oiv_file_distribution", "webhdfs_liststatus_scan",
         "reservation_integral_quota", "fair_queue_placement",
         "pipeline_recovery_plan", "wrr_callqueue_drain",
+        "retry_cache_replay",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

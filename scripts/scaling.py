@@ -159,6 +159,7 @@ EXTRA = (
     "oiv_file_distribution", "webhdfs_liststatus_scan",
     "reservation_integral_quota", "fair_queue_placement",
     "pipeline_recovery_plan", "wrr_callqueue_drain",
+    "retry_cache_replay",
 )
 
 

@@ -1095,3 +1095,41 @@ def test_wrr_default_weights_and_validation(spark):
     assert out == {0: 0, 1: 8, 2: 12, 3: 14}
     with pytest.raises(ValueError, match="exactly 4 weights"):
         rpcsched.wrr_drain_order(calls, num_queues=4, weights=[1, 2])
+
+
+# ------------------------------------------------------ RPC retry cache
+def test_retry_cache_state_machine(spark):
+    """RetryCache.waitForCompletion semantics: hits return the cached
+    outcome; a FAILED cached attempt re-executes on retry; expiration
+    anchors at the entry's ADD time (re-executions do not extend it)
+    and ts == expiry boundary is NOT yet expired."""
+    from hadoop_source_spark.operators import rpcsched
+
+    rows = [
+        # chain A: success → hit → expiry boundary hit → expired
+        ("cA", 1, 0, True),
+        ("cA", 1, 5, True),    # CACHE_HIT
+        ("cA", 1, 10, True),   # ts == 0+10 → still a HIT (strict >)
+        ("cA", 1, 11, True),   # NEW_AFTER_EXPIRY
+        # chain B: failure → retry re-executes → hit; expiry still
+        # anchored at the ORIGINAL add (t=0), not the re-execution
+        ("cB", 2, 0, False),
+        ("cB", 2, 3, True),    # RETRY_EXECUTE (same epoch)
+        ("cB", 2, 5, False),   # CACHE_HIT (last exec succeeded; outcome col ignored)
+        ("cB", 2, 12, True),   # NEW_AFTER_EXPIRY (12 > 0+10, not 3+10)
+    ]
+    df = spark.createDataFrame(
+        rows, "client_id string, call_id long, ts long, succeeded boolean"
+    )
+    out = {(r.client_id, r.ts): r for r in
+           rpcsched.retry_cache_replay(df, expiry=10).collect()}
+    assert out[("cA", 0)].action == "NEW" and out[("cA", 0)].executed
+    assert out[("cA", 5)].action == "CACHE_HIT" and not out[("cA", 5)].executed
+    assert out[("cA", 10)].action == "CACHE_HIT"
+    assert out[("cA", 11)].action == "NEW_AFTER_EXPIRY"
+    assert out[("cA", 11)].epoch_start == 11
+    assert out[("cB", 0)].action == "NEW"
+    assert out[("cB", 3)].action == "RETRY_EXECUTE" and out[("cB", 3)].executed
+    assert out[("cB", 3)].epoch_start == 0   # anchored at original add
+    assert out[("cB", 5)].action == "CACHE_HIT"
+    assert out[("cB", 12)].action == "NEW_AFTER_EXPIRY"
