@@ -74,6 +74,26 @@ def writable_hash(col: Column | str) -> Column:
     )
 
 
+def java_string_hash(col: Column | str) -> Column:
+    """Bit-exact `java.lang.String.hashCode()` (`h = 31*h + charAt(i)`
+    over UTF-16 chars, seed 0 — vs WritableComparator's seed-1 byte
+    fold above). This is the hash HashBasedRouterPolicy routes queues
+    by (`router/HashBasedRouterPolicy.java:98`:
+    `Math.abs(queue.hashCode() % size)`). Exact for BMP text, where
+    one character is one UTF-16 code unit and `F.ascii`'s code point
+    equals it (queue names are ASCII by construction). Same
+    ANSI-safe pmod wraparound trick as `writable_hash`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.filter(F.split(c, ""), lambda s: F.length(s) > 0),
+        F.lit(0).cast("long"),
+        lambda h, ch: (
+            F.pmod(h * 31 + F.ascii(ch) + F.lit(2147483648), F.lit(4294967296))
+            - F.lit(2147483648)
+        ),
+    )
+
+
 def hash_partition(col: Column | str, num_partitions: int) -> Column:
     """The HashPartitioner assignment `(hash & Integer.MAX_VALUE) %
     numPartitions` over `writable_hash` — how every keyed record in

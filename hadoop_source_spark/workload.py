@@ -7305,6 +7305,203 @@ def retry_cache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rpcsched.retry_cache_replay(calls, expiry=2000)
 
 
+_FED_ROUTER_ORACLE = """
+WITH sc(sc_id, active, available_mb, weight) AS (
+  VALUES ('sc0', TRUE, 11264, 0.5), ('sc1', TRUE, 16384, 1.0),
+         ('sc2', TRUE, 16384, 1.0), ('sc3', FALSE, 99999, 1.0),
+         ('sc4', TRUE, 7168, 0.0), ('sc5', TRUE, 11264, 0.5),
+         ('sc6', TRUE, 3072, -1.0)
+),
+apps AS (
+  SELECT DISTINCT user_id AS app_id,
+         'federation.queue.' || CAST(user_id % 10 AS VARCHAR) AS queue,
+         -- abs(java String.hashCode('federation.queue.D')): the 32-bit
+         -- fold wraps negative for this prefix (= -(1423396120 - D))
+         CAST(1423396120 - user_id % 10 AS BIGINT) AS abs_qhash,
+         user_id % 7 AS b
+  FROM events
+),
+cand AS (
+  SELECT a.*, s.sc_id, s.available_mb, s.weight
+  FROM apps a CROSS JOIN sc s
+  WHERE s.active
+    AND NOT (a.b = 3 AND s.sc_id = 'sc1')
+    AND NOT (a.b = 5 AND s.sc_id IN ('sc0', 'sc2'))
+),
+pri AS (
+  SELECT app_id, sc_id AS home_priority FROM (
+    SELECT app_id, sc_id, row_number() OVER (PARTITION BY app_id
+             ORDER BY weight DESC, sc_id ASC) AS rn
+    FROM cand WHERE weight > 0) WHERE rn = 1
+),
+hsh AS (
+  SELECT app_id, sc_id AS home_hash FROM (
+    SELECT app_id, sc_id, abs_qhash,
+           row_number() OVER (PARTITION BY app_id ORDER BY sc_id ASC) AS pos,
+           count(*) OVER (PARTITION BY app_id) AS n
+    FROM cand) WHERE pos = abs_qhash % n + 1
+),
+ld AS (
+  SELECT app_id, sc_id AS home_load FROM (
+    SELECT app_id, sc_id, row_number() OVER (PARTITION BY app_id
+             ORDER BY available_mb DESC, sc_id ASC) AS rn
+    FROM cand WHERE weight = 1.0) WHERE rn = 1
+)
+SELECT app_id, queue, home_priority, home_hash, home_load
+FROM apps LEFT JOIN pri USING (app_id) LEFT JOIN hsh USING (app_id)
+LEFT JOIN ld USING (app_id)
+"""
+
+
+@register("federation_router_decisions", _FED_ROUTER_ORACLE)
+def federation_router_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN Federation router home-subcluster choice under the three
+    deterministic policies (operators/yarnfed.route_apps; reference
+    federation/policies/router/{Priority,HashBased,LoadBased}RouterPolicy
+    .java — priority = max weight > Float.MIN_VALUE among active
+    non-blacklisted, hash = sorted active-minus-blacklist list at
+    Math.abs(queue.hashCode() % size) ignoring weights, load = max
+    availableMB among weight==1). The 7-subcluster registry exercises
+    an inactive RM, a zero and a negative weight (hash-eligible only),
+    a top-weight TIE (pinned to smallest id), and two per-app
+    blacklist shapes; queue names are long enough that String.hashCode
+    wraps NEGATIVE, covering the abs path bit-for-bit
+    (functions/hashes.java_string_hash). The subcluster side
+    broadcasts; per-app picks are windowed on app_id — embarrassingly
+    parallel at scale."""
+    from hadoop_source_spark.operators import yarnfed
+
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    apps = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            uid.alias("app_id"),
+            F.concat(
+                F.lit("federation.queue."), (uid % 10).cast("string")
+            ).alias("queue"),
+            F.when(uid % 7 == 3, F.array(F.lit("sc1")))
+            .when(uid % 7 == 5, F.array(F.lit("sc0"), F.lit("sc2")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("blacklist"),
+        )
+    )
+    subclusters = spark.createDataFrame(
+        [
+            ("sc0", True, 11264), ("sc1", True, 16384),
+            ("sc2", True, 16384), ("sc3", False, 99999),
+            ("sc4", True, 7168), ("sc5", True, 11264),
+            ("sc6", True, 3072),
+        ],
+        "sc_id string, active boolean, available_mb long",
+    )
+    weights = spark.createDataFrame(
+        [
+            ("sc0", 0.5), ("sc1", 1.0), ("sc2", 1.0), ("sc3", 1.0),
+            ("sc4", 0.0), ("sc5", 0.5), ("sc6", -1.0),
+        ],
+        "sc_id string, weight double",
+    )
+    return yarnfed.route_apps(apps, subclusters, weights)
+
+
+_FED_SPLIT_ORACLE = """
+WITH sc(sc_id, active, weight, headroom_mb) AS (
+  VALUES ('sc0', TRUE, 1.0, 8192), ('sc1', TRUE, 2.0, NULL),
+         ('sc2', TRUE, 1.0, 24576), ('sc3', TRUE, 0.0, 4096),
+         ('sc4', FALSE, 4.0, 1024), ('sc5', TRUE, 4.0, NULL)
+),
+enabled AS (SELECT * FROM sc WHERE active AND weight > 0),
+book AS (
+  SELECT count(*) AS n, sum(weight) AS tot_w,
+         CAST(sum(coalesce(headroom_mb, 0)) AS DOUBLE) AS tot_hr,
+         count(headroom_mb) AS known
+  FROM enabled
+),
+per_sc AS (
+  SELECT sc_id,
+         0.5 * (CASE WHEN headroom_mb IS NOT NULL AND tot_hr > 0
+                THEN (CAST(headroom_mb AS DOUBLE) / tot_hr)
+                     * (CAST(known AS DOUBLE) / n)
+                ELSE 1.0 / n END)
+         + 0.5 * (weight / tot_w) AS w
+  FROM enabled CROSS JOIN book
+),
+reqs AS (
+  SELECT req_id, CASE WHEN req_id % 37 = 0 THEN 0 ELSE cnt END
+           AS num_containers
+  FROM (SELECT o_orderkey % 997 AS req_id, count(*) AS cnt
+        FROM orders GROUP BY 1)
+),
+scored AS (
+  SELECT req_id, sc_id,
+         num_containers * w
+           / sum(CASE WHEN w > 0 THEN w END)
+               OVER (PARTITION BY req_id) AS share,
+         num_containers
+  FROM (SELECT * FROM reqs WHERE num_containers > 0) CROSS JOIN per_sc
+  WHERE w > 0
+),
+assigned AS (
+  SELECT req_id, sc_id,
+         CAST(floor(share) AS BIGINT)
+           + CASE WHEN row_number() OVER (PARTITION BY req_id
+                    ORDER BY share - floor(share) DESC, sc_id ASC)
+                  <= num_containers - sum(CAST(floor(share) AS BIGINT))
+                       OVER (PARTITION BY req_id)
+                  THEN 1 ELSE 0 END AS containers
+  FROM scored
+)
+SELECT req_id, sc_id, containers FROM assigned WHERE containers > 0
+UNION ALL
+SELECT req_id, sc_id, CAST(0 AS BIGINT)
+FROM (SELECT req_id FROM reqs WHERE num_containers = 0)
+CROSS JOIN (SELECT sc_id FROM sc WHERE headroom_mb IS NOT NULL)
+"""
+
+
+@register("federation_amrm_split", _FED_SPLIT_ORACLE)
+def federation_amrm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMRMProxy weighted ANY-split across federated subclusters
+    (operators/yarnfed.split_any; reference federation/policies/
+    amrmproxy/LocalityMulticastAMRMProxyPolicy.java:322-484 —
+    per-subcluster weight hrAlpha*headroomWeighting +
+    (1-hrAlpha)*policyWeighting, floor assignment, residue one at a
+    time; zero-container cancels fan to every headroom-reporting RM
+    incl. inactive/disabled ones, exactly headroom.keySet()). The
+    config makes every weight an exact binary fraction (totW=8,
+    totHeadroom=2^15) so floor boundaries are bit-identical across
+    engines; ~997 requests exercise residues 0..3 and the Hamilton
+    tie (equal remainders → smallest id). Residue placement is the
+    documented deterministic stand-in for the reference's weighted
+    random draw (module docstring). One broadcast fan-out + one
+    windowed pass per request — scales on the request key."""
+    from hadoop_source_spark.operators import yarnfed
+
+    o = table(spark, sf_dir, "orders")
+    reqs = (
+        o.groupBy((F.col("o_orderkey") % 997).alias("req_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "req_id",
+            F.when(F.col("req_id") % 37 == 0, F.lit(0))
+            .otherwise(F.col("cnt"))
+            .cast("long")
+            .alias("num_containers"),
+        )
+    )
+    subclusters = spark.createDataFrame(
+        [
+            ("sc0", True, 1.0, 8192), ("sc1", True, 2.0, None),
+            ("sc2", True, 1.0, 24576), ("sc3", True, 0.0, 4096),
+            ("sc4", False, 4.0, 1024), ("sc5", True, 4.0, None),
+        ],
+        "sc_id string, active boolean, weight double, headroom_mb long",
+    )
+    return yarnfed.split_any(reqs, subclusters, hr_alpha=0.5)
+
+
 _WRR_ORACLE = """
 WITH calls AS (
   SELECT event_id AS call_id,
@@ -10610,9 +10807,11 @@ _WINDOW: list[str] = [
     "config_resolution", "proxy_user_matrix", "retry_schedule_matrix",
     "token_entropy_report", "streaming_heavy_hitters",
     "service_acl_host_matrix",
+    # round 7 (continued)
+    "federation_router_decisions", "federation_amrm_split",
 ]
 
-assert len(_WINDOW) == 164, len(_WINDOW)
+assert len(_WINDOW) == 166, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

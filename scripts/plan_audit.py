@@ -130,6 +130,7 @@ def main() -> None:
         "reservation_integral_quota", "fair_queue_placement",
         "pipeline_recovery_plan", "wrr_callqueue_drain",
         "retry_cache_replay",
+        "federation_router_decisions", "federation_amrm_split",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
