@@ -7502,6 +7502,174 @@ def federation_amrm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yarnfed.split_any(reqs, subclusters, hr_alpha=0.5)
 
 
+_EZ_RESOLVE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, (doc_id // 20) % 5 AS u FROM documents
+),
+paths AS (
+  SELECT '/data/' || source || '/u' || CAST(u AS VARCHAR)
+           || '/doc' || CAST(doc_id AS VARCHAR) AS path,
+         FALSE AS is_dir, source, u FROM d
+  UNION ALL
+  SELECT DISTINCT '/data/' || source, TRUE, source, NULL FROM d
+  UNION ALL
+  SELECT DISTINCT '/data/' || source || '/u' || CAST(u AS VARCHAR),
+         TRUE, source, u FROM d
+),
+-- independent derivation: the nearest-ancestor rule as a direct CASE
+-- over the zone config (innermost first), not a chain walk
+r AS (
+  SELECT path, is_dir,
+         CASE WHEN source = 'src3' AND u = 1 THEN '/data/src3/u1'
+              WHEN source = 'src3' THEN '/data/src3'
+              WHEN source = 'src7' AND u = 2 THEN '/data/src7/u2'
+              WHEN source = 'src11' THEN '/data/src11' END AS zone_path
+  FROM paths
+)
+SELECT path, is_dir, zone_path,
+       CASE zone_path WHEN '/data/src3/u1' THEN 'key-src3-u1'
+                      WHEN '/data/src3' THEN 'key-src3'
+                      WHEN '/data/src7/u2' THEN 'key-src7-u2'
+                      WHEN '/data/src11' THEN 'key-src11' END AS key_name,
+       CASE zone_path WHEN '/data/src7/u2' THEN 'SM4/CTR/NoPadding'
+                      WHEN NULL THEN NULL
+                      ELSE CASE WHEN zone_path IS NOT NULL
+                                THEN 'AES/CTR/NoPadding' END END AS suite,
+       CASE zone_path WHEN '/data/src7/u2' THEN 'Submitted'
+                      WHEN '/data/src11' THEN 'Processing'
+                      ELSE CASE WHEN zone_path IS NOT NULL
+                                THEN 'Completed' END END AS reenc_state
+FROM r
+"""
+
+
+def _ez_zones(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            ("/data/src3", "key-src3", "AES/CTR/NoPadding", "Completed"),
+            ("/data/src3/u1", "key-src3-u1", "AES/CTR/NoPadding",
+             "Completed"),
+            ("/data/src7/u2", "key-src7-u2", "SM4/CTR/NoPadding",
+             "Submitted"),
+            ("/data/src11", "key-src11", "AES/CTR/NoPadding", "Processing"),
+        ],
+        "zone_path string, key_name string, suite string, reenc_state string",
+    )
+
+
+@register("encryption_zone_resolution", _EZ_RESOLVE_ORACLE)
+def encryption_zone_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-ancestor encryption-zone resolution (operators/enczones.
+    resolve_zones; reference EncryptionZoneManager.java:391-431 — walk
+    the INodesInPath leaf-up, directories only, first EZ root wins, so
+    a NESTED zone shadows its outer zone and a zone-root directory
+    resolves to itself). Documents are the namespace: file inodes at
+    /data/<source>/u<k>/doc<id> plus their directory inodes; the zone
+    registry holds an outer zone, a nested zone inside it, a
+    re-encrypting SM4 zone and a Processing zone. The engine explodes
+    ancestor CHAINS (depth-bounded) into a broadcast equi-join — never
+    a LIKE cross join — and the oracle derives the same answers as a
+    direct innermost-first CASE, an independent construction. u is
+    doc_id//20 (doc_id%20 degenerates per-source)."""
+    from hadoop_source_spark.operators import enczones
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ((F.col("doc_id") / 20).cast("long") % 5).alias("u")
+    )
+    files = d.select(
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/u"),
+            F.col("u").cast("string"), F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+        F.lit(False).alias("is_dir"),
+    )
+    src_dirs = (
+        d.select("source").distinct()
+        .select(F.concat(F.lit("/data/"), "source").alias("path"),
+                F.lit(True).alias("is_dir"))
+    )
+    u_dirs = (
+        d.select("source", "u").distinct()
+        .select(
+            F.concat(F.lit("/data/"), "source", F.lit("/u"),
+                     F.col("u").cast("string")).alias("path"),
+            F.lit(True).alias("is_dir"),
+        )
+    )
+    paths = files.unionByName(src_dirs).unionByName(u_dirs)
+    return enczones.resolve_zones(paths, _ez_zones(spark))
+
+
+_EZ_RENAME_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, (doc_id // 20) % 5 AS u FROM documents
+),
+m AS (
+  SELECT doc_id AS op_id,
+         '/data/' || source || '/u' || CAST(u AS VARCHAR)
+           || '/doc' || CAST(doc_id AS VARCHAR) AS src,
+         '/data/' || source || '/u' || CAST((u + 1) % 5 AS VARCHAR)
+           || '/doc' || CAST(doc_id AS VARCHAR) AS dst,
+         CASE WHEN source = 'src3' AND u = 1 THEN '/data/src3/u1'
+              WHEN source = 'src3' THEN '/data/src3'
+              WHEN source = 'src7' AND u = 2 THEN '/data/src7/u2'
+              WHEN source = 'src11' THEN '/data/src11' END AS src_zone,
+         CASE WHEN source = 'src3' AND (u + 1) % 5 = 1 THEN '/data/src3/u1'
+              WHEN source = 'src3' THEN '/data/src3'
+              WHEN source = 'src7' AND (u + 1) % 5 = 2 THEN '/data/src7/u2'
+              WHEN source = 'src11' THEN '/data/src11' END AS dst_zone
+  FROM d
+)
+SELECT op_id, src, dst, src_zone, dst_zone,
+       CASE WHEN src_zone IS NOT NULL AND dst_zone IS NULL
+              THEN 'ERR_FROM_EZ'
+            WHEN dst_zone IS NOT NULL AND src_zone IS NULL
+              THEN 'ERR_INTO_EZ'
+            WHEN src_zone IS NOT NULL AND src_zone <> dst_zone
+              THEN 'ERR_CROSS_EZ'
+            WHEN src_zone IN ('/data/src7/u2', '/data/src11')
+              THEN 'ERR_REENCRYPTION'
+            ELSE 'OK' END AS action
+FROM m
+"""
+
+
+@register("ez_rename_validity", _EZ_RENAME_ORACLE)
+def ez_rename_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename validity across encryption zones (operators/enczones.
+    check_moves; reference EncryptionZoneManager.java:477-531
+    checkMoveValidity — PARENT-zone membership via
+    getParentEncryptionZoneForPath:440, mixed moves fail from/into,
+    differing zones fail cross, and a shared zone mid-re-encryption
+    blocks the move). Each doc moves one user-dir over
+    (u -> (u+1)%5): src3 traffic crosses the nested/outer boundary
+    (ERR_CROSS_EZ both directions), src7 enters/leaves the
+    re-encrypting u2 zone (ERR_INTO/FROM_EZ), src11 moves stay inside
+    a Processing zone (ERR_REENCRYPTION), everything else is OK — all
+    five actions live at sf0.01. The oracle classifies via direct
+    CASE zone algebra, independent of the chain-explode path."""
+    from hadoop_source_spark.operators import enczones
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ((F.col("doc_id") / 20).cast("long") % 5).alias("u")
+    )
+    renames = d.select(
+        F.col("doc_id").alias("op_id"),
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/u"),
+            F.col("u").cast("string"), F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/u"),
+            ((F.col("u") + 1) % 5).cast("string"), F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("dst"),
+    )
+    return enczones.check_moves(renames, _ez_zones(spark))
+
+
 _WRR_ORACLE = """
 WITH calls AS (
   SELECT event_id AS call_id,
@@ -10809,9 +10977,10 @@ _WINDOW: list[str] = [
     "service_acl_host_matrix",
     # round 7 (continued)
     "federation_router_decisions", "federation_amrm_split",
+    "encryption_zone_resolution", "ez_rename_validity",
 ]
 
-assert len(_WINDOW) == 166, len(_WINDOW)
+assert len(_WINDOW) == 168, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

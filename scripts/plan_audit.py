@@ -131,6 +131,7 @@ def main() -> None:
         "pipeline_recovery_plan", "wrr_callqueue_drain",
         "retry_cache_replay",
         "federation_router_decisions", "federation_amrm_split",
+        "encryption_zone_resolution", "ez_rename_validity",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -161,6 +161,7 @@ EXTRA = (
     "pipeline_recovery_plan", "wrr_callqueue_drain",
     "retry_cache_replay",
     "federation_router_decisions", "federation_amrm_split",
+    "encryption_zone_resolution", "ez_rename_validity",
 )
 
 
