@@ -7670,6 +7670,232 @@ def ez_rename_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enczones.check_moves(renames, _ez_zones(spark))
 
 
+_LOCALITY_DELAY_ORACLE = """
+WITH s AS (
+  SELECT user_id % 50 AS app_id, event_id % 3 AS sched_key,
+         'n' || (event_id % 80) AS node,
+         CAST(event_id % 97 AS BIGINT) AS missed,
+         CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS node_ask,
+         CAST(CASE WHEN event_id % 4 IN (0, 1) THEN 2 ELSE 0 END AS BIGINT)
+           AS rack_ask,
+         CAST(CASE WHEN event_id % 11 = 7 THEN 0
+                   ELSE 1 + event_id % 10 END AS BIGINT) AS total_ask,
+         CAST(1 + event_id % 30 AS INTEGER) AS uniq_asks,
+         event_id % 13 = 0 AS reserved,
+         CAST(CASE WHEN user_id % 2 = 0 THEN 40 ELSE 10 END AS INTEGER)
+           AS node_delay,
+         CAST(CASE WHEN user_id % 2 = 0 THEN -1 ELSE 20 END AS INTEGER)
+           AS rack_add_delay
+  FROM events
+),
+d AS (
+  SELECT app_id, sched_key, node, missed,
+         CASE
+           WHEN node_ask > 0 AND rack_ask > 0 THEN 'NODE_LOCAL'
+           WHEN rack_ask > 0 AND least(80, node_delay) < missed
+             THEN 'RACK_LOCAL'
+           WHEN total_ask > 0 AND (
+             reserved
+             OR uniq_asks = 1
+             OR (rack_add_delay > -1
+                 AND missed > least(80, node_delay + rack_add_delay))
+             OR (rack_add_delay = -1
+                 AND least(CAST(80 AS DOUBLE),
+                           CAST(total_ask AS DOUBLE)
+                             * least(CAST(uniq_asks - 1 AS DOUBLE) / 80,
+                                     1.0))
+                     < CAST(missed AS DOUBLE))
+           ) THEN 'OFF_SWITCH'
+           ELSE 'SKIP'
+         END AS decision
+  FROM s
+)
+SELECT * FROM d
+"""
+
+
+@register("locality_delay_schedule", _LOCALITY_DELAY_ORACLE)
+def locality_delay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CapacityScheduler delay-scheduling ladder (operators/
+    localitydelay.classify; reference RegularContainerAllocator.java
+    canAssign:302-365 + assignContainersOnNode:370-415 +
+    getLocalityWaitFactor:282-289 — node-local needs a node ask,
+    rack-local waits out min(N, nodeLocalityDelay) missed
+    opportunities, off-switch is immediate for reserved containers or
+    ANY-only keys and otherwise gated by the additional-delay knob or
+    the wait-factor rule). Events are heartbeat snapshots on an
+    80-node cluster; even users run on a queue with the wait-factor
+    config (delay 40, additional -1), odd users on an
+    additional-delay queue (10 + 20) — both OFF_SWITCH gates fire at
+    sf0.01, as do all four decisions. Pure cascading-when codegen,
+    zero joins/shuffles."""
+    from hadoop_source_spark.operators import localitydelay
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    snaps = e.select(
+        (uid % 50).alias("app_id"),
+        (eid % 3).alias("sched_key"),
+        F.concat(F.lit("n"), (eid % 80).cast("string")).alias("node"),
+        F.lit(None).cast("string").alias("rack"),
+        (eid % 97).cast("long").alias("missed"),
+        F.when(eid % 4 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("node_ask"),
+        F.when((eid % 4).isin(0, 1), F.lit(2)).otherwise(F.lit(0))
+        .cast("long").alias("rack_ask"),
+        F.when(eid % 11 == 7, F.lit(0)).otherwise(1 + eid % 10)
+        .cast("long").alias("total_ask"),
+        (1 + eid % 30).cast("int").alias("uniq_asks"),
+        (eid % 13 == 0).alias("reserved"),
+        F.when(uid % 2 == 0, F.lit(40)).otherwise(F.lit(10)).cast("int")
+        .alias("node_delay"),
+        F.when(uid % 2 == 0, F.lit(-1)).otherwise(F.lit(20)).cast("int")
+        .alias("rack_add_delay"),
+    )
+    return localitydelay.classify(snaps, cluster_nodes=80)
+
+
+_KMS_ACL_ORACLE = """
+WITH ka(key, op, users, groups, all_allowed) AS (
+  VALUES ('key0', 'MANAGEMENT', ['u1'], CAST([] AS VARCHAR[]), FALSE),
+         ('key0', 'READ', CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
+          TRUE),
+         ('key1', 'ALL', ['u2'], CAST([] AS VARCHAR[]), FALSE),
+         ('key2', 'READ', CAST([] AS VARCHAR[]), ['g0'], FALSE),
+         ('key3', 'MANAGEMENT', ['u3'], CAST([] AS VARCHAR[]), FALSE)
+),
+da(op, users, groups, all_allowed) AS (
+  VALUES ('READ', CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), TRUE),
+         ('GENERATE_EEK', CAST([] AS VARCHAR[]), ['g1'], FALSE)
+),
+wa(op, users, groups, all_allowed) AS (
+  VALUES ('DECRYPT_EEK', ['u7'], CAST([] AS VARCHAR[]), FALSE),
+         ('READ', ['u9'], CAST([] AS VARCHAR[]), FALSE)
+),
+r AS (
+  SELECT event_id AS req_id,
+         'u' || (user_id % 20) AS usr,
+         CASE WHEN user_id % 5 = 0
+              THEN ['g' || ((user_id % 20) % 4), 'crypto']
+              ELSE ['g' || ((user_id % 20) % 4)] END AS grps,
+         'key' || ((event_id // 4) % 8) AS key,
+         CASE event_id % 4 WHEN 0 THEN 'READ' WHEN 1 THEN 'MANAGEMENT'
+              WHEN 2 THEN 'GENERATE_EEK' ELSE 'DECRYPT_EEK' END AS op
+  FROM events
+),
+j AS (
+  SELECT r.*,
+         EXISTS (SELECT 1 FROM ka WHERE ka.key = r.key) AS has_key_acl,
+         ko.all_allowed AS ko_all, ko.users AS ko_users,
+         ko.groups AS ko_groups,
+         kall.all_allowed AS ka_all, kall.users AS ka_users,
+         kall.groups AS ka_groups,
+         da.all_allowed AS do_all, da.users AS do_users,
+         da.groups AS do_groups,
+         wa.all_allowed AS wo_all, wa.users AS wo_users,
+         wa.groups AS wo_groups
+  FROM r
+  LEFT JOIN ka ko ON ko.key = r.key AND ko.op = r.op
+  LEFT JOIN ka kall ON kall.key = r.key AND kall.op = 'ALL'
+  LEFT JOIN da ON da.op = r.op
+  LEFT JOIN wa ON wa.op = r.op
+)
+SELECT req_id, usr AS "user", key, op,
+       (has_key_acl OR do_all IS NOT NULL OR wo_all IS NOT NULL)
+       AND (
+         (CASE WHEN has_key_acl
+               THEN coalesce(ko_all OR list_contains(ko_users, usr)
+                             OR list_has_any(ko_groups, grps), FALSE)
+               ELSE coalesce(do_all OR list_contains(do_users, usr)
+                             OR list_has_any(do_groups, grps), FALSE)
+          END)
+         OR coalesce(wo_all OR list_contains(wo_users, usr)
+                     OR list_has_any(wo_groups, grps), FALSE)
+         OR (has_key_acl
+             AND coalesce(ka_all OR list_contains(ka_users, usr)
+                          OR list_has_any(ka_groups, grps), FALSE))
+       ) AS allowed
+FROM j
+"""
+
+
+@register("kms_key_acl_matrix", _KMS_ACL_ORACLE)
+def kms_key_acl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMS key-level authorization lattice (operators/kmsacl.
+    check_key_access; reference KMSACLs.java:277-308 hasAccessToKey /
+    checkKeyAccess / isACLPresent + KeyAuthorizationKeyProvider.java:
+    139-152 checkAccess — per-key ACLs fully SHADOW defaults even for
+    absent ops, the whitelist rescues on top, only per-key maps may
+    grant the ALL pseudo-op, and an op with no ACL anywhere denies via
+    the isACLPresent gate). Events are the KMS request log against a
+    config exercising every path: wildcard and group entries, a
+    per-key ALL grant, the shadow-deny (key3 READ) with a whitelist
+    rescue (u9), default-READ wildcard, and MANAGEMENT-on-default
+    keys denied by absence. ACL tables are conf-sized broadcast
+    dimensions; the request stream never shuffles."""
+    from hadoop_source_spark.operators import kmsacl
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    requests = e.select(
+        eid.alias("req_id"),
+        F.concat(F.lit("u"), (uid % 20).cast("string")).alias("user"),
+        # event_id%4 picks the op — divide it out so every (key, op)
+        # pair occurs (event_id%8 would lock READ onto keys 0 and 4)
+        F.concat(
+            F.lit("key"), ((eid / 4).cast("long") % 8).cast("string")
+        ).alias("key"),
+        F.element_at(
+            F.array(
+                F.lit("READ"), F.lit("MANAGEMENT"),
+                F.lit("GENERATE_EEK"), F.lit("DECRYPT_EEK"),
+            ),
+            (eid % 4).cast("int") + 1,
+        ).alias("op"),
+    )
+    user_groups = spark.createDataFrame(
+        [
+            (
+                f"u{i}",
+                [f"g{i % 4}", "crypto"] if i % 5 == 0 else [f"g{i % 4}"],
+            )
+            for i in range(20)
+        ],
+        "user string, groups array<string>",
+    )
+    key_acls = spark.createDataFrame(
+        [
+            ("key0", "MANAGEMENT", ["u1"], [], False),
+            ("key0", "READ", [], [], True),
+            ("key1", "ALL", ["u2"], [], False),
+            ("key2", "READ", [], ["g0"], False),
+            ("key3", "MANAGEMENT", ["u3"], [], False),
+        ],
+        "key string, op string, users array<string>, "
+        "groups array<string>, all_allowed boolean",
+    )
+    default_acls = spark.createDataFrame(
+        [
+            ("READ", [], [], True),
+            ("GENERATE_EEK", [], ["g1"], False),
+        ],
+        "op string, users array<string>, groups array<string>, "
+        "all_allowed boolean",
+    )
+    whitelist_acls = spark.createDataFrame(
+        [
+            ("DECRYPT_EEK", ["u7"], [], False),
+            ("READ", ["u9"], [], False),
+        ],
+        "op string, users array<string>, groups array<string>, "
+        "all_allowed boolean",
+    )
+    return kmsacl.check_key_access(
+        requests, key_acls, default_acls, whitelist_acls, user_groups
+    )
+
+
 _WRR_ORACLE = """
 WITH calls AS (
   SELECT event_id AS call_id,
@@ -10978,9 +11204,10 @@ _WINDOW: list[str] = [
     # round 7 (continued)
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
+    "locality_delay_schedule", "kms_key_acl_matrix",
 ]
 
-assert len(_WINDOW) == 168, len(_WINDOW)
+assert len(_WINDOW) == 170, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -132,6 +132,7 @@ def main() -> None:
         "retry_cache_replay",
         "federation_router_decisions", "federation_amrm_split",
         "encryption_zone_resolution", "ez_rename_validity",
+        "locality_delay_schedule", "kms_key_acl_matrix",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -162,6 +162,7 @@ EXTRA = (
     "retry_cache_replay",
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
+    "locality_delay_schedule", "kms_key_acl_matrix",
 )
 
 
