@@ -7896,6 +7896,114 @@ def kms_key_acl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OPP_QUEUE_ORACLE = """
+WITH hb AS (
+  SELECT 'n' || (event_id % 60) AS node_id,
+         CAST(event_id AS BIGINT) AS ts,
+         CAST(event_id % 7 AS BIGINT) AS queue_len,
+         CAST(CASE WHEN event_id % 9 = 4 THEN -1
+                   ELSE event_id % 50 END AS BIGINT) AS wait_time,
+         CAST(4 + (event_id % 60) % 7 AS BIGINT) AS queue_cap,
+         event_id % 17 = 3 AS decom
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT hb.*, row_number() OVER (PARTITION BY node_id
+             ORDER BY ts DESC) AS rn FROM hb) WHERE rn = 1
+),
+live AS (SELECT * FROM latest WHERE NOT decom),
+by_len AS (
+  SELECT node_id,
+         row_number() OVER (ORDER BY queue_len ASC, ts DESC) AS rank,
+         greatest(queue_cap - queue_len, CAST(0 AS BIGINT)) AS cap
+  FROM live
+),
+caps AS (
+  SELECT *,
+    coalesce(sum(cap) OVER (ORDER BY cap
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+    count(*) OVER (ORDER BY cap
+      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_ge,
+    count(*) OVER (ORDER BY cap
+      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_gt
+  FROM by_len
+),
+lvl AS (
+  SELECT coalesce(max(CASE WHEN below + cap * n_ge <= 150 THEN
+           cap + CASE WHEN n_gt > 0 THEN CAST(floor(
+             CAST(150 - below - cap * n_ge AS DOUBLE) / n_gt) AS BIGINT)
+             ELSE 0 END END), 0) AS r
+  FROM caps
+),
+placed AS (
+  SELECT sum(least(cap, r)) AS placed FROM by_len CROSS JOIN lvl
+),
+fill_len AS (
+  SELECT node_id, rank AS rank_len,
+         CAST(least(cap, r)
+           + CASE WHEN cap > r AND row_number() OVER (
+                    PARTITION BY cap > r ORDER BY rank)
+                  <= 150 - placed THEN 1 ELSE 0 END AS BIGINT)
+           AS assigned_len
+  FROM by_len CROSS JOIN lvl CROSS JOIN placed
+),
+wt AS (
+  SELECT node_id,
+         row_number() OVER (ORDER BY wait_time ASC, ts DESC) AS rank_wait,
+         count(*) OVER () AS n
+  FROM live WHERE wait_time <> -1
+),
+fill_wait AS (
+  SELECT node_id, rank_wait,
+         CAST(150 // n + CASE WHEN rank_wait <= 150 % n THEN 1 ELSE 0 END
+              AS BIGINT) AS assigned_wait
+  FROM wt
+)
+SELECT l.node_id, l.queue_len, l.wait_time,
+       f.rank_len, f.assigned_len,
+       w.rank_wait, coalesce(w.assigned_wait, 0) AS assigned_wait
+FROM live l
+LEFT JOIN fill_len f USING (node_id)
+LEFT JOIN fill_wait w USING (node_id)
+"""
+
+
+@register("opportunistic_queue_plan", _OPP_QUEUE_ORACLE)
+def opportunistic_queue_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opportunistic-container queue placement (operators/
+    oppcontainers.queue_plan; reference NodeQueueLoadMonitor.java:
+    66-101 LoadComparator + compareAndIncrement, :269-296 updateNode
+    eligibility, :325-345 selectLeastLoadedNodes + the allocator's
+    cyclic walk). Events are NM heartbeats for a 60-node cluster
+    (latest per node wins); 150 containers fill under BOTH
+    comparators — QUEUE_LENGTH capacity-gated round-robin solved in
+    closed water-filling form (r* = max over per-breakpoint
+    candidates; remainder to the first sorted nodes with headroom;
+    pinned against an imperative round-robin simulator in
+    tests/test_oppcontainers.py) and QUEUE_WAIT_TIME ungated modulo
+    split with -1 wait times evicting the node. The heartbeat
+    reduction shuffles on node_id; the fill windows run on the
+    node-count-sized registry (same deliberate class as
+    balancer_move_plan, PLANS.md)."""
+    from hadoop_source_spark.operators import oppcontainers
+
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    hbs = e.select(
+        F.concat(F.lit("n"), (eid % 60).cast("string")).alias("node_id"),
+        eid.cast("long").alias("ts"),
+        (eid % 7).cast("long").alias("queue_len"),
+        F.when(eid % 9 == 4, F.lit(-1))
+        .otherwise(eid % 50)
+        .cast("long")
+        .alias("wait_time"),
+        (4 + (eid % 60) % 7).cast("long").alias("queue_cap"),
+        (eid % 17 == 3).alias("decommissioning"),
+    )
+    return oppcontainers.queue_plan(hbs, containers=150)
+
+
 _WRR_ORACLE = """
 WITH calls AS (
   SELECT event_id AS call_id,
@@ -11205,9 +11313,10 @@ _WINDOW: list[str] = [
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
     "locality_delay_schedule", "kms_key_acl_matrix",
+    "opportunistic_queue_plan",
 ]
 
-assert len(_WINDOW) == 170, len(_WINDOW)
+assert len(_WINDOW) == 171, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Query]:

@@ -133,6 +133,7 @@ def main() -> None:
         "federation_router_decisions", "federation_amrm_split",
         "encryption_zone_resolution", "ez_rename_validity",
         "locality_delay_schedule", "kms_key_acl_matrix",
+        "opportunistic_queue_plan",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -163,6 +163,7 @@ EXTRA = (
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
     "locality_delay_schedule", "kms_key_acl_matrix",
+    "opportunistic_queue_plan",
 )
 
 
