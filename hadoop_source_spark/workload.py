@@ -11217,6 +11217,140 @@ def service_acl_host_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_RENAME_QUOTA_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         (doc_id // 20) % 5 AS u,
+         ((doc_id // 20) % 5 + 2) % 5 AS v,
+         doc_id % 11 = 3 AS inplace,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS delta_ns,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN -4096
+                   ELSE 512 * (1 + doc_id % 9) END AS BIGINT) AS delta_ss
+  FROM documents
+),
+m AS (
+  SELECT doc_id AS op_id, source, u, v, inplace, delta_ns, delta_ss,
+         '/data/' || source || '/u' || CAST(u AS VARCHAR)
+           || '/doc' || CAST(doc_id AS VARCHAR) AS src,
+         CASE WHEN inplace
+              THEN '/data/' || source || '/u' || CAST(u AS VARCHAR)
+                     || '/r' || CAST(doc_id AS VARCHAR)
+              ELSE '/data/' || source || '/u' || CAST(v AS VARCHAR)
+                     || '/doc' || CAST(doc_id AS VARCHAR) END AS dst
+  FROM d
+),
+-- independent derivation: verdicts as a direct CASE over the quota
+-- config, deepest candidate first, namespace before storagespace
+-- within a directory; NOT a chain walk
+j AS (
+  SELECT m.*,
+    CASE WHEN NOT inplace AND source = 'src3' AND v = 1
+              AND delta_ns > 0 AND 100 > 100 - delta_ns
+           THEN 'NS_QUOTA'
+         WHEN NOT inplace AND source = 'src5' AND v = 2
+              AND delta_ss > 0 AND 9997952 > 10000000 - delta_ss
+           THEN 'SS_QUOTA'
+         WHEN NOT inplace AND source = 'src9' AND v = 3
+              AND delta_ns > 0 AND 50 > 50 - delta_ns
+           THEN 'NS_QUOTA' END AS v3,
+    CASE WHEN source = 'src7' AND delta_ss > 0
+              AND 7998976 > 8000000 - delta_ss THEN 'SS_QUOTA' END AS v2,
+    CASE WHEN source = 'src7' AND delta_ns > 0
+              AND 10 > 10 - delta_ns THEN 'NS_QUOTA' END AS v1
+  FROM m
+)
+SELECT op_id, src, dst, delta_ns, delta_ss,
+       COALESCE(v3, v2, v1, 'OK') AS verdict,
+       CASE WHEN v3 = 'SS_QUOTA' THEN '/data/src5/u2'
+            WHEN v3 = 'NS_QUOTA' AND source = 'src3' THEN '/data/src3/u1'
+            WHEN v3 = 'NS_QUOTA' AND source = 'src9' THEN '/data/src9/u3'
+            WHEN v2 IS NOT NULL THEN '/data/src7'
+            WHEN v1 IS NOT NULL THEN '/data' END AS violating_dir
+FROM j
+"""
+
+
+@register("rename_quota_check", _RENAME_QUOTA_ORACLE)
+def rename_quota_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename quota verification — the ancestor-suffix walk between the
+    destination parent and the last common ancestor (operators/
+    renamequota.precheck; reference FSDirRenameOp.java:70-93
+    verifyQuotaForRename + FSDirectory.java:1202-1228 verifyQuota +
+    DirectoryWithQuotaFeature.java:185-224 ns-before-ss +
+    Quota.java:61-64 isViolated). Documents are the rename stream:
+    each doc moves two user-dirs over (u -> (u+2)%5), except
+    doc_id%11==3 which renames IN PLACE (empty walk: dst parent IS
+    the common ancestor) and doc_id%7==0 which frees quota
+    (delta<=0: never violates). The quota config exercises every
+    reference branch at sf0.01: /data/src3/u1 (ns at the dst parent),
+    /data/src5/u2 (ss at the dst parent, magnitude-dependent),
+    /data/src9/u3 (ns AND ss both violated -> NS_QUOTA, pinning the
+    check order), and /data/src7 in the LATEST SNAPSHOT so its walk
+    continues past the common ancestor through /data/src7 (ss,
+    mid-walk) to /data (ns) — while every other source STOPS at the
+    common ancestor and never sees /data's exhausted quota. The
+    engine is one chain-explode + broadcast equi-join + per-op window
+    pick — partition-parallel on op_id at any rename rate; the oracle
+    derives the same verdicts as a direct deepest-first CASE over the
+    config, an independent construction."""
+    from hadoop_source_spark.operators import renamequota
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") / 20).cast("long") % 5).alias("u"),
+        (((F.col("doc_id") / 20).cast("long") + 2) % 5).alias("v"),
+        (F.col("doc_id") % 11 == 3).alias("inplace"),
+    )
+    renames = d.select(
+        F.col("doc_id").alias("op_id"),
+        F.concat(
+            F.lit("/data/"), "source", F.lit("/u"),
+            F.col("u").cast("string"), F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.when(
+            F.col("inplace"),
+            F.concat(
+                F.lit("/data/"), "source", F.lit("/u"),
+                F.col("u").cast("string"), F.lit("/r"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/data/"), "source", F.lit("/u"),
+                F.col("v").cast("string"), F.lit("/doc"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("dst"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("delta_ns"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(-4096))
+        .otherwise(512 * (1 + F.col("doc_id") % 9))
+        .cast("long")
+        .alias("delta_ss"),
+    )
+    quota_dirs = spark.createDataFrame(
+        [
+            ("/data/src3/u1", 100, -1, 100, 0),
+            ("/data/src5/u2", -1, 10_000_000, 0, 9_997_952),
+            ("/data/src9/u3", 50, 500_000, 50, 500_000),
+            ("/data/src7", -1, 8_000_000, 0, 7_998_976),
+            ("/data", 10, -1, 10, 0),
+        ],
+        "dir_path string, ns_quota long, ss_quota long,"
+        " ns_used long, ss_used long",
+    )
+    snapshot_dirs = spark.createDataFrame(
+        [("/data/src7",)] + [(f"/data/src7/u{k}",) for k in range(5)],
+        "dir_path string",
+    )
+    return renamequota.precheck(renames, quota_dirs, snapshot_dirs)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -11248,14 +11382,21 @@ _WINDOW: list[str] = [
     "table_stats_report",
     "events_hourly", "events_sessionize", "events_stats_json",
     "streaming_typed_events", "timeline_entity_filter",
-    "capacity_scheduler_allocation", "reservation_admission_plan",
-    "fair_queue_placement", "pipeline_recovery_plan",
-    "reservation_integral_quota",
-    "node_label_allocation",
+    # Rotation policy: the driver hash-checks the FIRST 50 slots each
+    # round. Rows verified by the driver in round N rotate BEHIND rows
+    # it has not checked recently, so the independent signal cycles the
+    # registry instead of parking one family outside it. Round 8: the
+    # six scheduler rows driver-verified in r07 swap with the
+    # LLM-pipeline rows they displaced (rotated out in r07, parity-only
+    # since).
     "doc_profile",
     "dedup_exact", "dedup_span_exact", "dsir_selection",
     "dedup_jaccard_suite",
     "dedup_connected_components",
+    "capacity_scheduler_allocation", "reservation_admission_plan",
+    "fair_queue_placement", "pipeline_recovery_plan",
+    "reservation_integral_quota",
+    "node_label_allocation",
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
     "weighted_sample_docs", "bpe_tokenize_stats",
     "quality_classifier_scores", "shard_manifest",
@@ -11314,9 +11455,26 @@ _WINDOW: list[str] = [
     "encryption_zone_resolution", "ez_rename_validity",
     "locality_delay_schedule", "kms_key_acl_matrix",
     "opportunistic_queue_plan",
+    # round 8
+    "rename_quota_check",
 ]
 
-assert len(_WINDOW) == 171, len(_WINDOW)
+assert len(_WINDOW) == 172, len(_WINDOW)
+
+# The driver records a weaker rows-only check for queries registered
+# WITHOUT an oracle. That set is closed and deliberate — genuinely
+# non-SQL ops (approximate sketch/ANN recall, iterative GD training,
+# clustered greedy pruning, eigensolves, subword segmentation), each
+# validated in tests/ against ground truth or an in-plan recall gate
+# instead (see __spark_entry__'s docstring). scripts/sweep.py asserts
+# window/registry consistency against this list so an oracle can never
+# be dropped silently.
+ROWS_ONLY_BY_DESIGN = frozenset({
+    "sketch_suite", "ann_cosine_approx", "semdedup_prune",
+    "quality_classifier_scores", "pca_embedding_projection",
+    "bpe_segmentation_stats", "bitext_margin_mining_ivf",
+    "knn_label_classify_ivf",
+})
 
 
 def _ordered() -> dict[str, Query]:
