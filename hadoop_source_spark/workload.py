@@ -11351,6 +11351,124 @@ def rename_quota_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renamequota.precheck(renames, quota_dirs, snapshot_dirs)
 
 
+_DIRSCANNER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, r,
+         (doc_id * 3 + r) % 15 AS s,
+         'dn' || CAST((doc_id * 31 + r * 17) % 40 AS VARCHAR) AS node,
+         doc_id * 3 + r AS block_id,
+         'v' || CAST((doc_id + r) % 4 AS VARCHAR) AS volume,
+         doc_id % 2 = 0 AS even
+  FROM documents, (SELECT unnest(range(0, 3)) AS r) x
+)
+-- independent derivation: each scenario id maps STRAIGHT to its
+-- expected diff class and repair action — no join, no walk; the
+-- engine must reconstruct the same labels from the raw disk/memory
+-- tables through its full-outer-join classifier
+SELECT node, block_id, volume,
+  CASE WHEN s = 0 THEN 'IGNORED_DELETING'
+       WHEN s IN (1, 2, 3, 7) THEN 'MISSING_IN_MEMORY'
+       WHEN s IN (4, 5) THEN 'MISSING_ON_DISK'
+       WHEN s = 6 THEN 'IGNORED_NOT_FINALIZED'
+       WHEN s IN (8, 9) THEN 'META_ONLY'
+       WHEN s IN (10, 11, 12) THEN 'MISMATCH'
+       WHEN s = 13 OR (s = 14 AND even) THEN 'DUPLICATE'
+       ELSE 'CLEAN' END AS diff_class,
+  CASE WHEN s IN (1, 3) THEN 'ADD_TO_MEMORY'
+       WHEN s = 2 THEN 'DELETE_ORPHAN_META'
+       WHEN s IN (5, 8) THEN 'REMOVE_FROM_MEMORY'
+       WHEN s = 7 THEN 'IGNORE_NOT_FINALIZED'
+       WHEN s IN (10, 12) THEN 'UPDATE_GENSTAMP'
+       WHEN s = 11 THEN 'REPORT_CORRUPT'
+       WHEN s = 13 AND even THEN 'RESOLVE_DUPLICATE'
+       WHEN s = 13 THEN 'DELETE_DUPLICATE'
+       WHEN s = 14 AND even THEN 'ADOPT_DISK_COPY'
+       ELSE 'NONE' END AS action
+FROM base
+"""
+
+
+@register("directory_scanner_reconcile", _DIRSCANNER_ORACLE)
+def directory_scanner_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataNode DirectoryScanner reconciliation (operators/dirscanner.
+    reconcile; reference DirectoryScanner.java:457-552 scan +
+    :427-440 reconcile + FsDatasetImpl.java:2410-2608 checkAndUpdate
+    — the per-volume sorted merge of on-disk records vs the FINALIZED
+    volumeMap becomes one fleet-wide full-outer join on (node,
+    block_id) with the diff taxonomy and repair decision table as a
+    codegen CASE cascade). Documents x 3 fan out into 15 scenario
+    slices covering EVERY class and action: deleting-skip, disk-only
+    adds (with and without a meta file -> GRANDFATHER genstamp),
+    orphan-meta delete, memory-only keeps vs removals, non-FINALIZED
+    ignores on both sides, meta-only orphans, genstamp-vs-length
+    mismatches (corrupt report beats genstamp rewrite), and duplicate
+    replicas (resolve / delete-extra / adopt-dangling). The oracle
+    maps each scenario id straight to its labels — the engine must
+    rebuild them from the raw disk/memory tables."""
+    from hadoop_source_spark.operators import dirscanner
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .crossJoin(spark.range(3).select(F.col("id").alias("r")))
+        .select(
+            "doc_id",
+            "r",
+            "n_chars",
+            ((F.col("doc_id") * 3 + F.col("r")) % 15).alias("s"),
+            F.concat(
+                F.lit("dn"),
+                ((F.col("doc_id") * 31 + F.col("r") * 17) % 40).cast(
+                    "string"
+                ),
+            ).alias("node"),
+            (F.col("doc_id") * 3 + F.col("r")).alias("block_id"),
+            F.concat(
+                F.lit("v"), ((F.col("doc_id") + F.col("r")) % 4).cast("string")
+            ).alias("volume"),
+            (F.col("doc_id") % 2 == 0).alias("even"),
+        )
+    )
+    s, even = F.col("s"), F.col("even")
+    disk = base.filter(~s.isin(4, 5, 6)).select(
+        "node",
+        "block_id",
+        "volume",
+        (~s.isin(2, 8, 9)).alias("has_block_file"),
+        (~s.isin(3, 12) & ~((s == 13) & ~even)).alias("has_meta_file"),
+        F.when(s == 10, F.lit(101)).otherwise(F.lit(100))
+        .cast("long")
+        .alias("disk_gs"),
+        F.when(s == 11, F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars"))
+        .cast("long")
+        .alias("disk_len"),
+        (s == 0).alias("deleting"),
+    )
+    memory = base.filter(~s.isin(0, 1, 2, 3)).select(
+        "node",
+        "block_id",
+        F.when(
+            s == 13,
+            F.concat(
+                F.lit("v"),
+                ((F.col("doc_id") + F.col("r") + 1) % 4).cast("string"),
+            ),
+        )
+        .otherwise(F.col("volume"))
+        .alias("volume"),
+        F.when(s.isin(6, 7), F.lit("RBW"))
+        .otherwise(F.lit("FINALIZED"))
+        .alias("state"),
+        F.when((s == 13) & ~even, F.lit(0))
+        .otherwise(F.lit(100))
+        .cast("long")
+        .alias("mem_gs"),
+        F.col("n_chars").cast("long").alias("mem_len"),
+        (~s.isin(5, 8) & ~((s == 14) & even)).alias("mem_data_exists"),
+    )
+    return dirscanner.reconcile(disk, memory)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -11456,10 +11574,10 @@ _WINDOW: list[str] = [
     "locality_delay_schedule", "kms_key_acl_matrix",
     "opportunistic_queue_plan",
     # round 8
-    "rename_quota_check",
+    "rename_quota_check", "directory_scanner_reconcile",
 ]
 
-assert len(_WINDOW) == 172, len(_WINDOW)
+assert len(_WINDOW) == 173, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

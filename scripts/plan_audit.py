@@ -134,7 +134,7 @@ def main() -> None:
         "encryption_zone_resolution", "ez_rename_validity",
         "locality_delay_schedule", "kms_key_acl_matrix",
         "opportunistic_queue_plan",
-        "rename_quota_check",
+        "rename_quota_check", "directory_scanner_reconcile",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
