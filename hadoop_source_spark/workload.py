@@ -11469,6 +11469,146 @@ def directory_scanner_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dirscanner.reconcile(disk, memory)
 
 
+_INTRA_QUEUE_ORACLE = """
+WITH a AS (
+  SELECT 'q' || CAST(o_orderkey % 7 AS VARCHAR) AS queue,
+         o_orderkey AS app_seq,
+         CAST(o_orderkey % 5 AS INTEGER) AS priority,
+         CAST(o_orderkey % 23 AS BIGINT) AS start_time,
+         CAST(256 * (1 + o_orderkey % 11) AS BIGINT) AS used_mb,
+         CAST(CASE WHEN o_orderkey % 17 = 0 THEN 0
+                   ELSE 128 * (1 + o_orderkey % 19) END AS BIGINT)
+           AS demand_mb
+  FROM orders
+)
+SELECT queue, app_seq, priority, start_time, used_mb, demand_mb,
+  CAST(row_number() OVER (PARTITION BY queue
+        ORDER BY priority DESC, app_seq) AS INTEGER) AS fifo_rank,
+  CAST(row_number() OVER (PARTITION BY queue
+        ORDER BY CAST(used_mb AS DOUBLE), start_time,
+                 demand_mb = 0, app_seq) AS INTEGER) AS fair_rank,
+  CAST(row_number() OVER (PARTITION BY queue
+        ORDER BY CASE WHEN demand_mb = 0 THEN CAST('inf' AS DOUBLE)
+                      ELSE used_mb / (ln(1 + demand_mb) / ln(2)) END,
+                 start_time, demand_mb = 0, app_seq) AS INTEGER)
+    AS fair_sbw_rank
+FROM a
+"""
+
+
+@register("intra_queue_app_order", _INTRA_QUEUE_ORACLE)
+def intra_queue_app_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-queue app-ordering policies (operators/intraqueue.
+    rank_apps; reference FifoOrderingPolicy.java:36-42 = priority
+    desc then ApplicationId asc via PriorityComparator.java:31-43 +
+    Priority.java:83-85 + SchedulerApplicationAttempt.java:1352;
+    FairOrderingPolicy.java:55-127 = used-memory magnitude asc
+    [size-based weight divides by log1p(demand)/log2, zero demand ->
+    +Infinity], start time, demanded-before-zero-demand, input order
+    — priority NOT consulted). Orders are the app registry; derived
+    priorities/usages/demands make FIFO and Fair orderings VISIBLY
+    differ (a high-priority heavy app leads FIFO but trails Fair),
+    with tie chains deep enough to exercise every comparator stage
+    at sf0.01. All three ranks share one queue-partitioned shuffle;
+    the oracle re-derives them as plain SQL windows. Magnitude gaps
+    are >=7.7e-5 relative (checked), far above cross-engine libm
+    ULP drift."""
+    from hadoop_source_spark.operators import intraqueue
+
+    o = table(spark, sf_dir, "orders")
+    apps = o.select(
+        F.concat(F.lit("q"), (F.col("o_orderkey") % 7).cast("string")).alias(
+            "queue"
+        ),
+        F.col("o_orderkey").alias("app_seq"),
+        (F.col("o_orderkey") % 5).cast("int").alias("priority"),
+        (F.col("o_orderkey") % 23).cast("long").alias("start_time"),
+        (256 * (1 + F.col("o_orderkey") % 11)).cast("long").alias("used_mb"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(0))
+        .otherwise(128 * (1 + F.col("o_orderkey") % 19))
+        .cast("long")
+        .alias("demand_mb"),
+    )
+    return intraqueue.rank_apps(apps)
+
+
+_QUEUE_ORDER_ORACLE = """
+WITH q AS (
+  SELECT DISTINCT o_orderkey % 200 AS qid FROM orders
+),
+cfg AS (
+  SELECT 'p' || CAST(qid % 5 AS VARCHAR) AS parent,
+         'q' || CAST(qid AS VARCHAR) AS queue,
+         qid % 3 <> 0 AS accessible,
+         CASE WHEN qid % 7 = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 + qid % 9 AS DOUBLE) / 10 END AS abs_capacity,
+         CAST((qid * 13) % 25 AS DOUBLE) / 10 AS used_capacity,
+         CAST((qid * 7) % 25 AS DOUBLE) / 10 AS abs_used_capacity,
+         CAST(qid % 4 AS INTEGER) AS priority,
+         CAST(1024 * (1 + qid % 6) AS BIGINT) AS min_res
+  FROM q
+),
+fan AS (
+  SELECT cfg.*, p.part FROM cfg
+  CROSS JOIN (SELECT '' AS part UNION ALL SELECT 'gpu') p
+),
+m AS (
+  SELECT parent, part, queue,
+         CASE WHEN abs_capacity = 0 THEN abs_used_capacity
+              ELSE used_capacity END AS used_metric,
+         CASE WHEN part = '' THEN TRUE ELSE accessible END AS acc,
+         abs_capacity, priority, min_res
+  FROM fan
+)
+SELECT parent, part AS partition, queue, used_metric,
+  CAST(row_number() OVER (PARTITION BY parent, part
+    ORDER BY acc DESC, abs_capacity = 0, used_metric >= 1.0,
+             priority DESC, used_metric, min_res DESC,
+             abs_capacity DESC, queue) AS INTEGER) AS assignment_rank
+FROM m
+"""
+
+
+@register("queue_assignment_order", _QUEUE_ORDER_ORACLE)
+def queue_assignment_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-queue assignment ordering (operators/intraqueue.
+    rank_queues; reference PriorityUtilizationQueueOrderingPolicy.
+    java:70-100 static compare + :104-180 PriorityQueueComparator —
+    per partition: accessible queues first [everybody accesses the
+    default partition], zero-absolute-capacity queues last [their
+    tier compares absoluteUsedCapacity instead of usedCapacity],
+    then the priority/utilization interplay whose pairwise rule IS
+    the total order (under-capacity tier, priority desc, used asc),
+    ties to configured-min-resource desc then absolute capacity
+    desc). 200 sibling queues derived from orders, fanned across the
+    default and a 'gpu' partition with mixed accessibility,
+    exhausted (>=1.0) and zero-capacity queues — every comparator
+    stage live at sf0.01; the oracle re-derives the order as one SQL
+    window."""
+    from hadoop_source_spark.operators import intraqueue
+
+    qid = F.col("qid")
+    q = (
+        table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 200).alias("qid"))
+        .distinct()
+    )
+    cfg = q.select(
+        F.concat(F.lit("p"), (qid % 5).cast("string")).alias("parent"),
+        F.concat(F.lit("q"), qid.cast("string")).alias("queue"),
+        (qid % 3 != 0).alias("accessible"),
+        F.when(qid % 7 == 0, F.lit(0.0))
+        .otherwise((1 + qid % 9).cast("double") / 10)
+        .alias("abs_capacity"),
+        (((qid * 13) % 25).cast("double") / 10).alias("used_capacity"),
+        (((qid * 7) % 25).cast("double") / 10).alias("abs_used_capacity"),
+        (qid % 4).cast("int").alias("priority"),
+        (1024 * (1 + qid % 6)).cast("long").alias("min_res"),
+    )
+    parts = spark.createDataFrame([("",), ("gpu",)], "partition string")
+    return intraqueue.rank_queues(cfg.crossJoin(parts))
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -11575,9 +11715,10 @@ _WINDOW: list[str] = [
     "opportunistic_queue_plan",
     # round 8
     "rename_quota_check", "directory_scanner_reconcile",
+    "intra_queue_app_order", "queue_assignment_order",
 ]
 
-assert len(_WINDOW) == 173, len(_WINDOW)
+assert len(_WINDOW) == 175, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -165,6 +165,7 @@ EXTRA = (
     "locality_delay_schedule", "kms_key_acl_matrix",
     "opportunistic_queue_plan",
     "rename_quota_check", "directory_scanner_reconcile",
+    "intra_queue_app_order", "queue_assignment_order",
 )
 
 
