@@ -11609,6 +11609,207 @@ def queue_assignment_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intraqueue.rank_queues(cfg.crossJoin(parts))
 
 
+_RAMDISK_ORACLE = """
+WITH r AS (
+  SELECT 'dn' || CAST(user_id % 20 AS VARCHAR) AS node,
+         user_id % 20 AS idx,
+         event_id AS block_id,
+         event_id % 5 <> 0 AS persisted,
+         event_id % 23 = 0 AS deleted,
+         CAST(event_id % 1000 AS BIGINT) AS lut,
+         CAST(event_id % 3 AS BIGINT) AS num_reads,
+         CAST(1048576 * (1 + event_id % 4) AS BIGINT) AS size_bytes
+  FROM events
+),
+n AS (
+  SELECT node,
+         CAST(268435456 AS BIGINT) AS cap,
+         CAST(CASE WHEN idx % 2 = 0 THEN 268435456 - 1048576
+                   ELSE 268435456 - 58720256 END AS BIGINT) AS used
+  FROM (SELECT DISTINCT node, idx FROM r)
+),
+cand AS (
+  SELECT node, block_id, num_reads,
+         row_number() OVER (PARTITION BY node ORDER BY lut, block_id)
+           AS lru_rank,
+         COALESCE(SUM(size_bytes) OVER (PARTITION BY node
+            ORDER BY lut, block_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS freed_before
+  FROM r WHERE persisted AND NOT deleted
+),
+ev AS (
+  SELECT c.node, block_id, num_reads, lru_rank,
+         lru_rank <= 3 AND n.cap - n.used + freed_before < 8388608
+           AS evicted
+  FROM cand c JOIN n ON c.node = n.node
+)
+SELECT node, block_id,
+       CASE WHEN evicted THEN 'EVICT' ELSE 'RETAIN' END AS status,
+       CAST(lru_rank AS INTEGER) AS lru_rank,
+       evicted AND num_reads = 0 AS evicted_without_read
+FROM ev
+UNION ALL
+SELECT node, block_id,
+       CASE WHEN deleted THEN 'STALE' ELSE 'PENDING_PERSIST' END,
+       CAST(NULL AS INTEGER), FALSE
+FROM r WHERE deleted OR NOT persisted
+"""
+
+
+@register("lazy_persist_eviction", _RAMDISK_ORACLE)
+def lazy_persist_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY_PERSIST RAM-disk eviction planning (operators/ramdisk.
+    eviction_plan; reference RamDiskReplicaLruTracker.java:66-200 —
+    only PERSISTED replicas are eviction candidates, LRU by
+    lastUsedTime with replica-key ties, stale entries GC'd — and
+    FsDatasetImpl.java:3226-3276 evictBlocks — evict while free
+    cache < bytesNeeded, at most MAX_BLOCK_EVICTIONS_PER_ITERATION=3,
+    counting never-read evictions). Events are the replica registry
+    across 20 DataNodes: even nodes sit 1 MB from full (evictions
+    fire, the 3-per-pass cap binds on some), odd nodes have 56 MB
+    free (all candidates RETAIN); unpersisted and deleted entries
+    round out all four statuses at sf0.01. The sequential evict loop
+    is closed-form: the stop condition is monotone in the LRU prefix
+    sum, so one per-node window pass plans the whole fleet."""
+    from hadoop_source_spark.operators import ramdisk
+
+    e = table(spark, sf_dir, "events")
+    replicas = e.select(
+        F.concat(F.lit("dn"), (F.col("user_id") % 20).cast("string")).alias(
+            "node"
+        ),
+        F.col("event_id").alias("block_id"),
+        (F.col("event_id") % 5 != 0).alias("persisted"),
+        (F.col("event_id") % 23 == 0).alias("deleted"),
+        (F.col("event_id") % 1000).cast("long").alias("last_used_time"),
+        (F.col("event_id") % 3).cast("long").alias("num_reads"),
+        (1048576 * (1 + F.col("event_id") % 4))
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    nodes = (
+        e.select((F.col("user_id") % 20).alias("idx"))
+        .distinct()
+        .select(
+            F.concat(F.lit("dn"), F.col("idx").cast("string")).alias("node"),
+            F.lit(268435456).cast("long").alias("cache_capacity"),
+            F.when(F.col("idx") % 2 == 0, F.lit(268435456 - 1048576))
+            .otherwise(F.lit(268435456 - 58720256))
+            .cast("long")
+            .alias("cache_used"),
+        )
+    )
+    return ramdisk.eviction_plan(replicas, nodes, bytes_needed=8388608)
+
+
+_SNAP_ADMIT_ORACLE = """
+WITH req AS (
+  SELECT doc_id AS req_id,
+         'ns' || CAST(doc_id % 3 AS VARCHAR) AS ns,
+         '/snaps/' || source AS dir_path,
+         's' || CAST(doc_id % 25 AS VARCHAR) AS name,
+         doc_id AS t, source, doc_id % 3 = 2 AS ids_exhausted
+  FROM documents
+),
+cfg AS (
+  SELECT req.*,
+    source <> 'src4' AS snapshottable,
+    CAST(CASE WHEN source = 'src9' THEN 2 ELSE 0 END AS BIGINT)
+      AS existing_n,
+    CAST(CASE WHEN source = 'src5' THEN 2 ELSE 64 END AS BIGINT) AS quota,
+    CAST(CASE WHEN source = 'src7' THEN 3 ELSE 65536 END AS BIGINT)
+      AS max_limit,
+    source = 'src9' AND name IN ('s9', 's19') AS dup_existing
+  FROM req
+),
+w AS (
+  SELECT cfg.*,
+    (NOT dup_existing) AND (row_number() OVER (
+       PARTITION BY ns, dir_path, name ORDER BY t, req_id) = 1) AS fresh
+  FROM cfg
+),
+w2 AS (
+  SELECT w.*,
+    COALESCE(SUM(CASE WHEN fresh THEN 1 ELSE 0 END) OVER (
+      PARTITION BY ns, dir_path ORDER BY t, req_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_fresh
+  FROM w
+),
+fin AS (
+  SELECT w2.*,
+    existing_n + least(prior_fresh,
+      greatest(least(quota, max_limit) - existing_n, 0)) AS n1
+  FROM w2
+)
+SELECT req_id, ns, dir_path, name,
+  CASE WHEN NOT snapshottable THEN 'NOT_SNAPSHOTTABLE'
+       WHEN ids_exhausted THEN 'OUT_OF_IDS'
+       WHEN n1 + 1 > quota THEN 'QUOTA_EXCEEDED'
+       WHEN n1 + 1 > max_limit THEN 'LIMIT_EXCEEDED'
+       WHEN NOT fresh THEN 'NAME_EXISTS'
+       ELSE 'OK' END AS verdict,
+  CAST(n1 AS BIGINT) AS snapshots_at_request
+FROM fin
+"""
+
+
+@register("snapshot_admission_check", _SNAP_ADMIT_ORACLE)
+def snapshot_admission_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-creation admission (operators/snapadmission.admit;
+    reference SnapshotManager.java:316-345 createSnapshot check order
+    — snapshottable root, namespace ID-space exhaustion failing all
+    subsequent requests, then DirectorySnapshottableFeature.java:
+    181-205 addSnapshot's quota-before-limit-before-duplicate-name
+    checks, with only admitted snapshots growing the count). Each doc
+    is a createSnapshot request in one of 3 namespaces (ns2's ID
+    space is exhausted at steady state); per-dir configs put every
+    verdict live at sf0.01: src4 is not snapshottable, src5's quota
+    (2) binds before its fresh names run out, src7's system limit (3)
+    binds under a loose quota, src9 starts with existing snapshots
+    whose names collide with the stream, and cycling request names
+    produce in-batch duplicates everywhere. The sequential replay is
+    closed-form (rejections never grow n), two shared-key window
+    passes — see the module docstring for the proof."""
+    from hadoop_source_spark.operators import snapadmission
+
+    d = table(spark, sf_dir, "documents")
+    requests = d.select(
+        F.col("doc_id").alias("req_id"),
+        F.concat(F.lit("ns"), (F.col("doc_id") % 3).cast("string")).alias(
+            "ns"
+        ),
+        F.concat(F.lit("/snaps/"), F.col("source")).alias("dir_path"),
+        F.concat(F.lit("s"), (F.col("doc_id") % 25).cast("string")).alias(
+            "name"
+        ),
+        F.col("doc_id").alias("t"),
+    )
+    dirs = spark.createDataFrame(
+        [
+            (
+                f"ns{i}",
+                f"/snaps/src{s}",
+                s != 4,
+                2 if s == 9 else 0,
+                2 if s == 5 else 64,
+                3 if s == 7 else 65536,
+                ["s9", "s19"] if s == 9 else [],
+            )
+            for i in range(3)
+            for s in range(20)
+        ],
+        "ns string, dir_path string, snapshottable boolean,"
+        " existing_n int, quota int, max_limit int,"
+        " existing_names array<string>",
+    )
+    namespaces = spark.createDataFrame(
+        [("ns0", False), ("ns1", False), ("ns2", True)],
+        "ns string, ids_exhausted boolean",
+    )
+    return snapadmission.admit(requests, dirs, namespaces)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -11716,9 +11917,10 @@ _WINDOW: list[str] = [
     # round 8
     "rename_quota_check", "directory_scanner_reconcile",
     "intra_queue_app_order", "queue_assignment_order",
+    "lazy_persist_eviction", "snapshot_admission_check",
 ]
 
-assert len(_WINDOW) == 175, len(_WINDOW)
+assert len(_WINDOW) == 177, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

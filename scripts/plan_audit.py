@@ -136,6 +136,7 @@ def main() -> None:
         "opportunistic_queue_plan",
         "rename_quota_check", "directory_scanner_reconcile",
         "intra_queue_app_order", "queue_assignment_order",
+        "lazy_persist_eviction", "snapshot_admission_check",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

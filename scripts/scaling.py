@@ -166,6 +166,7 @@ EXTRA = (
     "opportunistic_queue_plan",
     "rename_quota_check", "directory_scanner_reconcile",
     "intra_queue_app_order", "queue_assignment_order",
+    "lazy_persist_eviction", "snapshot_admission_check",
 )
 
 
