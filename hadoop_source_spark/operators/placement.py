@@ -156,3 +156,67 @@ def ec_policy_feasibility(topology: DataFrame, policies: DataFrame) -> DataFrame
             "rack_failures_tolerated"
         ),
     )
+
+
+def verify_placement_upgrade_domain(
+    replicas: DataFrame, upgrade_domain_factor: int = 3
+) -> DataFrame:
+    """Fleet-wide placement verification under the upgrade-domain
+    policy (reference BlockPlacementPolicyDefault.java:1160-1177
+    verifyBlockPlacement — minRacks = min(2, requiredReplication),
+    satisfied iff distinct racks >= minRacks OR >= every rack in the
+    cluster; BlockPlacementStatusDefault.java:34-56;
+    BlockPlacementPolicyWithUpgradeDomain.java:138-152 +
+    BlockPlacementStatusWithUpgradeDomain.java:56-109 — the
+    upgrade-domain leg needs distinct upgrade domains >= the required
+    replication when it fits under the factor, else >= the factor;
+    additional replicas required = max of the two legs' deficits).
+
+    `replicas`: (block_id, node, rack, upgrade_domain, replication
+    int — the block's REQUIRED replication, same on every row).
+    One groupBy per block behind a single shuffle + one broadcast
+    scalar (cluster rack count) — the whole fsck placement sweep in
+    one pass."""
+    total_racks = replicas.agg(
+        F.countDistinct("rack").alias("__total_racks")
+    )
+    g = (
+        replicas.groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            F.countDistinct("rack").alias("n_racks"),
+            F.countDistinct("upgrade_domain").alias("n_uds"),
+            F.first("replication").alias("replication"),
+        )
+        .crossJoin(F.broadcast(total_racks))
+    )
+    min_racks = F.least(F.lit(2), F.col("replication"))
+    rack_ok = (F.col("n_racks") >= min_racks) | (
+        F.col("n_racks") >= F.col("__total_racks")
+    )
+    ud_ok = F.when(
+        F.col("replication") <= upgrade_domain_factor,
+        F.col("replication") <= F.col("n_uds"),
+    ).otherwise(F.col("n_uds") >= upgrade_domain_factor)
+    rack_deficit = F.when(rack_ok, F.lit(0)).otherwise(
+        min_racks - F.col("n_racks")
+    )
+    ud_deficit = F.when(
+        F.col("replication") <= upgrade_domain_factor,
+        F.col("replication") - F.col("n_uds"),
+    ).otherwise(F.lit(upgrade_domain_factor) - F.col("n_uds"))
+    satisfied = rack_ok & ud_ok
+    return g.select(
+        "block_id",
+        "n_replicas",
+        "n_racks",
+        "n_uds",
+        "replication",
+        rack_ok.alias("rack_ok"),
+        ud_ok.alias("ud_ok"),
+        satisfied.alias("satisfied"),
+        F.when(satisfied, F.lit(0))
+        .otherwise(F.greatest(rack_deficit, ud_deficit))
+        .cast("int")
+        .alias("additional_replicas_required"),
+    )

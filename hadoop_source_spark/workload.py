@@ -11810,6 +11810,212 @@ def snapshot_admission_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapadmission.admit(requests, dirs, namespaces)
 
 
+_UD_PLACEMENT_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 17 = 0 AS special,
+         CASE WHEN doc_id % 17 = 0 THEN 3
+              WHEN doc_id % 10 = 0 THEN 2
+              WHEN doc_id % 19 = 5 THEN 4
+              ELSE 3 END AS repl
+  FROM documents
+),
+reps AS (
+  SELECT doc_id AS block_id, repl,
+         CASE WHEN special THEN ((doc_id % 5) * 8 + r * 8) % 40
+              ELSE (doc_id * 31 + r * 17) % 40 END AS node
+  FROM d, (SELECT unnest(range(0, 4)) AS r) x
+  WHERE r < repl
+),
+attrs AS (
+  SELECT block_id, repl, node,
+         node % 8 AS rack, node // 8 AS ud
+  FROM reps
+),
+tot AS (SELECT count(DISTINCT rack) AS total_racks FROM attrs),
+g AS (
+  SELECT block_id,
+         count(*) AS n_replicas,
+         count(DISTINCT rack) AS n_racks,
+         count(DISTINCT ud) AS n_uds,
+         CAST(min(repl) AS BIGINT) AS replication
+  FROM attrs GROUP BY 1
+),
+v AS (
+  SELECT g.*,
+    n_racks >= least(2, replication) OR n_racks >= t.total_racks
+      AS rack_ok,
+    CASE WHEN replication <= 3 THEN replication <= n_uds
+         ELSE n_uds >= 3 END AS ud_ok,
+    least(2, replication) AS min_racks
+  FROM g, tot t
+)
+SELECT block_id, n_replicas, n_racks, n_uds, replication,
+       rack_ok, ud_ok, rack_ok AND ud_ok AS satisfied,
+       CAST(CASE WHEN rack_ok AND ud_ok THEN 0
+            ELSE greatest(
+              CASE WHEN rack_ok THEN 0 ELSE min_racks - n_racks END,
+              CASE WHEN replication <= 3 THEN replication - n_uds
+                   ELSE 3 - n_uds END) END AS INTEGER)
+         AS additional_replicas_required
+FROM v
+"""
+
+
+@register("upgrade_domain_placement_report", _UD_PLACEMENT_ORACLE)
+def upgrade_domain_placement_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleet-wide placement verification under upgrade domains
+    (operators/placement.verify_placement_upgrade_domain; reference
+    BlockPlacementPolicyDefault.java:1160-1177 verifyBlockPlacement
+    [minRacks = min(2, replication), one-rack clusters always pass] +
+    BlockPlacementStatusDefault.java:34-56 +
+    BlockPlacementPolicyWithUpgradeDomain.java:138-152 +
+    BlockPlacementStatusWithUpgradeDomain.java:56-109 [distinct
+    upgrade domains >= min(replication, factor); additional replicas
+    = max of the two legs' deficits]). Documents fan into a 40-node /
+    8-rack / 5-upgrade-domain fleet: doc%17 blocks land every replica
+    on ONE rack (rack leg fails, UD leg passes), node-wrap blocks
+    collide upgrade domains (UD leg fails, racks pass), doc%10 blocks
+    run at replication 2 and doc%19 at replication 4 (exercising both
+    sides of the factor comparison). One groupBy per block + one
+    broadcast scalar."""
+    from hadoop_source_spark.operators import placement
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 17 == 0).alias("special"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(3))
+        .when(F.col("doc_id") % 10 == 0, F.lit(2))
+        .when(F.col("doc_id") % 19 == 5, F.lit(4))
+        .otherwise(F.lit(3))
+        .alias("repl"),
+    )
+    reps = (
+        d.crossJoin(spark.range(4).select(F.col("id").alias("r")))
+        .where(F.col("r") < F.col("repl"))
+        .select(
+            F.col("doc_id").alias("block_id"),
+            F.col("repl").cast("int").alias("replication"),
+            F.when(
+                F.col("special"),
+                ((F.col("doc_id") % 5) * 8 + F.col("r") * 8) % 40,
+            )
+            .otherwise((F.col("doc_id") * 31 + F.col("r") * 17) % 40)
+            .alias("node"),
+        )
+        .select(
+            "block_id",
+            "replication",
+            F.col("node").cast("string").alias("node"),
+            (F.col("node") % 8).cast("string").alias("rack"),
+            (F.col("node") / 8).cast("long").cast("string").alias(
+                "upgrade_domain"
+            ),
+        )
+    )
+    return placement.verify_placement_upgrade_domain(
+        reps, upgrade_domain_factor=3
+    )
+
+
+_URL_PIPE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars, doc_id // 2 AS base,
+         'd' || CAST((doc_id // 2) % 37 AS VARCHAR) || '.example.com'
+           AS dom,
+         '/p' || CAST((doc_id // 2) % 250 AS VARCHAR) AS path
+  FROM documents
+),
+u AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS quality,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://www.' || dom || ':443' || path || '/'
+              ELSE 'http://' || dom || path || '?utm_source=x#frag'
+         END AS url,
+         dom || path AS canon_url, dom AS domain
+  FROM d
+),
+w AS (
+  SELECT u.*,
+    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) > 1
+      AS dup,
+    domain IN ('d3.example.com', 'd17.example.com') AS blk
+  FROM u
+),
+w2 AS (
+  SELECT w.*,
+    SUM(CASE WHEN NOT dup AND NOT blk THEN 1 ELSE 0 END) OVER (
+      PARTITION BY domain ORDER BY quality DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS erank
+  FROM w
+)
+SELECT doc_id, url, canon_url, domain,
+  CASE WHEN dup THEN 'URL_DUP'
+       WHEN blk THEN 'BLOCKLISTED'
+       WHEN erank > 5 THEN 'OVER_CAP'
+       ELSE 'KEPT' END AS action,
+  CASE WHEN NOT dup AND NOT blk THEN CAST(erank AS BIGINT) END
+    AS domain_rank
+FROM w2
+"""
+
+
+@register("url_canonical_dedup", _URL_PIPE_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL curation (llmops/urlops.url_pipeline — the
+    CCNet / RefinedWeb / Gopher pre-content stages: ordered
+    regexp canonicalization [scheme, www., :80/:443, ?utm tracking,
+    #fragment, trailing slash], URL-level exact dedup, domain
+    blocklist, per-domain keep cap ranked by quality). Every doc
+    pair (2k, 2k+1) carries the SAME logical URL written two ways —
+    https+www+:443+trailing-slash vs http+tracking-query+fragment —
+    so the dedup rate doubles as a canonicalization proof; two
+    domains are blocklisted and a cap of 5 bites the biggest
+    domains. The ORACLE derives canon_url from the generator
+    directly (dom || path) — independent of the regexp chain.
+    Codegen projection + two windows (canonical key, then domain
+    key); the cap is an eligible-only flag-sum rank."""
+    from hadoop_source_spark.llmops import urlops
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("d"),
+            ((F.col("doc_id") / 2).cast("long") % 37).cast("string"),
+            F.lit(".example.com"),
+        ).alias("dom"),
+        F.concat(
+            F.lit("/p"),
+            ((F.col("doc_id") / 2).cast("long") % 250).cast("string"),
+        ).alias("path"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("https://www."), "dom", F.lit(":443"), "path",
+                F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), "dom", "path",
+                F.lit("?utm_source=x#frag"),
+            )
+        )
+        .alias("url"),
+        F.col("n_chars").cast("double").alias("quality"),
+    )
+    blocklist = spark.createDataFrame(
+        [("d3.example.com",), ("d17.example.com",)], "domain string"
+    )
+    return urlops.url_pipeline(docs, blocklist, per_domain_cap=5)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -11918,9 +12124,10 @@ _WINDOW: list[str] = [
     "rename_quota_check", "directory_scanner_reconcile",
     "intra_queue_app_order", "queue_assignment_order",
     "lazy_persist_eviction", "snapshot_admission_check",
+    "upgrade_domain_placement_report", "url_canonical_dedup",
 ]
 
-assert len(_WINDOW) == 177, len(_WINDOW)
+assert len(_WINDOW) == 179, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -137,6 +137,7 @@ def main() -> None:
         "rename_quota_check", "directory_scanner_reconcile",
         "intra_queue_app_order", "queue_assignment_order",
         "lazy_persist_eviction", "snapshot_admission_check",
+        "upgrade_domain_placement_report", "url_canonical_dedup",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -167,6 +167,7 @@ EXTRA = (
     "rename_quota_check", "directory_scanner_reconcile",
     "intra_queue_app_order", "queue_assignment_order",
     "lazy_persist_eviction", "snapshot_admission_check",
+    "upgrade_domain_placement_report", "url_canonical_dedup",
 )
 
 
