@@ -680,3 +680,136 @@ def token_entropy(
             "type_token_ratio"
         ),
     )
+
+
+def stupid_backoff_score(
+    corpus: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Web-scale TRIGRAM LM scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the scheme
+    built FOR distributed count tables: no discounting, no
+    normalization, just relative frequencies with a fixed backoff
+    penalty):
+
+        S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)   if the trigram is seen
+                    = alpha * S(w3|w2)       otherwise
+        S(w3|w2)    = c(w2 w3)/c(w2)         if the bigram is seen
+                    = alpha * S(w3)          otherwise
+        S(w3)       = (c(w3)+1)/(N+V)        add-one floored so an OOV
+                                             word scores finite
+                                             (documented deviation;
+                                             Brants leaves the unigram
+                                             floor to serving)
+
+    Each n-gram order is counted independently over the training
+    split, exactly like the paper's MapReduce count jobs. Score per
+    doc = avg ln S over its trigrams, plus per-level hit counts (how
+    often the model backed off — noisy docs live at the unigram
+    level).
+
+    Shape at scale: three groupBys over the training split produce
+    count tables SHARDED ON THE N-GRAM KEY (never force-broadcast —
+    at 100 TB the trigram table is corpus-sized; AQE broadcasts them
+    only when they actually fit), one trigram explode of the scored
+    corpus, five equi-joins on high-cardinality keys, one per-doc
+    aggregate. All built-ins, zero Python.
+    """
+    def ngrams(df: DataFrame, n: int) -> DataFrame:
+        toks = tokenize_words(F.col(text_col))
+        fields = ", ".join(
+            f"t[i+{k}] as w{k + 1}" for k in range(n)
+        )
+        return (
+            df.select(F.col(id_col), toks.alias("t"))
+            .filter(F.size("t") >= n)
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(t)-{n}),"
+                        f" i -> struct({fields}))"
+                    )
+                ).alias("g"),
+            )
+            .select(id_col, "g.*")
+        )
+
+    tri = ngrams(train, 3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bi = ngrams(train, 2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    uni = ngrams(train, 1).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n_v = uni.agg(
+        F.sum("c1").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    sc = (
+        ngrams(corpus, 3)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select("w1", "w2", F.col("cb").alias("c_ctx")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("cb").alias("c_bg"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c_u2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w3"), F.col("c1").alias("c_u3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_v))
+    )
+    s_uni = (
+        alpha
+        * alpha
+        * (F.coalesce("c_u3", F.lit(0)) + 1).cast("double")
+        / (F.col("__n") + F.col("__v"))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c_ctx"),
+        )
+        .when(
+            F.col("c_bg").isNotNull(),
+            alpha * F.col("c_bg").cast("double") / F.col("c_u2"),
+        )
+        .otherwise(s_uni)
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("c_bg").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        sc.select(id_col, F.log(s).alias("__ls"), level.alias("__lvl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum((F.col("__lvl") == 3).cast("long")).alias("n_tri_hits"),
+            F.sum((F.col("__lvl") == 2).cast("long")).alias(
+                "n_bi_backoffs"
+            ),
+            F.sum((F.col("__lvl") == 1).cast("long")).alias(
+                "n_uni_backoffs"
+            ),
+            F.round(F.avg("__ls"), 4).alias("avg_logscore"),
+        )
+    )

@@ -12016,6 +12016,84 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlops.url_pipeline(docs, blocklist, per_domain_cap=5)
 
 
+_STUPID_BACKOFF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+bg AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+ug AS (
+  SELECT doc_id, t[u.i] AS w1
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE len(t) >= 1
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg
+        WHERE doc_id % 5 <> 0 GROUP BY 1, 2, 3),
+bi  AS (SELECT w1, w2, count(*) AS cb FROM bg
+        WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+uni AS (SELECT w1, count(*) AS c1 FROM ug
+        WHERE doc_id % 5 <> 0 GROUP BY 1),
+nv  AS (SELECT CAST(sum(c1) AS BIGINT) AS n, count(*) AS v FROM uni),
+sc AS (
+  SELECT g.doc_id,
+    CASE WHEN t.c3 IS NOT NULL THEN 3
+         WHEN b2.cb IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+    CASE WHEN t.c3 IS NOT NULL
+           THEN CAST(t.c3 AS DOUBLE) / ctx.cb
+         WHEN b2.cb IS NOT NULL
+           THEN CAST(0.4 AS DOUBLE) * b2.cb / u2.c1
+         ELSE CAST(0.16 AS DOUBLE) * (coalesce(u3.c1, 0) + 1)
+                / (nv.n + nv.v) END AS s
+  FROM tg g
+  LEFT JOIN tri t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+  LEFT JOIN bi ctx ON g.w1 = ctx.w1 AND g.w2 = ctx.w2
+  LEFT JOIN bi b2 ON g.w2 = b2.w1 AND g.w3 = b2.w2
+  LEFT JOIN uni u2 ON g.w2 = u2.w1
+  LEFT JOIN uni u3 ON g.w3 = u3.w1
+  CROSS JOIN nv
+)
+SELECT doc_id, count(*) AS n_trigrams,
+  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bi_backoffs,
+  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_uni_backoffs,
+  round(avg(ln(s)), 4) AS avg_logscore
+FROM sc GROUP BY doc_id
+"""
+
+
+@register("stupid_backoff_lm_score", _STUPID_BACKOFF_ORACLE)
+def stupid_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM quality scoring with stupid backoff (llmops/
+    textstats.stupid_backoff_score; Brants et al. 2007 — relative
+    frequencies with a fixed 0.4 backoff penalty, each n-gram order
+    counted independently over the training split exactly like the
+    paper's MapReduce count jobs; unigram level add-one floored so
+    OOV words score finite, a documented deviation). The doc_id%5!=0
+    split trains; EVERY doc is scored, with per-level backoff counts
+    as an explicit noise signal. Three training groupBys sharded on
+    the n-gram key (never force-broadcast — trigram tables are
+    corpus-sized at 100 TB), one trigram explode, five equi-joins,
+    one per-doc aggregate; zero Python. Complements the add-one
+    bigram perplexity row (CCNet recipe) with the web-scale LM
+    recipe."""
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    return ts.stupid_backoff_score(d, train, "text", "doc_id")
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12125,9 +12203,10 @@ _WINDOW: list[str] = [
     "intra_queue_app_order", "queue_assignment_order",
     "lazy_persist_eviction", "snapshot_admission_check",
     "upgrade_domain_placement_report", "url_canonical_dedup",
+    "stupid_backoff_lm_score",
 ]
 
-assert len(_WINDOW) == 179, len(_WINDOW)
+assert len(_WINDOW) == 180, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
