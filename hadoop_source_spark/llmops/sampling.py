@@ -260,3 +260,64 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    target_rows: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    impl: str = "xxhash",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Temperature-based multilingual resampling (the mT5 / XLM-R
+    recipe, Xue et al. 2021 §3.1, Conneau et al. 2020 §3): sample
+    stratum l with probability p_l ∝ n_l^alpha, alpha ∈ (0, 1] —
+    alpha=1 keeps natural proportions, smaller alpha lifts
+    low-resource strata. Unlike mixture_sample the weights are
+    DERIVED FROM THE DATA: w_l = p_l * target_rows / n_l, which
+    upsamples small strata past 1 epoch and downsamples the head so
+    the output lands on the target budget in expectation.
+
+    The whole derivation stays on the cluster: one stratum-count
+    groupBy, one scalar denominator, one broadcast join back — no
+    driver collect — then the same floor(w)-plus-hash-fraction
+    expansion as mixture_sample (expected multiplicity exactly w_l).
+    With alpha=0.5 the power is computed via IEEE-exact sqrt, so the
+    weights are bit-identical across engines and the expansion is
+    fully hash-checkable.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n = F.col("__n").cast("double")
+    powered = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    sizes = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__pw", powered)
+    )
+    denom = sizes.agg(F.sum("__pw").alias("__denom"))
+    weights = sizes.crossJoin(F.broadcast(denom)).select(
+        strata_col,
+        (
+            F.col("__pw") / F.col("__denom") * F.lit(float(target_rows)) / n
+        ).alias("__w"),
+    )
+    w = F.col("__w")
+    frac_thr = F.round((w - F.floor(w)) * _BUCKETS, 0).cast("long")
+    extra = (
+        hash_bucket(id_col, seed + 7919, impl) < frac_thr
+    ).cast("int")
+    n_copies = F.floor(w).cast("int") + extra
+    return (
+        df.join(F.broadcast(weights), strata_col)
+        .withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies")))
+        )
+        .withColumn("sample_weight", F.round(w, 6))
+        .drop("__n_copies", "__w")
+    )

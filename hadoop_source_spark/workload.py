@@ -12094,6 +12094,54 @@ def stupid_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.stupid_backoff_score(d, train, "text", "doc_id")
 
 
+_TEMPERATURE_ORACLE = """
+WITH sizes AS (
+  SELECT lang, count(*) AS n, sqrt(CAST(count(*) AS DOUBLE)) AS pw
+  FROM documents GROUP BY lang
+),
+denom AS (SELECT sum(pw) AS d FROM sizes),
+w AS (
+  SELECT lang,
+         pw / d.d * CAST(500 AS DOUBLE) / CAST(n AS DOUBLE) AS wt
+  FROM sizes, denom d
+),
+docs AS (
+  SELECT doc_id, documents.lang, wt,
+         CAST(floor(wt) AS INTEGER)
+           + CASE WHEN ((doc_id % 1000003 + 7961) * 2654435761) % 10000
+                       < CAST(round((wt - floor(wt)) * 10000, 0) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents JOIN w USING (lang)
+)
+SELECT doc_id, lang, CAST(u.i AS INTEGER) AS copy,
+       round(wt, 6) AS sample_weight
+FROM docs, UNNEST(range(1, n_copies + 1)) AS u(i)
+WHERE n_copies > 0
+"""
+
+
+@register("temperature_resample", _TEMPERATURE_ORACLE)
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual resampling (llmops/sampling.
+    temperature_mixture; the mT5 / XLM-R recipe — Xue et al. 2021
+    §3.1, Conneau et al. 2020 §3: p_lang ∝ n_lang^alpha). alpha=0.5
+    over the documents language histogram with a 500-row budget:
+    the English head downsamples below one epoch while every other
+    language upsamples past one — both directions of the recipe live
+    at sf0.01. Weights derive ON-CLUSTER (stratum-count groupBy +
+    scalar denominator + broadcast join back, no driver collect);
+    sqrt is IEEE-exact so the weights are bit-identical across
+    engines, and the floor-plus-hash-fraction expansion uses the
+    arith bucket that the oracle replays verbatim. Expected output
+    size = the budget by construction."""
+    from hadoop_source_spark.llmops import sampling as smp
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return smp.temperature_mixture(
+        d, alpha=0.5, target_rows=500, impl="arith"
+    ).select("doc_id", "lang", "copy", "sample_weight")
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12203,10 +12251,10 @@ _WINDOW: list[str] = [
     "intra_queue_app_order", "queue_assignment_order",
     "lazy_persist_eviction", "snapshot_admission_check",
     "upgrade_domain_placement_report", "url_canonical_dedup",
-    "stupid_backoff_lm_score",
+    "stupid_backoff_lm_score", "temperature_resample",
 ]
 
-assert len(_WINDOW) == 180, len(_WINDOW)
+assert len(_WINDOW) == 181, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -138,7 +138,7 @@ def main() -> None:
         "intra_queue_app_order", "queue_assignment_order",
         "lazy_persist_eviction", "snapshot_admission_check",
         "upgrade_domain_placement_report", "url_canonical_dedup",
-        "stupid_backoff_lm_score",
+        "stupid_backoff_lm_score", "temperature_resample",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
