@@ -272,3 +272,41 @@ def retention_purge(
         .alias("reason"),
     )
     return img.unionByName(seg)
+
+
+def checkpoint_triggers(
+    state: DataFrame, txn_count: int, period_sec: int
+) -> DataFrame:
+    """Standby-checkpoint trigger evaluation for a fleet of
+    namespaces (reference namenode/ha/StandbyCheckpointer.java:
+    445-480 — in order: a pending rollback image always triggers;
+    else uncheckpointed txns >= dfs.namenode.checkpoint.txns; else
+    seconds since the last checkpoint >= dfs.namenode.checkpoint.
+    period; and a triggered checkpoint is SKIPPED when `now` is still
+    inside the about-to-failover quiet window preventCheckpointsUntil,
+    counting toward canceledCount).
+
+    `state`: (ns, uncheckpointed long, secs_since_last long,
+    need_rollback bool, now long, prevent_until long). One codegen
+    CASE pass — no shuffle at all."""
+    trigger = (
+        F.when(F.col("need_rollback"), F.lit("ROLLBACK"))
+        .when(F.col("uncheckpointed") >= txn_count, F.lit("TXN_COUNT"))
+        .when(F.col("secs_since_last") >= period_sec, F.lit("PERIOD"))
+        .otherwise(F.lit("NONE"))
+    )
+    action = (
+        F.when(trigger == "NONE", F.lit("NONE"))
+        .when(
+            F.col("now") < F.col("prevent_until"),
+            F.lit("SKIPPED_FAILOVER"),
+        )
+        .otherwise(F.lit("CHECKPOINT"))
+    )
+    return state.select(
+        "ns",
+        "uncheckpointed",
+        "secs_since_last",
+        trigger.alias("trigger"),
+        action.alias("action"),
+    )

@@ -12142,6 +12142,144 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "copy", "sample_weight")
 
 
+_AM_BLACKLIST_ORACLE = """
+WITH f AS (
+  SELECT 'app' || CAST(user_id % 50 AS VARCHAR) AS app_id,
+         'n' || CAST(event_id % (20 + user_id % 50) AS VARCHAR) AS node,
+         ([0, -1000, -100, -101, -102, -103, -104, -105, -106, -107,
+           1, 143])[CAST(event_id % 12 AS INTEGER) + 1] AS exit_status
+  FROM events
+),
+c AS (
+  SELECT app_id, node, count(*) AS n_failures
+  FROM f
+  WHERE exit_status NOT IN (0, -100, -101, -102, -103, -104, -105,
+                            -106, -107)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT c.*, count(*) OVER (PARTITION BY app_id) AS blacklist_size
+  FROM c
+)
+SELECT app_id, node, n_failures,
+       CAST(blacklist_size AS BIGINT) AS blacklist_size,
+       blacklist_size >= CAST(0.4 AS DOUBLE) * 80 AS disabled,
+       CASE WHEN blacklist_size >= CAST(0.4 AS DOUBLE) * 80
+            THEN 'BLACKLIST_REMOVAL'
+            ELSE 'BLACKLIST_ADDITION' END AS action
+FROM s
+"""
+
+
+@register("am_blacklist_updates", _AM_BLACKLIST_ORACLE)
+def am_blacklist_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AM-container node blacklisting (operators/amblacklist.
+    blacklist_updates; reference Apps.java:274-304
+    shouldCountTowardsNodeBlacklisting — SUCCESS, ABORTED,
+    DISKS_FAILED, PREEMPTED, vmem/pmem kills and the three
+    KILLED_BY_* classes are exempt, INVALID and everything else
+    counts per YARN-4284 — RMAppAttemptImpl.java:2013 addNode, and
+    SimpleBlacklistManager.java:64-85: additions below
+    threshold*hosts, wholesale REMOVAL once the list trips the
+    disable threshold). Events are the AM failure log across 50 apps
+    on an 80-host cluster; per-app node pools of 20..69 hosts spread
+    blacklist sizes across the 0.4 threshold so both shipped actions
+    live at sf0.01, and all 12 exit statuses appear. One (app, node)
+    groupBy + an app-level count window on the same key + one
+    broadcast scalar."""
+    from hadoop_source_spark.operators import amblacklist
+
+    e = table(spark, sf_dir, "events")
+    statuses = F.array(
+        *[F.lit(x) for x in
+          (0, -1000, -100, -101, -102, -103, -104, -105, -106, -107,
+           1, 143)]
+    )
+    failures = e.select(
+        F.concat(F.lit("app"), (F.col("user_id") % 50).cast("string")).alias(
+            "app_id"
+        ),
+        F.concat(
+            F.lit("n"),
+            (F.col("event_id") % (20 + F.col("user_id") % 50)).cast(
+                "string"
+            ),
+        ).alias("node"),
+        F.element_at(
+            statuses, (F.col("event_id") % 12).cast("int") + 1
+        ).alias("exit_status"),
+    )
+    nodes = spark.range(80).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node")
+    )
+    return amblacklist.blacklist_updates(
+        failures, nodes, disable_threshold=0.4
+    )
+
+
+_CKPT_TRIGGER_ORACLE = """
+WITH ns AS (
+  SELECT DISTINCT o_orderkey % 997 AS ns FROM orders
+),
+st AS (
+  SELECT ns,
+         CAST((ns * 4099) % 2000000 AS BIGINT) AS uncheckpointed,
+         CAST((ns * 31) % 7200 AS BIGINT) AS secs_since_last,
+         ns % 29 = 0 AS need_rollback,
+         CAST(1000 AS BIGINT) AS now,
+         CAST(CASE WHEN ns % 23 = 0 THEN 5000 ELSE 0 END AS BIGINT)
+           AS prevent_until
+  FROM ns
+)
+SELECT ns, uncheckpointed, secs_since_last,
+  CASE WHEN need_rollback THEN 'ROLLBACK'
+       WHEN uncheckpointed >= 1000000 THEN 'TXN_COUNT'
+       WHEN secs_since_last >= 3600 THEN 'PERIOD'
+       ELSE 'NONE' END AS trigger,
+  CASE WHEN NOT need_rollback AND uncheckpointed < 1000000
+            AND secs_since_last < 3600 THEN 'NONE'
+       WHEN now < prevent_until THEN 'SKIPPED_FAILOVER'
+       ELSE 'CHECKPOINT' END AS action
+FROM st
+"""
+
+
+@register("checkpoint_trigger_plan", _CKPT_TRIGGER_ORACLE)
+def checkpoint_trigger_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standby-checkpoint trigger evaluation (operators/editlog.
+    checkpoint_triggers; reference StandbyCheckpointer.java:445-480 —
+    rollback image first, then the txn-count threshold, then the
+    period threshold, and a triggered checkpoint is SKIPPED inside
+    the about-to-failover quiet window, counting canceledCount).
+    A 997-namespace fleet derived from orders puts every trigger and
+    the quiet-window skip live at sf0.01 against the default
+    dfs.namenode.checkpoint.txns=1e6 / period=3600 thresholds. Pure
+    codegen CASE cascade — zero shuffles past the distinct."""
+    from hadoop_source_spark.operators import editlog
+
+    ns = (
+        table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 997).alias("ns"))
+        .distinct()
+    )
+    state = ns.select(
+        "ns",
+        ((F.col("ns") * 4099) % 2000000).cast("long").alias(
+            "uncheckpointed"
+        ),
+        ((F.col("ns") * 31) % 7200).cast("long").alias("secs_since_last"),
+        (F.col("ns") % 29 == 0).alias("need_rollback"),
+        F.lit(1000).cast("long").alias("now"),
+        F.when(F.col("ns") % 23 == 0, F.lit(5000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("prevent_until"),
+    )
+    return editlog.checkpoint_triggers(
+        state, txn_count=1_000_000, period_sec=3600
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12252,9 +12390,10 @@ _WINDOW: list[str] = [
     "lazy_persist_eviction", "snapshot_admission_check",
     "upgrade_domain_placement_report", "url_canonical_dedup",
     "stupid_backoff_lm_score", "temperature_resample",
+    "am_blacklist_updates", "checkpoint_trigger_plan",
 ]
 
-assert len(_WINDOW) == 181, len(_WINDOW)
+assert len(_WINDOW) == 183, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

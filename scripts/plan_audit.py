@@ -139,6 +139,7 @@ def main() -> None:
         "lazy_persist_eviction", "snapshot_admission_check",
         "upgrade_domain_placement_report", "url_canonical_dedup",
         "stupid_backoff_lm_score", "temperature_resample",
+        "am_blacklist_updates", "checkpoint_trigger_plan",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -169,6 +169,7 @@ EXTRA = (
     "lazy_persist_eviction", "snapshot_admission_check",
     "upgrade_domain_placement_report", "url_canonical_dedup",
     "stupid_backoff_lm_score", "temperature_resample",
+    "am_blacklist_updates", "checkpoint_trigger_plan",
 )
 
 
