@@ -12280,6 +12280,60 @@ def checkpoint_trigger_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIM_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS L,
+         ((doc_id % 1000003 + 42) * 2654435761) % 10000 < 9000
+           AS applied,
+         ((doc_id % 1000003 + 43) * 2654435761) % 10000 < 5000 AS spm,
+         ((doc_id % 1000003 + 44) * 2654435761) % 10000 AS u1,
+         ((doc_id % 1000003 + 45) * 2654435761) % 10000 AS u2
+  FROM documents
+),
+c AS (
+  SELECT b.*,
+         least(CAST(floor(u1 * (L + 1) / 10000) AS INTEGER),
+               CAST(floor(u2 * (L + 1) / 10000) AS INTEGER)) AS i,
+         greatest(CAST(floor(u1 * (L + 1) / 10000) AS INTEGER),
+                  CAST(floor(u2 * (L + 1) / 10000) AS INTEGER)) AS j
+  FROM b
+)
+SELECT doc_id,
+  CASE WHEN NOT applied THEN 'NONE'
+       WHEN spm THEN 'SPM' ELSE 'PSM' END AS mode,
+  CASE WHEN NOT applied THEN text
+       WHEN spm THEN '<SUF>' || substr(text, j + 1, L - j)
+                 || '<PRE>' || substr(text, 1, i)
+                 || '<MID>' || substr(text, i + 1, j - i)
+       ELSE '<PRE>' || substr(text, 1, i)
+         || '<SUF>' || substr(text, j + 1, L - j)
+         || '<MID>' || substr(text, i + 1, j - i) END AS output,
+  CAST(CASE WHEN applied THEN i ELSE L END AS BIGINT) AS len_prefix,
+  CAST(CASE WHEN applied THEN j - i ELSE 0 END AS BIGINT) AS len_middle,
+  CAST(CASE WHEN applied THEN L - j ELSE 0 END AS BIGINT) AS len_suffix
+FROM c
+"""
+
+
+@register("fim_transform_corpus", _FIM_ORACLE)
+def fim_transform_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (llmops/fim.
+    fim_transform; Bavarian et al. 2022 — document-level character
+    split into prefix/middle/suffix at two uniform cuts, rearranged
+    with sentinels; PSM and the swapped SPM layouts, both live).
+    fim_rate 0.9 / spm_rate 0.5, every random draw a seed-offset
+    hash bucket of the doc id so the oracle replays the exact
+    transform. One codegen projection — substring/concat arithmetic
+    only, no shuffle, no Python; reconstruction (the three spans
+    reassemble the original text) is pytest-pinned."""
+    from hadoop_source_spark.llmops import fim
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim.fim_transform(
+        d, fim_rate=0.9, spm_rate=0.5, impl="arith"
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12391,9 +12445,10 @@ _WINDOW: list[str] = [
     "upgrade_domain_placement_report", "url_canonical_dedup",
     "stupid_backoff_lm_score", "temperature_resample",
     "am_blacklist_updates", "checkpoint_trigger_plan",
+    "fim_transform_corpus",
 ]
 
-assert len(_WINDOW) == 183, len(_WINDOW)
+assert len(_WINDOW) == 184, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

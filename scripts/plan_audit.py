@@ -140,6 +140,7 @@ def main() -> None:
         "upgrade_domain_placement_report", "url_canonical_dedup",
         "stupid_backoff_lm_score", "temperature_resample",
         "am_blacklist_updates", "checkpoint_trigger_plan",
+        "fim_transform_corpus",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
