@@ -173,3 +173,96 @@ def length_bucket_report(
             ).alias("utilization"),
         )
     )
+
+
+def concat_and_chunk(
+    docs: DataFrame,
+    seq_len: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_col: str = "shuffle_key",
+) -> DataFrame:
+    """GPT-style concat-and-chunk (the decoder-pretraining recipe, in
+    contrast to pack_sequences' boundary-respecting packer): shuffle
+    the documents into a deterministic order, concatenate their token
+    streams with one EOD token after each document (the caller's
+    n_tokens must already INCLUDE the EOD — weight = true tokens + 1),
+    then slice the global stream into fixed seq_len windows. Documents
+    SPAN sequence boundaries; nothing is padded and nothing is
+    dropped except the final partial sequence's tail slack.
+
+    Returns one row per (sequence, document piece): seq_id, the
+    piece's position inside the sequence, the source doc, the piece's
+    offset inside the doc's token stream, its length, and whether it
+    carries the doc's EOD token (always the last piece of a doc).
+
+    Scale shape: the global token offset is a TWO-LEVEL prefix sum —
+    range-exchange on the shuffle key, per-partition cumsum windows
+    (partition-parallel), one partition-count-sized collect for the
+    broadcast offset map — never a single-partition global window.
+    The boundary-crossing explode emits ceil(n/seq_len)+1 pieces per
+    doc. Same plan at 10^12 documents.
+    """
+    cols = [F.col(order_col), F.col(id_col)]
+    ranged = (
+        docs.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=False)
+    )
+    ided = ranged.select(
+        "*", F.monotonically_increasing_id().alias("__mid")
+    )
+    pid = F.shiftrightunsigned(F.col("__mid"), 33)
+    sums = {
+        r["pid"]: r["s"]
+        for r in ided.groupBy(pid.alias("pid"))
+        .agg(F.sum(n_tokens_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    omap = F.create_map(
+        *[F.lit(x) for p, off in offsets.items() for x in (p, off)]
+    )
+    from pyspark.sql import Window
+
+    in_pid = (
+        Window.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum(n_tokens_col).over(in_pid), F.lit(0))
+        + omap[pid]
+    ).cast("long")
+    spanned = ided.select(
+        id_col,
+        F.col(n_tokens_col).cast("long").alias("__n"),
+        start.alias("__start"),
+    )
+    L = F.lit(seq_len).cast("long")
+    first_seq = F.floor(F.col("__start") / L).cast("long")
+    last_seq = F.floor((F.col("__start") + F.col("__n") - 1) / L).cast(
+        "long"
+    )
+    pieces = spanned.select(
+        id_col,
+        "__n",
+        "__start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    g_start = F.greatest(F.col("__start"), F.col("seq_id") * L)
+    g_end = F.least(
+        F.col("__start") + F.col("__n"), (F.col("seq_id") + 1) * L
+    )
+    return pieces.select(
+        "seq_id",
+        id_col,
+        (g_start - F.col("seq_id") * L).cast("long").alias("seq_pos"),
+        (g_start - F.col("__start")).cast("long").alias("piece_start"),
+        (g_end - g_start).cast("long").alias("piece_len"),
+        (g_end == F.col("__start") + F.col("__n")).alias("has_eod"),
+    )

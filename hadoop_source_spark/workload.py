@@ -12334,6 +12334,70 @@ def fim_transform_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONCAT_CHUNK_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) + 1 AS BIGINT) AS n,
+         ((doc_id % 1000003 + 42) * 2654435761) % 10000 AS k
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY k, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS strt
+  FROM d
+),
+p AS (
+  SELECT doc_id, n, strt, CAST(u.s AS BIGINT) AS seq_id
+  FROM o, UNNEST(range(strt // 512, (strt + n - 1) // 512 + 1)) AS u(s)
+)
+SELECT seq_id, doc_id,
+  greatest(strt, seq_id * 512) - seq_id * 512 AS seq_pos,
+  greatest(strt, seq_id * 512) - strt AS piece_start,
+  least(strt + n, (seq_id + 1) * 512)
+    - greatest(strt, seq_id * 512) AS piece_len,
+  least(strt + n, (seq_id + 1) * 512) = strt + n AS has_eod
+FROM p
+"""
+
+
+@register("concat_chunk_training_stream", _CONCAT_CHUNK_ORACLE)
+def concat_chunk_training_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence assembly (llmops/packing.
+    concat_and_chunk — the decoder-pretraining recipe: documents
+    deterministically shuffled, token streams concatenated with an
+    EOD token per doc, the global stream sliced into fixed 512-token
+    windows; documents SPAN sequence boundaries, nothing padded or
+    dropped). The global token offset is a TWO-LEVEL prefix sum —
+    range exchange + partition-parallel cumsum windows + a
+    partition-count-sized broadcast offset map — never the
+    single-partition global window Spark would plan for a plain
+    `SUM() OVER (ORDER BY ...)`; the oracle uses exactly that plain
+    window, proving the two-level plan equivalent. Complements
+    pack_sequences (the boundary-respecting T5-style packer)."""
+    from hadoop_source_spark.llmops import packing as pk
+    from hadoop_source_spark.llmops.textstats import tokenize_words
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(tokenize_words(F.col("text"))) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        (
+            F.pmod(
+                (F.pmod(F.col("doc_id"), F.lit(1000003)) + 42)
+                * F.lit(2654435761),
+                F.lit(10000),
+            )
+        ).alias("shuffle_key"),
+    )
+    return pk.concat_and_chunk(d, seq_len=512)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12445,10 +12509,10 @@ _WINDOW: list[str] = [
     "upgrade_domain_placement_report", "url_canonical_dedup",
     "stupid_backoff_lm_score", "temperature_resample",
     "am_blacklist_updates", "checkpoint_trigger_plan",
-    "fim_transform_corpus",
+    "fim_transform_corpus", "concat_chunk_training_stream",
 ]
 
-assert len(_WINDOW) == 184, len(_WINDOW)
+assert len(_WINDOW) == 185, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

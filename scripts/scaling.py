@@ -170,7 +170,7 @@ EXTRA = (
     "upgrade_domain_placement_report", "url_canonical_dedup",
     "stupid_backoff_lm_score", "temperature_resample",
     "am_blacklist_updates", "checkpoint_trigger_plan",
-    "fim_transform_corpus",
+    "fim_transform_corpus", "concat_chunk_training_stream",
 )
 
 
