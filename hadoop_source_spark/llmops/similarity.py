@@ -1679,3 +1679,53 @@ def cluster_shift_expr(vec_col: str, cluster_col: str, amp: float = 2.0) -> Colu
         f"j -> {amp} * cast(xxhash64('clu', {cluster_col}, j) as double) "
         f"/ 9.223372036854775808E18), (x, o) -> cast(x as double) + o)"
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "benchmark_id",
+) -> DataFrame:
+    """Embedding-level test-set decontamination: flag every training
+    example whose embedding sits within `threshold` cosine of ANY
+    benchmark example (the semantic complement of the n-gram
+    decontamination row — catches paraphrased/reformatted test
+    leakage that exact n-grams miss; cf. the contamination audits in
+    Brown et al. 2020 appx. C and successors, which this generalizes
+    from lexical to embedding space).
+
+    Returns every corpus row with its nearest benchmark example, the
+    (rounded) cosine, and the contaminated flag.
+
+    Scale shape: benchmark suites are FIXED-SIZE (thousands of rows,
+    not corpus-sized), so the exact computation IS the production
+    path — broadcast the benchmark, one scan over the corpus, a
+    per-row bounded argmax via the same (cosine desc, id) window the
+    ANN rows use. No index, no approximation, no second pass."""
+    b = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias(bench_id_col),
+            F.col(vec_col).alias("__bv"),
+        )
+    )
+    scored = corpus.crossJoin(b).select(
+        id_col,
+        bench_id_col,
+        F.round(cosine(F.col(vec_col), F.col("__bv")), 6).alias("cosine"),
+    )
+    pick = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col(bench_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            bench_id_col,
+            "cosine",
+            (F.col("cosine") >= threshold).alias("contaminated"),
+        )
+    )

@@ -12398,6 +12398,49 @@ def concat_chunk_training_stream(
     return pk.concat_and_chunk(d, seq_len=512)
 
 
+_EMB_DECON_ORACLE = """
+WITH bench AS (
+  SELECT vec_id AS benchmark_id, embedding FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0
+),
+scored AS (
+  SELECT c.vec_id, b.benchmark_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, benchmark_id, cosine,
+       cosine >= CAST(0.35 AS DOUBLE) AS contaminated
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, benchmark_id) AS rn FROM scored) t
+WHERE rn = 1
+"""
+
+
+@register("embedding_decontamination", _EMB_DECON_ORACLE)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level test-set decontamination (llmops/similarity.
+    embedding_decontaminate — the semantic complement of the n-gram
+    decontamination_check row: paraphrased/reformatted test leakage
+    that exact n-grams miss). Every 37th embedding plays the held-out
+    benchmark; the rest are the training corpus, each flagged with
+    its nearest benchmark example at a 0.35 cosine threshold (just
+    under the testdata's max cross-split cosine, so both flag values
+    are live). Benchmark suites are fixed-size, so the
+    EXACT broadcast scan is the production path at 100 TB — no index,
+    no approximation, one corpus pass + a bounded per-row argmax."""
+    from hadoop_source_spark.llmops import similarity as sim2
+
+    e = table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 37 == 0)
+    corpus = e.filter(F.col("vec_id") % 37 != 0)
+    return sim2.embedding_decontaminate(corpus, bench, threshold=0.35)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12510,9 +12553,10 @@ _WINDOW: list[str] = [
     "stupid_backoff_lm_score", "temperature_resample",
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
+    "embedding_decontamination",
 ]
 
-assert len(_WINDOW) == 185, len(_WINDOW)
+assert len(_WINDOW) == 186, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

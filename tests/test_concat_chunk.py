@@ -64,3 +64,32 @@ def test_order_follows_shuffle_key(spark):
     rows = pk.concat_and_chunk(df, seq_len=100).collect()
     got = {r["doc_id"]: r["seq_pos"] for r in rows}
     assert got == {1: 0, 0: 4}
+
+
+def test_embedding_decontaminate_planted(spark):
+    from hadoop_source_spark.llmops import similarity as sim
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),    # exact copy of bench 100
+            (2, [0.9, 0.1, 0.0]),    # near copy
+            (3, [0.0, 0.0, 1.0]),    # orthogonal to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in sim.embedding_decontaminate(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+    assert got[1]["contaminated"] and got[1]["benchmark_id"] == 100
+    assert got[1]["cosine"] == 1.0
+    assert got[2]["contaminated"]          # 0.9939 >= 0.95
+    assert got[2]["benchmark_id"] == 100   # argmax, not just any hit
+    assert not got[3]["contaminated"]
+    assert got[3]["cosine"] == 0.0
