@@ -12401,10 +12401,11 @@ def concat_chunk_training_stream(
 _EMB_DECON_ORACLE = """
 WITH bench AS (
   SELECT vec_id AS benchmark_id, embedding FROM embeddings
-  WHERE vec_id % 37 = 0
+  WHERE vec_id % 37 = 0 AND vec_id < 500
 ),
 corpus AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT (vec_id % 37 = 0 AND vec_id < 500)
 ),
 scored AS (
   SELECT c.vec_id, b.benchmark_id,
@@ -12436,8 +12437,9 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_source_spark.llmops import similarity as sim2
 
     e = table(spark, sf_dir, "embeddings")
-    bench = e.filter(F.col("vec_id") % 37 == 0)
-    corpus = e.filter(F.col("vec_id") % 37 != 0)
+    is_bench = (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500)
+    bench = e.filter(is_bench)
+    corpus = e.filter(~is_bench)
     return sim2.embedding_decontaminate(corpus, bench, threshold=0.35)
 
 
