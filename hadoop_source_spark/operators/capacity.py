@@ -335,3 +335,112 @@ def preemption_plan(
         F.round("preempt", 4).alias("preempt"),
         role.alias("role"),
     )
+
+
+def resolve_hierarchy(queues: DataFrame) -> DataFrame:
+    """Hierarchical queue-capacity resolution + the configuration
+    validations the scheduler runs at init (reference
+    capacity/CSQueueUtils.java:120-145 loadCapacitiesByLabelsFromConf
+    — configured percentages become fractions; :147-170
+    updateAbsoluteCapacitiesByNodeLabels — absoluteCapacity(q,label) =
+    capacity * parent's absoluteCapacity, recursively, with a
+    capacity of 0 leaving the absolute at 0 and the root's parent
+    contributing 1; :62-83 capacitiesSanityCheck — absolute capacity
+    must not exceed absolute maximum capacity; and
+    capacity/ParentQueue.java:195-236 — per (parent, label), children
+    capacities must sum to 1 within PRECISION = 0.0005 when the
+    parent's capacity is positive, and must be 0 when it is 0).
+
+    `queues`: (queue_path dotted 'root.a.b', label — '' default,
+    capacity double PERCENT, max_capacity double PERCENT). Returns
+    per (queue, label): absolute capacity/max (round 6), the
+    children's capacity sum (null on leaves), and the verdict
+    OK / ILLEGAL_CHILDREN_SUM / ILLEGAL_ABS_GT_MAX.
+
+    Spark-first scale shape: the recursion is a prefix-chain explode
+    (depth-bounded, same shape as the encryption-zone walk) joined
+    back to the per-queue config — the path product is
+    exp(sum(ln)) under a min-capacity>0 gate — plus one
+    parent-keyed children rollup. Two shuffles on (queue, label);
+    queue trees are config-sized but the plan would hold at any
+    fan-out."""
+    parts = F.split(F.col("queue_path"), "\\.")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), "."),
+    )
+    chain = queues.select(
+        "queue_path",
+        "label",
+        F.explode(prefixes).alias("__anc"),
+    )
+    caps = queues.select(
+        F.col("queue_path").alias("__anc"),
+        "label",
+        (F.col("capacity") / 100).alias("__c"),
+        (F.col("max_capacity") / 100).alias("__m"),
+    )
+    rolled = (
+        chain.join(caps, ["__anc", "label"])
+        .groupBy("queue_path", "label")
+        .agg(
+            F.min("__c").alias("__minc"),
+            F.sum(F.log(F.when(F.col("__c") > 0, F.col("__c")))).alias(
+                "__slc"
+            ),
+            F.min("__m").alias("__minm"),
+            F.sum(F.log(F.when(F.col("__m") > 0, F.col("__m")))).alias(
+                "__slm"
+            ),
+        )
+    )
+    abs_cap = F.when(
+        F.col("__minc") > 0, F.exp(F.col("__slc"))
+    ).otherwise(F.lit(0.0))
+    abs_max = F.when(
+        F.col("__minm") > 0, F.exp(F.col("__slm"))
+    ).otherwise(F.lit(0.0))
+    parent_of = F.when(
+        F.col("queue_path").contains("."),
+        F.regexp_replace("queue_path", "\\.[^.]+$", ""),
+    )
+    child_sums = (
+        queues.select(
+            parent_of.alias("queue_path"),
+            "label",
+            (F.col("capacity") / 100).alias("__cc"),
+        )
+        .where(F.col("queue_path").isNotNull())
+        .groupBy("queue_path", "label")
+        .agg(F.sum("__cc").alias("__csum"))
+    )
+    out = (
+        rolled.join(child_sums, ["queue_path", "label"], "left")
+        .join(
+            queues.select(
+                "queue_path", "label",
+                (F.col("capacity") / 100).alias("__own"),
+            ),
+            ["queue_path", "label"],
+        )
+    )
+    bad_children = F.col("__csum").isNotNull() & (
+        ((F.col("__own") > 0)
+         & (F.abs(F.lit(1.0) - F.col("__csum")) > 0.0005))
+        | ((F.col("__own") == 0) & (F.col("__csum") > 0))
+    )
+    r_abs = F.round(abs_cap, 6)
+    r_max = F.round(abs_max, 6)
+    verdict = (
+        F.when(bad_children, F.lit("ILLEGAL_CHILDREN_SUM"))
+        .when(r_abs > r_max, F.lit("ILLEGAL_ABS_GT_MAX"))
+        .otherwise(F.lit("OK"))
+    )
+    return out.select(
+        "queue_path",
+        "label",
+        r_abs.alias("abs_capacity"),
+        r_max.alias("abs_max_capacity"),
+        F.round("__csum", 6).alias("children_sum"),
+        verdict.alias("verdict"),
+    )

@@ -12443,6 +12443,141 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim2.embedding_decontaminate(corpus, bench, threshold=0.35)
 
 
+_QUEUE_HIERARCHY_ORACLE = """
+WITH qid AS (SELECT DISTINCT o_orderkey % 190 AS qid FROM orders),
+lbl AS (SELECT '' AS label UNION ALL SELECT 'gpu'),
+leaves AS (
+  SELECT qid, label, qid % 10 AS p,
+         CAST(CASE WHEN label = '' AND qid // 10 = 18 AND qid % 10 = 3
+                     THEN 7
+                   WHEN qid // 10 = 18 THEN 10 ELSE 5 END AS DOUBLE)
+           AS cap,
+         CAST(CASE WHEN label = '' AND qid % 17 = 3 THEN 0.4
+                   ELSE 100 END AS DOUBLE) AS maxcap
+  FROM qid, lbl
+),
+parents AS (
+  SELECT p, label,
+         CAST(CASE WHEN label = 'gpu' AND p = 9 THEN 20
+                   ELSE 10 END AS DOUBLE) AS cap
+  FROM (SELECT DISTINCT qid % 10 AS p FROM qid), lbl
+),
+-- closed-form absolutes per level (root=1; parent=cap/100;
+-- leaf=parentcap/100*cap/100) — independent of any chain walk
+root_rows AS (
+  SELECT 'root' AS queue_path, label,
+         CAST(1 AS DOUBLE) AS abs_capacity,
+         CAST(1 AS DOUBLE) AS abs_max_capacity,
+         (SELECT sum(cap) / 100 FROM parents p2
+          WHERE p2.label = l.label) AS children_sum
+  FROM lbl l
+),
+parent_rows AS (
+  SELECT 'root.p' || CAST(p AS VARCHAR) AS queue_path, label,
+         cap / 100 AS abs_capacity,
+         CAST(1 AS DOUBLE) AS abs_max_capacity,
+         (SELECT sum(lv.cap) / 100 FROM leaves lv
+          WHERE lv.p = pr.p AND lv.label = pr.label) AS children_sum
+  FROM parents pr
+),
+leaf_rows AS (
+  SELECT 'root.p' || CAST(lv.p AS VARCHAR) || '.q'
+           || CAST(lv.qid AS VARCHAR) AS queue_path,
+         lv.label,
+         pr.cap / 100 * lv.cap / 100 AS abs_capacity,
+         lv.maxcap / 100 AS abs_max_capacity,
+         CAST(NULL AS DOUBLE) AS children_sum
+  FROM leaves lv JOIN parents pr
+    ON pr.p = lv.p AND pr.label = lv.label
+),
+allq AS (
+  SELECT * FROM root_rows UNION ALL
+  SELECT * FROM parent_rows UNION ALL
+  SELECT * FROM leaf_rows
+)
+SELECT queue_path, label,
+       round(abs_capacity, 6) AS abs_capacity,
+       round(abs_max_capacity, 6) AS abs_max_capacity,
+       round(children_sum, 6) AS children_sum,
+       CASE WHEN children_sum IS NOT NULL
+                 AND abs(CAST(1 AS DOUBLE) - children_sum) > 0.0005
+              THEN 'ILLEGAL_CHILDREN_SUM'
+            WHEN round(abs_capacity, 6) > round(abs_max_capacity, 6)
+              THEN 'ILLEGAL_ABS_GT_MAX'
+            ELSE 'OK' END AS verdict
+FROM allq
+"""
+
+
+@register("queue_hierarchy_capacities", _QUEUE_HIERARCHY_ORACLE)
+def queue_hierarchy_capacities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical queue-capacity resolution + init-time validation
+    (operators/capacity.resolve_hierarchy; reference CSQueueUtils.
+    java:120-170 — configured percentages become fractions,
+    absoluteCapacity = capacity x parent's absoluteCapacity down the
+    tree per node label, root's parent contributing 1; :62-83
+    capacitiesSanityCheck abs <= abs-max; ParentQueue.java:195-236 —
+    per (parent, label) the children's capacities must sum to 1
+    within PRECISION 0.0005). A root + 10 parents + 190 leaves tree
+    across two labels: parent p3's default-label children sum to
+    0.97 (ILLEGAL_CHILDREN_SUM), the gpu parents sum to 1.1 at the
+    root (same verdict one level up), and eleven leaves carry a 0.4%
+    maximum against their 0.5% absolute (ILLEGAL_ABS_GT_MAX). The
+    engine walks prefix chains and multiplies via a gated
+    exp-sum-ln; the oracle derives every absolute in CLOSED FORM per
+    tree level — an independent construction."""
+    from hadoop_source_spark.operators import capacity as cap_ops
+
+    qids = (
+        table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 190).alias("qid"))
+        .distinct()
+    )
+    labels = spark.createDataFrame([("",), ("gpu",)], "label string")
+    qid, lab = F.col("qid"), F.col("label")
+    leaves = qids.crossJoin(labels).select(
+        F.concat(
+            F.lit("root.p"), (qid % 10).cast("string"),
+            F.lit(".q"), qid.cast("string"),
+        ).alias("queue_path"),
+        "label",
+        F.when(
+            (lab == "") & ((qid / 10).cast("long") == 18) & (qid % 10 == 3),
+            F.lit(7.0),
+        )
+        .when((qid / 10).cast("long") == 18, F.lit(10.0))
+        .otherwise(F.lit(5.0))
+        .alias("capacity"),
+        F.when((lab == "") & (qid % 17 == 3), F.lit(0.4))
+        .otherwise(F.lit(100.0))
+        .alias("max_capacity"),
+    )
+    parents = (
+        qids.select((qid % 10).alias("p"))
+        .distinct()
+        .crossJoin(labels)
+        .select(
+            F.concat(F.lit("root.p"), F.col("p").cast("string")).alias(
+                "queue_path"
+            ),
+            "label",
+            F.when((lab == "gpu") & (F.col("p") == 9), F.lit(20.0))
+            .otherwise(F.lit(10.0))
+            .alias("capacity"),
+            F.lit(100.0).alias("max_capacity"),
+        )
+    )
+    root = labels.select(
+        F.lit("root").alias("queue_path"),
+        "label",
+        F.lit(100.0).alias("capacity"),
+        F.lit(100.0).alias("max_capacity"),
+    )
+    return cap_ops.resolve_hierarchy(
+        root.unionByName(parents).unionByName(leaves)
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12555,10 +12690,10 @@ _WINDOW: list[str] = [
     "stupid_backoff_lm_score", "temperature_resample",
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
-    "embedding_decontamination",
+    "embedding_decontamination", "queue_hierarchy_capacities",
 ]
 
-assert len(_WINDOW) == 186, len(_WINDOW)
+assert len(_WINDOW) == 187, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

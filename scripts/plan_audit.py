@@ -141,7 +141,7 @@ def main() -> None:
         "stupid_backoff_lm_score", "temperature_resample",
         "am_blacklist_updates", "checkpoint_trigger_plan",
         "fim_transform_corpus", "concat_chunk_training_stream",
-        "embedding_decontamination",
+        "embedding_decontamination", "queue_hierarchy_capacities",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

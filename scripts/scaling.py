@@ -171,7 +171,7 @@ EXTRA = (
     "stupid_backoff_lm_score", "temperature_resample",
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
-    "embedding_decontamination",
+    "embedding_decontamination", "queue_hierarchy_capacities",
 )
 
 
