@@ -202,10 +202,17 @@ def concat_and_chunk(
     broadcast offset map — never a single-partition global window.
     The boundary-crossing explode emits ceil(n/seq_len)+1 pieces per
     doc. Same plan at 10^12 documents.
+
+    Rows with n_tokens <= 0 are dropped up front: the contract is
+    "n_tokens includes the EOD token" so every real document weighs
+    >= 1, and a non-positive weight would otherwise make
+    sequence(first_seq, last_seq) run DESCENDING (last < first) and
+    emit bogus pieces instead of erroring.
     """
     cols = [F.col(order_col), F.col(id_col)]
     ranged = (
-        docs.repartitionByRange(*cols)
+        docs.where(F.col(n_tokens_col) > 0)
+        .repartitionByRange(*cols)
         .sortWithinPartitions(*cols)
         .localCheckpoint(eager=False)
     )

@@ -1704,7 +1704,20 @@ def embedding_decontaminate(
     not corpus-sized), so the exact computation IS the production
     path — broadcast the benchmark, one scan over the corpus, a
     per-row bounded argmax via the same (cosine desc, id) window the
-    ANN rows use. No index, no approximation, no second pass."""
+    ANN rows use. No index, no approximation, no second pass.
+
+    Fails CLOSED on an empty benchmark: a decontamination stage whose
+    benchmark accidentally selected zero rows would otherwise return
+    zero rows (cross join with the empty set), which reads as
+    "nothing contaminated" — raise instead. The benchmark is
+    fixed-size by contract, so the eager emptiness probe is one cheap
+    job over a tiny side."""
+    if benchmark.isEmpty():
+        raise ValueError(
+            "embedding_decontaminate: benchmark is empty — refusing to "
+            "fail open (an empty benchmark would mark the whole corpus "
+            "uncontaminated)"
+        )
     b = F.broadcast(
         benchmark.select(
             F.col(id_col).alias(bench_id_col),

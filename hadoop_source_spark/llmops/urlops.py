@@ -4,12 +4,14 @@ content dedup (the CCNet / RefinedWeb / Gopher recipe: canonicalize
 the URL, drop exact URL duplicates, drop blocklisted domains, cap any
 single domain's share of the corpus).
 
-All string work is ordered `regexp_replace` steps (each pattern can
-match at most once, so replace-first and replace-all engines agree):
-lowercase, strip #fragment, strip a pure-tracking ?utm... query,
-strip the http(s) scheme, strip a leading www., strip the :80/:443
-default port, strip the trailing slash. The registry host is the
-leading non-/ run of the canonical form.
+All string work is ordered `regexp_replace` steps (every pattern is
+anchored — ^ or $ — so each can match at most once and replace-first
+and replace-all engines agree): lowercase, strip #fragment, strip a
+pure-tracking ?utm... query, strip the http(s) scheme, strip a
+leading www., strip the :80/:443 default port (anchored to the HOST
+position — a literal ':80' inside a path segment is preserved), strip
+the trailing slash. The registry host is the leading non-/ run of the
+canonical form.
 
 Spark-first scale shape: canonicalization is a codegen projection
 (zero Python); URL dedup is one window on the canonical URL; the
@@ -32,8 +34,11 @@ def canonicalize(url: Column) -> Column:
     c = F.regexp_replace(c, "\\?utm.*$", "")
     c = F.regexp_replace(c, "^https?://", "")
     c = F.regexp_replace(c, "^www\\.", "")
-    c = F.regexp_replace(c, ":(80|443)/", "/")
-    c = F.regexp_replace(c, ":(80|443)$", "")
+    # host-anchored: at this point in the chain the scheme is gone, so
+    # the authority is the leading [^/]* run; the lookahead keeps the
+    # path separator while refusing ':8080' (backtracking cannot split
+    # a longer port) and mid-path ':80' (not at ^)
+    c = F.regexp_replace(c, "^([^/]*):(80|443)(?=/|$)", "$1")
     return F.regexp_replace(c, "/$", "")
 
 

@@ -81,9 +81,21 @@ def admit(
     quota = F.col("quota").cast("long")
     limit = F.col("max_limit").cast("long")
     cap = F.least(quota, limit)
-    n_now = F.col("existing_n") + F.least(
-        prior_fresh, F.greatest(cap - F.col("existing_n"), F.lit(0))
+    # In NOT_SNAPSHOTTABLE dirs and OUT_OF_IDS namespaces the reference
+    # never reaches addSnapshot, so no prior request can have grown n —
+    # the count stays at existing_n regardless of the request stream.
+    # (Both flags are constant within a (ns, dir_path) partition, so
+    # the gate composes with the window without a second pass.)
+    admissible = (
+        F.coalesce(F.col("snapshottable"), F.lit(False))
+        & ~F.col("ids_exhausted")
     )
+    n_now = F.col("existing_n") + F.when(
+        admissible,
+        F.least(
+            prior_fresh, F.greatest(cap - F.col("existing_n"), F.lit(0))
+        ),
+    ).otherwise(F.lit(0))
     verdict = (
         F.when(
             F.col("snapshottable").isNull() | ~F.col("snapshottable"),

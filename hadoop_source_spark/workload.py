@@ -11738,8 +11738,11 @@ w2 AS (
 ),
 fin AS (
   SELECT w2.*,
-    existing_n + least(prior_fresh,
-      greatest(least(quota, max_limit) - existing_n, 0)) AS n1
+    existing_n + CASE
+      WHEN snapshottable AND NOT ids_exhausted
+      THEN least(prior_fresh,
+                 greatest(least(quota, max_limit) - existing_n, 0))
+      ELSE 0 END AS n1
   FROM w2
 )
 SELECT req_id, ns, dir_path, name,

@@ -66,6 +66,23 @@ def test_order_follows_shuffle_key(spark):
     assert got == {1: 0, 0: 4}
 
 
+def test_zero_token_docs_are_dropped_not_exploded(spark):
+    # a doc with n_tokens <= 0 violates the "includes EOD" contract;
+    # it must vanish (contribute no pieces and shift no offsets), not
+    # emit a DESCENDING sequence of bogus pieces
+    df = spark.createDataFrame(
+        [(0, 5, 0), (1, 0, 1), (2, -3, 2), (3, 7, 3)],
+        "doc_id long, n_tokens long, shuffle_key long",
+    )
+    rows = pk.concat_and_chunk(df, seq_len=8).collect()
+    assert {r["doc_id"] for r in rows} == {0, 3}
+    assert sum(r["piece_len"] for r in rows) == 12
+    assert all(r["piece_len"] > 0 for r in rows)
+    # offsets are as if the zero/negative docs never existed
+    per_seq = sorted(r["seq_id"] for r in rows)
+    assert per_seq == [0, 0, 1]
+
+
 def test_embedding_decontaminate_planted(spark):
     from hadoop_source_spark.llmops import similarity as sim
 

@@ -94,6 +94,28 @@ def test_url_canonicalization_unifies_variants(spark):
     assert got[4]["domain"] == "sub.www.ex.com"
 
 
+def test_port_strip_is_host_anchored(spark):
+    # the :80/:443 strip must only fire in the authority position —
+    # a literal ':80' inside a path segment and a real ':8080' port
+    # are both preserved (regression: an unanchored replace-all
+    # mangled 'example.com/a:80/b' into 'example.com/a/b')
+    df = spark.createDataFrame(
+        [
+            (1, "http://ex.com/a:80/b", 1.0),
+            (2, "http://ex.com:8080/a", 1.0),
+            (3, "http://ex.com:80/a:443/b", 1.0),
+        ],
+        "doc_id long, url string, quality double",
+    )
+    out = urlops.url_pipeline(
+        df, spark.createDataFrame([("none",)], "domain string"), 10
+    ).collect()
+    got = {r["doc_id"]: r["canon_url"] for r in out}
+    assert got[1] == "ex.com/a:80/b"
+    assert got[2] == "ex.com:8080/a"
+    assert got[3] == "ex.com/a:443/b"  # host port gone, path ':443' kept
+
+
 def test_url_blocklist_and_cap_count_only_survivors(spark):
     rows = [(i, f"https://big.com/p{i}", float(100 - i)) for i in range(6)]
     rows += [(10, "https://big.com/p0", 999.0)]   # dup of doc 0's URL
