@@ -12581,6 +12581,259 @@ def queue_hierarchy_capacities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGAGG_INDEX_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         'app_' || CAST(doc_id % 40 AS VARCHAR) AS app_id,
+         'container_' || CAST(doc_id AS VARCHAR) AS container_id,
+         'user' || CAST((doc_id % 40) % 5 AS VARCHAR) AS owner,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'ERROR in container ' || CAST(doc_id AS VARCHAR)
+              ELSE '' END AS stderr,
+         'app=' || CAST(doc_id % 40 AS VARCHAR) AS syslog
+  FROM documents
+)
+SELECT app_id, container_id, 'stdout' AS file_name,
+       CAST(strlen(text) AS BIGINT) AS file_length,
+       md5(text) AS content_md5, owner, 1 AS version,
+       contains(text, 'ERROR') AS has_error
+FROM d
+UNION ALL
+SELECT app_id, container_id, 'stderr', CAST(strlen(stderr) AS BIGINT),
+       md5(stderr), owner, 1, contains(stderr, 'ERROR')
+FROM d
+UNION ALL
+SELECT app_id, container_id, 'syslog', CAST(strlen(syslog) AS BIGINT),
+       md5(syslog), owner, 1, contains(syslog, 'ERROR')
+FROM d
+"""
+
+
+@register("aggregated_log_index", _LOGAGG_INDEX_ORACLE)
+def aggregated_log_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN aggregated container-log index (operators/logagg —
+    AggregatedLogFormat.java's TFile LogKey/LogValue layout: per-file
+    writeUTF(name)/writeUTF(str(len))/raw-bytes triplets :231-288,
+    reserved APPLICATION_ACL/APPLICATION_OWNER/VERSION meta keys
+    :86-88 that LogReader.next skips :683-685, VERSION=writeInt(1)
+    :498-505, owner=writeUTF :507-514). Every doc becomes a container
+    with stdout (the doc text — multi-byte UTF-8 exercises the
+    modified-UTF-8 byte-length math), a sometimes-empty stderr, and a
+    syslog; each (app, node) file carries the three meta entries. The
+    engine ENCODES the wire blobs, DECODES them with the production
+    codecs (container_file_index + application_meta joined on the
+    aggregated-file key), and reports per-(app, container, file)
+    length + md5 + owner + error-scan; the oracle computes all of it
+    from the generator columns — hash parity proves the round trip is
+    lossless byte-for-byte. Scale: two mapInPandas passes over Arrow
+    batches (bytes never touch the driver), meta merge and the
+    meta-join shuffle on the (app, node) file key."""
+    from hadoop_source_spark.operators import logagg
+
+    d = table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("app_"), (F.col("doc_id") % 40).cast("string")).alias(
+            "app_id"
+        ),
+        F.concat(F.lit("nm"), (F.col("doc_id") % 7).cast("string")).alias(
+            "node"
+        ),
+        F.concat(F.lit("container_"), F.col("doc_id").cast("string")).alias(
+            "container_id"
+        ),
+        F.col("text").alias("stdout"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("ERROR in container "), F.col("doc_id").cast("string")
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("stderr"),
+        F.concat(
+            F.lit("app="), (F.col("doc_id") % 40).cast("string")
+        ).alias("syslog"),
+        F.concat(
+            F.lit("user"), ((F.col("doc_id") % 40) % 5).cast("string")
+        ).alias("owner"),
+    )
+
+    entry_schema = "app_id string, node string, log_key string, value binary"
+
+    def encode_containers(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    app,
+                    node,
+                    cid,
+                    logagg.encode_log_value(
+                        [
+                            ("stdout", (so or "").encode("utf-8")),
+                            ("stderr", (se or "").encode("utf-8")),
+                            ("syslog", (sy or "").encode("utf-8")),
+                        ]
+                    ),
+                )
+                for app, node, cid, so, se, sy in zip(
+                    pdf["app_id"], pdf["node"], pdf["container_id"],
+                    pdf["stdout"], pdf["stderr"], pdf["syslog"],
+                )
+            ]
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows, columns=["app_id", "node", "log_key", "value"]
+            )
+
+    def encode_meta(batches):
+        for pdf in batches:
+            rows = []
+            for app, node, owner in zip(
+                pdf["app_id"], pdf["node"], pdf["owner"]
+            ):
+                rows.append((app, node, "VERSION", logagg.encode_version()))
+                rows.append(
+                    (app, node, "APPLICATION_OWNER",
+                     logagg.encode_owner(owner))
+                )
+                rows.append(
+                    (
+                        app,
+                        node,
+                        "APPLICATION_ACL",
+                        logagg.encode_acls(
+                            [("VIEW_APP", "*"), ("MODIFY_APP", owner)]
+                        ),
+                    )
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows, columns=["app_id", "node", "log_key", "value"]
+            )
+
+    container_entries = d.mapInPandas(encode_containers, entry_schema)
+    meta_entries = (
+        d.select("app_id", "node", "owner")
+        .distinct()
+        .mapInPandas(encode_meta, entry_schema)
+    )
+    entries = container_entries.unionByName(meta_entries)
+    idx = logagg.container_file_index(entries)
+    meta = logagg.application_meta(entries)
+    return idx.join(meta, ["app_id", "node"]).select(
+        "app_id",
+        "container_id",
+        "file_name",
+        "file_length",
+        F.md5(F.col("content")).alias("content_md5"),
+        "owner",
+        F.col("version").cast("int").alias("version"),
+        (F.instr(F.col("content").cast("string"), "ERROR") > 0).alias(
+            "has_error"
+        ),
+    )
+
+
+_LOG_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT event_id, user_id % 50 AS app,
+         'app_' || CAST(user_id % 50 AS VARCHAR) AS app_id,
+         'f' || CAST(event_id AS VARCHAR) AS node_file,
+         CAST(CASE WHEN (user_id % 50) % 2 = 0 AND (user_id % 50) % 4 = 0
+              THEN 1700000000000 - 1 - (event_id % 100000)
+              ELSE 1700000000000 + CASE WHEN event_id % 3 = 0
+                   THEN -(1 + event_id % 100000)
+                   ELSE 1 + event_id % 100000 END
+         END AS BIGINT) AS file_mod_time
+  FROM events
+),
+w AS (
+  SELECT f.*, max(file_mod_time) OVER (PARTITION BY app_id) AS latest
+  FROM f
+)
+SELECT app_id,
+  'u' || CAST(app % 5 AS VARCHAR) AS dir_user,
+  node_file, file_mod_time,
+  CASE WHEN app % 10 = 3 THEN 'SKIPPED_SUFFIX'
+       WHEN app % 10 = 4 THEN 'KEEP_DIR_RECENT'
+       WHEN app % 2 = 1 THEN
+         CASE WHEN file_mod_time < 1700000000000 THEN 'DELETE_FILE'
+              ELSE 'KEEP_FILE_RECENT' END
+       WHEN latest < 1700000000000 THEN 'DELETE_APP_DIR'
+       ELSE 'KEEP_DIR_HAS_RECENT' END AS action
+FROM w
+"""
+
+
+@register("log_retention_sweep", _LOG_RETENTION_ORACLE)
+def log_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated-log retention sweep (operators/logagg.retention_sweep;
+    reference AggregatedLogDeletionService.java:54 LogDeletionTask —
+    suffix-gated dir walk :87-103, app dirs newer than the cutoff
+    untouched :126-128, running apps deleting only their old node
+    files :131-147, terminated apps deleted whole iff EVERY child is
+    old per shouldDeleteLogDir :167-181). Events are the node log
+    files of 50 apps; per-app knobs put all six actions live at
+    sf0.01: app%10==3 dirs sit under an 'oldlogs' suffix the walk
+    never visits, app%10==7 under 'logs-ifile' (startsWith, not
+    equality), app%10==4 dirs are newer than the cutoff, odd apps are
+    still running (per-file decisions), and terminated apps split
+    into all-old (dir removed) vs saved-by-one-recent-child. The
+    sequential walk is closed-form: the only cross-row dependency is
+    the per-app max child mtime — one window on the app key, then a
+    codegen when-chain; the oracle derives the same table from the
+    generator directly."""
+    from hadoop_source_spark.operators import logagg
+
+    C = 1_700_000_000_000
+    e = table(spark, sf_dir, "events")
+    app = F.col("user_id") % 50
+    all_old = (app % 2 == 0) & (app % 4 == 0)
+    delta = F.when(
+        F.col("event_id") % 3 == 0, -(F.lit(1) + F.col("event_id") % 100000)
+    ).otherwise(F.lit(1) + F.col("event_id") % 100000)
+    files = e.select(
+        F.concat(F.lit("app_"), app.cast("string")).alias("app_id"),
+        F.concat(F.lit("f"), F.col("event_id").cast("string")).alias(
+            "node_file"
+        ),
+        F.when(all_old, F.lit(C) - 1 - (F.col("event_id") % 100000))
+        .otherwise(F.lit(C) + delta)
+        .cast("long")
+        .alias("file_mod_time"),
+    )
+    apps = (
+        e.select(app.alias("app"))
+        .distinct()
+        .select(
+            F.concat(F.lit("app_"), F.col("app").cast("string")).alias(
+                "app_id"
+            ),
+            F.concat(F.lit("u"), (F.col("app") % 5).cast("string")).alias(
+                "user"
+            ),
+            F.when(F.col("app") % 10 == 3, F.lit("oldlogs"))
+            .when(F.col("app") % 10 == 7, F.lit("logs-ifile"))
+            .otherwise(F.lit("logs"))
+            .alias("suffix_name"),
+            F.when(F.col("app") % 10 == 4, F.lit(C + 1000))
+            .otherwise(F.lit(C - 5000))
+            .cast("long")
+            .alias("app_mod_time"),
+            (F.col("app") % 2 == 0).alias("terminated"),
+        )
+    )
+    out = logagg.retention_sweep(apps, files, cutoff_ms=C, suffix="logs")
+    return out.select(
+        "app_id",
+        F.col("user").alias("dir_user"),
+        "node_file",
+        "file_mod_time",
+        "action",
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12694,9 +12947,11 @@ _WINDOW: list[str] = [
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
     "embedding_decontamination", "queue_hierarchy_capacities",
+    # round 9
+    "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 187, len(_WINDOW)
+assert len(_WINDOW) == 189, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

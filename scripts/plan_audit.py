@@ -142,6 +142,7 @@ def main() -> None:
         "am_blacklist_updates", "checkpoint_trigger_plan",
         "fim_transform_corpus", "concat_chunk_training_stream",
         "embedding_decontamination", "queue_hierarchy_capacities",
+    "aggregated_log_index", "log_retention_sweep",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

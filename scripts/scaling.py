@@ -172,6 +172,7 @@ EXTRA = (
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
     "embedding_decontamination", "queue_hierarchy_capacities",
+    "aggregated_log_index", "log_retention_sweep",
 )
 
 
