@@ -12834,6 +12834,221 @@ def log_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EC_STRIPE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS req_id,
+         CASE o_orderkey % 3 WHEN 0 THEN 3 WHEN 1 THEN 6 ELSE 10 END AS k,
+         CASE o_orderkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END AS p,
+         8 * (1 + o_orderkey % 5) AS c
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+reqs AS (
+  SELECT req_id, k, p, c,
+         1 + (req_id * 37) % (c * k * 7) AS data_size
+  FROM base
+),
+ranged AS (
+  SELECT r.*, (req_id * 13) % data_size AS range_start,
+         CASE WHEN req_id % 53 = 0 THEN data_size
+              ELSE least((req_id * 13) % data_size + req_id % (c * k * 2),
+                         data_size - 1) END AS range_end
+  FROM reqs r
+),
+invalid AS (
+  SELECT req_id, CAST(-1 AS BIGINT) AS stripe_id,
+         CAST(NULL AS BIGINT) AS stripe_off,
+         CAST(NULL AS BIGINT) AS stripe_span,
+         CAST(-1 AS INT) AS blk_idx, 'INVALID_RANGE' AS kind,
+         CAST(NULL AS BIGINT) AS fetch_off,
+         CAST(NULL AS BIGINT) AS fetch_span, false AS recoverable
+  FROM ranged
+  WHERE range_start > range_end OR range_end >= data_size
+),
+valid AS (
+  SELECT * FROM ranged
+  WHERE NOT (range_start > range_end OR range_end >= data_size)
+),
+lost AS (
+  SELECT DISTINCT b.req_id,
+         CAST(((b.req_id // 4) + j * 3) % (b.k + b.p) AS INT) AS blk_idx
+  FROM base b, unnest([0, 1, 2]) AS t(j)
+  WHERE b.req_id % 4 = 1 AND j <= b.req_id % 3
+),
+cells AS (
+  SELECT v.req_id, CAST(g % v.k AS INT) AS blk_idx,
+         (g // v.k) * v.c +
+           CASE WHEN g = v.range_start // v.c
+                THEN v.range_start % v.c ELSE 0 END AS cell_off,
+         CASE WHEN g = v.range_start // v.c
+              THEN least(v.c - v.range_start % v.c,
+                         v.range_end - v.range_start + 1)
+              WHEN g = v.range_end // v.c THEN v.range_end % v.c + 1
+              ELSE v.c END AS cell_sz
+  FROM valid v,
+       unnest(generate_series(v.range_start // v.c,
+                              v.range_end // v.c)) AS t(g)
+),
+vr AS (
+  SELECT req_id, blk_idx, min(cell_off) AS voff,
+         CAST(sum(cell_sz) AS BIGINT) AS vspan
+  FROM cells GROUP BY req_id, blk_idx
+),
+pts0 AS (
+  SELECT req_id, voff AS pt FROM vr
+  UNION
+  SELECT req_id, voff + vspan FROM vr
+),
+bounds AS (SELECT req_id, min(pt) AS lo, max(pt) AS hi FROM pts0 GROUP BY 1),
+pts AS (
+  SELECT req_id, pt FROM pts0
+  UNION
+  SELECT v.req_id,
+         ((v.data_size // v.c) // v.k) * v.c + v.data_size % v.c AS pt
+  FROM valid v JOIN bounds b USING (req_id)
+  WHERE b.lo < ((v.data_size // v.c) // v.k) * v.c + v.data_size % v.c
+    AND ((v.data_size // v.c) // v.k) * v.c + v.data_size % v.c < b.hi
+),
+stripes AS (
+  SELECT req_id, pt AS stripe_off, lead(pt) OVER w - pt AS stripe_span,
+         row_number() OVER w - 1 AS stripe_id
+  FROM pts WINDOW w AS (PARTITION BY req_id ORDER BY pt)
+  QUALIFY lead(pt) OVER w IS NOT NULL
+),
+grid AS (
+  SELECT s.req_id, s.stripe_id, s.stripe_off, s.stripe_span,
+         v.k, v.c, v.data_size, CAST(bi AS INT) AS blk_idx
+  FROM stripes s JOIN valid v USING (req_id),
+       unnest(generate_series(0, v.k + v.p - 1)) AS u(bi)
+),
+chunks AS (
+  SELECT g.*, vr.voff, vr.vspan, l.req_id IS NOT NULL AS lost,
+         g.blk_idx < g.k AS is_data,
+         CASE WHEN g.data_size % (g.c * g.k) = 0 THEN g.data_size // g.k
+              ELSE ((g.data_size - 1) // (g.c * g.k)) * g.c +
+                   least(CASE WHEN g.blk_idx < g.k
+                              THEN greatest(g.data_size % (g.c * g.k)
+                                            - g.blk_idx * g.c, 0)
+                              ELSE g.data_size % (g.c * g.k) END, g.c)
+         END AS ibl
+  FROM grid g
+  LEFT JOIN vr ON vr.req_id = g.req_id AND vr.blk_idx = g.blk_idx
+  LEFT JOIN lost l ON l.req_id = g.req_id AND l.blk_idx = g.blk_idx
+),
+classified AS (
+  SELECT req_id, stripe_id, stripe_off, stripe_span, blk_idx, k, lost,
+         is_data,
+         CASE WHEN is_data AND voff IS NOT NULL AND voff <= stripe_off
+                   AND stripe_off < voff + vspan
+              THEN CASE WHEN lost THEN 'DECODE_TARGET' ELSE 'DATA' END
+              WHEN is_data AND ibl <= stripe_off THEN 'ALLZERO' END AS kind,
+         least(stripe_span, ibl - stripe_off) AS avail_span
+  FROM chunks
+),
+staged AS (
+  SELECT *,
+    max(CASE WHEN kind = 'DECODE_TARGET' THEN 1 ELSE 0 END) OVER sw = 1
+      AS need_decode,
+    sum(CASE WHEN kind IN ('DATA', 'ALLZERO') THEN 1 ELSE 0 END) OVER sw
+      AS free_inputs,
+    sum(CASE WHEN kind IS NULL AND NOT lost AND avail_span > 0
+             THEN 1 ELSE 0 END) OVER sw AS ncand,
+    sum(CASE WHEN kind IS NULL AND NOT lost AND avail_span > 0
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY req_id, stripe_id
+            ORDER BY is_data DESC, blk_idx ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crank,
+    CASE WHEN kind IS NULL AND NOT lost AND avail_span > 0
+         THEN 1 ELSE 0 END AS is_cand
+  FROM classified
+  WINDOW sw AS (PARTITION BY req_id, stripe_id)
+),
+planned AS (
+  SELECT req_id, stripe_id, stripe_off, stripe_span, blk_idx,
+    CASE WHEN kind IS NOT NULL THEN kind
+         WHEN need_decode AND is_cand = 1 AND crank <= k - free_inputs
+         THEN 'RECOVERY_FETCH' END AS kind,
+    CASE WHEN kind = 'DATA' THEN stripe_span
+         WHEN kind IS NULL AND need_decode AND is_cand = 1
+              AND crank <= k - free_inputs THEN avail_span
+         ELSE 0 END AS span,
+    (NOT need_decode) OR (free_inputs + ncand >= k) AS recoverable
+  FROM staged
+)
+SELECT req_id, CAST(stripe_id AS BIGINT) AS stripe_id, stripe_off,
+       stripe_span, blk_idx, kind,
+       CASE WHEN span > 0 THEN stripe_off END AS fetch_off,
+       CAST(span AS BIGINT) AS fetch_span, recoverable
+FROM planned WHERE kind IS NOT NULL
+UNION ALL
+SELECT * FROM invalid
+"""
+
+
+@register("ec_striped_read_plan", _EC_STRIPE_ORACLE)
+def ec_striped_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EC striped-read geometry (operators/ecstripe —
+    StripedBlockUtil.java:404 divideByteRangeIntoStripes: cells
+    :437-470, per-block vertical ranges + parity envelope :478-509,
+    point-set stripe merge with the last-cell-end insertion :517-545,
+    prepareAllZeroChunks :602-616 via getInternalBlockLength
+    :210-229 — plus the StripeReader recovery planning: surviving
+    data first, then parity, k total inputs). Orders rows become read
+    requests over RS(3,2)/RS(6,3)/RS(10,4) block groups with varying
+    cell sizes; data sizes leave ragged tails so ALLZERO chunks are
+    live, ~1/4 of requests lose 1-3 internal blocks (DECODE_TARGET /
+    RECOVERY_FETCH / unrecoverable stripes all live at sf0.01), and
+    req_id%53 rows violate the reference precondition (INVALID_RANGE).
+    The oracle rebuilds the geometry in SQL from the same request
+    table. Scale: cells are one sequence() explode, ranges one groupBy
+    and the merge per-request array algebra (<= 2k+1 points by
+    construction); everything shuffles on the req_id key family only —
+    a billion concurrent read plans stay partition-parallel."""
+    from hadoop_source_spark.operators import ecstripe
+
+    key = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders").where(key % 5 == 0)
+    m = key % 3
+    k = F.when(m == 0, F.lit(3)).when(m == 1, F.lit(6)).otherwise(F.lit(10))
+    p = F.when(m == 0, F.lit(2)).when(m == 1, F.lit(3)).otherwise(F.lit(4))
+    c = 8 * (1 + key % 5)
+    stripe = c * k
+    data_size = F.lit(1) + (key * 37) % (stripe * 7)
+    start = (key * 13) % data_size
+    end = F.when(key % 53 == 0, data_size).otherwise(
+        F.least(start + key % (stripe * 2), data_size - 1)
+    )
+    reqs = o.select(
+        key.alias("req_id"),
+        data_size.cast("long").alias("data_size"),
+        c.cast("long").alias("cell_size"),
+        k.cast("int").alias("data_units"),
+        p.cast("int").alias("parity_units"),
+        start.cast("long").alias("range_start"),
+        end.cast("long").alias("range_end"),
+    )
+    lost = (
+        o.select(
+            key.alias("req_id"),
+            (k + p).alias("w"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+        )
+        .where(
+            (F.col("req_id") % 4 == 1) & (F.col("j") <= F.col("req_id") % 3)
+        )
+        .select(
+            "req_id",
+            (
+                (F.floor(F.col("req_id") / 4) + F.col("j") * 3)
+                % F.col("w")
+            )
+            .cast("int")
+            .alias("blk_idx"),
+        )
+        .distinct()
+    )
+    return ecstripe.plan_striped_reads(reqs, lost)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -12949,9 +13164,10 @@ _WINDOW: list[str] = [
     "embedding_decontamination", "queue_hierarchy_capacities",
     # round 9
     "aggregated_log_index", "log_retention_sweep",
+    "ec_striped_read_plan",
 ]
 
-assert len(_WINDOW) == 189, len(_WINDOW)
+assert len(_WINDOW) == 190, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
