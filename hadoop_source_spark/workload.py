@@ -13049,6 +13049,112 @@ def ec_striped_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecstripe.plan_striped_reads(reqs, lost)
 
 
+_LOCAL_CACHE_ORACLE = """
+WITH r AS (
+  SELECT 'nm' || CAST(user_id % 20 AS VARCHAR) AS node,
+         event_id AS rsrc_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE 'u' || CAST(user_id % 4 AS VARCHAR) END AS rsrc_user,
+         1000 + event_id % 5000 AS size,
+         (event_id * 7) % 1000000 AS ts,
+         CASE WHEN event_id % 11 = 0
+              THEN 1 + event_id % 3 ELSE 0 END AS ref_count,
+         CASE WHEN event_id % 13 = 0 THEN 'DOWNLOADING'
+              WHEN event_id % 13 = 1 THEN 'INIT'
+              WHEN event_id % 13 = 2 THEN 'ABSENT'
+              ELSE 'LOCALIZED' END AS state
+  FROM events
+),
+t AS (
+  SELECT node, (sum(size) * 2) // 5 AS target_size FROM r GROUP BY node
+),
+staged AS (
+  SELECT r.*, t.target_size,
+    CAST(sum(size) OVER (PARTITION BY r.node) AS BIGINT)
+      AS cache_size_before_clean,
+    coalesce(sum(CASE WHEN ref_count = 0 AND state <> 'DOWNLOADING'
+                      THEN size ELSE 0 END)
+      OVER (PARTITION BY r.node ORDER BY ts, rsrc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM r JOIN t USING (node)
+),
+v AS (
+  SELECT *,
+    ref_count = 0 AND cache_size_before_clean - pfx > target_size
+      AS visited,
+    ref_count = 0 AND state <> 'DOWNLOADING'
+      AND cache_size_before_clean - pfx > target_size AS counted
+  FROM staged
+)
+SELECT node, rsrc_id, rsrc_user, size,
+  CASE WHEN ref_count > 0 THEN 'IN_USE'
+       WHEN counted AND state = 'LOCALIZED' THEN 'DELETED'
+       WHEN counted AND state = 'INIT' THEN 'DELETED_NO_FILE'
+       WHEN counted THEN 'STATS_ONLY_ABSENT'
+       WHEN visited THEN 'REMOVE_FAILED'
+       ELSE 'RETAIN_TARGET_MET' END AS action,
+  cache_size_before_clean,
+  CAST(sum(CASE WHEN counted THEN size ELSE 0 END)
+       OVER (PARTITION BY node) AS BIGINT) AS total_del_size,
+  CAST(sum(CASE WHEN counted AND rsrc_user IS NULL THEN size ELSE 0 END)
+       OVER (PARTITION BY node) AS BIGINT) AS public_del_size,
+  CAST(sum(CASE WHEN counted AND rsrc_user IS NOT NULL
+                THEN size ELSE 0 END)
+       OVER (PARTITION BY node) AS BIGINT) AS private_del_size,
+  CASE WHEN rsrc_user IS NOT NULL
+       THEN CAST(sum(CASE WHEN counted THEN size ELSE 0 END)
+                 OVER (PARTITION BY node, rsrc_user) AS BIGINT)
+  END AS user_del_size
+FROM v
+"""
+
+
+@register("local_cache_cleanup", _LOCAL_CACHE_ORACLE)
+def local_cache_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM localization-cache cleanup (operators/localcache —
+    LocalCacheCleaner.java:35: one LRU walk per node across the
+    public + all private trackers, in-use resources exempt but
+    counted in currentSize, deletion while currentSize - deleted >
+    target; LocalResourcesTrackerImpl.remove:382-406 absent-counts /
+    DOWNLOADING-fails / INIT-no-file-task; stats record :101-146).
+    Events become 20 NM caches; per-node target = 40% of the cache so
+    DELETED and RETAIN are both live everywhere, eid%11 rows are
+    in-use, and eid%13 slices put DOWNLOADING (REMOVE_FAILED), INIT
+    (DELETED_NO_FILE) and ABSENT (STATS_ONLY_ABSENT) on the board at
+    sf0.01 — all six actions plus the four stats columns. Scale: the
+    sequential walk is one exclusive prefix-sum window (monotone-stop
+    proof in the module, same shape as ramdisk); every window shares
+    the node partition key, a 100k-node fleet cleans in one shuffle."""
+    from hadoop_source_spark.operators import localcache
+
+    e = table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    resources = e.select(
+        F.concat(F.lit("nm"), (uid % 20).cast("string")).alias("node"),
+        eid.alias("rsrc_id"),
+        F.when(eid % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("u"), (uid % 4).cast("string")))
+        .alias("user"),
+        (F.lit(1000) + eid % 5000).cast("long").alias("size"),
+        ((eid * 7) % 1000000).cast("long").alias("ts"),
+        F.when(eid % 11 == 0, F.lit(1) + eid % 3)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("ref_count"),
+        F.when(eid % 13 == 0, F.lit("DOWNLOADING"))
+        .when(eid % 13 == 1, F.lit("INIT"))
+        .when(eid % 13 == 2, F.lit("ABSENT"))
+        .otherwise(F.lit("LOCALIZED"))
+        .alias("state"),
+    )
+    targets = resources.groupBy("node").agg(
+        F.floor(F.sum("size") * 2 / 5).cast("long").alias("target_size")
+    )
+    return localcache.clean_cache_plan(resources, targets).withColumnRenamed(
+        "user", "rsrc_user"
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13164,10 +13270,10 @@ _WINDOW: list[str] = [
     "embedding_decontamination", "queue_hierarchy_capacities",
     # round 9
     "aggregated_log_index", "log_retention_sweep",
-    "ec_striped_read_plan",
+    "ec_striped_read_plan", "local_cache_cleanup",
 ]
 
-assert len(_WINDOW) == 190, len(_WINDOW)
+assert len(_WINDOW) == 191, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -143,7 +143,7 @@ def main() -> None:
         "fim_transform_corpus", "concat_chunk_training_stream",
         "embedding_decontamination", "queue_hierarchy_capacities",
     "aggregated_log_index", "log_retention_sweep",
-    "ec_striped_read_plan",
+    "ec_striped_read_plan", "local_cache_cleanup",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -173,7 +173,7 @@ EXTRA = (
     "fim_transform_corpus", "concat_chunk_training_stream",
     "embedding_decontamination", "queue_hierarchy_capacities",
     "aggregated_log_index", "log_retention_sweep",
-    "ec_striped_read_plan",
+    "ec_striped_read_plan", "local_cache_cleanup",
 )
 
 
