@@ -13155,6 +13155,141 @@ def local_cache_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REQNORM_ORACLE = """
+WITH q(queue, default_label, accessible) AS (
+  VALUES ('q0', NULL, 'gpu,ssd'), ('q1', 'gpu', '*'), ('q2', NULL, NULL),
+         ('q3', 'ssd', 'ssd'), ('q4', 'x&&y', '*')
+),
+r AS (
+  SELECT o_orderkey AS req_id,
+         'q' || CAST(o_orderkey % 5 AS VARCHAR) AS queue,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN 'host' || CAST(o_orderkey % 3 AS VARCHAR)
+              WHEN o_orderkey % 7 = 1 THEN '/rack1'
+              ELSE '*' END AS resource_name,
+         (o_orderkey * 97) % 10000 - 200 AS mem,
+         (o_orderkey * 31) % 24 - 2 AS vcores,
+         CASE o_orderkey % 11 WHEN 0 THEN 'gpu' WHEN 1 THEN 'ssd'
+              WHEN 2 THEN 'fpga' WHEN 3 THEN 'gpu&&ssd' WHEN 4 THEN ''
+              ELSE NULL END AS label,
+         o_orderkey % 13 <> 0 AS labels_enabled
+  FROM orders
+),
+j AS (
+  SELECT r.*, q.default_label, q.accessible FROM r LEFT JOIN q USING (queue)
+),
+e AS (
+  SELECT *,
+    CASE WHEN label IS NULL AND resource_name = '*'
+         THEN coalesce(default_label, '')
+         ELSE coalesce(label, '') END AS eff,
+    label IS NOT NULL AND trim(label) <> '' AS has_raw
+  FROM j
+),
+v AS (
+  SELECT *, trim(eff) <> '' AS has_eff,
+    accessible IS NOT NULL AND (
+      list_contains(string_split(accessible, ','), trim(eff))
+      OR list_contains(string_split(accessible, ','), '*')) AS acc_ok,
+    trim(eff) IN ('gpu', 'ssd') AS in_cluster
+  FROM e
+),
+d AS (
+  SELECT *,
+    CASE WHEN NOT labels_enabled AND has_raw THEN 'INVALID_LABEL_DISABLED'
+         WHEN mem < 0 THEN 'LESS_THAN_ZERO_MEMORY'
+         WHEN mem > 8192 THEN 'GREATER_THAN_MAX_MEMORY'
+         WHEN vcores < 0 THEN 'LESS_THAN_ZERO_VCORES'
+         WHEN vcores > 16 THEN 'GREATER_THAN_MAX_VCORES'
+         WHEN resource_name <> '*' AND has_raw
+           THEN 'INVALID_LABEL_ON_NON_ANY'
+         WHEN contains(eff, '&&') THEN 'INVALID_MULTI_LABEL'
+         WHEN has_eff AND NOT acc_ok THEN 'INVALID_LABEL_NOT_ACCESSIBLE'
+         WHEN has_eff AND NOT in_cluster THEN 'INVALID_LABEL_NOT_IN_CLUSTER'
+         ELSE 'OK' END AS verdict
+  FROM v
+)
+SELECT req_id, labels_enabled, verdict,
+  CASE WHEN verdict = 'INVALID_LABEL_DISABLED' THEN coalesce(label, eff)
+       ELSE eff END AS effective_label,
+  CASE WHEN verdict = 'OK'
+       THEN least(((greatest(mem, 512) + 511) // 512) * 512, 8192)
+  END AS norm_mem,
+  CASE WHEN verdict = 'OK' THEN least(greatest(vcores, 1), 16)
+  END AS norm_vcores
+FROM d
+"""
+
+
+@register("resource_request_normalize", _REQNORM_ORACLE)
+def resource_request_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler resource-request normalization + validation
+    (operators/reqnorm — SchedulerUtils.java:265
+    normalizeAndValidateRequest: labels-disabled rejection first,
+    label normalization :231-263 incl. queue-default inheritance and
+    the NO_LABEL fallback, then validateResourceRequest :332-413 in
+    reference order (memory before vcores, LESS_THAN_ZERO before
+    GREATER_THEN_MAX, label-on-non-ANY, '&&', queue accessibility
+    with the '*' entry, cluster membership); capability normalization
+    per DominantResourceCalculator.normalize:447-470 —
+    min(roundUp(max(v, min), inc), max) on the RAW-validated ask).
+    Orders rows spread across 5 queue configs (one with a multi-label
+    DEFAULT, one with a NULL accessible set) and arithmetic mem/vcores
+    mixes put every one of the 10 verdicts live at sf0.01; rows with
+    req_id%13==0 run against a labels-disabled RM. Scale: one
+    broadcast join to the conf-sized queue table + a single codegen
+    when-chain — zero shuffles on the request side."""
+    from hadoop_source_spark.operators import reqnorm
+
+    key = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    reqs = o.select(
+        key.alias("req_id"),
+        F.concat(F.lit("q"), (key % 5).cast("string")).alias("queue"),
+        F.when(
+            key % 7 == 0,
+            F.concat(F.lit("host"), (key % 3).cast("string")),
+        )
+        .when(key % 7 == 1, F.lit("/rack1"))
+        .otherwise(F.lit("*"))
+        .alias("resource_name"),
+        ((key * 97) % 10000 - 200).cast("long").alias("mem"),
+        ((key * 31) % 24 - 2).cast("long").alias("vcores"),
+        F.when(key % 11 == 0, F.lit("gpu"))
+        .when(key % 11 == 1, F.lit("ssd"))
+        .when(key % 11 == 2, F.lit("fpga"))
+        .when(key % 11 == 3, F.lit("gpu&&ssd"))
+        .when(key % 11 == 4, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("label"),
+        (key % 13 != 0).alias("labels_enabled"),
+    )
+    queues = spark.createDataFrame(
+        [
+            ("q0", None, "gpu,ssd"),
+            ("q1", "gpu", "*"),
+            ("q2", None, None),
+            ("q3", "ssd", "ssd"),
+            ("q4", "x&&y", "*"),
+        ],
+        "queue string, default_label string, accessible string",
+    )
+    conf = dict(
+        min_mem=512, max_mem=8192, inc_mem=512,
+        min_vcores=1, max_vcores=16, inc_vcores=1,
+        cluster_labels=["gpu", "ssd"],
+    )
+    out_en = reqnorm.normalize_requests(
+        reqs.where(F.col("labels_enabled")).drop("labels_enabled"),
+        queues, labels_enabled=True, **conf,
+    ).withColumn("labels_enabled", F.lit(True))
+    out_dis = reqnorm.normalize_requests(
+        reqs.where(~F.col("labels_enabled")).drop("labels_enabled"),
+        queues, labels_enabled=False, **conf,
+    ).withColumn("labels_enabled", F.lit(False))
+    return out_en.unionByName(out_dis)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13271,9 +13406,10 @@ _WINDOW: list[str] = [
     # round 9
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
+    "resource_request_normalize",
 ]
 
-assert len(_WINDOW) == 191, len(_WINDOW)
+assert len(_WINDOW) == 192, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
