@@ -13290,6 +13290,138 @@ def resource_request_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_en.unionByName(out_dis)
 
 
+_WET_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, doc_id % 48 AS file_id, doc_id // 2 AS base
+  FROM documents
+),
+u AS (
+  SELECT doc_id, text, file_id,
+    'd' || CAST(base % 37 AS VARCHAR) || '.example.com' AS dom,
+    '/w' || CAST(base % 300 AS VARCHAR) AS path
+  FROM d
+),
+c AS (
+  SELECT doc_id, text, file_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'https://www.' || dom || ':443' || path || '/'
+         ELSE 'http://' || dom || path || '?utm_medium=y#top'
+    END AS target_uri,
+    dom || path AS canon_url,
+    row_number() OVER (PARTITION BY file_id ORDER BY doc_id) AS rec_idx
+  FROM u
+),
+conv AS (
+  SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+    'conversion' AS warc_type,
+    'urn:uuid:doc-' || CAST(doc_id AS VARCHAR) AS record_id,
+    target_uri, 'text/plain' AS content_type,
+    CAST(strlen(text) AS BIGINT) AS content_length,
+    md5(text) AS payload_md5, canon_url,
+    row_number() OVER (PARTITION BY canon_url ORDER BY file_id, rec_idx)
+      > 1 AS url_dup
+  FROM c
+),
+info AS (
+  SELECT DISTINCT file_id, CAST(0 AS BIGINT) AS rec_idx,
+    'warcinfo' AS warc_type,
+    'urn:uuid:file-' || CAST(file_id AS VARCHAR) AS record_id,
+    CAST(NULL AS VARCHAR) AS target_uri,
+    'application/warc-fields' AS content_type,
+    CAST(33 AS BIGINT) AS content_length,
+    md5('software: hadoop-source-spark 1.0') AS payload_md5,
+    CAST(NULL AS VARCHAR) AS canon_url, CAST(NULL AS BOOLEAN) AS url_dup
+  FROM d
+)
+SELECT * FROM conv UNION ALL SELECT * FROM info
+"""
+
+
+@register("wet_extract_pipeline", _WET_ORACLE)
+def wet_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET ingestion (llmops/warc — ISO 28500 length-delimited
+    record framing, warcinfo + conversion records, case-insensitive /
+    foldable headers; the stage-0 decode in front of the rounds-4-8
+    URL-curation and quality chains). Documents become 48 WET files
+    (one warcinfo + doc_id-ordered conversion records, URIs written
+    two ways per logical URL exactly like `url_canonical_dedup`); the
+    engine ENCODES the file blobs, DECODES them with the production
+    parser, then runs the extracted Target-URIs through the urlops
+    canonicalizer and URL-dedup window — md5/byte-length parity
+    against the generator proves the record round trip lossless, and
+    the dup flags prove the composition end-to-end. Scale: encode and
+    decode are single mapInPandas/applyInPandas passes (bytes stay in
+    Arrow batches off the driver); the only shuffles key on file_id
+    and the canonical URL — both high-cardinality at 100 TB."""
+    from hadoop_source_spark.llmops import urlops, warc
+
+    did = F.col("doc_id")
+    base = (did / 2).cast("long")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (did % 48).alias("file_id"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("https://www.d"), (base % 37).cast("string"),
+                F.lit(".example.com:443/w"), (base % 300).cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://d"), (base % 37).cast("string"),
+                F.lit(".example.com/w"), (base % 300).cast("string"),
+                F.lit("?utm_medium=y#top"),
+            )
+        )
+        .alias("uri"),
+        F.concat(F.lit("urn:uuid:doc-"), did.cast("string")).alias("rid"),
+    )
+
+    def encode_file(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        blob = warc.encode_wet_file(
+            fid,
+            [
+                (uri, rid, (text or "").encode("utf-8"))
+                for uri, rid, text in zip(
+                    pdf["uri"], pdf["rid"], pdf["text"]
+                )
+            ],
+        )
+        return pd.DataFrame([(fid, blob)], columns=["file_id", "data"])
+
+    files = d.groupBy("file_id").applyInPandas(
+        encode_file, "file_id long, data binary"
+    )
+    recs = warc.wet_record_table(files)
+    is_conv = F.col("warc_type") == "conversion"
+    staged = recs.withColumn(
+        "canon_url",
+        F.when(is_conv, urlops.canonicalize(F.col("target_uri"))),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("canon_url").orderBy("file_id", "rec_idx")
+    )
+    return staged.select(
+        "file_id",
+        "rec_idx",
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "content_type",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "canon_url",
+        F.when(is_conv, rn > 1).alias("url_dup"),
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13406,10 +13538,10 @@ _WINDOW: list[str] = [
     # round 9
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
-    "resource_request_normalize",
+    "resource_request_normalize", "wet_extract_pipeline",
 ]
 
-assert len(_WINDOW) == 192, len(_WINDOW)
+assert len(_WINDOW) == 193, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

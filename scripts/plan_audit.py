@@ -144,7 +144,7 @@ def main() -> None:
         "embedding_decontamination", "queue_hierarchy_capacities",
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
-    "resource_request_normalize",
+    "resource_request_normalize", "wet_extract_pipeline",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

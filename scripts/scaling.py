@@ -174,7 +174,7 @@ EXTRA = (
     "embedding_decontamination", "queue_hierarchy_capacities",
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
-    "resource_request_normalize",
+    "resource_request_normalize", "wet_extract_pipeline",
 )
 
 
