@@ -13422,6 +13422,37 @@ def wet_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("unigram_lm_tokenize_stats", None)
+def unigram_lm_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer train + apply
+    (llmops/unigramlm — Kudo 2018: substring seed vocab, soft-EM
+    forward-backward expected counts, probability-ranked pruning to
+    the target size with single-char coverage, Viterbi inference with
+    a pinned tie policy). The missing alternative to the BPE trainers
+    (`bpe_pair_merge` / `bpe_segmentation_stats`): same bounded
+    driver-side histogram pattern — ONE corpus-sized word groupBy,
+    then training over the collected top-K rows (K conf-sized, the
+    documented IVF/BPE bound), then one Arrow apply pass with the
+    vocab broadcast in the closure. Rows-only by design (the EM
+    lattice is not SQL-expressible); tests/test_unigramlm.py gates
+    semantics: monotone EM likelihood, pruning floor, lossless
+    Viterbi, UNK coverage, deterministic ties."""
+    from hadoop_source_spark.llmops import unigramlm
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = (
+        unigramlm.word_histogram(docs)
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(3000)
+        .collect()
+    )
+    words = [(r["word"], r["freq"]) for r in hist]
+    logp = unigramlm.train(
+        words, vocab_size=800, seed_size=2500, max_len=6, em_iters=1
+    )
+    return unigramlm.segment_docs(docs, logp, max_len=6)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13539,9 +13570,10 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
+    "unigram_lm_tokenize_stats",
 ]
 
-assert len(_WINDOW) == 193, len(_WINDOW)
+assert len(_WINDOW) == 194, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
@@ -13555,7 +13587,7 @@ ROWS_ONLY_BY_DESIGN = frozenset({
     "sketch_suite", "ann_cosine_approx", "semdedup_prune",
     "quality_classifier_scores", "pca_embedding_projection",
     "bpe_segmentation_stats", "bitext_margin_mining_ivf",
-    "knn_label_classify_ivf",
+    "knn_label_classify_ivf", "unigram_lm_tokenize_stats",
 })
 
 
