@@ -13475,32 +13475,38 @@ _WINDOW: list[str] = [
     # sampling_suite = hash split + stratified.
     "limit_family", "merge_sorted_runs", "find_ls_stat_docs",
     "semi_anti_customers", "range_join_attribution", "sampling_suite",
-    "set_algebra", "snapshot_diff_orders",
-    "snapshot_diff_upsert_generations", "asof_purchase_click",
-    "asof_nearest_tolerance",
-    "kv_suite", "content_summary_docs", "oiv_file_distribution",
-    "webhdfs_liststatus_scan",
-    "dist_stats_by_type",
-    "table_stats_report",
-    "events_hourly", "events_sessionize", "events_stats_json",
-    "streaming_typed_events", "timeline_entity_filter",
+    "set_algebra", "snapshot_diff_orders", "asof_purchase_click",
+    "kv_suite", "content_summary_docs", "dist_stats_by_type",
+    "events_sessionize", "streaming_typed_events",
     # Rotation policy: the driver hash-checks the FIRST 50 slots each
     # round. Rows verified by the driver in round N rotate BEHIND rows
     # it has not checked recently, so the independent signal cycles the
-    # registry instead of parking one family outside it. Round 8: the
-    # six scheduler rows driver-verified in r07 swap with the
-    # LLM-pipeline rows they displaced (rotated out in r07, parity-only
-    # since).
-    "doc_profile",
-    "dedup_exact", "dedup_span_exact", "dsir_selection",
-    "dedup_jaccard_suite",
-    "dedup_connected_components",
+    # registry instead of parking one family outside it. Round 9: the
+    # seven r7 scheduler rows (never yet in the checked prefix) and the
+    # two new aggregated-log rows swap in, along with three LLM rows
+    # last driver-checked before r07; twelve r08-verified rows (eight
+    # family suites + four LLM-dedup rows) rotate behind. The prefix
+    # keeps >= 5 LLM-pipeline rows (dedup_exact, dsir_selection,
+    # dedup_embedding_cosine, ann_cosine_topk, weighted_sample_docs).
+    "dedup_exact", "dsir_selection",
+    "federation_router_decisions", "federation_amrm_split",
+    "encryption_zone_resolution", "ez_rename_validity",
+    "locality_delay_schedule", "kms_key_acl_matrix",
+    "opportunistic_queue_plan",
+    "aggregated_log_index", "log_retention_sweep",
+    "dedup_embedding_cosine", "ann_cosine_topk", "weighted_sample_docs",
+    # rotated out of the checked prefix in r09 (all r08-verified):
+    "snapshot_diff_upsert_generations", "asof_nearest_tolerance",
+    "oiv_file_distribution", "webhdfs_liststatus_scan",
+    "table_stats_report", "events_hourly", "events_stats_json",
+    "timeline_entity_filter", "doc_profile", "dedup_span_exact",
+    "dedup_jaccard_suite", "dedup_connected_components",
     "capacity_scheduler_allocation", "reservation_admission_plan",
     "fair_queue_placement", "pipeline_recovery_plan",
     "reservation_integral_quota",
     "node_label_allocation",
-    "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_approx",
-    "weighted_sample_docs", "bpe_tokenize_stats",
+    "ann_cosine_approx",
+    "bpe_tokenize_stats",
     "quality_classifier_scores", "shard_manifest",
     "window_suite", "grouping_sets_suite", "corpus_prep_training_set",
     "sketch_suite", "sketch_ann_deterministic", "hll_distinct_rollup",
@@ -13552,11 +13558,6 @@ _WINDOW: list[str] = [
     "config_resolution", "proxy_user_matrix", "retry_schedule_matrix",
     "token_entropy_report", "streaming_heavy_hitters",
     "service_acl_host_matrix",
-    # round 7 (continued)
-    "federation_router_decisions", "federation_amrm_split",
-    "encryption_zone_resolution", "ez_rename_validity",
-    "locality_delay_schedule", "kms_key_acl_matrix",
-    "opportunistic_queue_plan",
     # round 8
     "rename_quota_check", "directory_scanner_reconcile",
     "intra_queue_app_order", "queue_assignment_order",
@@ -13566,8 +13567,8 @@ _WINDOW: list[str] = [
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
     "embedding_decontamination", "queue_hierarchy_capacities",
-    # round 9
-    "aggregated_log_index", "log_retention_sweep",
+    # round 9 (aggregated_log_index / log_retention_sweep sit in the
+    # checked prefix above)
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats",
