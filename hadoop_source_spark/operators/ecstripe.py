@@ -50,6 +50,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+NO_RECOVERY = "NO_RECOVERY_INSUFFICIENT_BLOCKS"
+TRUNCATE = "TRUNCATE_TO_NEW_SIZE"
+EXCLUDED = "EXCLUDED_SHORT"
+
 
 def _internal_block_length(
     data_size: Column, cell: Column, k: Column, idx: Column
@@ -292,3 +296,63 @@ def plan_striped_reads(
         )
     )
     return out.unionByName(invalid)
+
+
+def plan_striped_recovery(reports: DataFrame) -> DataFrame:
+    """Striped lease/block recovery planning
+    (`BlockRecoveryWorker.java` RecoveryTaskStriped.recover:430-490 +
+    getSafeLength:522-532 → `StripedBlockUtil.getSafeLength:240-253`).
+
+    ``reports``: one row per internal block that responded to
+    initReplicaRecovery — (group_id long, blk_idx int, num_bytes long,
+    cell_size long, data_units int, parity_units int).
+
+    Reference walk, closed-form per group:
+
+    - ``checkLocations:534-539``: fewer than k reporting internal
+      blocks aborts the whole group (every row NO_RECOVERY, NULL
+      safe_length).
+    - safe length = ``lastFullStripeIdx * stripeSize`` where
+      lastFullStripeIdx floors the k-th LARGEST reported length (data
+      and parity lengths sorted together, :246-252) by the cell size —
+      the largest stripe count guaranteed reconstructable.
+    - per block ``newSize = getInternalBlockLength(safeLength, ...)``
+      (:456); because the safe length is stripe-aligned this is
+      uniformly ``safeLength / k`` for every index incl. parity. A
+      block joins the truncate-to-RUR set iff its reported length >=
+      newSize (:458-460) — at least k always qualify (the reference's
+      ``assert rurList.size() >= dataBlkNum``, which the k-th-largest
+      floor makes a theorem); the rest are excluded and zeroed from
+      the new locations (:469-474).
+
+    One shuffle on group_id: a window ranks lengths, a second
+    same-keyed window broadcasts the pivot and the report count —
+    millions of concurrent recoveries stay partition-parallel."""
+    k = F.col("data_units").cast("long")
+    wg = Window.partitionBy("group_id")
+    rn = F.row_number().over(
+        wg.orderBy(F.col("num_bytes").desc(), F.col("blk_idx"))
+    )
+    staged = reports.withColumn("__rn", rn).select(
+        "*",
+        F.count(F.lit(1)).over(wg).alias("__n"),
+        F.max(F.when(F.col("__rn") == k, F.col("num_bytes"))).over(wg).alias(
+            "__pivot"
+        ),
+    )
+    safe_len = F.floor(F.col("__pivot") / F.col("cell_size")) * F.col(
+        "cell_size"
+    ) * k
+    new_size = (safe_len / k).cast("long")
+    enough = F.col("__n") >= k
+    return staged.select(
+        "group_id",
+        "blk_idx",
+        "num_bytes",
+        F.when(enough, safe_len).cast("long").alias("safe_length"),
+        F.when(enough, new_size).cast("long").alias("new_size"),
+        F.when(~enough, F.lit(NO_RECOVERY))
+        .when(F.col("num_bytes") >= new_size, F.lit(TRUNCATE))
+        .otherwise(F.lit(EXCLUDED))
+        .alias("action"),
+    )

@@ -13453,6 +13453,95 @@ def unigram_lm_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigramlm.segment_docs(docs, logp, max_len=6)
 
 
+_EC_RECOVERY_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS gid,
+         CASE WHEN o_orderkey % 2 = 0 THEN 3 ELSE 6 END AS k,
+         CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 3 END AS p,
+         CASE WHEN o_orderkey % 2 = 0 THEN 16 ELSE 32 END AS c
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+blocks AS (
+  SELECT gid, k, c, CAST(bi AS INT) AS blk_idx,
+         (gid * 13 + bi * 29) % (c * k * 4) AS num_bytes
+  FROM base, unnest(generate_series(0, k + p - 1)) AS u(bi)
+  WHERE CASE WHEN gid % 17 = 0 THEN bi < 2
+             ELSE (gid + bi) % 5 <> 0 END
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY gid
+              ORDER BY num_bytes DESC, blk_idx) AS rn
+  FROM blocks
+),
+staged AS (
+  SELECT *, count(*) OVER (PARTITION BY gid) AS n,
+    max(CASE WHEN rn = k THEN num_bytes END) OVER (PARTITION BY gid)
+      AS pvt
+  FROM ranked
+)
+SELECT gid AS group_id, blk_idx, num_bytes,
+  CASE WHEN n >= k THEN (pvt // c) * c * k END AS safe_length,
+  CASE WHEN n >= k THEN (pvt // c) * c END AS new_size,
+  CASE WHEN n < k THEN 'NO_RECOVERY_INSUFFICIENT_BLOCKS'
+       WHEN num_bytes >= (pvt // c) * c THEN 'TRUNCATE_TO_NEW_SIZE'
+       ELSE 'EXCLUDED_SHORT' END AS action
+FROM staged
+"""
+
+
+@register("ec_striped_lease_recovery", _EC_RECOVERY_ORACLE)
+def ec_striped_lease_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Striped lease/block recovery planning (operators/ecstripe.
+    plan_striped_recovery — BlockRecoveryWorker.java
+    RecoveryTaskStriped.recover:430-490: checkLocations abort under k
+    reports :534-539, safe length = k-th-largest reported length
+    floored to the cell times the stripe :522-532 /
+    StripedBlockUtil.getSafeLength:240-253, per-block
+    truncate-vs-exclude against getInternalBlockLength(safeLength)
+    :454-461). Orders become RS(3,2)/RS(6,3) block groups with one
+    non-reporting block each (plus gid%17 groups capped at two
+    reports), staggered lengths spanning sub-cell to multi-stripe —
+    TRUNCATE / EXCLUDED / NO_RECOVERY all live at sf0.01 incl.
+    pivot ties. Scale: one shuffle on group_id (rank + pivot windows
+    share it); millions of concurrent recoveries partition-parallel."""
+    from hadoop_source_spark.operators import ecstripe
+
+    key = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders").where(key % 3 == 1)
+    k = F.when(key % 2 == 0, F.lit(3)).otherwise(F.lit(6))
+    p = F.when(key % 2 == 0, F.lit(2)).otherwise(F.lit(3))
+    c = F.when(key % 2 == 0, F.lit(16)).otherwise(F.lit(32))
+    blocks = (
+        o.select(
+            key.alias("group_id"),
+            k.cast("int").alias("data_units"),
+            p.cast("int").alias("parity_units"),
+            c.cast("long").alias("cell_size"),
+        )
+        .withColumn(
+            "blk_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("data_units") + F.col("parity_units") - 1,
+                )
+            ),
+        )
+        .where(
+            F.when(F.col("group_id") % 17 == 0, F.col("blk_idx") < 2)
+            .otherwise((F.col("group_id") + F.col("blk_idx")) % 5 != 0)
+        )
+        .withColumn(
+            "num_bytes",
+            (
+                (F.col("group_id") * 13 + F.col("blk_idx") * 29)
+                % (F.col("cell_size") * F.col("data_units") * 4)
+            ).cast("long"),
+        )
+    )
+    return ecstripe.plan_striped_recovery(blocks)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13571,10 +13660,10 @@ _WINDOW: list[str] = [
     # checked prefix above)
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
-    "unigram_lm_tokenize_stats",
+    "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
 ]
 
-assert len(_WINDOW) == 194, len(_WINDOW)
+assert len(_WINDOW) == 195, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

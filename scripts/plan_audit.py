@@ -145,7 +145,7 @@ def main() -> None:
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
-    "unigram_lm_tokenize_stats",
+    "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

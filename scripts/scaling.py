@@ -175,7 +175,7 @@ EXTRA = (
     "aggregated_log_index", "log_retention_sweep",
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
-    "unigram_lm_tokenize_stats",
+    "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
 )
 
 

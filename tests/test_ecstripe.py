@@ -166,3 +166,74 @@ def test_full_stripe_read_rs63(spark):
     assert all(
         (r["stripe_off"], r["stripe_span"]) == (4, 4) for r in got.values()
     )
+
+
+REPORT_SCHEMA = (
+    "group_id long, blk_idx int, num_bytes long, cell_size long,"
+    " data_units int, parity_units int"
+)
+
+
+def _recover(spark, rows):
+    out = ecstripe.plan_striped_recovery(
+        spark.createDataFrame(rows, REPORT_SCHEMA)
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["group_id"], {})[r["blk_idx"]] = r
+    return by
+
+
+def test_safe_length_kth_largest(spark):
+    # RS(3,2) cell 4, lens 10/6/5/9/9: 3rd largest 9 -> safe 24,
+    # newSize 8 on every index; three blocks truncate, two excluded
+    got = _recover(
+        spark,
+        [(1, i, n, 4, 3, 2) for i, n in enumerate([10, 6, 5, 9, 9])],
+    )[1]
+    assert all(r["safe_length"] == 24 for r in got.values())
+    assert all(r["new_size"] == 8 for r in got.values())
+    acts = {i: r["action"] for i, r in got.items()}
+    assert acts == {
+        0: "TRUNCATE_TO_NEW_SIZE", 1: "EXCLUDED_SHORT",
+        2: "EXCLUDED_SHORT", 3: "TRUNCATE_TO_NEW_SIZE",
+        4: "TRUNCATE_TO_NEW_SIZE",
+    }
+
+
+def test_insufficient_blocks_abort(spark):
+    got = _recover(spark, [(1, 0, 10, 4, 3, 2), (1, 3, 10, 4, 3, 2)])[1]
+    assert all(
+        r["action"] == "NO_RECOVERY_INSUFFICIENT_BLOCKS"
+        and r["safe_length"] is None
+        for r in got.values()
+    )
+
+
+def test_exactly_k_reports_all_truncate(spark):
+    # pivot = the smallest report; at least k always qualify
+    got = _recover(
+        spark, [(1, i, n, 4, 3, 2) for i, n in enumerate([7, 4, 4])]
+    )[1]
+    assert all(r["safe_length"] == 12 for r in got.values())
+    assert all(r["action"] == "TRUNCATE_TO_NEW_SIZE" for r in got.values())
+
+
+def test_sub_cell_pivot_truncates_to_zero(spark):
+    got = _recover(
+        spark, [(1, i, n, 4, 3, 2) for i, n in enumerate([3, 2, 1])]
+    )[1]
+    assert all(r["safe_length"] == 0 for r in got.values())
+    assert all(r["action"] == "TRUNCATE_TO_NEW_SIZE" for r in got.values())
+
+
+def test_pivot_ties(spark):
+    got = _recover(
+        spark,
+        [(1, i, n, 4, 3, 2) for i, n in enumerate([8, 8, 8, 8, 2])],
+    )[1]
+    assert got[0]["safe_length"] == 24
+    assert got[4]["action"] == "EXCLUDED_SHORT"
+    assert sum(
+        1 for r in got.values() if r["action"] == "TRUNCATE_TO_NEW_SIZE"
+    ) == 4
