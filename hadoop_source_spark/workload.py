@@ -13542,6 +13542,106 @@ def ec_striped_lease_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecstripe.plan_striped_recovery(blocks)
 
 
+_NODES_REFRESH_ORACLE = """
+WITH n AS (
+  SELECT 'h' || CAST(c_custkey AS VARCHAR) AS host,
+    CASE c_custkey % 7 WHEN 0 THEN 'NEW' WHEN 4 THEN 'DECOMMISSIONING'
+         WHEN 5 THEN 'DECOMMISSIONED' WHEN 3 THEN 'UNHEALTHY'
+         ELSE 'RUNNING' END AS state,
+    CASE WHEN c_custkey % 7 = 4 THEN
+      CASE WHEN c_custkey % 3 = 0 THEN 3600 ELSE 100 END
+    END AS current_timeout,
+    c_custkey % 5 <> 2 AS included,
+    c_custkey % 4 = 1 AS excluded,
+    CASE WHEN c_custkey % 8 = 1 THEN 60 + c_custkey % 500
+    END AS exc_timeout,
+    c_custkey % 2 = 0 AS graceful
+  FROM customer
+),
+v AS (
+  SELECT *, included AND NOT excluded AS valid,
+    NOT included AND NOT excluded AS untracked,
+    coalesce(exc_timeout, 3600) AS touse
+  FROM n
+)
+SELECT host, state, valid, graceful,
+  CASE WHEN valid AND state = 'DECOMMISSIONING' THEN 'RECOMMISSION'
+       WHEN valid THEN 'NO_ACTION'
+       WHEN graceful AND state NOT IN
+            ('DECOMMISSIONED', 'DECOMMISSIONING')
+         THEN 'GRACEFUL_DECOMMISSION'
+       WHEN graceful AND state = 'DECOMMISSIONING'
+            AND current_timeout IS DISTINCT FROM touse
+         THEN 'UPDATE_DECOMMISSIONING_TIMEOUT'
+       WHEN graceful THEN 'NO_ACTION'
+       WHEN state = 'DECOMMISSIONED' THEN 'NO_ACTION'
+       WHEN untracked THEN 'SHUTDOWN_UNTRACKED'
+       ELSE 'DECOMMISSION' END AS action,
+  CASE WHEN graceful AND NOT valid AND (
+         state NOT IN ('DECOMMISSIONED', 'DECOMMISSIONING')
+         OR (state = 'DECOMMISSIONING'
+             AND current_timeout IS DISTINCT FROM touse))
+       THEN CAST(touse AS INT) END AS timeout_to_use
+FROM v
+"""
+
+
+@register("nodes_refresh_plan", _NODES_REFRESH_ORACLE)
+def nodes_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM include/exclude node-list refresh (operators/nodeslist —
+    NodesListManager.java handleExcludeNodeList:281-367: valid
+    DECOMMISSIONING nodes recommission; excluded nodes gracefully
+    decommission with the per-host exclude-file timeout beating the
+    request timeout, re-emitting when a DECOMMISSIONING node's
+    timeout differs (null-safe, :323-329); forceful refreshes
+    decommission everything not yet DECOMMISSIONED — or SHUT DOWN
+    untracked hosts per isUntrackedNode:609-619; isValidNode:500-507
+    include-empty/exclude-wins). Customers become two RM fleets (even
+    keys refresh gracefully, odd forcefully) against one shared
+    include/exclude pair — all six actions live at sf0.01 incl. the
+    per-host-timeout override and the equal-timeout no-op. Scale: two
+    broadcast joins to the conf-sized host files + one codegen
+    when-chain, no node-side shuffle."""
+    from hadoop_source_spark.operators import nodeslist
+
+    ck = F.col("c_custkey")
+    c = table(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.concat(F.lit("h"), ck.cast("string")).alias("host"),
+        F.when(ck % 7 == 0, F.lit("NEW"))
+        .when(ck % 7 == 4, F.lit("DECOMMISSIONING"))
+        .when(ck % 7 == 5, F.lit("DECOMMISSIONED"))
+        .when(ck % 7 == 3, F.lit("UNHEALTHY"))
+        .otherwise(F.lit("RUNNING"))
+        .alias("state"),
+        F.when(
+            ck % 7 == 4,
+            F.when(ck % 3 == 0, F.lit(3600)).otherwise(F.lit(100)),
+        )
+        .cast("int")
+        .alias("current_timeout"),
+        (ck % 2 == 0).alias("graceful"),
+    )
+    includes = c.where(ck % 5 != 2).select(
+        F.concat(F.lit("h"), ck.cast("string")).alias("host")
+    )
+    excludes = c.where(ck % 4 == 1).select(
+        F.concat(F.lit("h"), ck.cast("string")).alias("host"),
+        F.when(ck % 8 == 1, F.lit(60) + ck % 500)
+        .cast("int")
+        .alias("exc_timeout"),
+    )
+    out_g = nodeslist.refresh_nodes_plan(
+        nodes.where(F.col("graceful")).drop("graceful"),
+        includes, excludes, graceful=True, request_timeout=3600,
+    ).withColumn("graceful", F.lit(True))
+    out_f = nodeslist.refresh_nodes_plan(
+        nodes.where(~F.col("graceful")).drop("graceful"),
+        includes, excludes, graceful=False, request_timeout=3600,
+    ).withColumn("graceful", F.lit(False))
+    return out_g.unionByName(out_f)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13661,9 +13761,10 @@ _WINDOW: list[str] = [
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
+    "nodes_refresh_plan",
 ]
 
-assert len(_WINDOW) == 195, len(_WINDOW)
+assert len(_WINDOW) == 196, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
