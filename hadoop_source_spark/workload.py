@@ -13642,6 +13642,98 @@ def nodes_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_g.unionByName(out_f)
 
 
+_USER_LIMIT_ORACLE = """
+WITH r AS (
+  SELECT p_partkey AS row_id,
+    1024 * (64 + p_partkey % 64) AS partition_resource,
+    CASE WHEN p_partkey % 19 = 0 THEN 0
+         ELSE 1024 * (1 + p_partkey % 32) END AS effective_capacity,
+    256 * (1 + p_partkey % 2) AS min_alloc,
+    (p_partkey % 129) / 64.0 AS usage_ratio,
+    512 * (p_partkey % 100) AS active_used,
+    CAST(1 + p_partkey % 7 AS DOUBLE) AS active_weights,
+    CAST(1 + p_partkey % 7 + p_partkey % 3 AS DOUBLE) AS all_weights,
+    10 + (p_partkey % 10) * 10 AS ul_percent,
+    (1 + p_partkey % 8) / 4.0 AS ul_factor,
+    p_partkey % 5 <> 0 AS respect_exclusivity,
+    p_partkey % 2 = 0 AS active_user
+  FROM part
+),
+c AS (
+  SELECT *, greatest(effective_capacity, min_alloc) AS queue_capacity,
+    ((CAST(floor(partition_resource * usage_ratio + 0.5) AS BIGINT)
+      + min_alloc - 1) // min_alloc) * min_alloc AS consumed
+  FROM r
+),
+c2 AS (
+  SELECT *, CASE WHEN consumed < queue_capacity THEN queue_capacity
+                 ELSE consumed + min_alloc END AS current_capacity
+  FROM c
+),
+c3 AS (
+  SELECT *,
+    CASE WHEN active_user THEN active_used + min_alloc
+         ELSE current_capacity END AS ru,
+    CASE WHEN active_user THEN active_weights ELSE all_weights END AS w
+  FROM c2
+),
+c4 AS (
+  SELECT *,
+    greatest(CAST(ceil(ru / w) AS BIGINT),
+             (current_capacity * ul_percent + 99) // 100) AS ulr,
+    CASE WHEN respect_exclusivity
+         THEN CAST(floor(queue_capacity * ul_factor) AS BIGINT)
+         ELSE partition_resource END AS max_user_limit
+  FROM c3
+)
+SELECT row_id, partition_resource, effective_capacity, min_alloc,
+  usage_ratio, active_used, active_weights, all_weights, ul_percent,
+  ul_factor, respect_exclusivity, active_user,
+  queue_capacity, consumed, current_capacity,
+  ulr AS user_limit_resource, max_user_limit,
+  ((least(ulr, max_user_limit) + min_alloc - 1) // min_alloc)
+    * min_alloc AS user_limit
+FROM c4
+"""
+
+
+@register("user_limit_matrix", _USER_LIMIT_ORACLE)
+def user_limit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CapacityScheduler per-user limits (operators/userlimit —
+    UsersManager.java:705-829 computeUserLimit with
+    DefaultResourceCalculator arithmetic: miniscule-queue floor,
+    multiplyAndNormalizeUp consumed from the DRF-summed usage ratio
+    (which may exceed 1), over-capacity currentCapacity, the active
+    (used/activeWeights) vs non-active (currentCapacity/allWeights)
+    split, ceil-div by weights vs minimum-user-limit-percent max, the
+    RESPECT vs IGNORE partition-exclusivity cap, and the final
+    minAlloc roundUp that can land ABOVE the cap). Parts span 64
+    partition sizes x 32 capacities x both calculators' branches —
+    every branch live at sf0.01 incl. zero-capacity queues and
+    ratio > 1. Scale: one codegen projection, zero shuffles."""
+    from hadoop_source_spark.operators import userlimit
+
+    pk = F.col("p_partkey")
+    rows = table(spark, sf_dir, "part").select(
+        pk.alias("row_id"),
+        (1024 * (64 + pk % 64)).cast("long").alias("partition_resource"),
+        F.when(pk % 19 == 0, F.lit(0))
+        .otherwise(1024 * (1 + pk % 32))
+        .cast("long")
+        .alias("effective_capacity"),
+        (256 * (1 + pk % 2)).cast("long").alias("min_alloc"),
+        ((pk % 129) / F.lit(64.0)).alias("usage_ratio"),
+        (512 * (pk % 100)).cast("long").alias("active_used"),
+        (1 + pk % 7).cast("double").alias("active_weights"),
+        (1 + pk % 7 + pk % 3).cast("double").alias("all_weights"),
+        (10 + (pk % 10) * 10).cast("long").alias("ul_percent"),
+        ((1 + pk % 8) / F.lit(4.0)).alias("ul_factor"),
+        (pk % 5 != 0).alias("respect_exclusivity"),
+        (pk % 2 == 0).alias("active_user"),
+    )
+    return userlimit.compute_user_limits(rows)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13761,10 +13853,10 @@ _WINDOW: list[str] = [
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
-    "nodes_refresh_plan",
+    "nodes_refresh_plan", "user_limit_matrix",
 ]
 
-assert len(_WINDOW) == 196, len(_WINDOW)
+assert len(_WINDOW) == 197, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

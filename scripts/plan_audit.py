@@ -146,7 +146,7 @@ def main() -> None:
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
-    "nodes_refresh_plan",
+    "nodes_refresh_plan", "user_limit_matrix",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -176,7 +176,7 @@ EXTRA = (
     "ec_striped_read_plan", "local_cache_cleanup",
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
-    "nodes_refresh_plan",
+    "nodes_refresh_plan", "user_limit_matrix",
 )
 
 
