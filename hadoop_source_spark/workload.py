@@ -13734,6 +13734,98 @@ def user_limit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return userlimit.compute_user_limits(rows)
 
 
+_AM_RETRY_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey // 5 AS app_id, o_orderkey AS attempt_id,
+    CASE WHEN o_orderkey % 23 = 0 THEN 0
+         ELSE 1700000000000 - (o_orderkey % 100000) END AS finish_time,
+    CAST(CASE o_orderkey % 9 WHEN 0 THEN -102 WHEN 1 THEN -100
+         WHEN 2 THEN -101 WHEN 3 THEN -106 WHEN 4 THEN 0 WHEN 5 THEN 1
+         WHEN 6 THEN -104 WHEN 7 THEN 143 ELSE 255 END AS INT)
+      AS exit_status
+  FROM orders
+),
+p AS (
+  SELECT DISTINCT app_id, CAST(app_id % 9 - 1 AS INT) AS individual_max,
+    CASE WHEN app_id % 3 = 0 THEN 0 ELSE 50000 END AS validity_interval,
+    app_id % 31 = 0 AS unmanaged
+  FROM a
+),
+j AS (
+  SELECT a.*, p.unmanaged,
+    CASE WHEN p.individual_max <= 0 THEN 4
+         WHEN p.individual_max > 6 THEN 6
+         ELSE p.individual_max END AS max_app_attempts,
+    (p.validity_interval > 0 AND a.finish_time > 0
+     AND a.finish_time < 1700000000000 - p.validity_interval) AS expired,
+    a.exit_status IN (-102, -100, -101, -106) AS exempt_exit
+  FROM a JOIN p USING (app_id)
+),
+c AS (
+  SELECT *, NOT expired AND NOT exempt_exit AS counted,
+    CAST(sum(CASE WHEN NOT expired AND NOT exempt_exit THEN 1 ELSE 0 END)
+         OVER (PARTITION BY app_id) AS INT) AS counted_failures
+  FROM j
+)
+SELECT app_id, attempt_id, exit_status, expired, exempt_exit, counted,
+  CAST(max_app_attempts AS INT) AS max_app_attempts, counted_failures,
+  CASE WHEN unmanaged OR
+    (CASE WHEN max_app_attempts = 1 THEN max_app_attempts
+          ELSE counted_failures END) >= max_app_attempts
+  THEN 'FAIL_APPLICATION' ELSE 'NEW_ATTEMPT' END AS app_action
+FROM c
+"""
+
+
+@register("am_attempt_retry_policy", _AM_RETRY_ORACLE)
+def am_attempt_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AM attempt-retry accounting (operators/amretry —
+    RMAppImpl.java:462-476 effective-max resolution [non-positive →
+    rm max, above global → global cap],
+    RMAppAttemptImpl.shouldCountTowardsMaxAttemptRetry:1587-1606
+    [aged-out finish times and PREEMPTED/ABORTED/DISKS_FAILED/
+    KILLED_BY_RM exits never burn budget],
+    AttemptFailedTransition:1542-1573 [max==1 one-strike regardless
+    of exemption, unmanaged AMs never retry, retry while counted <
+    max]). Orders become 300 apps' attempt histories spanning all
+    nine exit-status classes, aged and unaged finish times, and the
+    full individual-max range — every branch live at sf0.01. Scale:
+    broadcast app table + one app-keyed count window, codegen
+    everywhere else."""
+    from hadoop_source_spark.operators import amretry
+
+    key = F.col("o_orderkey")
+    C = 1_700_000_000_000
+    o = table(spark, sf_dir, "orders")
+    attempts = o.select(
+        F.floor(key / 5).cast("long").alias("app_id"),
+        key.alias("attempt_id"),
+        F.when(key % 23 == 0, F.lit(0))
+        .otherwise(F.lit(C) - key % 100000)
+        .cast("long")
+        .alias("finish_time"),
+        F.when(key % 9 == 0, -102).when(key % 9 == 1, -100)
+        .when(key % 9 == 2, -101).when(key % 9 == 3, -106)
+        .when(key % 9 == 4, 0).when(key % 9 == 5, 1)
+        .when(key % 9 == 6, -104).when(key % 9 == 7, 143)
+        .otherwise(255)
+        .cast("int")
+        .alias("exit_status"),
+    )
+    apps = attempts.select("app_id").distinct().select(
+        "app_id",
+        (F.col("app_id") % 9 - 1).cast("int").alias("individual_max"),
+        F.when(F.col("app_id") % 3 == 0, F.lit(0))
+        .otherwise(F.lit(50000))
+        .cast("long")
+        .alias("validity_interval"),
+        (F.col("app_id") % 31 == 0).alias("unmanaged"),
+    )
+    return amretry.attempt_retry_plan(
+        attempts, apps, now_ms=C, rm_max_attempts=4, global_max_attempts=6
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13854,9 +13946,10 @@ _WINDOW: list[str] = [
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     "nodes_refresh_plan", "user_limit_matrix",
+    "am_attempt_retry_policy",
 ]
 
-assert len(_WINDOW) == 197, len(_WINDOW)
+assert len(_WINDOW) == 198, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
