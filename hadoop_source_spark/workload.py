@@ -13826,6 +13826,106 @@ def am_attempt_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUTH_LOCAL_ORACLE = """
+WITH c AS (
+  SELECT c_custkey AS ck,
+    CASE (c_custkey // 3) % 3 WHEN 0 THEN 'EXAMPLE.COM'
+         WHEN 1 THEN 'DEV.EXAMPLE.COM' ELSE 'OTHER.ORG' END AS realm,
+    c_custkey % 3 = 0 AS one_comp,
+    CAST(c_custkey % 6 AS VARCHAR) AS svc,
+    CAST(c_custkey % 7 AS VARCHAR) AS hst
+  FROM customer
+),
+p AS (
+  SELECT ck, realm, one_comp, svc, hst,
+    CASE WHEN one_comp THEN 'U' || CAST(ck AS VARCHAR)
+         ELSE 'svc' || svc || '/host' || hst || '.grid' END
+      || '@' || realm AS principal,
+    CASE WHEN one_comp THEN 1 ELSE 2 END AS n_components
+  FROM c
+)
+SELECT principal, realm, CAST(n_components AS INT) AS n_components,
+  CAST(CASE
+    WHEN one_comp AND realm = 'DEV.EXAMPLE.COM' AND ck % 2 = 0 THEN 0
+    WHEN NOT one_comp AND ck % 6 <= 3 THEN 1
+    WHEN NOT one_comp AND realm = 'OTHER.ORG' THEN 2
+    WHEN one_comp AND realm = 'OTHER.ORG' THEN 3
+    WHEN realm = 'EXAMPLE.COM' THEN 4
+  END AS INT) AS matched_rule,
+  CASE
+    WHEN one_comp AND realm = 'DEV.EXAMPLE.COM' AND ck % 2 = 0
+      THEN 'u' || CAST(ck AS VARCHAR)
+    WHEN NOT one_comp AND ck % 6 <= 3 THEN 'service' || svc
+    WHEN NOT one_comp AND realm = 'OTHER.ORG'
+      THEN 'host' || hst || '.grid'
+    WHEN one_comp AND realm = 'OTHER.ORG' THEN NULL
+    WHEN realm = 'EXAMPLE.COM' THEN
+      CASE WHEN one_comp THEN 'U' || CAST(ck AS VARCHAR)
+           ELSE 'svc' || svc END
+  END AS short_name,
+  CASE WHEN one_comp AND realm = 'OTHER.ORG' THEN 'NON_SIMPLE_NAME'
+       WHEN (one_comp AND realm = 'DEV.EXAMPLE.COM' AND ck % 2 = 0)
+            OR (NOT one_comp AND ck % 6 <= 3)
+            OR (NOT one_comp AND realm = 'OTHER.ORG')
+            OR realm = 'EXAMPLE.COM' THEN 'OK'
+       ELSE 'NO_MATCHING_RULE' END AS verdict
+FROM p
+"""
+
+
+@register("auth_to_local_mapping", _AUTH_LOCAL_ORACLE)
+def auth_to_local_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kerberos auth_to_local principal mapping (operators/authlocal —
+    KerberosName.java Rule:197-360: component-count gating, $i format
+    splicing with $0=realm, full-match gate, first/all substitution,
+    /L after the non-simple abort; getShortName:405-429 first-rule-
+    wins; DEFAULT checks ONLY the realm — a multi-component principal
+    in the default realm still maps to $1, live here). Customers
+    become principals across three realms and both component shapes;
+    a five-rule chain (strip-realm+/L, service rename on a realm-free
+    base, host-keyed mapping, a no-substitution rule that aborts
+    non-simple, DEFAULT) puts every verdict and every rule index live
+    at sf0.01. The ORACLE derives rule outcomes from the generator
+    arithmetic — independent of the regex engine (whose Java syntax
+    Spark shares with the reference). Scale: the conf-sized rule
+    chain compiles to one codegen when-chain — no joins, no
+    shuffles."""
+    from hadoop_source_spark.operators import authlocal
+    from hadoop_source_spark.operators.authlocal import Rule
+
+    ck = F.col("c_custkey")
+    realm = (
+        F.when(F.floor(ck / 3) % 3 == 0, F.lit("EXAMPLE.COM"))
+        .when(F.floor(ck / 3) % 3 == 1, F.lit("DEV.EXAMPLE.COM"))
+        .otherwise(F.lit("OTHER.ORG"))
+    )
+    name = F.when(
+        ck % 3 == 0, F.concat(F.lit("U"), ck.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("svc"), (ck % 6).cast("string"),
+            F.lit("/host"), (ck % 7).cast("string"), F.lit(".grid"),
+        )
+    )
+    principals = table(spark, sf_dir, "customer").select(
+        F.concat(name, F.lit("@"), realm).alias("principal")
+    )
+    rules = [
+        Rule(num_components=1, format="$1@$0",
+             match=r"U\d*[02468]@DEV\.EXAMPLE\.COM",
+             from_re="@.*$", to_sub="", to_lower=True),
+        Rule(num_components=2, format="$1", match=r"svc[0-3]",
+             from_re="^svc", to_sub="service"),
+        Rule(num_components=2, format="$2@$0",
+             match=r"host.*@OTHER\.ORG", from_re="@.*$", to_sub=""),
+        Rule(num_components=1, format="$1@$0", match=r"U.*@OTHER\.ORG"),
+        Rule(is_default=True),
+    ]
+    return authlocal.map_principals(
+        principals, rules, default_realm="EXAMPLE.COM"
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -13946,10 +14046,10 @@ _WINDOW: list[str] = [
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     "nodes_refresh_plan", "user_limit_matrix",
-    "am_attempt_retry_policy",
+    "am_attempt_retry_policy", "auth_to_local_mapping",
 ]
 
-assert len(_WINDOW) == 198, len(_WINDOW)
+assert len(_WINDOW) == 199, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

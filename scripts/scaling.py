@@ -177,7 +177,7 @@ EXTRA = (
     "resource_request_normalize", "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     "nodes_refresh_plan", "user_limit_matrix",
-    "am_attempt_retry_policy",
+    "am_attempt_retry_policy", "auth_to_local_mapping",
 )
 
 
