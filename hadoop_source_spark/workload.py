@@ -13926,6 +13926,102 @@ def auth_to_local_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTMON_ORACLE = """
+WITH t AS (
+  SELECT event_id AS container_id,
+    1024 * (1 + event_id % 4) AS pmem_limit,
+    (1024 * (1 + event_id % 4)) * 21 // 10 AS vmem_limit,
+    event_id % 10 = 0 AS strict_e, event_id % 20 = 0 AS elastic
+  FROM events
+),
+u AS (
+  SELECT *, (container_id * 7) % (pmem_limit * 3) AS pmem_usage,
+         (container_id * 13) % (vmem_limit * 3) AS vmem_usage
+  FROM t
+),
+v AS (
+  SELECT *, (container_id * 11) % (pmem_usage + 1) AS rss_aged,
+         (container_id * 5) % (vmem_usage + 1) AS vmem_aged
+  FROM u
+),
+d AS (
+  SELECT *, strict_e AND NOT elastic AS skip,
+    vmem_usage > 2 * vmem_limit OR vmem_aged > vmem_limit AS v_over,
+    pmem_usage > 2 * pmem_limit OR rss_aged > pmem_limit AS p_over,
+    vmem_usage > vmem_limit OR pmem_usage > pmem_limit AS graced
+  FROM v
+)
+SELECT container_id,
+  CASE WHEN skip THEN 'SKIP_CGROUP_OOM'
+       WHEN v_over OR p_over THEN 'KILL_CONTAINER'
+       WHEN graced THEN 'OVER_LIMIT_GRACE'
+       ELSE 'WITHIN_LIMITS' END AS action,
+  CASE WHEN NOT skip AND v_over THEN 'virtual'
+       WHEN NOT skip AND p_over THEN 'physical' END AS over_dim,
+  CAST(CASE WHEN NOT skip AND v_over THEN -103
+            WHEN NOT skip AND p_over THEN -104 END AS INT) AS exit_status,
+  CASE WHEN NOT skip AND v_over THEN vmem_usage - vmem_limit
+       WHEN NOT skip AND p_over THEN pmem_usage - pmem_limit
+  END AS delta
+FROM d
+"""
+
+
+@register("container_memory_check", _CONTMON_ORACLE)
+def container_memory_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM container memory enforcement (operators/contmon —
+    ContainersMonitorImpl.java checkLimit:724-789: cgroup-strict
+    without elastic skips polling entirely; isProcessTreeOverLimit
+    :458-489 kills at twice the limit immediately or at 1x when
+    processes older than one iteration exceed it — a fresh sub-2x
+    spike survives one iteration; virtual checked before physical,
+    KILLED_EXCEEDED_VMEM -103 / _PMEM -104, delta = current - limit).
+    Events become monitoring ticks with usages spanning 0-3x their
+    limits and independently-derived aged usages — every action, both
+    kill dimensions, and the grace branch live at sf0.01. Scale: one
+    codegen projection, zero shuffles."""
+    from hadoop_source_spark.operators import contmon
+
+    eid = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    plim = 1024 * (1 + eid % 4)
+    vlim = F.floor(plim * 21 / 10).cast("long")
+    ticks = (
+        e.select(
+            eid.alias("container_id"),
+            plim.cast("long").alias("pmem_limit"),
+            vlim.alias("vmem_limit"),
+            (eid % 10 == 0).alias("strict_enforcement"),
+            (eid % 20 == 0).alias("elastic_memory"),
+        )
+        .withColumn(
+            "pmem_usage",
+            ((F.col("container_id") * 7) % (F.col("pmem_limit") * 3)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "vmem_usage",
+            ((F.col("container_id") * 13) % (F.col("vmem_limit") * 3)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "rss_aged",
+            (
+                (F.col("container_id") * 11) % (F.col("pmem_usage") + 1)
+            ).cast("long"),
+        )
+        .withColumn(
+            "vmem_aged",
+            (
+                (F.col("container_id") * 5) % (F.col("vmem_usage") + 1)
+            ).cast("long"),
+        )
+    )
+    return contmon.check_memory_limits(ticks)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -14047,9 +14143,10 @@ _WINDOW: list[str] = [
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     "nodes_refresh_plan", "user_limit_matrix",
     "am_attempt_retry_policy", "auth_to_local_mapping",
+    "container_memory_check",
 ]
 
-assert len(_WINDOW) == 199, len(_WINDOW)
+assert len(_WINDOW) == 200, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
