@@ -14022,6 +14022,90 @@ def container_memory_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contmon.check_memory_limits(ticks)
 
 
+_SPAN_CORRUPT_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, len(toks) AS n, u.i - 1 AS idx, toks[u.i] AS tok
+  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+w2 AS (
+  SELECT *,
+    least(1 + (doc_id * 13 + win * 7) % 3, wlen - s) AS slen,
+    (doc_id + win) % 2 = 0 AND s < wlen AS corr
+  FROM (
+    SELECT *, idx // 8 AS win, least(8, n - (idx // 8) * 8) AS wlen,
+      (doc_id * 31 + (idx // 8) * 17) % 8 AS s
+    FROM t
+  )
+),
+flags AS (
+  SELECT *,
+    corr AND idx - win * 8 >= s AND idx - win * 8 < s + slen AS in_span
+  FROM w2
+),
+input_rows AS (
+  SELECT doc_id, CAST(idx AS DOUBLE) AS pos, tok
+  FROM flags WHERE NOT in_span
+  UNION ALL
+  SELECT DISTINCT doc_id, win * 8 + s - 0.5,
+    '<extra_id_' || CAST(win AS VARCHAR) || '>'
+  FROM flags WHERE corr
+),
+target_rows AS (
+  SELECT doc_id, CAST(idx AS DOUBLE) AS pos, tok
+  FROM flags WHERE in_span
+  UNION ALL
+  SELECT DISTINCT doc_id, win * 8 + s - 0.5,
+    '<extra_id_' || CAST(win AS VARCHAR) || '>'
+  FROM flags WHERE corr
+),
+inp AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS input_text
+  FROM input_rows GROUP BY doc_id
+),
+tgt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS target_text
+  FROM target_rows GROUP BY doc_id
+),
+spans AS (
+  SELECT doc_id, count(DISTINCT win) AS n_spans
+  FROM flags WHERE corr GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+  coalesce(i.input_text, '') AS input_text,
+  coalesce(t2.target_text, '') AS target_text
+FROM d b
+LEFT JOIN inp i USING (doc_id)
+LEFT JOIN tgt t2 USING (doc_id)
+LEFT JOIN spans s USING (doc_id)
+"""
+
+
+@register("span_corruption_transform", _SPAN_CORRUPT_ORACLE)
+def span_corruption_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising transform (llmops/spancorrupt —
+    Raffel et al. 2020 §3.1.4: drop token spans, replace each with a
+    sentinel, target = sentinels + dropped spans; deterministic
+    arithmetic-bucket draws per the fim.py convention, window-indexed
+    sentinels as the documented simplification). Runs over the full
+    documents table; the ORACLE rebuilds both streams through a
+    completely different mechanism — per-token rows with fractional
+    sentinel positions stitched by ordered string_agg — so a
+    hash-match proves the array-HOF construction token-exact,
+    including short-tail dodges and empty docs. Scale: one codegen
+    projection of split/sequence/transform/slice/flatten — no
+    explode, no shuffle, no Python."""
+    from hadoop_source_spark.llmops import spancorrupt
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return spancorrupt.span_corrupt(docs, window=8)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -14143,10 +14227,10 @@ _WINDOW: list[str] = [
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     "nodes_refresh_plan", "user_limit_matrix",
     "am_attempt_retry_policy", "auth_to_local_mapping",
-    "container_memory_check",
+    "container_memory_check", "span_corruption_transform",
 ]
 
-assert len(_WINDOW) == 200, len(_WINDOW)
+assert len(_WINDOW) == 201, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -148,7 +148,7 @@ def main() -> None:
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
     "nodes_refresh_plan", "user_limit_matrix",
     "am_attempt_retry_policy", "auth_to_local_mapping",
-    "container_memory_check",
+    "container_memory_check", "span_corruption_transform",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
