@@ -14106,6 +14106,149 @@ def span_corruption_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spancorrupt.span_corrupt(docs, window=8)
 
 
+_FAIR_STARVE_ORACLE = """
+WITH a AS (
+  SELECT 'fq' || CAST(o_orderkey % 60 AS VARCHAR) AS queue,
+    o_orderkey % 60 AS q, o_orderkey AS app_id,
+    CAST(row_number() OVER (PARTITION BY o_orderkey % 60
+                            ORDER BY o_orderkey) - 1 AS INT) AS app_rank,
+    256 * (1 + o_orderkey % 8) AS fair_share,
+    (o_orderkey * 7) % 4096 AS demand,
+    (o_orderkey * 11) % ((o_orderkey * 7) % 4096 + 1) AS usage,
+    CASE WHEN o_orderkey % 5 = 0 THEN 999900 ELSE 0 END AS last_at_fair
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+qq AS (
+  SELECT queue, q,
+    CAST(sum(usage) AS BIGINT) + 512 * ((q % 5) - 2) AS min_share,
+    CAST(sum(demand) AS BIGINT) AS q_demand,
+    CAST(sum(usage) AS BIGINT) AS q_usage,
+    CASE WHEN q % 7 = 0 THEN 999999 ELSE 0 END AS last_at_min,
+    0.5 + (q % 3) * 0.25 AS fs_threshold
+  FROM a GROUP BY queue, q
+),
+f AS (
+  SELECT a.*, qq.min_share, qq.q_demand, qq.q_usage, qq.last_at_min,
+    qq.fs_threshold,
+    least(CAST(floor(a.fair_share * qq.fs_threshold) AS BIGINT),
+          a.demand) AS fair_demand,
+    greatest(a.demand - a.usage, 0) AS pd
+  FROM a JOIN qq USING (queue)
+),
+g AS (
+  SELECT *,
+    CASE WHEN pd > 0 THEN
+      CASE WHEN usage < fair_demand AND 1000000 - last_at_fair >= 1000
+           THEN greatest(fair_demand - usage, 0) ELSE 0 END
+    END AS fs_raw
+  FROM f
+),
+h AS (
+  SELECT *, min(CASE WHEN fs_raw = 0 THEN app_rank END)
+              OVER (PARTITION BY queue) AS brk
+  FROM g
+),
+i AS (
+  SELECT *,
+    CASE WHEN brk IS NOT NULL AND app_rank > brk THEN 0
+         ELSE coalesce(fs_raw, 0) END AS fs_eff,
+    pd > 0 AND coalesce(fs_raw, 0) > 0
+      AND (brk IS NULL OR app_rank < brk) AS fs_listed
+  FROM h
+),
+j AS (
+  SELECT *,
+    sum(CASE WHEN fs_listed THEN fs_raw ELSE 0 END)
+      OVER (PARTITION BY queue) AS fs_sum,
+    CASE WHEN pd > 0 THEN greatest(pd - fs_eff, 0) ELSE 0 END AS ams
+  FROM i
+),
+k AS (
+  SELECT *,
+    greatest(
+      CASE WHEN 1000000 - last_at_min >= 1000
+           THEN greatest(least(min_share, q_demand) - q_usage, 0)
+           ELSE 0 END - fs_sum, 0) AS p0,
+    coalesce(sum(ams) OVER (PARTITION BY queue ORDER BY app_rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS prefix
+  FROM j
+)
+SELECT queue, app_id, app_rank,
+  CAST(fs_eff AS BIGINT) AS fairshare_starvation,
+  CAST(CASE WHEN pd > 0 AND p0 - prefix > 0 THEN
+         CASE WHEN ams > p0 - prefix THEN ams - (p0 - prefix)
+              ELSE ams END ELSE 0 END AS BIGINT) AS minshare_starvation,
+  fs_listed,
+  fs_listed OR (pd > 0 AND p0 - prefix > 0) AS in_starved_list
+FROM k
+"""
+
+
+@register("fair_starvation_report", _FAIR_STARVE_ORACLE)
+def fair_starvation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FairScheduler starvation detection (operators/fairstarve —
+    FSAppAttempt.fairShareStarvation:1158-1181 threshold x fairshare
+    vs demand with the preemption-timeout clock;
+    FSLeafQueue.updateStarvedAppsFairshare:214-228 whose walk BREAKS
+    at the first zero-starvation app; minShareStarvation:583-604 with
+    its own timeout; updateStarvedAppsMinshare:235-262's decrementing
+    pending walk incl. the faithful overshoot assignment). Orders
+    become 60 queues' demand-sorted app lists with staggered shares,
+    usages and clocks — fairshare-only, minshare-only, subsumed,
+    overshoot, timeout-gated and walk-broken cases all live at
+    sf0.01. Scale: the sequential walks are exclusive prefix sums
+    (monotone-stop proof as in ramdisk); two windows + one broadcast
+    join, all on the queue key — one shuffle."""
+    from hadoop_source_spark.operators import fairstarve
+
+    key = F.col("o_orderkey")
+    NOW = 1_000_000
+    o = table(spark, sf_dir, "orders").where(key % 4 == 2)
+    demand = (key * 7) % 4096
+    apps = o.select(
+        F.concat(F.lit("fq"), (key % 60).cast("string")).alias("queue"),
+        (key % 60).alias("q"),
+        key.alias("app_id"),
+        (256 * (1 + key % 8)).cast("long").alias("fair_share"),
+        demand.cast("long").alias("demand"),
+        ((key * 11) % (demand + 1)).cast("long").alias("usage"),
+        F.when(key % 5 == 0, F.lit(NOW - 100))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("last_at_fair"),
+    ).withColumn(
+        "app_rank",
+        (
+            F.row_number().over(
+                Window.partitionBy("queue").orderBy("app_id")
+            )
+            - 1
+        ).cast("int"),
+    )
+    queues = apps.groupBy("queue", "q").agg(
+        F.sum("demand").alias("q_demand"),
+        F.sum("usage").alias("q_usage"),
+    ).select(
+        "queue",
+        (F.col("q_usage") + 512 * ((F.col("q") % 5) - 2))
+        .cast("long")
+        .alias("min_share"),
+        "q_demand",
+        "q_usage",
+        F.when(F.col("q") % 7 == 0, F.lit(NOW - 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("last_at_min"),
+        F.lit(1000).cast("long").alias("fs_timeout"),
+        F.lit(1000).cast("long").alias("ms_timeout"),
+        (0.5 + (F.col("q") % 3) * 0.25).alias("fs_threshold"),
+    )
+    return fairstarve.starvation_report(
+        apps.drop("q"), queues, now_ms=NOW
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -14228,9 +14371,10 @@ _WINDOW: list[str] = [
     "nodes_refresh_plan", "user_limit_matrix",
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
+    "fair_starvation_report",
 ]
 
-assert len(_WINDOW) == 201, len(_WINDOW)
+assert len(_WINDOW) == 202, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
