@@ -94,3 +94,36 @@ def compute_user_limits(rows: DataFrame) -> DataFrame:
         max_ul.cast("long").alias("max_user_limit"),
         final.cast("long").alias("user_limit"),
     )
+
+
+def compute_headroom(rows: DataFrame) -> DataFrame:
+    """Application headroom from a computed user limit
+    (`LeafQueue.java:1458-1505` getHeadroom): min(userLimit -
+    userUsed, queueCurrentLimit - queueUsed) with BOTH differences
+    clamped at zero (subtractNonNegative), rounded DOWN to the
+    minimum allocation — and only THEN min'd with the partition's
+    free resource (a plain subtract: an over-committed partition
+    yields a negative cap, kept faithfully), so the final figure can
+    be a non-multiple of minAlloc or negative.
+
+    Input columns: user_limit, user_used, queue_current_limit,
+    queue_used, cluster_partition_resource, cluster_used, min_alloc
+    (+ ids passed through). Adds headroom_rounded (pre-cluster cap)
+    and headroom. One codegen projection, zero shuffles."""
+    capped = F.least(
+        F.greatest(F.col("user_limit") - F.col("user_used"), F.lit(0)),
+        F.greatest(
+            F.col("queue_current_limit") - F.col("queue_used"), F.lit(0)
+        ),
+    )
+    rounded = (
+        F.floor(capped / F.col("min_alloc")) * F.col("min_alloc")
+    )
+    cluster_free = F.col("cluster_partition_resource") - F.col(
+        "cluster_used"
+    )
+    return rows.select(
+        "*",
+        rounded.cast("long").alias("headroom_rounded"),
+        F.least(rounded, cluster_free).cast("long").alias("headroom"),
+    )

@@ -14249,6 +14249,126 @@ def fair_starvation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEADROOM_ORACLE = """
+WITH r AS (
+  SELECT p_partkey AS row_id,
+    2048 * (32 + p_partkey % 32) AS partition_resource,
+    CASE WHEN p_partkey % 23 = 0 THEN 0
+         ELSE 512 * (2 + p_partkey % 48) END AS effective_capacity,
+    CAST(512 AS BIGINT) AS min_alloc,
+    (p_partkey % 65) / 64.0 AS usage_ratio,
+    256 * (p_partkey % 80) AS active_used,
+    CAST(1 + p_partkey % 5 AS DOUBLE) AS active_weights,
+    CAST(1 + p_partkey % 5 + p_partkey % 2 AS DOUBLE) AS all_weights,
+    20 + (p_partkey % 8) * 10 AS ul_percent,
+    (2 + p_partkey % 6) / 4.0 AS ul_factor,
+    p_partkey % 6 <> 0 AS respect_exclusivity,
+    p_partkey % 2 = 1 AS active_user,
+    256 * (p_partkey % 60) AS user_used,
+    1024 * (4 + p_partkey % 20) AS queue_current_limit,
+    256 * (p_partkey % 60) + 256 * (p_partkey % 50) AS queue_used,
+    2048 * (32 + p_partkey % 32) AS cluster_partition_resource,
+    (p_partkey * 7919) % (2048 * (32 + p_partkey % 32)
+      + (2048 * (32 + p_partkey % 32)) // 8) AS cluster_used
+  FROM part
+),
+c AS (
+  SELECT *, greatest(effective_capacity, min_alloc) AS queue_capacity,
+    ((CAST(floor(partition_resource * usage_ratio + 0.5) AS BIGINT)
+      + min_alloc - 1) // min_alloc) * min_alloc AS consumed
+  FROM r
+),
+c2 AS (
+  SELECT *, CASE WHEN consumed < queue_capacity THEN queue_capacity
+                 ELSE consumed + min_alloc END AS current_capacity
+  FROM c
+),
+c3 AS (
+  SELECT *,
+    CASE WHEN active_user THEN active_used + min_alloc
+         ELSE current_capacity END AS ru,
+    CASE WHEN active_user THEN active_weights ELSE all_weights END AS w
+  FROM c2
+),
+c4 AS (
+  SELECT *,
+    greatest(CAST(ceil(ru / w) AS BIGINT),
+             (current_capacity * ul_percent + 99) // 100) AS ulr,
+    CASE WHEN respect_exclusivity
+         THEN CAST(floor(queue_capacity * ul_factor) AS BIGINT)
+         ELSE partition_resource END AS max_user_limit
+  FROM c3
+),
+c5 AS (
+  SELECT *, ((least(ulr, max_user_limit) + min_alloc - 1) // min_alloc)
+              * min_alloc AS user_limit
+  FROM c4
+),
+c6 AS (
+  SELECT *,
+    (least(greatest(user_limit - user_used, 0),
+           greatest(queue_current_limit - queue_used, 0))
+     // min_alloc) * min_alloc AS headroom_rounded
+  FROM c5
+)
+SELECT row_id, partition_resource, effective_capacity, min_alloc,
+  usage_ratio, active_used, active_weights, all_weights, ul_percent,
+  ul_factor, respect_exclusivity, active_user, user_used,
+  queue_current_limit, queue_used, cluster_partition_resource,
+  cluster_used, queue_capacity, consumed, current_capacity,
+  ulr AS user_limit_resource, max_user_limit, user_limit,
+  CAST(headroom_rounded AS BIGINT) AS headroom_rounded,
+  CAST(least(headroom_rounded,
+             cluster_partition_resource - cluster_used) AS BIGINT)
+    AS headroom
+FROM c6
+"""
+
+
+@register("scheduler_headroom_matrix", _HEADROOM_ORACLE)
+def scheduler_headroom_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Application headroom end-to-end (operators/userlimit.
+    compute_user_limits -> compute_headroom — LeafQueue.java:1458-1505
+    getHeadroom: componentwiseMin of the zero-clamped user and queue
+    slacks, rounded DOWN to minAlloc, then min'd with the partition's
+    free resource via a PLAIN subtract — over-committed partitions
+    yield negative headroom and post-round cluster caps yield
+    non-multiples, both live at sf0.01 and both faithful). The user
+    limit feeding the headroom is the full computeUserLimit chain from
+    `user_limit_matrix`, composed in-plan. Scale: two chained codegen
+    projections, zero shuffles."""
+    from hadoop_source_spark.operators import userlimit
+
+    pk = F.col("p_partkey")
+    pres = 2048 * (32 + pk % 32)
+    uused = 256 * (pk % 60)
+    rows = table(spark, sf_dir, "part").select(
+        pk.alias("row_id"),
+        pres.cast("long").alias("partition_resource"),
+        F.when(pk % 23 == 0, F.lit(0))
+        .otherwise(512 * (2 + pk % 48))
+        .cast("long")
+        .alias("effective_capacity"),
+        F.lit(512).cast("long").alias("min_alloc"),
+        ((pk % 65) / F.lit(64.0)).alias("usage_ratio"),
+        (256 * (pk % 80)).cast("long").alias("active_used"),
+        (1 + pk % 5).cast("double").alias("active_weights"),
+        (1 + pk % 5 + pk % 2).cast("double").alias("all_weights"),
+        (20 + (pk % 8) * 10).cast("long").alias("ul_percent"),
+        ((2 + pk % 6) / F.lit(4.0)).alias("ul_factor"),
+        (pk % 6 != 0).alias("respect_exclusivity"),
+        (pk % 2 == 1).alias("active_user"),
+        uused.cast("long").alias("user_used"),
+        (1024 * (4 + pk % 20)).cast("long").alias("queue_current_limit"),
+        (uused + 256 * (pk % 50)).cast("long").alias("queue_used"),
+        pres.cast("long").alias("cluster_partition_resource"),
+        ((pk * 7919) % (pres + F.floor(pres / 8).cast("long")))
+        .cast("long")
+        .alias("cluster_used"),
+    )
+    return userlimit.compute_headroom(userlimit.compute_user_limits(rows))
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -14371,10 +14491,10 @@ _WINDOW: list[str] = [
     "nodes_refresh_plan", "user_limit_matrix",
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
-    "fair_starvation_report",
+    "fair_starvation_report", "scheduler_headroom_matrix",
 ]
 
-assert len(_WINDOW) == 202, len(_WINDOW)
+assert len(_WINDOW) == 203, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

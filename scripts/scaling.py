@@ -179,7 +179,7 @@ EXTRA = (
     "nodes_refresh_plan", "user_limit_matrix",
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
-    "fair_starvation_report",
+    "fair_starvation_report", "scheduler_headroom_matrix",
 )
 
 

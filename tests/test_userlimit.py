@@ -78,3 +78,47 @@ def test_non_active_uses_current_capacity_and_all_weights(spark):
     # by_share ceil(8192/4)=2048, by_percent ceil(8192*10/100)=820
     assert got["user_limit_resource"] == 2048
     assert got["user_limit"] == 2048  # already a minAlloc multiple
+
+
+H_SCHEMA = (
+    "row_id long, user_limit long, user_used long,"
+    " queue_current_limit long, queue_used long,"
+    " cluster_partition_resource long, cluster_used long, min_alloc long"
+)
+
+
+def _headroom(spark, rows):
+    out = userlimit.compute_headroom(
+        spark.createDataFrame(rows, H_SCHEMA)
+    ).collect()
+    return {r["row_id"]: r for r in out}
+
+
+def test_headroom_min_round_then_cluster_cap(spark):
+    # min(8000-3000, 12000-9000)=3000 -> roundDown(512)=2560;
+    # cluster free 10000 doesn't bind
+    got = _headroom(spark, [(1, 8000, 3000, 12000, 9000, 50000, 40000, 512)])
+    assert got[1]["headroom_rounded"] == 2560
+    assert got[1]["headroom"] == 2560
+
+
+def test_headroom_cluster_cap_after_rounding(spark):
+    # rounded 2560, but only 100 free in the partition: final 100
+    # (NOT a minAlloc multiple — the cluster min comes after rounding)
+    got = _headroom(spark, [(1, 8000, 3000, 12000, 9000, 50000, 49900, 512)])
+    assert got[1]["headroom"] == 100
+
+
+def test_headroom_clamps_user_and_queue_but_not_cluster(spark):
+    got = _headroom(
+        spark,
+        [
+            (1, 2000, 3000, 12000, 1000, 50000, 0, 512),   # user over limit
+            (2, 8000, 0, 9000, 9500, 50000, 0, 512),       # queue over limit
+            (3, 8000, 0, 12000, 0, 5000, 6000, 512),       # cluster negative
+        ],
+    )
+    assert got[1]["headroom"] == 0
+    assert got[2]["headroom"] == 0
+    # subtract (not subtractNonNegative) on the cluster term: faithful
+    assert got[3]["headroom"] == -1000
