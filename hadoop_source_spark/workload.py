@@ -14369,6 +14369,131 @@ def scheduler_headroom_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return userlimit.compute_headroom(userlimit.compute_user_limits(rows))
 
 
+_CS_MAPPING_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT (c_custkey // 120) % 3 AS fleet,
+    c_custkey % 120 AS u
+  FROM customer
+),
+d AS (
+  SELECT fleet, u, 'u' || CAST(u AS VARCHAR) AS user_name,
+    u % 12 AS pg, u % 7 AS sg
+  FROM base
+),
+a AS (
+  SELECT 'a' AS mapping_set, user_name,
+    CASE WHEN pg = 11 THEN 0 WHEN u = 7 THEN 1 WHEN u = 13 THEN 2
+         WHEN u = 15 THEN 3 WHEN sg = 3 THEN 4 WHEN u = 21 THEN 5
+         WHEN pg = 4 THEN 6 END AS matched_rule,
+    CASE WHEN pg = 11 THEN 'qops'
+         WHEN u = 7 THEN 'grp7'
+         WHEN u = 13 THEN NULL
+         WHEN u = 15 THEN 'qeng'
+         WHEN sg = 3 THEN user_name
+         WHEN u = 21 THEN '%user'
+         WHEN pg = 4 THEN user_name END AS queue,
+    CAST(NULL AS VARCHAR) AS parent_queue
+  FROM d WHERE fleet = 0
+),
+b AS (
+  SELECT 'b' AS mapping_set, user_name, 0 AS matched_rule,
+    CASE WHEN pg <= 5 THEN user_name END AS queue,
+    CASE WHEN pg <= 5 THEN 'grp' || CAST(pg AS VARCHAR) END
+      AS parent_queue
+  FROM d WHERE fleet = 1
+),
+c AS (
+  SELECT 'c' AS mapping_set, user_name, 0 AS matched_rule,
+    CASE WHEN sg <= 4 THEN user_name END AS queue,
+    CASE WHEN sg <= 4 THEN 'sec' || CAST(sg AS VARCHAR) END
+      AS parent_queue
+  FROM d WHERE fleet = 2
+),
+un AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+)
+SELECT mapping_set, user_name AS "user",
+  CAST(matched_rule AS INT) AS matched_rule, queue, parent_queue,
+  CASE WHEN matched_rule IS NULL THEN 'DEFAULT_QUEUE'
+       WHEN queue IS NULL THEN 'NO_PLACEMENT'
+       ELSE 'PLACED' END AS action
+FROM un
+"""
+
+
+@register("cs_queue_mapping", _CS_MAPPING_ORACLE)
+def cs_queue_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CapacityScheduler queue-mapping placement (operators/csmapping
+    — UserGroupMappingPlacementRule.java:100-201: first-match-wins
+    with TERMINAL unresolvable matches, the %user/%primary_group/
+    %secondary_group placeholder grammar, existence-filtered
+    secondary-group selection :80-98, and the group-queue-must-exist
+    parent rules :226-251). 120 users x 3 mapping sets: set 'a' is a
+    seven-rule chain (group-static, user-to-primary, the terminal
+    user-to-missing-secondary, statics, group-to-%user) with no
+    catch-all so DEFAULT_QUEUE is live; sets 'b'/'c' exercise the
+    %primary_group.%user and %secondary_group.%user parent rules
+    incl. the missing-group-queue NO_PLACEMENT. The ORACLE derives
+    every outcome from the generator arithmetic — independent of the
+    compiled when-chain. Scale: conf-sized mappings compile to one
+    codegen cascade over array expressions — no joins, no shuffles."""
+    from hadoop_source_spark.operators import csmapping
+    from hadoop_source_spark.operators.csmapping import QueueMapping as M
+
+    ck = F.col("c_custkey")
+    base = (
+        table(spark, sf_dir, "customer")
+        .select(
+            (F.floor(ck / 120) % 3).alias("fleet"), (ck % 120).alias("u")
+        )
+        .distinct()
+    )
+    u = F.col("u")
+    users = base.select(
+        "fleet",
+        F.concat(F.lit("u"), u.cast("string")).alias("user"),
+        F.array(
+            F.concat(F.lit("grp"), (u % 12).cast("string")),
+            F.concat(F.lit("sec"), (u % 7).cast("string")),
+            F.concat(F.lit("x"), (u % 3).cast("string")),
+        ).alias("groups"),
+    )
+    queues = (
+        [f"grp{i}" for i in range(6)]
+        + [f"sec{i}" for i in range(5)]
+        + ["qeng", "qops"]
+    )
+    rules_a = [
+        M("g", "grp11", "qops"),
+        M("u", "u7", "%primary_group"),
+        M("u", "u13", "%secondary_group"),
+        M("u", "u15", "qeng"),
+        M("g", "sec3", "%user"),
+        M("u", "u21", "%user"),
+        M("g", "grp4", "%user"),
+    ]
+    rules_b = [M("u", "%user", "%user", parent="%primary_group")]
+    rules_c = [M("u", "%user", "%user", parent="%secondary_group")]
+    out = None
+    for tag, fleet, rules in (
+        ("a", 0, rules_a), ("b", 1, rules_b), ("c", 2, rules_c)
+    ):
+        part = csmapping.map_queue_placements(
+            users.where(F.col("fleet") == fleet).drop("fleet"),
+            rules,
+            queues,
+        ).select(
+            F.lit(tag).alias("mapping_set"),
+            "user",
+            "matched_rule",
+            "queue",
+            "parent_queue",
+            "action",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -14492,9 +14617,10 @@ _WINDOW: list[str] = [
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
+    "cs_queue_mapping",
 ]
 
-assert len(_WINDOW) == 203, len(_WINDOW)
+assert len(_WINDOW) == 204, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
