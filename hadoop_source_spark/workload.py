@@ -14494,6 +14494,89 @@ def cs_queue_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TOKEN_RENEW_ORACLE = """
+WITH t AS (
+  SELECT event_id AS tid, event_id % 2 AS fl,
+    1700000000000 + (event_id * 7) % 200000 - 50000 AS exp,
+    event_id % 3 = 0 AS sc,
+    CASE WHEN event_id % 5 = 0 THEN 0
+         WHEN event_id % 5 = 1 THEN 1 + event_id % 4 - 1
+         ELSE 1 + event_id % 4 END AS remaining,
+    1 + event_id % 4 AS refs,
+    CASE WHEN event_id % 5 = 0 THEN 1 + event_id % 4
+         WHEN event_id % 5 = 1 THEN 1 ELSE 0 END AS comp
+  FROM events
+),
+d AS (
+  SELECT *,
+    CASE WHEN fl = 1 AND comp > 0 THEN 'DELAYED_REMOVAL'
+         WHEN fl = 0 AND comp > 0 AND refs - comp > 0
+           THEN 'TOKEN_RETAINED'
+         WHEN fl = 0 AND comp > 0 AND (sc OR false) THEN 'CANCEL_TOKEN'
+         WHEN fl = 0 AND comp > 0 THEN 'REMOVE_WITHOUT_CANCEL'
+         WHEN exp - 1700000000000 <= 0 THEN 'WONT_RENEW_EXPIRED'
+         ELSE 'SCHEDULE_RENEWAL' END AS action
+  FROM t
+)
+SELECT tid AS token_id,
+  CASE WHEN fl = 1 THEN 'keepalive' ELSE 'plain' END AS fleet,
+  action,
+  CASE WHEN action = 'SCHEDULE_RENEWAL'
+       THEN exp - (exp - 1700000000000) // 10 END AS renew_at,
+  CASE WHEN action = 'DELAYED_REMOVAL'
+       THEN CAST(1700000000000 + 30000 AS BIGINT) END AS removal_at,
+  CASE WHEN fl = 1 THEN true ELSE sc END AS cancel_at_end
+FROM d
+"""
+
+
+@register("token_renewal_plan", _TOKEN_RENEW_ORACLE)
+def token_renewal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM delegation-token renewal planning (operators/tokenrenew —
+    DelegationTokenRenewer.java setTimerForTokenRenewal:629-645:
+    expired tokens never scheduled, renewal at expiration minus a
+    TENTH of the remaining lifetime (Java long division);
+    :304 cancel-at-end = app request OR the always-cancel conf;
+    handleAppFinishEvent:815-827 keep-alive delays removal;
+    removeApplicationFromRenewal:847-878 retain-while-referenced and
+    cancel-only-under-the-flag). Events become two RM fleets — plain
+    (immediate removal, per-request cancel) and keepalive (delayed
+    removal, always-cancel conf) — with expirations straddling now
+    and full/partial/no app completions: all six actions and both
+    effective-flag sources live at sf0.01. Scale: one codegen
+    projection per fleet, zero shuffles."""
+    from hadoop_source_spark.operators import tokenrenew
+
+    eid = F.col("event_id")
+    NOW = 1_700_000_000_000
+    e = table(spark, sf_dir, "events")
+    toks = e.select(
+        eid.alias("token_id"),
+        (eid % 2).alias("fl"),
+        (F.lit(NOW) + (eid * 7) % 200000 - 50000)
+        .cast("long")
+        .alias("expiration"),
+        (eid % 3 == 0).alias("should_cancel"),
+        (1 + eid % 4).cast("int").alias("refs"),
+        F.when(eid % 5 == 0, 1 + eid % 4)
+        .when(eid % 5 == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("completed"),
+    )
+    out_a = tokenrenew.plan_token_renewals(
+        toks.where(F.col("fl") == 0).drop("fl"),
+        now_ms=NOW, keep_alive_enabled=False, always_cancel=False,
+        removal_delay_ms=30_000,
+    ).withColumn("fleet", F.lit("plain"))
+    out_b = tokenrenew.plan_token_renewals(
+        toks.where(F.col("fl") == 1).drop("fl"),
+        now_ms=NOW, keep_alive_enabled=True, always_cancel=True,
+        removal_delay_ms=30_000,
+    ).withColumn("fleet", F.lit("keepalive"))
+    return out_a.unionByName(out_b)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -14617,10 +14700,10 @@ _WINDOW: list[str] = [
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
-    "cs_queue_mapping",
+    "cs_queue_mapping", "token_renewal_plan",
 ]
 
-assert len(_WINDOW) == 204, len(_WINDOW)
+assert len(_WINDOW) == 205, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

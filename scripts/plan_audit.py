@@ -150,7 +150,7 @@ def main() -> None:
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
-    "cs_queue_mapping",
+    "cs_queue_mapping", "token_renewal_plan",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

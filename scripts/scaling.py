@@ -180,7 +180,7 @@ EXTRA = (
     "am_attempt_retry_policy", "auth_to_local_mapping",
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
-    "cs_queue_mapping",
+    "cs_queue_mapping", "token_renewal_plan",
 )
 
 
