@@ -237,3 +237,120 @@ def test_pivot_ties(spark):
     assert sum(
         1 for r in got.values() if r["action"] == "TRUNCATE_TO_NEW_SIZE"
     ) == 4
+
+
+# --- randomized cross-check against an independent pure-Python model ---
+
+def _py_internal_len(data_size, cell, k, idx):
+    stripe = cell * k
+    last = data_size % stripe
+    if last == 0:
+        return data_size // k
+    n_stripes = (data_size - 1) // stripe + 1
+    if idx < k:
+        sz = max(last - idx * cell, 0)
+    else:
+        sz = last
+    return (n_stripes - 1) * cell + min(sz, cell)
+
+
+def _py_plan(data_size, cell, k, p, start, end, lost):
+    """Sequential re-implementation of divideByteRangeIntoStripes +
+    prepareAllZeroChunks + the recovery ranking — written against the
+    Java directly, sharing no code with the Spark operator."""
+    if start > end or end >= data_size or start < 0:
+        return {(-1, -1): ("INVALID_RANGE", None, None, False)}
+    vr = {}
+    for g in range(start // cell, end // cell + 1):
+        blk = g % k
+        off = (g // k) * cell + (start % cell if g == start // cell else 0)
+        if g == start // cell:
+            size = min(cell - start % cell, end - start + 1)
+        elif g == end // cell:
+            size = end % cell + 1
+        else:
+            size = cell
+        if blk in vr:
+            vr[blk] = (vr[blk][0], vr[blk][1] + size)
+        else:
+            vr[blk] = (off, size)
+    pts = sorted({q for o, s in vr.values() for q in (o, o + s)})
+    lce = ((data_size // cell) // k) * cell + data_size % cell
+    if pts[0] < lce < pts[-1]:
+        pts = sorted(set(pts) | {lce})
+    out = {}
+    for si in range(len(pts) - 1):
+        s_off, s_span = pts[si], pts[si + 1] - pts[si]
+        kinds = {}
+        for b in range(k + p):
+            ib = _py_internal_len(data_size, cell, k, b)
+            in_range = b in vr and vr[b][0] <= s_off < vr[b][0] + vr[b][1]
+            if b < k and in_range:
+                kinds[b] = "DECODE_TARGET" if b in lost else "DATA"
+            elif b < k and ib <= s_off:
+                kinds[b] = "ALLZERO"
+        need = any(v == "DECODE_TARGET" for v in kinds.values())
+        free = sum(1 for v in kinds.values() if v in ("DATA", "ALLZERO"))
+        cands = [
+            b for b in list(range(k)) + list(range(k, k + p))
+            if b not in kinds and b not in lost
+            and min(s_span, _py_internal_len(data_size, cell, k, b) - s_off)
+            > 0
+        ]
+        recoverable = (not need) or free + len(cands) >= k
+        if need:
+            for b in cands[: max(k - free, 0)]:
+                kinds[b] = "RECOVERY_FETCH"
+        for b, kind in kinds.items():
+            if kind == "DATA":
+                fetch = (s_off, s_span)
+            elif kind == "RECOVERY_FETCH":
+                avail = min(
+                    s_span, _py_internal_len(data_size, cell, k, b) - s_off
+                )
+                fetch = (s_off, avail)
+            else:
+                fetch = (None, 0)
+            out[(si, b)] = (kind, s_off, s_span, fetch, recoverable)
+    return out
+
+
+def test_randomized_cross_check_vs_python_model(spark):
+    import random
+
+    rng = random.Random(20260815)
+    reqs, losts, expected = [], [], {}
+    for rid in range(1, 41):
+        k, p = rng.choice([(3, 2), (6, 3)])
+        cell = rng.choice([4, 8, 16])
+        data_size = rng.randint(1, cell * k * 4)
+        start = rng.randint(0, data_size - 1)
+        end = min(start + rng.randint(0, 2 * cell * k), data_size - 1)
+        lost = set(
+            rng.sample(range(k + p), rng.randint(0, p))
+        ) if rng.random() < 0.5 else set()
+        reqs.append((rid, data_size, cell, k, p, start, end))
+        losts.extend((rid, b) for b in lost)
+        expected[rid] = _py_plan(data_size, cell, k, p, start, end, lost)
+    got = _plan(spark, reqs, losts or None)
+    for rid, exp in expected.items():
+        actual = {
+            (r["stripe_id"], r["blk_idx"]): (
+                r["kind"], r["stripe_off"], r["stripe_span"],
+                (r["fetch_off"], r["fetch_span"]), r["recoverable"],
+            )
+            for r in got.get(rid, {}).values()
+        }
+        want = {
+            key: (kind, s_off, s_span, fetch, rec)
+            for key, (kind, s_off, s_span, fetch, rec) in (
+                (kk, vv) for kk, vv in exp.items()
+            )
+        } if exp and next(iter(exp))[0] != -1 else {
+            (-1, -1): ("INVALID_RANGE", None, None, (None, None), False)
+        }
+        if (-1, -1) in want:
+            assert len(actual) == 1
+            assert next(iter(actual.values()))[0] == "INVALID_RANGE"
+        else:
+            assert actual == want, f"req {rid}"
