@@ -134,3 +134,74 @@ def test_nodes_are_independent(spark):
     )
     assert got[1]["action"] == "DELETED"
     assert got[2]["action"] == "RETAIN_TARGET_MET"
+
+
+def test_randomized_cross_check_vs_sequential_walk(spark):
+    """The monotone-stop prefix-sum closed form vs a literal
+    re-implementation of LocalCacheCleaner.cleanCache's loop."""
+    import random
+
+    rng = random.Random(20260815)
+    rows, targets, expected = [], [], {}
+    states = ["LOCALIZED", "LOCALIZED", "LOCALIZED", "INIT",
+              "DOWNLOADING", "ABSENT"]
+    for n in range(25):
+        node = f"n{n}"
+        res = []
+        for rid in range(rng.randint(1, 20)):
+            res.append((
+                rng.randint(0, 1000000),             # rsrc uid
+                rng.choice([None, "a", "b", "c"]),
+                rng.randint(1, 500),                  # size
+                rng.randint(0, 5),                    # ts (ties likely)
+                rng.choice([0, 0, 0, 2]),             # ref_count
+                rng.choice(states),
+            ))
+        total = sum(r[2] for r in res)
+        target = rng.randint(0, max(total, 1))
+        targets.append((node, target))
+        # sequential walk per the reference
+        cand = sorted(
+            (r for r in res if r[4] == 0), key=lambda r: (r[3], r[0])
+        )
+        deleted, acts = 0, {}
+        for uid, user, size, ts, ref, state in cand:
+            if total - deleted > target:
+                if state == "DOWNLOADING":
+                    acts[uid] = "REMOVE_FAILED"
+                else:
+                    deleted += size
+                    acts[uid] = {
+                        "LOCALIZED": "DELETED",
+                        "INIT": "DELETED_NO_FILE",
+                        "ABSENT": "STATS_ONLY_ABSENT",
+                    }[state]
+            else:
+                acts[uid] = "RETAIN_TARGET_MET"
+        for uid, user, size, ts, ref, state in res:
+            expected[(node, uid)] = (
+                "IN_USE" if ref > 0 else acts[uid],
+                total,
+            )
+            rows.append((node, uid, user, size, ts, ref, state))
+    got = localcache.clean_cache_plan(
+        spark.createDataFrame(rows, R_SCHEMA),
+        spark.createDataFrame(targets, T_SCHEMA),
+    ).collect()
+    assert len(got) == len(rows)
+    tot_del = {}
+    for r in got:
+        key = (r["node"], r["rsrc_id"])
+        assert (r["action"], r["cache_size_before_clean"]) == \
+            expected[key], key
+        tot_del[r["node"]] = r["total_del_size"]
+    # stats match the sequential deleted sums
+    for node, _ in targets:
+        want = sum(
+            size for (nd, uid), _ in expected.items()
+            for (nd2, uid2, user, size, ts, ref, state) in rows
+            if nd == node and nd2 == node and uid == uid2
+            and expected[(nd, uid)][0] in (
+                "DELETED", "DELETED_NO_FILE", "STATS_ONLY_ABSENT")
+        )
+        assert tot_del[node] == want, node
