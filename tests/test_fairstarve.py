@@ -100,3 +100,98 @@ def test_no_demand_apps_do_not_consume(spark):
     assert got[1]["minshare_starvation"] == 0
     # q_ms = min(100,110)-60 = 40; app2 ams = 50 > 40 -> overshoot 10
     assert got[2]["minshare_starvation"] == 10
+
+
+def test_randomized_cross_check_vs_sequential_walks(spark):
+    """The two prefix-sum closed forms vs literal re-implementations
+    of updateStarvedAppsFairshare (break-at-first-zero) and
+    updateStarvedAppsMinshare (decrementing pending w/ overshoot)."""
+    import math
+    import random
+
+    rng = random.Random(20260815)
+    apps, queues, expected = [], [], {}
+    for qn in range(30):
+        queue = f"q{qn}"
+        n = rng.randint(1, 8)
+        rows = []
+        for rank in range(n):
+            fair_share = rng.choice([128, 256, 512, 1024])
+            demand = rng.randint(0, 2000)
+            usage = rng.randint(0, demand) if demand else 0
+            last = rng.choice([0, 9_500])
+            rows.append((rank, fair_share, demand, usage, last))
+        q_demand = sum(r[2] for r in rows)
+        q_usage = sum(r[3] for r in rows)
+        min_share = rng.randint(0, max(q_usage + 1000, 1))
+        last_min = rng.choice([0, 9_990])
+        thr = rng.choice([0.5, 0.75, 1.0])
+        queues.append((queue, min_share, q_demand, q_usage, last_min,
+                       1000, 1000, thr))
+        # sequential fairshare walk (break at first zero)
+        fs = {}
+        listed = set()
+        fs_sum = 0
+        broke = False
+        for rank, share, demand, usage, last in rows:
+            if demand - usage <= 0:
+                continue
+            if broke:
+                fs[rank] = 0
+                continue
+            fd = min(int(math.floor(share * thr)), demand)
+            starv = (
+                max(fd - usage, 0)
+                if usage < fd and 10_000 - last >= 1000
+                else 0
+            )
+            fs[rank] = starv
+            if starv == 0:
+                broke = True
+            else:
+                listed.add(rank)
+                fs_sum += starv
+        # queue minshare + distribution walk
+        q_ms = (
+            max(min(min_share, q_demand) - q_usage, 0)
+            if 10_000 - last_min >= 1000
+            else 0
+        )
+        pending = max(q_ms - fs_sum, 0)
+        ms = {}
+        in_list = set(listed)
+        for rank, share, demand, usage, last in rows:
+            pd = max(demand - usage, 0)
+            if pd <= 0:
+                continue
+            if pending > 0:
+                ams = max(pd - fs.get(rank, 0), 0)
+                if ams > pending:
+                    ms[rank] = ams - pending
+                    pending = 0
+                else:
+                    pending -= ams
+                    ms[rank] = ams
+                in_list.add(rank)
+            else:
+                ms[rank] = 0
+        for rank, share, demand, usage, last in rows:
+            apps.append((queue, qn * 100 + rank, rank, share, demand,
+                         usage, last))
+            expected[(queue, qn * 100 + rank)] = (
+                fs.get(rank, 0), ms.get(rank, 0), rank in in_list
+            )
+    got = fairstarve.starvation_report(
+        spark.createDataFrame(apps, A_SCHEMA),
+        spark.createDataFrame(queues, Q_SCHEMA),
+        now_ms=NOW,
+    ).collect()
+    assert len(got) == len(apps)
+    for r in got:
+        key = (r["queue"], r["app_id"])
+        want = expected[key]
+        assert (
+            r["fairshare_starvation"],
+            r["minshare_starvation"],
+            r["in_starved_list"],
+        ) == want, key
