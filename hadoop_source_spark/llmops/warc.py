@@ -119,6 +119,8 @@ def decode_records(blob: bytes) -> Iterator[dict]:
         if "content-length" not in headers:
             raise ValueError("record without Content-Length")
         clen = int(headers["content-length"])
+        if clen < 0:
+            raise ValueError(f"negative Content-Length: {clen}")
         if pos + clen + 4 > n:
             raise ValueError("truncated record payload")
         payload = blob[pos : pos + clen]

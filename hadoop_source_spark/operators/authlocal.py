@@ -59,17 +59,31 @@ class Rule:
 
 
 def _format_base(fmt: str, realm: Column, comps: Column) -> Column:
-    """replaceParameters: '$i' splices params, text copies through."""
+    """replaceParameters: '$i' splices params, text copies through.
+
+    Parameter indices may be multi-digit, matching the reference's
+    ``\\$(\\d+)`` parser (``KerberosName.replaceParameters``)."""
     parts: list[Column] = []
-    for tok in re.split(r"(\$\d)", fmt):
+    for tok in re.split(r"(\$\d+)", fmt):
         if not tok:
             continue
-        if re.fullmatch(r"\$\d", tok):
-            idx = int(tok[1])
+        if re.fullmatch(r"\$\d+", tok):
+            idx = int(tok[1:])
             parts.append(realm if idx == 0 else F.get(comps, idx - 1))
         else:
             parts.append(F.lit(tok))
     return F.concat(*parts) if parts else F.lit("")
+
+
+def _at_most_one_match(pattern: str) -> bool:
+    """True when a regexp can match at most once per input, so
+    replace-all (`regexp_replace`) equals the reference's
+    ``replaceFirst``: the pattern is anchored at ``^`` or at an
+    unescaped trailing ``$`` (neither can fire twice outside
+    MULTILINE mode, which Spark/Java regexps default off)."""
+    if pattern.startswith("^"):
+        return True
+    return pattern.endswith("$") and not pattern.endswith(r"\$")
 
 
 def map_principals(
@@ -82,7 +96,26 @@ def map_principals(
     """Evaluate the rule chain over a principal column.
 
     Returns the input keys plus (realm, n_components, matched_rule
-    int nullable, short_name nullable, verdict)."""
+    int nullable, short_name nullable, verdict).
+
+    Substitutions compile to ``regexp_replace`` (replace-all); a rule
+    without the ``g`` flag (``repeat=False``) is accepted only when
+    its pattern provably matches at most once (anchored ``^``/``$``),
+    otherwise replace-all would silently diverge from the reference's
+    ``replaceFirst`` (``replaceSubstitution:310-318``) and we raise
+    instead."""
+    for r in rules:
+        if (
+            not r.is_default
+            and r.from_re is not None
+            and not r.repeat
+            and not _at_most_one_match(r.from_re)
+        ):
+            raise ValueError(
+                "non-'g' substitution pattern %r is not anchored: "
+                "replace-all would diverge from replaceFirst; anchor "
+                "the pattern with ^/$ or set repeat=True" % r.from_re
+            )
     p = F.col(principal_col)
     realm = F.regexp_extract(p, "@(.*)$", 1)
     name_part = F.regexp_replace(p, "@.*$", "")

@@ -70,8 +70,18 @@ def normalize_requests(
     Returns (req_id, verdict, effective_label, norm_mem, norm_vcores);
     the norm columns are NULL on rejected requests, and
     effective_label is the post-normalization expression (the raw one
-    for the labels-disabled rejection, which fires first)."""
-    req = requests.join(F.broadcast(queues), "queue", "left")
+    for the labels-disabled rejection, which fires first).
+
+    A request naming a queue absent from ``queues`` (a dynamic queue,
+    ``queueInfo == null`` in the reference) skips the accessibility
+    and cluster-membership checks entirely
+    (``validateResourceRequest:360-374`` guards both on
+    ``null != queueInfo``) — it is not rejected."""
+    req = requests.join(
+        F.broadcast(queues.withColumn("_queue_known", F.lit(True))),
+        "queue",
+        "left",
+    )
     raw_label = F.col("label")
     has_raw = raw_label.isNotNull() & (F.trim(raw_label) != "")
 
@@ -101,8 +111,14 @@ def normalize_requests(
             "INVALID_LABEL_ON_NON_ANY",
         )
         .when(eff.contains("&&"), "INVALID_MULTI_LABEL")
-        .when(has_eff & ~accessible, "INVALID_LABEL_NOT_ACCESSIBLE")
-        .when(has_eff & ~in_cluster, "INVALID_LABEL_NOT_IN_CLUSTER")
+        .when(
+            F.col("_queue_known").isNotNull() & has_eff & ~accessible,
+            "INVALID_LABEL_NOT_ACCESSIBLE",
+        )
+        .when(
+            F.col("_queue_known").isNotNull() & has_eff & ~in_cluster,
+            "INVALID_LABEL_NOT_IN_CLUSTER",
+        )
         .otherwise("OK")
     )
     ok = verdict == "OK"

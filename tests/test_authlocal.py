@@ -103,3 +103,44 @@ def test_repeat_flag_replace_all(spark):
         rules, default_realm="Z",
     ).collect()[0]
     assert out["short_name"] == "f00b00"
+
+
+def test_multi_digit_parameter_index(spark):
+    # KerberosName.replaceParameters accepts $10 etc.; a 10-component
+    # principal's tenth component splices (not "$1 then literal 0")
+    comps = "/".join(f"c{i}" for i in range(1, 11))
+    rules = [Rule(num_components=10, format="$10")]
+    out = authlocal.map_principals(
+        spark.createDataFrame([(comps + "@R",)], "principal string"),
+        rules, default_realm="Z",
+    ).collect()[0]
+    assert out["short_name"] == "c10"
+
+
+def test_non_g_unanchored_pattern_rejected(spark):
+    # replace-all would diverge from replaceFirst on 'o' in 'fooboo';
+    # the engine refuses instead of silently diverging
+    import pytest
+
+    rules = [Rule(num_components=1, format="$1", from_re="o", to_sub="0")]
+    with pytest.raises(ValueError, match="not anchored"):
+        authlocal.map_principals(
+            spark.createDataFrame([("fooboo@R",)], "principal string"),
+            rules, default_realm="Z",
+        )
+
+
+def test_non_g_anchored_pattern_accepted(spark):
+    rules = [
+        Rule(num_components=1, format="$1", from_re="^foo", to_sub="bar"),
+        Rule(num_components=2, format="$1$2", from_re=r"\d+$", to_sub=""),
+    ]
+    out = authlocal.map_principals(
+        spark.createDataFrame(
+            [("foofoo@R",), ("a1/b2@R",)], "principal string"
+        ),
+        rules, default_realm="Z",
+    ).collect()
+    by = {r["principal"]: r["short_name"] for r in out}
+    assert by["foofoo@R"] == "barfoo"   # only the anchored first occ
+    assert by["a1/b2@R"] == "a1b"       # trailing digits stripped once

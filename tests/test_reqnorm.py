@@ -112,3 +112,17 @@ def test_labels_disabled_rejects_any_expression_first(spark):
     assert got[1]["effective_label"] == "gpu"
     assert got[2]["verdict"] == "OK"
     assert got[3]["verdict"] == "OK"
+
+
+def test_unknown_queue_skips_accessibility_checks(spark):
+    # validateResourceRequest:360-374 guards the accessibility and
+    # cluster checks on queueInfo != null — a dynamic queue's label
+    # passes through to normalization instead of being rejected
+    got = _run(spark, [
+        (1, "qX", "*", 100, 1, "gpu"),    # unknown queue, cluster label
+        (2, "qX", "*", 100, 1, "mars"),   # unknown queue, alien label
+        (3, "q1", "*", 100, 1, "mars"),   # known queue still rejects
+    ])
+    assert got[1]["verdict"] == "OK"
+    assert got[2]["verdict"] == "OK"
+    assert got[3]["verdict"] == "INVALID_LABEL_NOT_ACCESSIBLE"

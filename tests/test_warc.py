@@ -88,3 +88,9 @@ def test_wet_file_order_and_spark_decode(spark):
     ]
     assert rows[2]["content_length"] == len("two två".encode())
     assert rows[3]["content_length"] == 0
+
+
+def test_negative_content_length_raises():
+    blob = b"WARC/1.0\r\nContent-Length: -4\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        list(warc.decode_records(blob))
