@@ -58,32 +58,95 @@ class Rule:
     to_lower: bool = False
 
 
-def _format_base(fmt: str, realm: Column, comps: Column) -> Column:
+def _format_base(
+    fmt: str, realm: Column, comps: Column, num_components: int
+) -> Column:
     """replaceParameters: '$i' splices params, text copies through.
 
     Parameter indices may be multi-digit, matching the reference's
-    ``\\$(\\d+)`` parser (``KerberosName.replaceParameters``)."""
+    ``\\$(\\d*)`` parser (``KerberosName.replaceParameters``); like
+    the reference, a ``$`` not followed by digits and an index past
+    the parameter array ($0 = realm, $1..$n the components) both
+    throw BadFormatString — we raise at compile time."""
     parts: list[Column] = []
-    for tok in re.split(r"(\$\d+)", fmt):
+    for tok in re.split(r"(\$\d*)", fmt):
         if not tok:
             continue
+        if tok == "$":
+            raise ValueError(
+                "bad format %r: '$' must be followed by a parameter "
+                "number (KerberosName BadFormatString)" % fmt
+            )
         if re.fullmatch(r"\$\d+", tok):
             idx = int(tok[1:])
+            if idx > num_components:
+                raise ValueError(
+                    "bad format %r: parameter $%d not defined for a "
+                    "%d-component rule (KerberosName BadFormatString)"
+                    % (fmt, idx, num_components)
+                )
             parts.append(realm if idx == 0 else F.get(comps, idx - 1))
         else:
             parts.append(F.lit(tok))
     return F.concat(*parts) if parts else F.lit("")
 
 
+def _ends_with_unescaped_dollar(pattern: str) -> bool:
+    if not pattern.endswith("$"):
+        return False
+    backslashes = len(pattern[:-1]) - len(pattern[:-1].rstrip("\\"))
+    return backslashes % 2 == 0
+
+
+def _has_top_level_alternation(pattern: str) -> bool:
+    """A ``|`` at paren-depth 0 outside a character class splits the
+    pattern into independently-firing branches, defeating any ^/$
+    anchor on the other branch (e.g. ``^a|b``)."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _at_most_one_match(pattern: str) -> bool:
-    """True when a regexp can match at most once per input, so
+    """True when a regexp provably fires at most once per input, so
     replace-all (`regexp_replace`) equals the reference's
-    ``replaceFirst``: the pattern is anchored at ``^`` or at an
-    unescaped trailing ``$`` (neither can fire twice outside
-    MULTILINE mode, which Spark/Java regexps default off)."""
+    ``replaceFirst``. Conditions: no top-level alternation (either
+    branch of ``^a|b`` fires on its own), and either anchored at
+    ``^`` (only position 0 qualifies outside MULTILINE mode, which
+    Spark/Java regexps default off) or anchored at an unescaped
+    trailing ``$`` with a body that cannot match the empty string —
+    a nullable body like ``o*$`` matches AGAIN zero-width at the end
+    position right after the first replacement under Java
+    ``replaceAll`` ('foo' -> 'fXX' vs replaceFirst 'fX')."""
+    if _has_top_level_alternation(pattern):
+        return False
     if pattern.startswith("^"):
         return True
-    return pattern.endswith("$") and not pattern.endswith(r"\$")
+    if not _ends_with_unescaped_dollar(pattern):
+        return False
+    try:
+        nullable = re.fullmatch(pattern, "") is not None
+    except re.error:
+        return False
+    return not nullable
 
 
 def map_principals(
@@ -130,7 +193,9 @@ def map_principals(
             applies = realm == default_realm
             result = F.get(comps, 0)
         else:
-            base = _format_base(r.format or "", realm, comps)
+            base = _format_base(
+                r.format or "", realm, comps, r.num_components
+            )
             applies = n_comp == r.num_components
             if r.match is not None:
                 applies = applies & base.rlike(f"^(?:{r.match})$")

@@ -11,7 +11,9 @@ Reference semantics
 - ``normalizeNodeLabelExpressionInRequest:231-263``: a null label on
   a ``resourceName == ANY ('*')`` request inherits the queue's
   default expression; any label still null becomes NO_LABEL ("") —
-  including on non-ANY requests.
+  including on non-ANY requests. BOTH steps are guarded on
+  ``queueInfo != null`` (:240, :250-252): a dynamic queue's null
+  label stays null.
 - ``validateResourceRequest:332-375`` +
   ``checkResourceRequestAgainstAvailableResource:395-413``: per
   countable dimension IN INDEX ORDER (memory before vcores),
@@ -84,11 +86,20 @@ def normalize_requests(
     )
     raw_label = F.col("label")
     has_raw = raw_label.isNotNull() & (F.trim(raw_label) != "")
+    known = F.col("_queue_known").isNotNull()
 
-    eff = F.when(
-        raw_label.isNull() & (F.col("resource_name") == ANY),
-        F.coalesce(F.col("default_label"), F.lit("")),
-    ).otherwise(F.coalesce(raw_label, F.lit("")))
+    # normalizeNodeLabelExpressionInRequest:231-263: both the
+    # queue-default inheritance and the NO_LABEL ("") fallback are
+    # guarded on queueInfo != null (:240, :250-252) — a dynamic
+    # queue's null label passes through as NULL, not "".
+    eff = (
+        F.when(raw_label.isNotNull(), raw_label)
+        .when(
+            known & (F.col("resource_name") == ANY),
+            F.coalesce(F.col("default_label"), F.lit("")),
+        )
+        .when(known, F.lit(""))
+    )
     has_eff = F.trim(eff) != ""
 
     acc = F.col("accessible")

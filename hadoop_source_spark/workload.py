@@ -13162,7 +13162,7 @@ WITH q(queue, default_label, accessible) AS (
 ),
 r AS (
   SELECT o_orderkey AS req_id,
-         'q' || CAST(o_orderkey % 5 AS VARCHAR) AS queue,
+         'q' || CAST(o_orderkey % 6 AS VARCHAR) AS queue,
          CASE WHEN o_orderkey % 7 = 0
               THEN 'host' || CAST(o_orderkey % 3 AS VARCHAR)
               WHEN o_orderkey % 7 = 1 THEN '/rack1'
@@ -13176,13 +13176,16 @@ r AS (
   FROM orders
 ),
 j AS (
-  SELECT r.*, q.default_label, q.accessible FROM r LEFT JOIN q USING (queue)
+  SELECT r.*, q.default_label, q.accessible,
+         q.queue IS NOT NULL AS queue_known
+  FROM r LEFT JOIN q ON r.queue = q.queue
 ),
 e AS (
   SELECT *,
-    CASE WHEN label IS NULL AND resource_name = '*'
-         THEN coalesce(default_label, '')
-         ELSE coalesce(label, '') END AS eff,
+    CASE WHEN label IS NOT NULL THEN label
+         WHEN queue_known AND resource_name = '*'
+           THEN coalesce(default_label, '')
+         WHEN queue_known THEN '' END AS eff,
     label IS NOT NULL AND trim(label) <> '' AS has_raw
   FROM j
 ),
@@ -13204,8 +13207,10 @@ d AS (
          WHEN resource_name <> '*' AND has_raw
            THEN 'INVALID_LABEL_ON_NON_ANY'
          WHEN contains(eff, '&&') THEN 'INVALID_MULTI_LABEL'
-         WHEN has_eff AND NOT acc_ok THEN 'INVALID_LABEL_NOT_ACCESSIBLE'
-         WHEN has_eff AND NOT in_cluster THEN 'INVALID_LABEL_NOT_IN_CLUSTER'
+         WHEN queue_known AND has_eff AND NOT acc_ok
+           THEN 'INVALID_LABEL_NOT_ACCESSIBLE'
+         WHEN queue_known AND has_eff AND NOT in_cluster
+           THEN 'INVALID_LABEL_NOT_IN_CLUSTER'
          ELSE 'OK' END AS verdict
   FROM v
 )
@@ -13234,9 +13239,13 @@ def resource_request_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per DominantResourceCalculator.normalize:447-470 —
     min(roundUp(max(v, min), inc), max) on the RAW-validated ask).
     Orders rows spread across 5 queue configs (one with a multi-label
-    DEFAULT, one with a NULL accessible set) and arithmetic mem/vcores
-    mixes put every one of the 10 verdicts live at sf0.01; rows with
-    req_id%13==0 run against a labels-disabled RM. Scale: one
+    DEFAULT, one with a NULL accessible set) plus a sixth DYNAMIC
+    queue absent from the conf table — its rows skip the
+    accessibility/cluster verdicts and a null label passes through as
+    NULL instead of NO_LABEL '' (queueInfo != null guards at :240,
+    :250-252, :360-374); arithmetic mem/vcores mixes put every one of
+    the 10 verdicts live at sf0.01; rows with req_id%13==0 run
+    against a labels-disabled RM. Scale: one
     broadcast join to the conf-sized queue table + a single codegen
     when-chain — zero shuffles on the request side."""
     from hadoop_source_spark.operators import reqnorm
@@ -13245,7 +13254,7 @@ def resource_request_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     reqs = o.select(
         key.alias("req_id"),
-        F.concat(F.lit("q"), (key % 5).cast("string")).alias("queue"),
+        F.concat(F.lit("q"), (key % 6).cast("string")).alias("queue"),
         F.when(
             key % 7 == 0,
             F.concat(F.lit("host"), (key % 3).cast("string")),
@@ -13832,27 +13841,35 @@ WITH c AS (
     CASE (c_custkey // 3) % 3 WHEN 0 THEN 'EXAMPLE.COM'
          WHEN 1 THEN 'DEV.EXAMPLE.COM' ELSE 'OTHER.ORG' END AS realm,
     c_custkey % 3 = 0 AS one_comp,
+    c_custkey % 12 = 5 AS ten_comp,
     CAST(c_custkey % 6 AS VARCHAR) AS svc,
     CAST(c_custkey % 7 AS VARCHAR) AS hst
   FROM customer
 ),
 p AS (
-  SELECT ck, realm, one_comp, svc, hst,
+  SELECT ck, realm, one_comp, ten_comp, svc, hst,
     CASE WHEN one_comp THEN 'U' || CAST(ck AS VARCHAR)
+         WHEN ten_comp THEN 'p' || CAST(ck % 5 AS VARCHAR)
+              || '/f1/f2/f3/f4/f5/f6/f7/f8/leaf'
+              || CAST(ck % 9 AS VARCHAR)
          ELSE 'svc' || svc || '/host' || hst || '.grid' END
       || '@' || realm AS principal,
-    CASE WHEN one_comp THEN 1 ELSE 2 END AS n_components
+    CASE WHEN one_comp THEN 1 WHEN ten_comp THEN 10
+         ELSE 2 END AS n_components
   FROM c
 )
 SELECT principal, realm, CAST(n_components AS INT) AS n_components,
   CAST(CASE
+    WHEN ten_comp THEN 4
     WHEN one_comp AND realm = 'DEV.EXAMPLE.COM' AND ck % 2 = 0 THEN 0
     WHEN NOT one_comp AND ck % 6 <= 3 THEN 1
     WHEN NOT one_comp AND realm = 'OTHER.ORG' THEN 2
     WHEN one_comp AND realm = 'OTHER.ORG' THEN 3
-    WHEN realm = 'EXAMPLE.COM' THEN 4
+    WHEN realm = 'EXAMPLE.COM' THEN 5
   END AS INT) AS matched_rule,
   CASE
+    WHEN ten_comp THEN 'leaf' || CAST(ck % 9 AS VARCHAR)
+         || '_p' || CAST(ck % 5 AS VARCHAR)
     WHEN one_comp AND realm = 'DEV.EXAMPLE.COM' AND ck % 2 = 0
       THEN 'u' || CAST(ck AS VARCHAR)
     WHEN NOT one_comp AND ck % 6 <= 3 THEN 'service' || svc
@@ -13863,7 +13880,8 @@ SELECT principal, realm, CAST(n_components AS INT) AS n_components,
       CASE WHEN one_comp THEN 'U' || CAST(ck AS VARCHAR)
            ELSE 'svc' || svc END
   END AS short_name,
-  CASE WHEN one_comp AND realm = 'OTHER.ORG' THEN 'NON_SIMPLE_NAME'
+  CASE WHEN ten_comp THEN 'OK'
+       WHEN one_comp AND realm = 'OTHER.ORG' THEN 'NON_SIMPLE_NAME'
        WHEN (one_comp AND realm = 'DEV.EXAMPLE.COM' AND ck % 2 = 0)
             OR (NOT one_comp AND ck % 6 <= 3)
             OR (NOT one_comp AND realm = 'OTHER.ORG')
@@ -13881,11 +13899,13 @@ def auth_to_local_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     /L after the non-simple abort; getShortName:405-429 first-rule-
     wins; DEFAULT checks ONLY the realm — a multi-component principal
     in the default realm still maps to $1, live here). Customers
-    become principals across three realms and both component shapes;
-    a five-rule chain (strip-realm+/L, service rename on a realm-free
-    base, host-keyed mapping, a no-substitution rule that aborts
-    non-simple, DEFAULT) puts every verdict and every rule index live
-    at sf0.01. The ORACLE derives rule outcomes from the generator
+    become principals across three realms and three component shapes
+    (1, 2, and 10 components — the last exercising the multi-digit
+    $10 parameter of replaceParameters end-to-end); a six-rule chain
+    (strip-realm+/L, service rename on a realm-free base, host-keyed
+    mapping, a no-substitution rule that aborts non-simple, a
+    10-component $10_$1 splice, DEFAULT) puts every verdict and every
+    rule index live at sf0.01. The ORACLE derives rule outcomes from the generator
     arithmetic — independent of the regex engine (whose Java syntax
     Spark shares with the reference). Scale: the conf-sized rule
     chain compiles to one codegen when-chain — no joins, no
@@ -13899,12 +13919,21 @@ def auth_to_local_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.floor(ck / 3) % 3 == 1, F.lit("DEV.EXAMPLE.COM"))
         .otherwise(F.lit("OTHER.ORG"))
     )
-    name = F.when(
-        ck % 3 == 0, F.concat(F.lit("U"), ck.cast("string"))
-    ).otherwise(
-        F.concat(
-            F.lit("svc"), (ck % 6).cast("string"),
-            F.lit("/host"), (ck % 7).cast("string"), F.lit(".grid"),
+    name = (
+        F.when(ck % 3 == 0, F.concat(F.lit("U"), ck.cast("string")))
+        .when(
+            ck % 12 == 5,
+            F.concat(
+                F.lit("p"), (ck % 5).cast("string"),
+                F.lit("/f1/f2/f3/f4/f5/f6/f7/f8/leaf"),
+                (ck % 9).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("svc"), (ck % 6).cast("string"),
+                F.lit("/host"), (ck % 7).cast("string"), F.lit(".grid"),
+            )
         )
     )
     principals = table(spark, sf_dir, "customer").select(
@@ -13919,6 +13948,7 @@ def auth_to_local_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule(num_components=2, format="$2@$0",
              match=r"host.*@OTHER\.ORG", from_re="@.*$", to_sub=""),
         Rule(num_components=1, format="$1@$0", match=r"U.*@OTHER\.ORG"),
+        Rule(num_components=10, format="$10_$1"),
         Rule(is_default=True),
     ]
     return authlocal.map_principals(

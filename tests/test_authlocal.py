@@ -130,6 +130,46 @@ def test_non_g_unanchored_pattern_rejected(spark):
         )
 
 
+def test_non_g_unsound_anchors_rejected(spark):
+    # shapes where replace-all still fires twice despite an anchor:
+    # top-level alternation defeats '^' ('^a|b': the 'b' branch is
+    # unanchored), and a nullable $-anchored body matches again
+    # zero-width at the end position ('o*$': 'foo' -> replaceAll
+    # 'fXX' vs replaceFirst 'fX')
+    import pytest
+
+    for pat in [r"^a|b", r"a|b$", r"o*$", r"\d*$", r"(a)?$"]:
+        rules = [Rule(num_components=1, format="$1",
+                      from_re=pat, to_sub="X")]
+        with pytest.raises(ValueError, match="not anchored"):
+            authlocal.map_principals(
+                spark.createDataFrame([("foo@R",)], "principal string"),
+                rules, default_realm="Z",
+            )
+
+
+def test_format_validation_bad_dollar_and_out_of_range(spark):
+    # KerberosName.replaceParameters throws BadFormatString for '$'
+    # without digits and for an index past the parameter array
+    import pytest
+
+    df = spark.createDataFrame([("a/b@R",)], "principal string")
+    with pytest.raises(ValueError, match="followed by a parameter"):
+        authlocal.map_principals(
+            df, [Rule(num_components=2, format="$1-$")], default_realm="Z"
+        )
+    with pytest.raises(ValueError, match=r"\$3 not defined"):
+        authlocal.map_principals(
+            df, [Rule(num_components=2, format="$3")], default_realm="Z"
+        )
+    # $0 (realm) and $n itself are in range
+    out = authlocal.map_principals(
+        df, [Rule(num_components=2, format="$2@$0",
+                  from_re="@.*$", to_sub="")], default_realm="Z",
+    ).collect()[0]
+    assert out["short_name"] == "b"
+
+
 def test_non_g_anchored_pattern_accepted(spark):
     rules = [
         Rule(num_components=1, format="$1", from_re="^foo", to_sub="bar"),

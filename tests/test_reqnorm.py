@@ -126,3 +126,24 @@ def test_unknown_queue_skips_accessibility_checks(spark):
     assert got[1]["verdict"] == "OK"
     assert got[2]["verdict"] == "OK"
     assert got[3]["verdict"] == "INVALID_LABEL_NOT_ACCESSIBLE"
+
+
+def test_unknown_queue_null_label_stays_null(spark):
+    # normalizeNodeLabelExpressionInRequest guards BOTH the default
+    # inheritance and the NO_LABEL ('') fallback on queueInfo != null
+    # (SchedulerUtils:240,250-252): a dynamic queue's null label
+    # passes through as NULL, while a known queue's becomes ''
+    got = _run(spark, [
+        (1, "qX", "*", 100, 1, None),      # dynamic, ANY: stays NULL
+        (2, "qX", "host1", 100, 1, None),  # dynamic, non-ANY: stays NULL
+        (3, "q1", "host1", 100, 1, None),  # known, non-ANY: NO_LABEL ''
+        (4, "qX", "*", 100, 1, ""),        # explicit '' passes through
+    ])
+    assert got[1]["verdict"] == "OK"
+    assert got[1]["effective_label"] is None
+    assert got[2]["verdict"] == "OK"
+    assert got[2]["effective_label"] is None
+    assert got[3]["effective_label"] == ""
+    assert got[4]["effective_label"] == ""
+    # normalization still applies to the passthrough rows
+    assert got[1]["norm_mem"] == 512 and got[1]["norm_vcores"] == 1
