@@ -12834,6 +12834,167 @@ def log_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IFILE_ORACLE = """
+WITH e AS (
+  SELECT event_id AS eid, event_id // 180 AS fid,
+         (event_id // 60) % 3 AS cycle
+  FROM events
+),
+x AS (
+  SELECT eid, fid, cycle, fid % 10 AS scen,
+    'app_' || CAST(fid // 5 AS VARCHAR) AS app_id,
+    'container_' || CAST(eid AS VARCHAR) AS container_id,
+    CASE eid % 3 WHEN 0 THEN 'stdout' WHEN 1 THEN 'stderr'
+         ELSE 'syslog' END AS log_file,
+    'log' || CAST(eid AS VARCHAR) || ':'
+      || repeat('x', CAST(eid % 53 AS INT)) AS content,
+    'nm' || CAST(fid AS VARCHAR) || '_8041' AS base_file
+  FROM e
+),
+v AS (
+  SELECT * FROM x
+  WHERE CASE WHEN scen = 0 THEN cycle < 1
+             WHEN scen IN (2, 3) THEN FALSE
+             WHEN scen = 4 THEN cycle < 2
+             ELSE TRUE END
+)
+SELECT CAST(eid AS BIGINT) AS entry_id, app_id,
+  CASE WHEN scen = 5 AND cycle = 2 THEN base_file || '_1700000099999'
+       ELSE base_file END AS node_file,
+  container_id, log_file,
+  CAST(1700000000000 + cycle AS BIGINT) AS upload_ts,
+  CAST(strlen(content) AS BIGINT) AS file_size,
+  md5(content) AS content_md5,
+  CAST(1700000000000 + eid AS BIGINT) AS last_modified,
+  scen = 0 AS recovered,
+  'VISIBLE' AS status
+FROM v
+UNION ALL
+SELECT NULL, app_id, base_file, NULL, NULL, NULL, NULL, NULL, NULL,
+  scen = 2, CASE WHEN scen = 2 THEN 'NO_META' ELSE 'BAD_UUID' END
+FROM (SELECT DISTINCT fid, scen, app_id, base_file FROM x
+      WHERE scen IN (2, 3)) s
+"""
+
+
+@register("ifile_log_lookup", _IFILE_ORACLE)
+def ifile_log_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed aggregated-log (ifile) encode + recovery-aware read
+    (operators/ifile — LogAggregationIndexedFileController.java:
+    SHA-256(appId) uuid header/trailer :203-206,:1277-1285, per-cycle
+    data + accumulated-meta tail per postWrite:425-431, re-open
+    cursor byte :216-222, rollover clears meta into a _<ts> file
+    :303-318, crash leaves a -checksum recording (name, pre-cycle
+    length) :330-346, read path parseCheckSumFiles:705-744 keyed by
+    the RECORDED name / getNodeLogFileToRead:747-763 skipping .tmp
+    and -checksum / loadIndexedLogsMeta:842-898 endIndex-0-null +
+    uuid verification). Events become ~N/180 aggregated files, each
+    3 cycles of container log entries; fid%10 scenarios put every
+    recovery branch live: crash-truncated-by-checksum, stale
+    checksum ignored, endIndex=0 (NO_META), corrupted uuid
+    (BAD_UUID), in-progress .tmp invisible, rollover split, per-file
+    gzip blocks. The engine ENCODES the physical blobs with the
+    production writer and DECODES them with the production read
+    path; per-entry md5 over the sliced (and decompressed) bytes
+    proves the byte-level round trip against the oracle's md5 of the
+    generator text. Scale: one applyInPandas per aggregated file
+    (file count grows with the corpus, per-file size is pinned at
+    ~180 entries), one (dir, recorded-name) checksum join, one
+    mapInPandas decode — bytes never visit the driver."""
+    import pandas as pd
+
+    from hadoop_source_spark.operators import ifile
+
+    eid = F.col("event_id")
+    fid = F.floor(eid / 180)
+    entries = table(spark, sf_dir, "events").select(
+        eid.alias("eid"),
+        fid.alias("fid"),
+        (F.floor(eid / 60) % 3).cast("int").alias("cycle"),
+        F.concat(F.lit("app_"), F.floor(fid / 5).cast("string")).alias(
+            "app_id"
+        ),
+        F.concat(F.lit("container_"), eid.cast("string")).alias(
+            "container_id"
+        ),
+        F.when(eid % 3 == 0, F.lit("stdout"))
+        .when(eid % 3 == 1, F.lit("stderr"))
+        .otherwise(F.lit("syslog"))
+        .alias("log_file"),
+        F.concat(
+            F.lit("log"), eid.cast("string"), F.lit(":"),
+            F.repeat(F.lit("x"), (eid % 53).cast("int")),
+        ).alias("content"),
+    )
+
+    C = 1_700_000_000_000
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("eid")
+        fid_v = int(pdf["fid"].iloc[0])
+        scen = fid_v % 10
+        app = pdf["app_id"].iloc[0]
+        base = "nm%d_8041" % fid_v
+        by_cycle = dict(tuple(pdf.groupby("cycle")))
+
+        def ents(c):
+            g = by_cycle.get(c)
+            if g is None:
+                return []
+            return [
+                (int(e), cid, lf, ct.encode("utf-8"), C + int(e))
+                for e, cid, lf, ct in zip(
+                    g["eid"], g["container_id"], g["log_file"],
+                    g["content"],
+                )
+            ]
+
+        out = []
+        compress = "gzip" if scen == 6 else "none"
+        w = ifile.IndexedLogWriter(app, base, compress=compress)
+        if scen == 0:
+            w.append_cycle(ents(0), upload_ts=C)
+            partial = b"".join(e[3] for e in ents(1))
+            end = w.crash(partial[: max(1, len(partial) // 2)])
+            out.append((base + "-checksum",
+                        ifile.encode_checksum(base, end)))
+        elif scen == 2:
+            blob = bytearray(ifile.create_uuid(app)) + b"\npartial"
+            out.append((base, bytes(blob)))
+            out.append((base + "-checksum", ifile.encode_checksum(base, 0)))
+        elif scen in (4, 5):
+            w.append_cycle(ents(0), upload_ts=C)
+            w.append_cycle(ents(1), upload_ts=C + 1)
+            if scen == 4:
+                raw2 = b"".join(e[3] for e in ents(2))
+                out.append((base + ifile.TMP_FILE_SUFFIX,
+                            ifile.create_uuid(app) + raw2))
+            else:
+                rolled = ifile.IndexedLogWriter(app, base + "_1700000099999")
+                rolled.append_cycle(ents(2), upload_ts=C + 2)
+                out.append((base + "_1700000099999", bytes(rolled.blob)))
+        else:
+            for c in (0, 1, 2):
+                w.append_cycle(ents(c), upload_ts=C + c)
+            if scen == 1:
+                out.append((base + "-checksum",
+                            ifile.encode_checksum(base + "_old", 10)))
+            elif scen == 3:
+                w.corrupt_uuid()
+        if scen != 2:
+            out.append((base, bytes(w.blob)))
+        return pd.DataFrame(
+            [(app, app, name, blob) for name, blob in out],
+            columns=["dir_key", "app_id", "file_name", "blob"],
+        )
+
+    files = entries.groupBy("fid").applyInPandas(
+        build,
+        "dir_key string, app_id string, file_name string, blob binary",
+    )
+    return ifile.read_aggregated_logs(files)
+
+
 _EC_STRIPE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey AS req_id,
@@ -14731,9 +14892,11 @@ _WINDOW: list[str] = [
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
     "cs_queue_mapping", "token_renewal_plan",
+    # round 11
+    "ifile_log_lookup",
 ]
 
-assert len(_WINDOW) == 205, len(_WINDOW)
+assert len(_WINDOW) == 206, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -151,6 +151,7 @@ def main() -> None:
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
     "cs_queue_mapping", "token_renewal_plan",
+    "ifile_log_lookup",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
