@@ -12995,6 +12995,180 @@ def ifile_log_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ifile.read_aggregated_logs(files)
 
 
+_SCM_BOOTSTRAP_ORACLE = """
+WITH e AS (
+  SELECT event_id AS eid, event_id // 4 AS kid FROM events
+  WHERE event_id % 4 <> 3
+)
+SELECT 'cs' || CAST(kid AS VARCHAR) AS key,
+  min('part-' || CAST((eid * 7) % 10 AS VARCHAR) || '-'
+      || CAST(eid AS VARCHAR)) AS file_name,
+  CAST(count(*) - 1 AS INT) AS dup_files
+FROM e GROUP BY kid
+"""
+
+
+@register("scm_bootstrap_index", _SCM_BOOTSTRAP_ORACLE)
+def scm_bootstrap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SharedCacheManager store bootstrap (operators/scmstore —
+    InMemorySCMStore.getInitialCachedResources:187-243: glob the
+    files one level under the nested checksum dirs, key = immediate
+    parent name, FIRST file in sorted order wins per key, later
+    duplicates warned + dropped, directories skipped via isFile).
+    Events become a cache-area listing with ~4 entries per checksum
+    key (one a directory); the min-name selection and the
+    ignored-duplicate count are both hash-checked. Scale: one
+    min/count aggregation with map-side partials — a single shuffle
+    regardless of cache size."""
+    from hadoop_source_spark.operators import scmstore
+
+    eid = F.col("event_id")
+    files = table(spark, sf_dir, "events").select(
+        F.concat(F.lit("cs"), F.floor(eid / 4).cast("string")).alias(
+            "parent_key"
+        ),
+        F.concat(
+            F.lit("part-"), ((eid * 7) % 10).cast("string"),
+            F.lit("-"), eid.cast("string"),
+        ).alias("file_name"),
+        (eid % 4 != 3).alias("is_file"),
+    )
+    return scmstore.bootstrap_store(files)
+
+
+_SCM_CLEANER_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey AS kid FROM orders
+),
+base AS (
+  SELECT kid,
+    kid % 23 = 0 AS renamed,
+    kid % 5 <> 0 AS in_store,
+    1700000000000 - (kid * 31) % 200000 AS access_time,
+    1700000000000 - (kid * 17) % 300000 AS mod_time,
+    CASE WHEN kid % 19 = 0 THEN 'rename'
+         WHEN kid % 19 = 1 THEN 'delete' ELSE 'none' END AS fs_fault,
+    kid % 7 = 0 AS grace
+  FROM r
+),
+refc AS (
+  SELECT kid,
+    CAST(sum(CASE WHEN ((kid * 7 + i * 13) % 100) % 3 = 0
+             THEN 1 ELSE 0 END) AS INT) AS live,
+    CAST(sum(CASE WHEN ((kid * 7 + i * 13) % 100) % 3 = 0
+             THEN 0 ELSE 1 END) AS INT) AS dead
+  FROM r, unnest(generate_series(0, CAST(kid % 4 AS INT) - 1)) AS t(i)
+  WHERE kid % 4 > 0
+  GROUP BY kid
+),
+j AS (
+  SELECT b.*, coalesce(refc.live, 0) AS live,
+    coalesce(refc.dead, 0) AS dead,
+    CASE WHEN in_store THEN access_time
+         ELSE greatest(mod_time, 1700000000000 - 150000) END AS last_use
+  FROM base b LEFT JOIN refc USING (kid)
+),
+d AS (
+  SELECT *,
+    CASE WHEN grace THEN FALSE
+         ELSE last_use < 1700000000000 - 120000 END AS evictable,
+    (NOT in_store) OR live = 0 AS removed
+  FROM j
+)
+SELECT 'cs' || CAST(kid AS VARCHAR) AS key,
+  CASE WHEN grace THEN 'grace' ELSE 'steady' END AS fleet,
+  CASE WHEN renamed THEN
+         CASE WHEN fs_fault = 'delete' THEN 'INIT' ELSE 'DELETED' END
+       WHEN evictable AND removed THEN
+         CASE WHEN fs_fault = 'none' THEN 'DELETED' ELSE 'ERROR' END
+       ELSE 'PROCESSED' END AS action,
+  CASE WHEN NOT renamed THEN evictable END AS evictable,
+  CASE WHEN NOT renamed THEN live END AS live_refs,
+  CASE WHEN NOT renamed THEN dead END AS dead_removed,
+  CASE WHEN NOT renamed THEN CAST(last_use AS BIGINT) END AS last_use
+FROM d
+"""
+
+
+@register("scm_cleaner_plan", _SCM_CLEANER_ORACLE)
+def scm_cleaner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SharedCacheManager cleaner sweep (operators/scmstore —
+    CleanerTask.processSingleResource:196-276: -renamed leftovers
+    deleted outright [INIT on delete failure, the rename fault can't
+    touch them], dead references dropped first with NO access bump
+    [SCMStore.cleanResourceReferences:157-173 updateAccessTime=false],
+    isResourceEvictable:415-434 [bootstrap-grace while initialApps
+    non-empty; store-resident keys compare access time, unknown keys
+    max(modTime, store start) against now - staleness],
+    removeResource:380-397 [empty surviving-ref set or absent key
+    removes], rename+delete with ERROR on either fault
+    :278-294). Orders become two cleaner fleets — one inside the
+    bootstrap grace window, one steady-state — with ref counts 0-3
+    per key, access/mod times straddling both the staleness cutoff
+    and the store start time, and injected rename/delete faults: all
+    four statuses, both staleness sources, the start-time clamp and
+    the grace override live at sf0.01. Scale: one broadcast of the
+    active-app registry, one ref aggregation + one key join — two
+    shuffles regardless of cache size, decision is pure codegen."""
+    from hadoop_source_spark.operators import scmstore
+
+    C = 1_700_000_000_000
+    kid = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    resources = o.select(
+        F.concat(F.lit("cs"), kid.cast("string")).alias("key"),
+        F.concat(
+            F.lit("cs"), kid.cast("string"),
+            F.when(kid % 23 == 0, F.lit("-renamed")).otherwise(F.lit("")),
+        ).alias("dir_name"),
+        (F.lit(C) - (kid * 17) % 300000).cast("long").alias("mod_time"),
+        (kid % 5 != 0).alias("in_store"),
+        F.when(kid % 5 != 0, F.lit(C) - (kid * 31) % 200000)
+        .cast("long")
+        .alias("access_time"),
+        F.when(kid % 19 == 0, F.lit("rename"))
+        .when(kid % 19 == 1, F.lit("delete"))
+        .otherwise(F.lit("none"))
+        .alias("fs_fault"),
+        (kid % 7 == 0).alias("grace"),
+    )
+    refs = (
+        o.where(kid % 4 > 0)
+        .select(
+            F.concat(F.lit("cs"), kid.cast("string")).alias("key"),
+            F.explode(
+                F.sequence(F.lit(0), (kid % 4 - 1).cast("int"))
+            ).alias("i"),
+            kid.alias("kid"),
+        )
+        .select(
+            "key",
+            F.concat(
+                F.lit("app"),
+                ((F.col("kid") * 7 + F.col("i") * 13) % 100).cast("string"),
+            ).alias("app_id"),
+        )
+    )
+    active = spark.createDataFrame(
+        [("app%d" % j,) for j in range(0, 100, 3)], "app_id string"
+    )
+    conf = dict(
+        staleness_minutes=2, start_time=C - 150000, now_ms=C,
+    )
+    out_g = scmstore.cleaner_plan(
+        resources.where(F.col("grace")).drop("grace"),
+        refs, active, initial_apps=3, **conf,
+    ).withColumn("fleet", F.lit("grace"))
+    out_s = scmstore.cleaner_plan(
+        resources.where(~F.col("grace")).drop("grace"),
+        refs, active, initial_apps=0, **conf,
+    ).withColumn("fleet", F.lit("steady"))
+    return out_g.unionByName(out_s).select(
+        "key", "fleet", "action", "evictable", "live_refs",
+        "dead_removed", "last_use",
+    )
+
+
 _EC_STRIPE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey AS req_id,
@@ -14893,10 +15067,10 @@ _WINDOW: list[str] = [
     "fair_starvation_report", "scheduler_headroom_matrix",
     "cs_queue_mapping", "token_renewal_plan",
     # round 11
-    "ifile_log_lookup",
+    "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
 ]
 
-assert len(_WINDOW) == 206, len(_WINDOW)
+assert len(_WINDOW) == 208, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -181,7 +181,7 @@ EXTRA = (
     "container_memory_check", "span_corruption_transform",
     "fair_starvation_report", "scheduler_headroom_matrix",
     "cs_queue_mapping", "token_renewal_plan",
-    "ifile_log_lookup",
+    "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
 )
 
 
