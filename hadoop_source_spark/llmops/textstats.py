@@ -536,49 +536,69 @@ def bm25_rank(
     idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))        (Lucene form)
     score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
 
-    Shape at 100 TB: the postings table is one tokenize+explode plus a
-    (doc, term) groupBy — the same single corpus shuffle tf_idf pays.
-    df(term) and the (N, avgdl) scalars are vocab-/one-row-sized and
-    come back via AQE-broadcast joins; the query term set is small by
-    construction, so the postings⋈queries join broadcasts the query
-    side and never reshuffles the corpus. The only per-query work is a
-    top_k window over each query's candidate set (docs sharing ≥1
-    term), never the full corpus.
+    Shape at 100 TB — four exchanges total, none of them the full
+    postings table:
+    1. the query TERM set broadcasts into the exploded token stream,
+       so only tokens matching some query term reach the one
+       (doc, term) count shuffle — the corpus-wide postings shuffle
+       the naive plan pays is gone, and per-doc length rides along
+       map-side as size(tokens) instead of a doc-keyed groupBy+join;
+    2. df(term) over the full corpus is exact from those candidates
+       (every doc containing a query term has exactly one tf row per
+       term) and is a per-term window count over the tf rows —
+       keeping the tf subtree single instead of a second aggregate
+       branch Catalyst de-canonicalizes past ReuseExchange;
+    3. the (N, avgdl) scalars are one corpus aggregate (docs with at
+       least one token, matching the postings-derived definition);
+    4. one repartition on query_id whose hash partitioning satisfies
+       BOTH the (query, doc) score aggregation and the per-query
+       top_k window — Spark inserts no further exchange.
+    The per-query work only ever touches docs sharing ≥1 term.
 
     `queries` is (query_id_col, term_col) — already tokenized, one row
     per query term (duplicate terms allowed; they are deduped so each
     term contributes once, bag-of-words-set semantics).
     """
-    postings = corpus.select(
-        F.col(id_col),
-        F.explode(tokenize_words(F.col(text_col))).alias("__t"),
+    toks = corpus.select(
+        F.col(id_col), tokenize_words(F.col(text_col)).alias("__toks")
     )
-    # eager checkpoint: tf feeds doclen, dfreq, the scalars AND the final
-    # join — four differently-pruned subtrees that never ReuseExchange,
-    # so without the cut the corpus tokenize+shuffle runs four times
-    tf = (
-        postings.groupBy(id_col, "__t")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-        .localCheckpoint(eager=True)
-    )
-    doclen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
-    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    # corpus-level scalars carried in-plan (single-plan rule: no
-    # mid-plan driver collect) — one row, broadcast
-    scalars = doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg("__dl").alias("__avgdl"),
-    )
-
     qterms = queries.select(
         F.col(query_id_col), F.col(term_col).alias("__t")
     ).distinct()
+    term_set = qterms.select("__t").distinct()
+
+    cand = toks.select(
+        id_col,
+        F.size("__toks").cast("long").alias("__dl"),
+        F.explode("__toks").alias("__t"),
+    ).join(F.broadcast(term_set), "__t")
+    tf = cand.groupBy(id_col, "__t", "__dl").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    # exact df: every doc containing a query term has exactly one tf
+    # row, so a per-term window count IS the document frequency. A
+    # window (rather than a groupBy + self-join) keeps the tf subtree
+    # single — a separate dfreq aggregate gets its count(1) pruned by
+    # Catalyst, de-canonicalizing the branch and defeating
+    # ReuseExchange, which re-ran the whole tokenize+explode twice.
+    tf = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__t"))
+    )
+    # corpus-level scalars carried in-plan (single-plan rule: no
+    # mid-plan driver collect) — one row, broadcast; docs with no
+    # tokens are outside the postings universe
+    scalars = (
+        toks.where(F.size("__toks") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg(F.size("__toks")).alias("__avgdl"),
+        )
+    )
 
     return (
-        tf.join(doclen, id_col)
-        .join(dfreq, "__t")
-        .join(F.broadcast(qterms), "__t")
+        tf.join(F.broadcast(qterms), "__t")
         .crossJoin(F.broadcast(scalars))
+        .repartition(query_id_col)
         .select(
             query_id_col,
             id_col,

@@ -13386,7 +13386,7 @@ def ec_striped_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LOCAL_CACHE_ORACLE = """
 WITH r AS (
-  SELECT 'nm' || CAST(user_id % 20 AS VARCHAR) AS node,
+  SELECT 'nm' || CAST(event_id // 3000 AS VARCHAR) AS node,
          event_id AS rsrc_id,
          CASE WHEN event_id % 3 = 0 THEN NULL
               ELSE 'u' || CAST(user_id % 4 AS VARCHAR) END AS rsrc_user,
@@ -13452,20 +13452,26 @@ def local_cache_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted in currentSize, deletion while currentSize - deleted >
     target; LocalResourcesTrackerImpl.remove:382-406 absent-counts /
     DOWNLOADING-fails / INIT-no-file-task; stats record :101-146).
-    Events become 20 NM caches; per-node target = 40% of the cache so
-    DELETED and RETAIN are both live everywhere, eid%11 rows are
-    in-use, and eid%13 slices put DOWNLOADING (REMOVE_FAILED), INIT
-    (DELETED_NO_FILE) and ABSENT (STATS_ONLY_ABSENT) on the board at
-    sf0.01 — all six actions plus the four stats columns. Scale: the
-    sequential walk is one exclusive prefix-sum window (monotone-stop
-    proof in the module, same shape as ramdisk); every window shares
-    the node partition key, a 100k-node fleet cleans in one shuffle."""
+    Events become one NM cache per 3000 resources — node count grows
+    WITH the corpus while per-node cache size stays pinned, so the
+    walk parallelizes instead of deepening (the former user_id%20 pin
+    capped the sweep at 20 partitions and scaled 5.4x at 10x data);
+    per-node target = 40% of the cache so DELETED and RETAIN are both
+    live everywhere, eid%11 rows are in-use, and eid%13 slices put
+    DOWNLOADING (REMOVE_FAILED), INIT (DELETED_NO_FILE) and ABSENT
+    (STATS_ONLY_ABSENT) on the board at sf0.01 — all six actions plus
+    the four stats columns. Scale: the sequential walk is one
+    exclusive prefix-sum window (monotone-stop proof in the module,
+    same shape as ramdisk); every window shares the node partition
+    key, a 100k-node fleet cleans in one shuffle."""
     from hadoop_source_spark.operators import localcache
 
     e = table(spark, sf_dir, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
     resources = e.select(
-        F.concat(F.lit("nm"), (uid % 20).cast("string")).alias("node"),
+        F.concat(F.lit("nm"), F.floor(eid / 3000).cast("string")).alias(
+            "node"
+        ),
         eid.alias("rsrc_id"),
         F.when(eid % 3 == 0, F.lit(None).cast("string"))
         .otherwise(F.concat(F.lit("u"), (uid % 4).cast("string")))
