@@ -13169,6 +13169,130 @@ def scm_cleaner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCREAD_ORACLE = """
+WITH e AS (
+  SELECT event_id AS eid, event_id // 50 AS cache_id FROM events
+),
+x AS (
+  SELECT eid, cache_id,
+    'blk_' || CAST(eid AS VARCHAR) AS rkey,
+    eid % 7 = 0 AS referenced,
+    eid % 3 = 0 AS mmapped,
+    (eid * 9973) % 7200000 AS age,
+    CASE cache_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 10
+         ELSE 15 END AS max_total,
+    CASE cache_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 2
+         ELSE 1000 END AS max_mm,
+    CASE cache_id % 3 WHEN 0 THEN 300000 WHEN 1 THEN 60000
+         ELSE 4000000000 END AS reg_life,
+    CASE cache_id % 3 WHEN 0 THEN 3600000 WHEN 1 THEN 600000
+         ELSE 4000000000 END AS mm_life
+  FROM e
+),
+s1 AS (
+  SELECT *,
+    NOT referenced AS in_maps,
+    NOT referenced AND mmapped AS mm,
+    NOT referenced AND mmapped AND age > mm_life AS old_mm,
+    age > reg_life AS old_reg,
+    coalesce(sum(CASE WHEN NOT referenced AND mmapped THEN 1 END)
+      OVER (PARTITION BY cache_id ORDER BY age DESC, rkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS i_mm,
+    sum(CASE WHEN NOT referenced AND mmapped THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cache_id) AS m
+  FROM x
+),
+s2 AS (
+  SELECT *,
+    mm AND (old_mm OR i_mm <= m - max_mm) AS demoted
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    in_maps AND (NOT mmapped OR demoted) AND old_reg AS purged_life,
+    in_maps AND (NOT mmapped OR demoted) AND NOT old_reg AS reg_surv,
+    mm AND NOT demoted AS mm_surv
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+    sum(CASE WHEN reg_surv OR mm_surv THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cache_id) AS total_surv,
+    sum(CASE WHEN reg_surv THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cache_id) AS n_reg,
+    coalesce(sum(CASE WHEN reg_surv THEN 1 END)
+      OVER (PARTITION BY cache_id ORDER BY age DESC, rkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+      AS rank_reg,
+    coalesce(sum(CASE WHEN mm_surv THEN 1 END)
+      OVER (PARTITION BY cache_id ORDER BY age DESC, rkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+      AS rank_mm
+  FROM s3
+)
+SELECT cache_id, rkey,
+  CASE WHEN NOT in_maps THEN 'IN_USE'
+       WHEN purged_life THEN 'PURGED_LIFESPAN'
+       WHEN (reg_surv AND rank_reg <= total_surv - max_total)
+         OR (mm_surv AND rank_mm <= total_surv - max_total - n_reg)
+         THEN 'PURGED_TRIM'
+       WHEN mm_surv THEN 'RETAINED_MMAP'
+       ELSE 'RETAINED_REGULAR' END AS action,
+  CASE WHEN in_maps THEN demoted END AS demoted,
+  CASE WHEN old_mm AND demoted THEN 'age'
+       WHEN demoted THEN 'space' END AS demote_reason
+FROM s4
+"""
+
+
+@register("scr_cache_sweep", _SCREAD_ORACLE)
+def scr_cache_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-circuit read replica cache sweep (operators/scread —
+    ShortCircuitCache.java: unref:440-508 puts a replica in an
+    eviction map only at refCount 1; demoteOldEvictableMmaped:510-549
+    munmaps the mmapped prefix that is too old OR keeps the map at
+    maxEvictableMmapedSize-1, demoted entries keeping their eviction
+    time; CacheCleaner.run:101-134 lifespan-purges ONLY the regular
+    list; trimEvictionMaps:551-573 drains regular survivors
+    oldest-first then mmapped down to maxTotalSize). Events become
+    ~N/50 client caches over three conf profiles (default-ish,
+    aggressive, trim-dominated) with replica ages spanning 2h —
+    every action, both demote rationales, the max-1 space steady
+    state and the regular-before-mmapped trim order live at sf0.01.
+    Scale: cache count grows with the corpus at ~50 replicas each;
+    all windows share ONE cache_id partitioning (single shuffle) and
+    the conf table broadcasts."""
+    from hadoop_source_spark.operators import scread
+
+    C = 1_700_000_000_000
+    eid = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    cache_id = F.floor(eid / 50)
+    age = (eid * 9973) % 7_200_000
+    replicas = e.select(
+        cache_id.alias("cache_id"),
+        (cache_id % 3).alias("conf_id"),
+        F.concat(F.lit("blk_"), eid.cast("string")).alias("rkey"),
+        F.when(eid % 7 == 0, 2).otherwise(1).cast("int").alias(
+            "ref_count"
+        ),
+        (eid % 3 == 0).alias("mmapped"),
+        ((F.lit(C) - age) * 1_000_000).cast("long").alias(
+            "evictable_time_ns"
+        ),
+    )
+    confs = spark.createDataFrame(
+        [
+            (0, 20, 5, 300_000, 3_600_000),
+            (1, 10, 2, 60_000, 600_000),
+            (2, 15, 1000, 4_000_000_000, 4_000_000_000),
+        ],
+        "conf_id long, max_total int, max_mmaped int,"
+        " nonmmap_life_ms long, mmap_life_ms long",
+    )
+    return scread.cache_sweep(replicas, confs, now_ms=C)
+
+
 _EC_STRIPE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey AS req_id,
@@ -15074,9 +15198,10 @@ _WINDOW: list[str] = [
     "cs_queue_mapping", "token_renewal_plan",
     # round 11
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
+    "scr_cache_sweep",
 ]
 
-assert len(_WINDOW) == 208, len(_WINDOW)
+assert len(_WINDOW) == 209, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
