@@ -13293,6 +13293,128 @@ def scr_cache_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scread.cache_sweep(replicas, confs, now_ms=C)
 
 
+_FLOWRUN_ORACLE = """
+WITH e AS (
+  SELECT event_id AS eid, event_id // 100 AS run FROM events
+),
+x AS (
+  SELECT eid, 'flow_' || CAST(run AS VARCHAR) AS run_key,
+    run % 2 = 0 AS is_read,
+    CASE eid % 4 WHEN 0 THEN 'cpu' WHEN 1 THEN 'minstart'
+         WHEN 2 THEN 'maxend' ELSE 'info' END AS qualifier,
+    CASE eid % 4
+      WHEN 0 THEN CASE WHEN eid % 3 = 0 THEN 'SUM' ELSE 'SUM_FINAL' END
+      WHEN 1 THEN 'GLOBAL_MIN' WHEN 2 THEN 'GLOBAL_MAX' END AS agg_op,
+    'app_' || CAST(eid % 7 AS VARCHAR) AS app_id,
+    (1700000000000 - (eid * 9973) % 200000) * 1000000
+      + eid % 1000000 AS ts,
+    (eid * 9973) % 200000 AS age,
+    1 + eid % 1000 AS value
+  FROM e
+),
+coll AS (
+  SELECT *,
+    CASE WHEN agg_op IS NULL THEN TRUE
+         WHEN agg_op IN ('SUM', 'SUM_FINAL') THEN
+           row_number() OVER (PARTITION BY run_key, qualifier, app_id
+                              ORDER BY ts DESC) = 1
+         WHEN agg_op = 'GLOBAL_MIN' THEN
+           row_number() OVER (PARTITION BY run_key, qualifier
+                              ORDER BY value ASC, ts DESC) = 1
+         ELSE
+           row_number() OVER (PARTITION BY run_key, qualifier
+                              ORDER BY value DESC, ts DESC) = 1
+    END AS collected
+  FROM x
+),
+c2 AS (SELECT * FROM coll WHERE collected)
+SELECT run_key, qualifier, app_id, ts, value, 'RAW' AS emit,
+  CASE WHEN is_read THEN 'read' ELSE 'major' END AS fleet
+FROM c2 WHERE agg_op IS NULL
+UNION ALL
+SELECT run_key, qualifier, app_id, ts, value,
+  CASE WHEN agg_op = 'GLOBAL_MIN' THEN 'MIN' ELSE 'MAX' END,
+  CASE WHEN is_read THEN 'read' ELSE 'major' END
+FROM c2 WHERE agg_op IN ('GLOBAL_MIN', 'GLOBAL_MAX')
+UNION ALL
+SELECT run_key, qualifier, CAST(NULL AS VARCHAR), max(ts),
+  CAST(sum(value) AS BIGINT), 'SUM', 'read'
+FROM c2 WHERE is_read AND agg_op IN ('SUM', 'SUM_FINAL')
+GROUP BY run_key, qualifier
+UNION ALL
+SELECT run_key, qualifier, app_id, ts, value, 'KEPT', 'major'
+FROM c2 WHERE NOT is_read AND agg_op IN ('SUM', 'SUM_FINAL')
+  AND NOT (agg_op = 'SUM_FINAL' AND age > 40000)
+UNION ALL
+SELECT run_key, qualifier, 'application_00000000000_0000',
+  CAST(NULL AS BIGINT), CAST(sum(value) AS BIGINT), 'NEW_SUM', 'major'
+FROM c2 WHERE NOT is_read AND agg_op = 'SUM_FINAL' AND age > 40000
+GROUP BY run_key, qualifier
+"""
+
+
+@register("flow_run_rollup", _FLOWRUN_ORACLE)
+def flow_run_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATSv2 flow-run metric rollup (operators/flowrun —
+    FlowScanner.java collectCells:262-335: newest-cell-per-app for
+    the SUM family, single extreme cell for GLOBAL_MIN/GLOBAL_MAX,
+    untagged cells pass through; processSummation:389-416 READ sum
+    with the most-recent contributor's timestamp;
+    processSummationMajorCompaction:432-530: SUM_FINAL cells whose
+    truncated supplemented timestamp is past the retention threshold
+    fold into one new FLOW_APP_ID-tagged sum cell, everything else
+    written back; the :454 reference-equality appId check is dead
+    code — the ordinary SUM_FINAL path re-folds old flow-sum cells,
+    which is what this models). Events become ~N/100 flow runs with
+    four metric columns across both scanner modes (even runs READ,
+    odd runs MAJOR_COMPACTION); multiple timestamped cells per
+    (run, column, app) make the latest-per-app dedup decisive, and
+    ages straddle the retention cutoff — every emit kind live at
+    sf0.01. Scale: ONE repartition on (run_key, qualifier) satisfies
+    all collect windows and both emit aggregates; flow count grows
+    with the corpus at ~100 cells each."""
+    from hadoop_source_spark.operators import flowrun
+
+    C = 1_700_000_000_000
+    eid = F.col("event_id")
+    run = F.floor(eid / 100)
+    e = table(spark, sf_dir, "events")
+    cells = e.select(
+        F.concat(F.lit("flow_"), run.cast("string")).alias("run_key"),
+        (run % 2 == 0).alias("is_read"),
+        F.when(eid % 4 == 0, F.lit("cpu"))
+        .when(eid % 4 == 1, F.lit("minstart"))
+        .when(eid % 4 == 2, F.lit("maxend"))
+        .otherwise(F.lit("info"))
+        .alias("qualifier"),
+        F.when(
+            eid % 4 == 0,
+            F.when(eid % 3 == 0, F.lit("SUM")).otherwise(
+                F.lit("SUM_FINAL")
+            ),
+        )
+        .when(eid % 4 == 1, F.lit("GLOBAL_MIN"))
+        .when(eid % 4 == 2, F.lit("GLOBAL_MAX"))
+        .alias("agg_op"),
+        F.concat(F.lit("app_"), (eid % 7).cast("string")).alias("app_id"),
+        (
+            (F.lit(C) - (eid * 9973) % 200000) * 1_000_000
+            + eid % 1_000_000
+        ).cast("long").alias("ts"),
+        (1 + eid % 1000).cast("long").alias("value"),
+    )
+    out_r = flowrun.flow_scan(
+        cells.where(F.col("is_read")).drop("is_read"), mode="READ"
+    ).withColumn("fleet", F.lit("read"))
+    out_m = flowrun.flow_scan(
+        cells.where(~F.col("is_read")).drop("is_read"),
+        mode="MAJOR_COMPACTION",
+        now_ms=C,
+        retention_ms=40_000,
+    ).withColumn("fleet", F.lit("major"))
+    return out_r.unionByName(out_m)
+
+
 _EC_STRIPE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey AS req_id,
@@ -15198,10 +15320,10 @@ _WINDOW: list[str] = [
     "cs_queue_mapping", "token_renewal_plan",
     # round 11
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
-    "scr_cache_sweep",
+    "scr_cache_sweep", "flow_run_rollup",
 ]
 
-assert len(_WINDOW) == 209, len(_WINDOW)
+assert len(_WINDOW) == 210, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -152,7 +152,7 @@ def main() -> None:
     "fair_starvation_report", "scheduler_headroom_matrix",
     "cs_queue_mapping", "token_renewal_plan",
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
-    "scr_cache_sweep",
+    "scr_cache_sweep", "flow_run_rollup",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
