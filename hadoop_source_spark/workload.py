@@ -13293,6 +13293,162 @@ def scr_cache_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scread.cache_sweep(replicas, confs, now_ms=C)
 
 
+_ZKFC_MATRIX_ORACLE = """
+WITH r AS (SELECT o_orderkey AS k FROM orders),
+x AS (
+  SELECT k,
+    CASE k % 5 WHEN 3 THEN 'SERVICE_UNHEALTHY'
+         WHEN 4 THEN 'SERVICE_NOT_RESPONDING'
+         ELSE 'SERVICE_HEALTHY' END AS health,
+    k % 7 = 0 AS obs,
+    CASE k % 11 WHEN 0 THEN NULL WHEN 1 THEN 'nn_local'
+         ELSE 'nn_peer' END AS active,
+    k % 13 <> 0 AS attempt,
+    CASE WHEN k % 17 = 0 THEN 'SERVICE_UNHEALTHY'
+         ELSE 'SERVICE_HEALTHY' END AS hdw,
+    CASE k % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'self'
+         ELSE 'peer' END AS bc,
+    k % 3 = 0 AS gok, k % 19 <> 0 AS fconf,
+    k % 2 = 0 AS fok, k % 23 <> 0 AS rpc
+  FROM r
+),
+v AS (
+  SELECT k,
+    CASE WHEN health <> 'SERVICE_HEALTHY' THEN 'NOT_HEALTHY'
+         WHEN obs THEN 'OBSERVER_TARGET'
+         WHEN active IS NULL THEN 'NO_ACTIVE'
+         WHEN active = 'nn_local' THEN 'ALREADY_ACTIVE'
+         WHEN NOT attempt AND hdw <> 'SERVICE_HEALTHY'
+           THEN 'UNHEALTHY_DURING_WAIT'
+         WHEN NOT attempt THEN 'ELECTION_TIMEOUT'
+         WHEN bc = 'peer' AND NOT gok AND NOT fconf
+           THEN 'FENCE_CONFIG_ERROR'
+         WHEN bc = 'peer' AND NOT gok AND NOT fok THEN 'FENCE_FAILED'
+         WHEN NOT rpc THEN 'TRANSITION_FAILED'
+         ELSE 'FAILOVER_OK' END AS verdict,
+    bc, gok
+  FROM x
+)
+SELECT k AS req_id, verdict,
+  CASE WHEN verdict IN ('FAILOVER_OK', 'TRANSITION_FAILED') THEN
+    CASE WHEN bc <> 'peer' THEN 'not_needed'
+         WHEN gok THEN 'graceful' ELSE 'fencer' END
+  END AS fenced
+FROM v
+"""
+
+
+@register("zkfc_failover_matrix", _ZKFC_MATRIX_ORACLE)
+def zkfc_failover_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZKFC graceful-failover outcome matrix (operators/zkfc —
+    ZKFailoverController.doGracefulFailover:654-731 check order:
+    eligibility [health then observer, checkEligibleForFailover:
+    756-771], no-current-active error, already-active no-op, the
+    two no-attempt outcomes [unhealthy-during-wait :706-709 before
+    the timeout message :712], then the attempt's own outcome;
+    the attempt = ActiveStandbyElector.becomeActive:889-909 +
+    fenceOldActive:954-985 [own breadcrumb or none needs no fence]
+    + ZKFC.doFence:536-559 [graceful transitionToStandby, then the
+    configured fencer; unconfigured fencing is itself a failure],
+    then the transitionToActive RPC). Orders rows sweep every input
+    dimension — all ten verdicts and all three fence modes live at
+    sf0.01. Scale: a pure codegen when-chain, zero joins, zero
+    shuffles."""
+    from hadoop_source_spark.operators import zkfc
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    reqs = o.select(
+        k.alias("req_id"),
+        F.when(k % 5 == 3, F.lit("SERVICE_UNHEALTHY"))
+        .when(k % 5 == 4, F.lit("SERVICE_NOT_RESPONDING"))
+        .otherwise(F.lit("SERVICE_HEALTHY"))
+        .alias("health_state"),
+        F.when(k % 7 == 0, F.lit("OBSERVER"))
+        .otherwise(F.lit("STANDBY"))
+        .alias("service_state"),
+        F.lit("nn_local").alias("local_addr"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 11 == 1, F.lit("nn_local"))
+        .otherwise(F.lit("nn_peer"))
+        .alias("active_addr"),
+        (k % 13 != 0).alias("attempt_made"),
+        F.when(k % 17 == 0, F.lit("SERVICE_UNHEALTHY"))
+        .otherwise(F.lit("SERVICE_HEALTHY"))
+        .alias("health_during_wait"),
+        F.when(k % 4 == 0, F.lit("none"))
+        .when(k % 4 == 1, F.lit("self"))
+        .otherwise(F.lit("peer"))
+        .alias("breadcrumb"),
+        (k % 3 == 0).alias("graceful_fence_ok"),
+        (k % 19 != 0).alias("fencer_configured"),
+        (k % 2 == 0).alias("fencer_ok"),
+        (k % 23 != 0).alias("transition_rpc_ok"),
+    )
+    return zkfc.graceful_failover_plan(reqs)
+
+
+_ZKFC_ELECT_ORACLE = """
+WITH r AS (SELECT o_orderkey AS k FROM orders),
+x AS (
+  SELECT k,
+    CASE k % 6 WHEN 2 THEN 'INITIALIZING' WHEN 3 THEN 'SERVICE_UNHEALTHY'
+         WHEN 4 THEN 'SERVICE_NOT_RESPONDING'
+         WHEN 5 THEN 'HEALTH_MONITOR_FAILED'
+         ELSE 'SERVICE_HEALTHY' END AS health,
+    k % 7 = 0 AS obs,
+    CASE WHEN k % 9 = 0 THEN 5000000 ELSE 0 END AS delay
+  FROM r
+)
+SELECT k AS node_id,
+  CASE WHEN delay > 0 THEN 'DELAYED_RECHECK'
+       WHEN health = 'SERVICE_HEALTHY' THEN
+         CASE WHEN obs THEN 'OBSERVER_NO_JOIN' ELSE 'JOIN_ELECTION' END
+       WHEN health = 'INITIALIZING' THEN 'QUIT_NO_FENCE'
+       WHEN health IN ('SERVICE_UNHEALTHY', 'SERVICE_NOT_RESPONDING')
+         THEN 'QUIT_NEED_FENCE'
+       ELSE 'FATAL' END AS action,
+  CASE WHEN delay <= 0 AND health IN ('INITIALIZING',
+         'SERVICE_UNHEALTHY', 'SERVICE_NOT_RESPONDING')
+       THEN 'INITIALIZING' END AS new_service_state
+FROM x
+"""
+
+
+@register("zkfc_electability", _ZKFC_ELECT_ORACLE)
+def zkfc_electability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZKFC electability recheck (operators/zkfc —
+    ZKFailoverController.recheckElectability:801-852: a pending
+    join delay defers everything; SERVICE_HEALTHY joins unless
+    OBSERVER; INITIALIZING quits without needing a fence;
+    SERVICE_UNHEALTHY / SERVICE_NOT_RESPONDING quit with
+    needFence=true; HEALTH_MONITOR_FAILED is fatal; the quit
+    branches reset the service state to INITIALIZING). Orders rows
+    sweep all five health states x observer x delay — every action
+    live at sf0.01. Scale: codegen when-chain, zero shuffles."""
+    from hadoop_source_spark.operators import zkfc
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    nodes = o.select(
+        k.alias("node_id"),
+        F.when(k % 6 == 2, F.lit("INITIALIZING"))
+        .when(k % 6 == 3, F.lit("SERVICE_UNHEALTHY"))
+        .when(k % 6 == 4, F.lit("SERVICE_NOT_RESPONDING"))
+        .when(k % 6 == 5, F.lit("HEALTH_MONITOR_FAILED"))
+        .otherwise(F.lit("SERVICE_HEALTHY"))
+        .alias("health_state"),
+        F.when(k % 7 == 0, F.lit("OBSERVER"))
+        .otherwise(F.lit("STANDBY"))
+        .alias("service_state"),
+        F.when(k % 9 == 0, F.lit(5_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("delay_remaining_ns"),
+    )
+    return zkfc.recheck_electability(nodes)
+
+
 _FLOWRUN_ORACLE = """
 WITH e AS (
   SELECT event_id AS eid, event_id // 100 AS run FROM events
@@ -15321,9 +15477,10 @@ _WINDOW: list[str] = [
     # round 11
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
+    "zkfc_failover_matrix", "zkfc_electability",
 ]
 
-assert len(_WINDOW) == 210, len(_WINDOW)
+assert len(_WINDOW) == 212, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

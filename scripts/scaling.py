@@ -183,6 +183,7 @@ EXTRA = (
     "cs_queue_mapping", "token_renewal_plan",
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
+    "zkfc_failover_matrix", "zkfc_electability",
 )
 
 
