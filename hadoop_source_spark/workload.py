@@ -15378,19 +15378,21 @@ _WINDOW: list[str] = [
     # Rotation policy: the driver hash-checks the FIRST 50 slots each
     # round. Rows verified by the driver in round N rotate BEHIND rows
     # it has not checked recently, so the independent signal cycles the
-    # registry instead of parking one family outside it. Round 9: the
-    # seven r7 scheduler rows (never yet in the checked prefix) and the
-    # two new aggregated-log rows swap in, along with three LLM rows
-    # last driver-checked before r07; twelve r08-verified rows (eight
-    # family suites + four LLM-dedup rows) rotate behind. The prefix
-    # keeps >= 5 LLM-pipeline rows (dedup_exact, dsir_selection,
-    # dedup_embedding_cosine, ann_cosine_topk, weighted_sample_docs).
+    # registry instead of parking one family outside it. Round 11: the
+    # eight r9-era rows the driver has never checked (incl. the two
+    # operators whose round-10 ADVICE fixes need independent
+    # verification: resource_request_normalize, auth_to_local_mapping)
+    # plus the new ifile row swap in; the nine rows verified in BOTH
+    # r09 and r10 (seven r7 scheduler rows + two aggregated-log rows)
+    # rotate behind. The prefix keeps >= 5 LLM-pipeline rows
+    # (dedup_exact, dsir_selection, dedup_embedding_cosine,
+    # ann_cosine_topk, weighted_sample_docs).
     "dedup_exact", "dsir_selection",
-    "federation_router_decisions", "federation_amrm_split",
-    "encryption_zone_resolution", "ez_rename_validity",
-    "locality_delay_schedule", "kms_key_acl_matrix",
-    "opportunistic_queue_plan",
-    "aggregated_log_index", "log_retention_sweep",
+    "ec_striped_read_plan", "local_cache_cleanup",
+    "resource_request_normalize", "auth_to_local_mapping",
+    "user_limit_matrix", "cs_queue_mapping",
+    "fair_starvation_report", "token_renewal_plan",
+    "ifile_log_lookup",
     "dedup_embedding_cosine", "ann_cosine_topk", "weighted_sample_docs",
     # rotated out of the checked prefix in r09 (all r08-verified):
     "snapshot_diff_upsert_generations", "asof_nearest_tolerance",
@@ -15464,20 +15466,23 @@ _WINDOW: list[str] = [
     "am_blacklist_updates", "checkpoint_trigger_plan",
     "fim_transform_corpus", "concat_chunk_training_stream",
     "embedding_decontamination", "queue_hierarchy_capacities",
-    # round 9 (aggregated_log_index / log_retention_sweep sit in the
-    # checked prefix above)
-    "ec_striped_read_plan", "local_cache_cleanup",
-    "resource_request_normalize", "wet_extract_pipeline",
+    # round 9 (eight rows of this batch now sit in the checked prefix)
+    "wet_extract_pipeline",
     "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
-    "nodes_refresh_plan", "user_limit_matrix",
-    "am_attempt_retry_policy", "auth_to_local_mapping",
+    "nodes_refresh_plan",
+    "am_attempt_retry_policy",
     "container_memory_check", "span_corruption_transform",
-    "fair_starvation_report", "scheduler_headroom_matrix",
-    "cs_queue_mapping", "token_renewal_plan",
-    # round 11
-    "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
+    "scheduler_headroom_matrix",
+    # round 11 (ifile_log_lookup sits in the checked prefix)
+    "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
+    # rotated out of the checked prefix in r11 (verified r09 + r10):
+    "federation_router_decisions", "federation_amrm_split",
+    "encryption_zone_resolution", "ez_rename_validity",
+    "locality_delay_schedule", "kms_key_acl_matrix",
+    "opportunistic_queue_plan",
+    "aggregated_log_index", "log_retention_sweep",
 ]
 
 assert len(_WINDOW) == 212, len(_WINDOW)
