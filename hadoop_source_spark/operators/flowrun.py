@@ -102,49 +102,50 @@ def flow_scan(
         ).alias("_collected"),
     ).where("_collected")
 
-    passthrough = s1.where(F.col("agg_op").isNull()).select(
-        "run_key", "qualifier", "app_id", "ts", "value",
-        F.lit(RAW).alias("emit"),
-    )
-    extremes = s1.where(
-        F.col("agg_op").isin("GLOBAL_MIN", "GLOBAL_MAX")
-    ).select(
-        "run_key", "qualifier", "app_id", "ts", "value",
-        F.when(F.col("agg_op") == "GLOBAL_MIN", MIN)
-        .otherwise(MAX)
-        .alias("emit"),
-    )
-    sums = s1.where(sum_family)
-
-    if mode == READ:
-        summed = sums.groupBy("run_key", "qualifier").agg(
-            F.max("ts").alias("ts"),
-            F.sum("value").alias("value"),
-        ).select(
-            "run_key", "qualifier",
-            F.lit(None).cast("string").alias("app_id"),
-            "ts", "value", F.lit(SUM).alias("emit"),
-        )
-        return passthrough.unionByName(extremes).unionByName(summed)
-
+    # exactly TWO consumers of the collected subtree — one row-level
+    # branch (passthrough, extremes, and the compaction's written-back
+    # cells share a per-row emit label) and one aggregate branch — so
+    # the window pass is not re-derived once per emit kind
     folded = (F.col("agg_op") == "SUM_FINAL") & (
         F.expr("ts div 1000000") + retention_ms < now_ms
     )
-    kept = sums.where(~folded).select(
-        "run_key", "qualifier", "app_id", "ts", "value",
-        F.lit(KEPT).alias("emit"),
-    )
-    new_sum = (
-        sums.where(folded)
-        .groupBy("run_key", "qualifier")
-        .agg(F.sum("value").alias("value"))
-        .select(
-            "run_key", "qualifier",
-            F.lit(FLOW_APP_ID).alias("app_id"),
-            F.lit(None).cast("long").alias("ts"),
-            "value", F.lit(NEW_SUM).alias("emit"),
+    row_emit = (
+        F.when(F.col("agg_op").isNull(), RAW)
+        .when(F.col("agg_op") == "GLOBAL_MIN", MIN)
+        .when(F.col("agg_op") == "GLOBAL_MAX", MAX)
+        .when(
+            F.lit(mode == MAJOR_COMPACTION) & sum_family & ~folded, KEPT
         )
     )
-    return passthrough.unionByName(extremes).unionByName(kept).unionByName(
-        new_sum
+    row_level = (
+        s1.select(
+            "run_key", "qualifier", "app_id", "ts", "value",
+            row_emit.alias("emit"),
+        )
+        .where(F.col("emit").isNotNull())
     )
+
+    if mode == READ:
+        agg_level = (
+            s1.where(sum_family)
+            .groupBy("run_key", "qualifier")
+            .agg(F.max("ts").alias("ts"), F.sum("value").alias("value"))
+            .select(
+                "run_key", "qualifier",
+                F.lit(None).cast("string").alias("app_id"),
+                "ts", "value", F.lit(SUM).alias("emit"),
+            )
+        )
+    else:
+        agg_level = (
+            s1.where(sum_family & folded)
+            .groupBy("run_key", "qualifier")
+            .agg(F.sum("value").alias("value"))
+            .select(
+                "run_key", "qualifier",
+                F.lit(FLOW_APP_ID).alias("app_id"),
+                F.lit(None).cast("long").alias("ts"),
+                "value", F.lit(NEW_SUM).alias("emit"),
+            )
+        )
+    return row_level.unionByName(agg_level)
