@@ -263,13 +263,13 @@ def main() -> None:
             (r or 0) <= 12 for r in ratios.values()
         ) else "Ratios >12x above flag superlinear behavior: investigate.",
         "",
-        "bitext_margin_mining is the one op whose WORK is quadratic by",
-        "definition (exact bipartite scoring: 10x both sides = 100x",
-        "compute) -- it is the ground-truth kernel; the production",
-        "path is bitext_margin_mining_ivf (IVF candidate pruning,",
-        "cells auto-scaled ~(N*M)^0.25, work ~nprobe*(N*M)^0.75),",
-        "whose wall ratio above should sit well under the exact",
-        "kernel's.",
+        "Exact bipartite kernels (bitext_margin_mining,",
+        "knn_label_classify) pin their seed side to an absolute id",
+        "range so only the corpus side grows -- their ratios above",
+        "are linear. The corpus-x-corpus paths are the *_ivf",
+        "variants (IVF candidate pruning, cells auto-scaled, work",
+        "~nprobe*(N*M)^0.75), intentionally super-linear but far",
+        "under the N*M exact cost.",
     ]
     # SCALING.md is the hand-written design doc; the measured evidence
     # lives beside it.
