@@ -13307,6 +13307,117 @@ def scr_cache_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scread.cache_sweep(replicas, confs, now_ms=C)
 
 
+_GROUPS_CACHE_ORACLE = """
+WITH r AS (SELECT o_orderkey AS k FROM orders),
+x AS (
+  SELECT k,
+    CASE WHEN k % 13 = 0 THEN 'sg' || CAST(k % 5 AS VARCHAR)
+         WHEN k % 13 = 1 THEN '' END AS static_csv,
+    k % 7 = 0 AS neg_hit,
+    CASE WHEN k % 5 = 0 THEN NULL ELSE (k * 37) % 1500 END AS age,
+    'cg' || CAST(k % 4 AS VARCHAR) AS cached,
+    k % 11 = 0 AS fempty,
+    'g' || CAST(k % 6 AS VARCHAR) || ',g'
+      || CAST((k * 5 + 1) % 6 AS VARCHAR) AS fdedup,
+    k % 2 = 0 AS bg,
+    k % 19 <> 0 AS neg_en
+  FROM r
+),
+d AS (
+  SELECT *,
+    age IS NULL OR age >= 1000 AS miss,
+    age IS NOT NULL AND age < 1000 AND age >= 100 AS rw
+  FROM x
+),
+o AS (
+  SELECT *,
+    CASE WHEN static_csv IS NOT NULL THEN 'STATIC'
+         WHEN neg_en AND neg_hit THEN 'NEGATIVE_CACHE'
+         WHEN miss AND fempty THEN 'NO_GROUPS'
+         WHEN miss THEN 'LOADED'
+         WHEN NOT rw THEN 'CACHE_FRESH'
+         WHEN bg THEN 'STALE_SERVED'
+         WHEN fempty THEN 'STALE_SERVED'
+         ELSE 'RELOADED' END AS outcome
+  FROM d
+)
+SELECT k AS lookup_id, outcome,
+  CASE WHEN outcome = 'STATIC' THEN static_csv
+       WHEN outcome IN ('LOADED', 'RELOADED') THEN fdedup
+       WHEN outcome IN ('CACHE_FRESH', 'STALE_SERVED') THEN cached
+  END AS groups,
+  CASE WHEN rw AND outcome NOT IN ('STATIC', 'NEGATIVE_CACHE')
+       THEN CASE WHEN bg THEN 'background' ELSE 'blocking' END
+  END AS refresh_mode,
+  neg_en AND fempty AND (outcome = 'NO_GROUPS'
+    OR (rw AND outcome NOT IN ('STATIC', 'NEGATIVE_CACHE')))
+    AS negative_added
+FROM o
+"""
+
+
+@register("groups_cache_lookup", _GROUPS_CACHE_ORACLE)
+def groups_cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User→groups cache resolution (operators/groupscache —
+    Groups.java getGroups:209-232: static override first [a user
+    mapped without groups gets the EMPTY list :183-186], negative
+    cache only when negativeCacheTimeout > 0, then the Guava cache
+    with refreshAfterWrite=cacheTimeout / expireAfterWrite=10x
+    :135-140; GroupCacheLoader.load:310-340 dedups preserving first
+    occurrence and an empty fetch lands in the negative cache and
+    throws; reload:346-380 background mode serves the OLD value and
+    refreshes async, blocking mode returns the new value except a
+    failed reload keeps serving the old one this call). Orders rows
+    sweep two fleets (negative cache on/off) x static/negative/
+    fresh/refresh-window/expired x empty and duplicated fetches —
+    all seven outcomes, both refresh modes and every negative-cache
+    transition live at sf0.01. Scale: one codegen when-chain per
+    lookup, no joins, no shuffles."""
+    from hadoop_source_spark.operators import groupscache
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    lookups = o.select(
+        k.alias("lookup_id"),
+        F.concat(F.lit("u"), (k % 100).cast("string")).alias("user"),
+        F.when(k % 13 == 0, F.concat(F.lit("sg"), (k % 5).cast("string")))
+        .when(k % 13 == 1, F.lit(""))
+        .alias("static_csv"),
+        (k % 7 == 0).alias("negative_hit"),
+        F.when(k % 5 != 0, (k * 37) % 1500).cast("long").alias(
+            "cache_age_ms"
+        ),
+        F.concat(F.lit("cg"), (k % 4).cast("string")).alias("cached_csv"),
+        F.when(
+            k % 11 != 0,
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.lit("g"), (k % 6).cast("string"),
+                    F.lit(",g"), (k % 6).cast("string"),
+                    F.lit(",g"), ((k * 5 + 1) % 6).cast("string"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("g"), (k % 6).cast("string"),
+                    F.lit(",g"), ((k * 5 + 1) % 6).cast("string"),
+                )
+            ),
+        ).alias("fetch_csv"),
+        (k % 2 == 0).alias("reload_in_background"),
+        (k % 19 != 0).alias("neg_en"),
+    )
+    out_en = groupscache.group_lookup_plan(
+        lookups.where(F.col("neg_en")).drop("neg_en"),
+        cache_timeout_ms=100, negative_cache_enabled=True,
+    )
+    out_dis = groupscache.group_lookup_plan(
+        lookups.where(~F.col("neg_en")).drop("neg_en"),
+        cache_timeout_ms=100, negative_cache_enabled=False,
+    )
+    return out_en.unionByName(out_dis)
+
+
 _ZKFC_MATRIX_ORACLE = """
 WITH r AS (SELECT o_orderkey AS k FROM orders),
 x AS (
@@ -15491,6 +15602,7 @@ _WINDOW: list[str] = [
     "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
+    "groups_cache_lookup",
     # rotated out of the checked prefix in r11 (verified r09 + r10):
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
@@ -15499,7 +15611,7 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 212, len(_WINDOW)
+assert len(_WINDOW) == 213, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

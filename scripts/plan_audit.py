@@ -154,6 +154,7 @@ def main() -> None:
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
+    "groups_cache_lookup",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
