@@ -13307,6 +13307,118 @@ def scr_cache_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scread.cache_sweep(replicas, confs, now_ms=C)
 
 
+_CONTRETRY_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+x AS (
+  SELECT k,
+    CASE k % 9 WHEN 0 THEN 0 WHEN 1 THEN 137 WHEN 2 THEN 143
+         WHEN 3 THEN 10 WHEN 4 THEN 20 WHEN 5 THEN 21 WHEN 6 THEN 1
+         WHEN 7 THEN 10 ELSE 154 END AS exit_code,
+    CASE k % 4 WHEN 0 THEN 'NEVER_RETRY' WHEN 1 THEN 'RETRY_ON_ALL_ERRORS'
+         ELSE 'RETRY_ON_SPECIFIC_ERROR_CODES' END AS pol,
+    k % 17 = 0 AS codes_null,
+    CASE WHEN k % 13 = 0 THEN -1 ELSE CAST(k % 5 AS INT) END AS maxr,
+    CAST(100 * (1 + k % 3) AS INT) AS ival,
+    CASE WHEN k % 3 = 0 THEN 0 ELSE 5000 END AS validity,
+    CAST(k % 6 AS INT) AS n,
+    CAST(k % 7 + 1 AS INT) AS s
+  FROM e
+),
+d AS (
+  SELECT *,
+    exit_code IN (0, 137, 143) AS excluded,
+    pol = 'RETRY_ON_ALL_ERRORS'
+      OR (pol = 'RETRY_ON_SPECIFIC_ERROR_CODES' AND NOT codes_null AND
+          (exit_code = 10 OR (exit_code = 20 AND k % 2 = 0)
+           OR (exit_code = 21 AND k % 2 = 1))) AS eligible,
+    least(n, 5 // s) AS vf,
+    CASE WHEN validity > 0 THEN maxr - least(n, 5 // s)
+         ELSE maxr - n END AS remaining
+  FROM x
+),
+a AS (
+  SELECT *,
+    CASE WHEN excluded THEN 'EXIT_EXCLUDED'
+         WHEN pol = 'NEVER_RETRY' THEN 'POLICY_NEVER'
+         WHEN NOT eligible THEN 'CODE_NOT_LISTED'
+         WHEN maxr = -1 THEN 'RETRY_FOREVER'
+         WHEN remaining > 0 THEN 'RETRY'
+         ELSE 'EXHAUSTED' END AS action
+  FROM d
+)
+SELECT k AS container_id, action,
+  CASE WHEN action IN ('RETRY', 'EXHAUSTED') AND validity > 0
+       THEN CAST(vf AS INT) END AS valid_failures,
+  CASE WHEN action IN ('RETRY', 'EXHAUSTED')
+       THEN CAST(remaining AS INT) END AS remaining,
+  CASE WHEN action IN ('RETRY', 'RETRY_FOREVER')
+       THEN ival END AS relaunch_delay_ms
+FROM a
+"""
+
+
+@register("container_relaunch_plan", _CONTRETRY_ORACLE)
+def container_relaunch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM container relaunch decisions (operators/contretry —
+    ContainerImpl.shouldRetry:1765-1772 exit codes 0/137/143 never
+    retry; SlidingWindowRetryPolicy.shouldRetry:45-58 policy gate
+    incl. null-error-set-never-matches and RETRY_FOREVER=-1;
+    calculateRemainingRetries:66-84 newest-first walk of the restart
+    times BREAKING at the first entry outside
+    failuresValidityInterval, else the pre-decremented counter).
+    Events become containers sweeping every exit class, all three
+    policies, forever/bounded budgets, windowed and counter modes,
+    and restart histories whose recent suffix length varies — all
+    six actions live at sf0.01; the oracle derives the suffix count
+    in closed form from the generator arithmetic while the engine
+    folds the actual array with the faithful break. Scale: one
+    aggregate-HOF fold + codegen when-chain, no joins, no
+    shuffles."""
+    from hadoop_source_spark.operators import contretry
+
+    C = 1_700_000_000_000
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    n = (k % 6).cast("int")
+    step = ((k % 7 + 1) * 1000).cast("long")
+    containers = e.select(
+        k.alias("container_id"),
+        F.when(k % 9 == 0, 0).when(k % 9 == 1, 137)
+        .when(k % 9 == 2, 143).when(k % 9 == 3, 10)
+        .when(k % 9 == 4, 20).when(k % 9 == 5, 21)
+        .when(k % 9 == 6, 1).when(k % 9 == 7, 10)
+        .otherwise(154).cast("int").alias("exit_code"),
+        F.when(k % 4 == 0, F.lit("NEVER_RETRY"))
+        .when(k % 4 == 1, F.lit("RETRY_ON_ALL_ERRORS"))
+        .otherwise(F.lit("RETRY_ON_SPECIFIC_ERROR_CODES"))
+        .alias("policy"),
+        F.when(
+            k % 17 != 0,
+            F.array(F.lit(10), (F.lit(20) + k % 2).cast("int")),
+        ).alias("error_codes"),
+        F.when(k % 13 == 0, -1).otherwise(k % 5).cast("int").alias(
+            "max_retries"
+        ),
+        (100 * (1 + k % 3)).cast("int").alias("retry_interval_ms"),
+        F.when(k % 3 == 0, 0).otherwise(5000).cast("long").alias(
+            "validity_ms"
+        ),
+        F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.lit(C) - (n - i + 1) * step,
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("restart_times"),
+        (F.when(k % 13 == 0, -1).otherwise(k % 5) - n)
+        .cast("int")
+        .alias("remaining_retries"),
+    )
+    return contretry.relaunch_plan(containers, now_ms=C)
+
+
 _GROUPS_CACHE_ORACLE = """
 WITH r AS (SELECT o_orderkey AS k FROM orders),
 x AS (
@@ -15602,7 +15714,7 @@ _WINDOW: list[str] = [
     "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
-    "groups_cache_lookup",
+    "groups_cache_lookup", "container_relaunch_plan",
     # rotated out of the checked prefix in r11 (verified r09 + r10):
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
@@ -15611,7 +15723,7 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 213, len(_WINDOW)
+assert len(_WINDOW) == 214, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

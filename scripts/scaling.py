@@ -184,7 +184,7 @@ EXTRA = (
     "ifile_log_lookup", "scm_bootstrap_index", "scm_cleaner_plan",
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
-    "groups_cache_lookup",
+    "groups_cache_lookup", "container_relaunch_plan",
 )
 
 
