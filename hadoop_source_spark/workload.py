@@ -15587,6 +15587,431 @@ def token_renewal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_a.unionByName(out_b)
 
 
+_BRLEASE_CHECK_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+rep AS (
+  SELECT k, CASE WHEN k % 11 = 0 THEN 0
+                 WHEN k % 11 <= 6 THEN k + 1
+                 ELSE k + 999 END AS used
+  FROM e),
+l AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN 0 ELSE k + 1 END AS lease_id,
+         (k * 7919) % 1200000 AS age
+  FROM e WHERE k % 3 <> 2)
+SELECT r.k AS report_id,
+  CASE WHEN r.used = 0 THEN 'ACCEPT_BYPASS'
+       WHEN l.k IS NULL THEN 'REJECT_UNKNOWN_NODE'
+       WHEN l.lease_id = 0 THEN 'REJECT_NO_LEASE'
+       WHEN l.age >= 600000 THEN 'REJECT_EXPIRED'
+       WHEN r.used <> l.lease_id THEN 'REJECT_WRONG_ID'
+       ELSE 'ACCEPT' END AS verdict
+FROM rep r LEFT JOIN l ON l.k = r.k
+"""
+
+
+@register("block_report_lease_check", _BRLEASE_CHECK_ORACLE)
+def block_report_lease_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-block-report admission (operators/brlease —
+    BlockReportLeaseManager.checkLease:295-331 verdict order: lease
+    id 0 bypasses rate limiting, unknown datanode, no pending lease,
+    expired [pruneIfExpired:270-281 — now >= leaseTime+expiry],
+    mismatched id, accept). Events become ~N/50-node clusters whose
+    lease ages span 2x the expiry and whose reports use bypass /
+    matching / stale ids — all six verdicts live at sf0.01. Scale:
+    one (cluster, dn) equi-join + codegen when-chain, one shuffle,
+    lease side prunable to live DNs."""
+    from hadoop_source_spark.operators import brlease
+
+    C = 1_700_000_000_000
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    cluster = F.floor(k / 50)
+    dn = F.concat(F.lit("dn"), k.cast("string"))
+    reports = e.select(
+        k.alias("report_id"),
+        cluster.alias("cluster_id"),
+        dn.alias("dn_uuid"),
+        F.when(k % 11 == 0, 0)
+        .when(k % 11 <= 6, k + 1)
+        .otherwise(k + 999)
+        .cast("long")
+        .alias("lease_id_used"),
+        F.lit(C).alias("now_ms"),
+    )
+    leases = e.where(k % 3 != 2).select(
+        cluster.alias("cluster_id"),
+        dn.alias("dn_uuid"),
+        F.when(k % 5 == 0, 0).otherwise(k + 1).cast("long").alias(
+            "lease_id"
+        ),
+        (F.lit(C) - (k * 7919) % 1_200_000).cast("long").alias(
+            "lease_time_ms"
+        ),
+    )
+    return brlease.check_leases(reports, leases, expiry_ms=600_000)
+
+
+_BRLEASE_ADMIT_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+l AS (SELECT k, k // 50 AS c, 'dn' || k AS dn,
+        CASE WHEN k % 5 = 0 THEN 0 ELSE k + 1 END AS lid,
+        (k * 7919) % 1200000 AS age
+      FROM e WHERE k % 3 <> 2),
+act AS (SELECT c, dn FROM l WHERE lid <> 0 AND age < 600000),
+r AS (SELECT k, k // 50 AS c,
+        CASE WHEN k % 4 = 3 THEN 'dnX' || k ELSE 'dn' || k END AS dn,
+        k % 3 = 2 OR k % 4 = 3 AS reg_now
+      FROM e),
+p AS (SELECT r.k, r.reg_now, count(a.dn) AS pending
+      FROM r LEFT JOIN act a ON a.c = r.c AND a.dn <> r.dn
+      GROUP BY r.k, r.reg_now)
+SELECT k AS req_id, reg_now AS registered_now,
+  CAST(pending AS INT) AS pending_others,
+  CASE WHEN pending >= 14 THEN 'DENIED_MAX_PENDING'
+       ELSE 'GRANTED' END AS verdict
+FROM p
+"""
+
+
+@register("block_report_lease_admission", _BRLEASE_ADMIT_ORACLE)
+def block_report_lease_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lease-request admission (operators/brlease —
+    BlockReportLeaseManager.requestLease:223-268: an unregistered
+    requester is registered on the spot :225-230, the requester's
+    own existing lease is removed FIRST so a restarted DN never
+    counts against itself :231-239, expired pending leases are
+    pruned [the pending list is in grant order, so prune-until-
+    fresh == prune-all-expired], then deny-with-id-0 iff the
+    surviving pending count has reached maxPending). Requesters
+    split known / never-registered; active-lease counts straddle
+    maxPending=14 so both verdicts and both registration paths live
+    at sf0.01. Scale: the cluster-keyed join expands each request by
+    at most the (operationally pinned ~50-node) cluster's lease set;
+    one shuffle on cluster_id, then a req_id-keyed count."""
+    from hadoop_source_spark.operators import brlease
+
+    C = 1_700_000_000_000
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    cluster = F.floor(k / 50)
+    requests = e.select(
+        k.alias("req_id"),
+        cluster.alias("cluster_id"),
+        F.when(
+            k % 4 == 3, F.concat(F.lit("dnX"), k.cast("string"))
+        ).otherwise(F.concat(F.lit("dn"), k.cast("string"))).alias(
+            "dn_uuid"
+        ),
+        F.lit(C).alias("now_ms"),
+    )
+    leases = e.where(k % 3 != 2).select(
+        cluster.alias("cluster_id"),
+        F.concat(F.lit("dn"), k.cast("string")).alias("dn_uuid"),
+        F.when(k % 5 == 0, 0).otherwise(k + 1).cast("long").alias(
+            "lease_id"
+        ),
+        (F.lit(C) - (k * 7919) % 1_200_000).cast("long").alias(
+            "lease_time_ms"
+        ),
+    )
+    return brlease.request_leases(
+        requests, leases, max_pending=14, expiry_ms=600_000
+    )
+
+
+_CONSTRAINTS_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+alloc AS (
+  SELECT 'a' || ((k + k // 37) % 20) AS app_id,
+         'n' || ((k * 13 + k // 53) % 40) AS node_id,
+         CASE (k + k // 29) % 4 WHEN 0 THEN 'hbase' WHEN 1 THEN 'zk'
+              WHEN 2 THEN 'web' ELSE 'spark' END AS tag,
+         count(*) AS cnt
+  FROM e WHERE k < 2000 GROUP BY 1, 2, 3),
+nodes AS (
+  SELECT 'n' || k AS node_id, 'r' || (k % 8) AS rack,
+         CASE WHEN k % 10 = 0 THEN 'gpu' ELSE '' END AS part
+  FROM e WHERE k < 40),
+nattr AS (
+  SELECT 'n' || k AS node_id, 'java' AS akey,
+         CASE k % 3 WHEN 0 THEN '1.8' WHEN 1 THEN '11' ELSE '17' END
+           AS aval
+  FROM e WHERE k < 40
+  UNION ALL
+  SELECT 'n' || k, 'os',
+         CASE WHEN k % 2 = 0 THEN 'centos' ELSE 'ubuntu' END
+  FROM e WHERE k < 40 AND k % 4 <> 3),
+atag AS (
+  SELECT 'a' || k AS app_id, 'svc' AS app_tag
+  FROM e WHERE k < 20 AND k % 2 = 0
+  UNION ALL
+  SELECT 'a' || k, 'web' FROM e WHERE k < 20 AND k % 3 = 0),
+node_app AS (SELECT app_id, node_id, tag, cnt FROM alloc),
+rack_app AS (
+  SELECT a.app_id, n.rack, a.tag, sum(a.cnt) AS cnt
+  FROM alloc a JOIN nodes n USING (node_id) GROUP BY 1, 2, 3),
+store AS (
+  SELECT 'node' AS kind, node_id AS entity, tag, 'app' AS ns,
+         app_id AS key, cnt FROM node_app
+  UNION ALL
+  SELECT 'rack', rack, tag, 'app', app_id, cnt FROM rack_app
+  UNION ALL
+  SELECT 'node', node_id, tag, 'all', '', sum(cnt)
+  FROM node_app GROUP BY 1, 2, 3, 4, 5
+  UNION ALL
+  SELECT 'rack', rack, tag, 'all', '', sum(cnt)
+  FROM rack_app GROUP BY 1, 2, 3, 4, 5
+  UNION ALL
+  SELECT 'node', s.node_id, s.tag, 'apptag', t.app_tag, sum(s.cnt)
+  FROM node_app s JOIN atag t USING (app_id) GROUP BY 1, 2, 3, 4, 5
+  UNION ALL
+  SELECT 'rack', s.rack, s.tag, 'apptag', t.app_tag, sum(s.cnt)
+  FROM rack_app s JOIN atag t USING (app_id) GROUP BY 1, 2, 3, 4, 5),
+cand AS (
+  SELECT k, 'n' || ((k * 7 + k // 41) % 40) AS node_id FROM e
+  UNION ALL
+  SELECT k, 'n' || ((k * 7 + k // 41 + 17) % 40) FROM e),
+base AS (
+  SELECT c.k, c.node_id, n.rack, n.part,
+         'a' || (c.k % 20) AS app_id,
+         CASE WHEN c.k % 2 = 0 THEN 'AND' ELSE 'OR' END AS comb
+  FROM cand c JOIN nodes n USING (node_id)),
+tags AS (
+  SELECT k, node_id,
+    unnest(CASE k % 3 WHEN 0 THEN ['hbase', 'zk']
+           WHEN 1 THEN ['web'] ELSE ['spark'] END) AS tag
+  FROM base WHERE k % 7 <> 6),
+card AS (
+  SELECT t.k, t.node_id, t.tag,
+    coalesce(p.cnt, 0)
+      - CASE WHEN t.k % 5 = 1 THEN coalesce(o.cnt, 0) ELSE 0 END
+      AS card
+  FROM tags t
+  JOIN base b ON b.k = t.k AND b.node_id = t.node_id
+  LEFT JOIN store p ON p.kind = CASE WHEN t.k % 2 = 0
+                                     THEN 'node' ELSE 'rack' END
+    AND p.entity = CASE WHEN t.k % 2 = 0 THEN t.node_id ELSE b.rack END
+    AND p.tag = t.tag
+    AND p.ns = CASE WHEN t.k % 5 IN (1, 2) THEN 'all'
+                    WHEN t.k % 5 = 4 THEN 'apptag' ELSE 'app' END
+    AND p.key = CASE t.k % 5 WHEN 0 THEN b.app_id WHEN 3 THEN 'a3'
+                     WHEN 4 THEN 'svc' ELSE '' END
+  LEFT JOIN store o ON t.k % 5 = 1
+    AND o.kind = CASE WHEN t.k % 2 = 0 THEN 'node' ELSE 'rack' END
+    AND o.entity = CASE WHEN t.k % 2 = 0 THEN t.node_id ELSE b.rack END
+    AND o.tag = t.tag AND o.ns = 'app' AND o.key = b.app_id),
+t1 AS (
+  SELECT k, node_id,
+    (CASE k % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END <= 0
+     OR min(card) >= CASE k % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END)
+    AND (CASE k % 4 WHEN 0 THEN 0 WHEN 2 THEN 3 WHEN 3 THEN 5
+              ELSE 2147483647 END = 2147483647
+     OR max(card) <= CASE k % 4 WHEN 0 THEN 0 WHEN 2 THEN 3
+              WHEN 3 THEN 5 ELSE 2147483647 END) AS ok
+  FROM card GROUP BY k, node_id),
+verd AS (
+  SELECT b.k, b.node_id, b.comb,
+    t1.ok AS t1_ok,
+    CASE WHEN b.k % 6 < 3 THEN b.part = 'gpu' ELSE b.part = '' END
+      AS t2_ok,
+    CASE WHEN na.aval IS NULL THEN b.k % 3 = 0
+         WHEN b.k % 3 = 0 THEN na.aval <> CASE WHEN b.k % 2 = 0 THEN
+           CASE WHEN b.k % 4 < 2 THEN '1.8' ELSE '11' END
+           ELSE 'centos' END
+         ELSE na.aval = CASE WHEN b.k % 2 = 0 THEN
+           CASE WHEN b.k % 4 < 2 THEN '1.8' ELSE '11' END
+           ELSE 'centos' END END AS t3_ok,
+    b.k % 7 <> 6 AS has_t1,
+    b.k % 3 = 0 AS has_t2,
+    b.k % 3 = 0 AND b.k % 4 < 2 AS t2_in_g1,
+    b.k % 5 < 2 AS has_t3
+  FROM base b
+  LEFT JOIN t1 ON t1.k = b.k AND t1.node_id = b.node_id
+  LEFT JOIN nattr na ON na.node_id = b.node_id
+    AND na.akey = CASE WHEN b.k % 2 = 0 THEN 'java' ELSE 'os' END),
+fin AS (
+  SELECT k, node_id, comb,
+    has_t1 OR (has_t2 AND NOT t2_in_g1) OR has_t3 AS g0_exists,
+    (NOT has_t1 OR t1_ok)
+      AND (NOT (has_t2 AND NOT t2_in_g1) OR t2_ok)
+      AND (NOT has_t3 OR t3_ok) AS g0_ok,
+    t2_in_g1 AS g1_exists, t2_ok AS g1_ok
+  FROM verd)
+SELECT k AS req_id, node_id,
+  CASE WHEN NOT g0_exists AND NOT g1_exists THEN TRUE
+       WHEN NOT g1_exists THEN g0_ok
+       WHEN NOT g0_exists THEN g1_ok
+       WHEN comb = 'AND' THEN g0_ok AND g1_ok
+       ELSE g0_ok OR g1_ok END AS satisfied
+FROM fin
+"""
+
+
+@register("placement_constraint_matrix", _CONSTRAINTS_ORACLE)
+def placement_constraint_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """YARN rich placement constraints (operators/constraints —
+    PlacementConstraintsUtil.canSatisfyConstraints:297-329 null
+    constraint trivially satisfied, And:262-274 / Or:285-295 over
+    children; allocation-tag cardinality :74-116 with min-checked-
+    only-when->0 / max-only-when-<MAX_INT and Long::min / Long::max
+    tag reduction [AllocationTagsManager.getCardinality:176-199,
+    absent tag = 0]; self / not-self / all / app-id / app-tag
+    namespaces [aggregateAllocationTags:306-333]; node-partition
+    :118-132 empty-set means NO_LABEL; node-attribute :149-214
+    key-only equality so NE accepts a node lacking the key). The
+    fixture pins a 40-node / 20-app tag store to an absolute id
+    range (cluster state is cluster-sized; requests grow with the
+    corpus) and sweeps every namespace x scope x cardinality shape,
+    both partition forms, EQ/NE on present and absent attributes,
+    two-group And/Or composition and the no-term trivial pass — all
+    live at sf0.01. Scale: ONE aggregation of raw allocation rows
+    feeds a broadcastable unified count store; candidate x term rows
+    take two broadcast lookups, so the plan is linear in candidates
+    x terms with no all-pairs anywhere."""
+    from hadoop_source_spark.operators import constraints
+
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    seed = e.where(k < 2000)
+    small = e.where(k < 40)
+    alloc_tags = (
+        seed.select(
+            F.concat(
+                F.lit("a"), ((k + F.floor(k / 37)) % 20).cast("string")
+            ).alias("app_id"),
+            F.concat(
+                F.lit("n"),
+                ((k * 13 + F.floor(k / 53)) % 40).cast("string"),
+            ).alias("node_id"),
+            F.when((k + F.floor(k / 29)) % 4 == 0, "hbase")
+            .when((k + F.floor(k / 29)) % 4 == 1, "zk")
+            .when((k + F.floor(k / 29)) % 4 == 2, "web")
+            .otherwise("spark")
+            .alias("tag"),
+        )
+        .groupBy("app_id", "node_id", "tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nodes = small.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("node_id"),
+        F.concat(F.lit("r"), (k % 8).cast("string")).alias("rack"),
+        F.when(k % 10 == 0, "gpu").otherwise("").alias("partition"),
+    )
+    node_attrs = small.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("node_id"),
+        F.lit("java").alias("attr_key"),
+        F.when(k % 3 == 0, "1.8")
+        .when(k % 3 == 1, "11")
+        .otherwise("17")
+        .alias("attr_value"),
+    ).unionByName(
+        small.where(k % 4 != 3).select(
+            F.concat(F.lit("n"), k.cast("string")).alias("node_id"),
+            F.lit("os").alias("attr_key"),
+            F.when(k % 2 == 0, "centos").otherwise("ubuntu").alias(
+                "attr_value"
+            ),
+        )
+    )
+    app_tags = (
+        e.where((k < 20) & (k % 2 == 0))
+        .select(
+            F.concat(F.lit("a"), k.cast("string")).alias("app_id"),
+            F.lit("svc").alias("app_tag"),
+        )
+        .unionByName(
+            e.where((k < 20) & (k % 3 == 0)).select(
+                F.concat(F.lit("a"), k.cast("string")).alias("app_id"),
+                F.lit("web").alias("app_tag"),
+            )
+        )
+    )
+    requests = e.select(
+        k.alias("req_id"),
+        F.concat(F.lit("a"), (k % 20).cast("string")).alias("app_id"),
+        F.when(k % 2 == 0, "AND").otherwise("OR").alias("combinator"),
+    )
+    candidates = e.select(
+        k.alias("req_id"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("n"),
+                    ((k * 7 + F.floor(k / 41)) % 40).cast("string"),
+                ),
+                F.concat(
+                    F.lit("n"),
+                    ((k * 7 + F.floor(k / 41) + 17) % 40).cast("string"),
+                ),
+            )
+        ).alias("node_id"),
+    )
+    nulls = F.lit(None).cast("string")
+    t1 = e.where(k % 7 != 6).select(
+        k.alias("req_id"),
+        F.lit(0).alias("group_id"), F.lit(0).alias("term_id"),
+        F.when(k % 2 == 0, "node").otherwise("rack").alias("scope"),
+        F.lit("allocation_tag").alias("target_type"),
+        F.when(k % 5 == 0, "self")
+        .when(k % 5 == 1, "not-self")
+        .when(k % 5 == 2, "all")
+        .when(k % 5 == 3, "app-id/a3")
+        .otherwise("app-tag/svc")
+        .alias("namespace"),
+        nulls.alias("target_key"),
+        F.when(k % 3 == 0, F.array(F.lit("hbase"), F.lit("zk")))
+        .when(k % 3 == 1, F.array(F.lit("web")))
+        .otherwise(F.array(F.lit("spark")))
+        .alias("target_values"),
+        F.when(k % 4 == 0, 0).when(k % 4 == 3, 2).otherwise(1)
+        .cast("int").alias("min_card"),
+        F.when(k % 4 == 0, 0).when(k % 4 == 2, 3).when(k % 4 == 3, 5)
+        .otherwise(constraints.MAX_CARD)
+        .cast("int").alias("max_card"),
+        nulls.alias("attr_opcode"),
+    )
+    t2 = e.where(k % 3 == 0).select(
+        k.alias("req_id"),
+        F.when(k % 4 < 2, 1).otherwise(0).cast("int").alias("group_id"),
+        F.lit(1).alias("term_id"),
+        F.lit("node").alias("scope"),
+        F.lit("node_partition").alias("target_type"),
+        nulls.alias("namespace"), nulls.alias("target_key"),
+        F.when(k % 6 < 3, F.array(F.lit("gpu")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("target_values"),
+        F.lit(0).alias("min_card"),
+        F.lit(constraints.MAX_CARD).alias("max_card"),
+        nulls.alias("attr_opcode"),
+    )
+    t3 = e.where(k % 5 < 2).select(
+        k.alias("req_id"),
+        F.lit(0).alias("group_id"), F.lit(2).alias("term_id"),
+        F.lit("node").alias("scope"),
+        F.lit("node_attribute").alias("target_type"),
+        nulls.alias("namespace"),
+        F.when(k % 2 == 0, "java").otherwise("os").alias("target_key"),
+        F.array(
+            F.when(
+                k % 2 == 0,
+                F.when(k % 4 < 2, "1.8").otherwise("11"),
+            ).otherwise(F.lit("centos"))
+        ).alias("target_values"),
+        F.lit(0).alias("min_card"),
+        F.lit(constraints.MAX_CARD).alias("max_card"),
+        F.when(k % 3 == 0, "NE").otherwise("EQ").alias("attr_opcode"),
+    )
+    terms = t1.unionByName(t2).unionByName(t3)
+    return constraints.placement_matrix(
+        candidates, requests, terms, nodes, node_attrs, alloc_tags,
+        app_tags,
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -15715,6 +16140,8 @@ _WINDOW: list[str] = [
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
     "groups_cache_lookup", "container_relaunch_plan",
+    "block_report_lease_check", "block_report_lease_admission",
+    "placement_constraint_matrix",
     # rotated out of the checked prefix in r11 (verified r09 + r10):
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
@@ -15723,7 +16150,7 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 214, len(_WINDOW)
+assert len(_WINDOW) == 217, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
