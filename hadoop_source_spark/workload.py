@@ -16012,6 +16012,662 @@ def placement_constraint_matrix(
     )
 
 
+_SPS_STATUS_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events)
+SELECT k AS file_id,
+  CASE WHEN k % 13 = 0 THEN 'ANALYSIS_SKIPPED_FOR_RETRY'
+       WHEN k % 17 = 0 THEN 'BLOCKS_TARGET_PAIRING_SKIPPED'
+       WHEN k % 9 = 0 AND k % 5 IN (1, 4)
+         THEN 'BLOCKS_TARGET_PAIRING_SKIPPED'
+       WHEN k % 6 >= 2 AND NOT (k % 19 = 0 AND k % 9 <> 0 AND k % 5 = 1)
+         THEN 'BLOCKS_TARGETS_PAIRED'
+       WHEN k % 19 = 0 THEN 'FEW_LOW_REDUNDANCY_BLOCKS'
+       ELSE 'BLOCKS_ALREADY_SATISFIED' END AS status
+FROM e
+"""
+
+
+def _sps_fixture(spark: SparkSession, sf_dir: str):
+    from hadoop_source_spark.operators import sps  # noqa: F401
+
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    files = e.select(
+        k.alias("file_id"),
+        F.when(k % 5 == 0, "HOT").when(k % 5 == 1, "WARM")
+        .when(k % 5 == 2, "COLD").when(k % 5 == 3, "ALL_SSD")
+        .otherwise("ONE_SSD").alias("policy"),
+        F.lit(3).alias("replication"),
+        (k % 13 == 0).alias("under_construction"),
+        (k % 9 == 0).alias("is_striped"),
+        F.lit(2).alias("ec_data"), F.lit(1).alias("ec_parity"),
+    )
+    withb = e.where(k % 17 != 0)
+    blocks = (
+        withb.select((k * 2).alias("block_id"), k.alias("file_id"))
+        .unionByName(
+            withb.where(k % 4 == 0).select(
+                (k * 2 + 1).alias("block_id"), k.alias("file_id")
+            )
+        )
+    )
+    reps = (
+        withb.select(
+            k,
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("bidx"),
+        )
+        .where((F.col("bidx") == 0) | (k % 4 == 0))
+        .select(
+            k, "bidx",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias(
+                "slot"
+            ),
+        )
+        .where((k % 19 != 0) | (F.col("slot") < 2))
+    )
+    base = (k * 3 + F.col("bidx")) % 24
+    tmpl = (
+        F.when(k % 5 == 0, F.lit("DISK"))  # HOT all slots
+        .when(
+            k % 5 == 1,
+            F.when(F.col("slot") == 0, "DISK").otherwise("ARCHIVE"),
+        )
+        .when(k % 5 == 2, F.lit("ARCHIVE"))
+        .when(k % 5 == 3, F.lit("SSD"))
+        .otherwise(
+            F.when(F.col("slot") == 0, "SSD").otherwise("DISK")
+        )
+    )
+    swap = (
+        F.when(k % 5 == 0, "ARCHIVE").when(k % 5 == 1, "ARCHIVE")
+        .when(k % 5 == 2, "DISK").when(k % 5 == 3, "DISK")
+        .otherwise("ARCHIVE")
+    )
+    replicas = reps.select(
+        (k * 2 + F.col("bidx")).alias("block_id"),
+        F.col("slot").cast("int").alias("slot"),
+        F.concat(
+            F.lit("d"), ((base + F.col("slot") * 7) % 24).cast("string")
+        ).alias("node_id"),
+        F.when((F.col("slot") == 0) & (k % 6 >= 2), swap)
+        .otherwise(tmpl)
+        .alias("storage_type"),
+    )
+    small = e.where(k < 24)
+    GB = 1_000_000_000
+
+    def stor(stype, availcond):
+        return small.select(
+            F.concat(F.lit("d"), k.cast("string")).alias("node_id"),
+            F.lit(stype).alias("storage_type"),
+            F.when(availcond, GB).otherwise(0).cast("long").alias(
+                "avail_bytes"
+            ),
+        )
+
+    node_storages = (
+        stor("DISK", k % 5 != 4)
+        .unionByName(stor("ARCHIVE", k % 7 < 5))
+        .unionByName(stor("SSD", k == 1))
+    )
+    nodes = small.select(
+        F.concat(F.lit("d"), k.cast("string")).alias("node_id"),
+        F.concat(F.lit("k"), (k % 6).cast("string")).alias("rack"),
+    )
+    return files, blocks, replicas, node_storages, nodes
+
+
+@register("sps_file_status", _SPS_STATUS_ORACLE)
+def sps_file_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPS per-file analysis status (operators/sps —
+    StoragePolicySatisfier.analyseBlocksStorageMovementsAndAssignToDN
+    :347-459: UC postpone, no-blocks skip, EC-unsuitable-policy skip
+    [ErasureCodingPolicyManager:181-191 suitable = HOT/COLD/ALL_SSD],
+    multiset overlap removal [removeOverlapBetweenStorageTypes:
+    1182-1196 — satisfied when EITHER side empties, which makes an
+    under-replicated WARM file whose replicas all match template
+    slots read satisfied], the :514/:561 always-true pairing latch,
+    and the low-redundancy override :431-432). Files sweep all five
+    policies x striped/continuous x UC/no-block/satisfied/mismatched
+    /under-replicated — every status live at sf0.01. Scale: pure
+    codegen count-comparison per block + one groupBy(file_id);
+    no kernel on this path."""
+    from hadoop_source_spark.operators import sps
+
+    files, blocks, replicas, _, _ = _sps_fixture(spark, sf_dir)
+    return sps.file_status(files, blocks, replicas)
+
+
+_SPS_MOVES_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+b AS (
+  SELECT k, unnest([0, 1]) AS bidx FROM e
+  WHERE k % 17 <> 0 AND k % 13 <> 0 AND k % 6 >= 2
+    AND NOT (k % 9 = 0 AND k % 5 IN (1, 4))
+    AND NOT (k % 19 = 0 AND k % 9 <> 0 AND k % 5 = 1)),
+p AS (
+  SELECT k, bidx, (k * 3 + bidx) % 24 AS base,
+    k % 19 <> 0 AS r3,
+    CASE k % 5 WHEN 0 THEN 'ARCHIVE' WHEN 1 THEN 'ARCHIVE'
+         WHEN 2 THEN 'DISK' WHEN 3 THEN 'DISK'
+         ELSE 'ARCHIVE' END AS st,
+    CASE k % 5 WHEN 0 THEN 'DISK' WHEN 1 THEN 'DISK'
+         WHEN 2 THEN 'ARCHIVE' WHEN 3 THEN 'SSD'
+         ELSE 'SSD' END AS t1,
+    CASE WHEN k % 19 = 0 AND k % 9 <> 0 AND k % 5 = 4
+         THEN 'DISK' END AS t2
+  FROM b WHERE bidx = 0 OR k % 4 = 0),
+n AS (
+  SELECT k AS num, 'd' || k AS node_id, k % 6 AS rack,
+    k % 5 <> 4 AS av_disk, k % 7 < 5 AS av_arch, k = 1 AS av_ssd
+  FROM e WHERE k < 24),
+x AS (
+  SELECT p.*,
+    (SELECT bool_or(CASE WHEN p.t1 = 'DISK' THEN av_disk
+        WHEN p.t1 = 'ARCHIVE' THEN av_arch
+        WHEN p.t1 = 'SSD' THEN av_ssd END)
+     FROM n WHERE num = p.base) AS loc1,
+    (SELECT bool_or(CASE WHEN p.t2 = 'DISK' THEN av_disk
+        WHEN p.t2 = 'ARCHIVE' THEN av_arch
+        WHEN p.t2 = 'SSD' THEN av_ssd END)
+     FROM n WHERE num = p.base) AS loc2,
+    (SELECT min(node_id) FROM n
+     WHERE rack = p.base % 6 AND num <> p.base
+       AND num <> (p.base + 7) % 24
+       AND (NOT p.r3 OR num <> (p.base + 14) % 24)
+       AND CASE WHEN p.t1 = 'DISK' THEN av_disk
+           WHEN p.t1 = 'ARCHIVE' THEN av_arch
+           WHEN p.t1 = 'SSD' THEN av_ssd END) AS rk1,
+    (SELECT min(node_id) FROM n
+     WHERE rack = p.base % 6 AND num <> p.base
+       AND num <> (p.base + 7) % 24
+       AND (NOT p.r3 OR num <> (p.base + 14) % 24)
+       AND CASE WHEN p.t2 = 'DISK' THEN av_disk
+           WHEN p.t2 = 'ARCHIVE' THEN av_arch
+           WHEN p.t2 = 'SSD' THEN av_ssd END) AS rk2,
+    (SELECT min(node_id) FROM n
+     WHERE num <> p.base AND num <> (p.base + 7) % 24
+       AND (NOT p.r3 OR num <> (p.base + 14) % 24)
+       AND CASE WHEN p.t1 = 'DISK' THEN av_disk
+           WHEN p.t1 = 'ARCHIVE' THEN av_arch
+           WHEN p.t1 = 'SSD' THEN av_ssd END) AS any1,
+    (SELECT min(node_id) FROM n
+     WHERE num <> p.base AND num <> (p.base + 7) % 24
+       AND (NOT p.r3 OR num <> (p.base + 14) % 24)
+       AND CASE WHEN p.t2 = 'DISK' THEN av_disk
+           WHEN p.t2 = 'ARCHIVE' THEN av_arch
+           WHEN p.t2 = 'SSD' THEN av_ssd END) AS any2
+  FROM p)
+SELECT k * 2 + bidx AS block_id, k AS file_id,
+  'd' || base AS source_node, st AS source_type,
+  CASE WHEN coalesce(loc1, FALSE) OR coalesce(loc2, FALSE)
+         THEN 'LOCAL'
+       WHEN rk1 IS NOT NULL OR rk2 IS NOT NULL
+         THEN 'REMOTE_SAME_RACK'
+       WHEN any1 IS NOT NULL OR any2 IS NOT NULL THEN 'REMOTE_ANY'
+       ELSE 'UNPAIRED' END AS action,
+  CASE WHEN coalesce(loc1, FALSE) THEN t1
+       WHEN coalesce(loc2, FALSE) THEN t2
+       WHEN rk1 IS NOT NULL THEN t1
+       WHEN rk2 IS NOT NULL THEN t2
+       WHEN any1 IS NOT NULL THEN t1
+       WHEN any2 IS NOT NULL THEN t2 END AS target_type,
+  CASE WHEN coalesce(loc1, FALSE) OR coalesce(loc2, FALSE)
+         THEN 'd' || base
+       WHEN rk1 IS NOT NULL THEN rk1
+       WHEN rk2 IS NOT NULL THEN rk2
+       WHEN any1 IS NOT NULL THEN any1
+       WHEN any2 IS NOT NULL THEN any2 END AS target_node
+FROM x
+"""
+
+
+@register("sps_move_plan", _SPS_MOVES_ORACLE)
+def sps_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPS source->target pairing (operators/sps — source passes
+    computeBlockMovingInfos:510-567 [existence-not-space node check
+    :881-902, replica-type pairing, leftover-type pass], partial
+    target map findTargetsForExpectedStorageTypes:837-864, local
+    pass chooseTargetTypeInSameNode:749-773 walking pending types in
+    order, remote tiers SAME_RACK-then-ANY :629-677 with the
+    exclude set of replicas + chosen targets; the reference shuffles
+    remote candidates :784 so the engine pins the smallest-id
+    representative and reports the deterministic kind/type surface).
+    The fixture's replica racks are pairwise distinct per block and
+    SSD space exists on exactly one node, so LOCAL / REMOTE_SAME_RACK
+    / REMOTE_ANY / UNPAIRED and the two-pending-type walk (ONE_SSD
+    under-replication) are all live at sf0.01 with a closed-form
+    oracle. Scale: only mismatched blocks reach the Arrow-batched
+    kernel (work proportional to the drift, like the real SPS);
+    the storage report it consults is cluster-conf-sized."""
+    from hadoop_source_spark.operators import sps
+
+    files, blocks, replicas, node_storages, nodes = _sps_fixture(
+        spark, sf_dir
+    )
+    return sps.move_plan(files, blocks, replicas, node_storages, nodes)
+
+
+_RBF_REGS_SQL = """
+  SELECT 'r' || (k % 5) AS router_id,
+         'ns' || ((k // 5) % 53) AS nameservice,
+         'nn' || (k // 5) AS namenode_id,
+         CASE (CASE (k // 5) % 4
+               WHEN 0 THEN k // 5
+               WHEN 1 THEN k // 5
+                 + CASE WHEN k % 5 < 3 THEN 0 ELSE k % 5 END
+               WHEN 2 THEN k // 5 + k % 5
+               ELSE k // 5 + k % 5 - (k % 5) % 2 END) % 6
+              WHEN 0 THEN 'ACTIVE'
+              WHEN 1 THEN 'OBSERVER' WHEN 2 THEN 'STANDBY'
+              WHEN 3 THEN 'UNAVAILABLE' WHEN 4 THEN 'EXPIRED'
+              ELSE 'ACTIVE' END AS state,
+         CASE WHEN k % 10 < 2 THEN 1700000000000 - 13
+              ELSE 1700000000000 - (k * 37) % 1000 END AS date_modified
+  FROM e
+"""
+
+_RBF_QUORUM_ORACLE = (
+    "WITH e AS (SELECT event_id AS k FROM events),\nregs AS ("
+    + _RBF_REGS_SQL
+    + """),
+dedup AS (
+  SELECT nameservice, namenode_id, state, date_modified,
+         min(router_id) AS router_id
+  FROM regs GROUP BY 1, 2, 3, 4),
+grp AS (
+  SELECT nameservice, namenode_id, state,
+         count(*) AS grp_size,
+         max(date_modified) AS newest_date,
+         arg_max(router_id, date_modified) AS newest_router,
+         CASE state WHEN 'ACTIVE' THEN 0 WHEN 'OBSERVER' THEN 1
+              WHEN 'STANDBY' THEN 2 WHEN 'UNAVAILABLE' THEN 3
+              WHEN 'EXPIRED' THEN 4 ELSE 5 END AS ord
+  FROM dedup GROUP BY 1, 2, 3),
+rn AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY nameservice, namenode_id
+      ORDER BY grp_size DESC, newest_date DESC, ord ASC) AS r_large,
+    row_number() OVER (PARTITION BY nameservice, namenode_id
+      ORDER BY newest_date DESC, ord ASC) AS r_new
+  FROM grp),
+n AS (
+  SELECT nameservice, namenode_id, count(*) AS raw_n
+  FROM regs GROUP BY 1, 2),
+lg AS (SELECT * FROM rn WHERE r_large = 1),
+nw AS (SELECT * FROM rn WHERE r_new = 1)
+SELECT lg.nameservice, lg.namenode_id,
+  lg.grp_size > n.raw_n / 2.0 AS quorum,
+  CASE WHEN lg.grp_size > n.raw_n / 2.0 THEN lg.state
+       ELSE nw.state END AS rep_state,
+  CASE WHEN lg.grp_size > n.raw_n / 2.0 THEN lg.newest_router
+       ELSE nw.newest_router END AS rep_router,
+  CASE WHEN lg.grp_size > n.raw_n / 2.0 THEN lg.newest_date
+       ELSE nw.newest_date END AS rep_date
+FROM lg
+JOIN nw USING (nameservice, namenode_id)
+JOIN n USING (nameservice, namenode_id)
+"""
+)
+
+
+def _rbf_state_name(idx):
+    return (
+        F.when(idx == 0, "ACTIVE").when(idx == 1, "OBSERVER")
+        .when(idx == 2, "STANDBY").when(idx == 3, "UNAVAILABLE")
+        .when(idx == 4, "EXPIRED").otherwise("ACTIVE")
+    )
+
+
+def _rbf_regs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    gid = F.floor(k / 5)
+    return e.select(
+        F.concat(F.lit("r"), (k % 5).cast("string")).alias("router_id"),
+        F.concat(F.lit("ns"), (gid % 53).cast("string")).alias(
+            "nameservice"
+        ),
+        F.concat(F.lit("nn"), gid.cast("string")).alias("namenode_id"),
+        _rbf_state_name(
+            F.when(gid % 4 == 0, gid)
+            .when(
+                gid % 4 == 1,
+                gid + F.when(k % 5 < 3, 0).otherwise(k % 5),
+            )
+            .when(gid % 4 == 2, gid + k % 5)
+            .otherwise(gid + k % 5 - (k % 5) % 2)
+            % 6
+        ).alias("state"),
+        F.when(k % 10 < 2, 1_700_000_000_000 - 13)
+        .otherwise(1_700_000_000_000 - (k * 37) % 1000)
+        .cast("long")
+        .alias("date_modified"),
+    )
+
+
+@register("rbf_membership_quorum", _RBF_QUORUM_ORACLE)
+def rbf_membership_quorum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF membership quorum (operators/rbfmembership —
+    MembershipStoreImpl.getRepresentativeQuorum:276-312: per-state
+    TreeSets under BaseRecord natural order so equal-dateModified
+    records COLLAPSE [BaseRecord.compareTo:205-211 returns 0] and
+    group sizes count distinct dates, while the quorum threshold
+    divides by the RAW record count :302; a quorum group answers
+    with its newest record, else the overall newest; hash-order
+    largest-group ties pinned to size/newest/state-ordinal as
+    documented). Events become 5-router registration reports per
+    namenode with pseudo-random states and deliberate date
+    collisions — quorum and no-quorum verdicts, collapsed duplicate
+    dates and every state live at sf0.01. Scale: one shuffle keyed
+    (ns, nn); two max_by reductions, no windows over raw rows."""
+    from hadoop_source_spark.operators import rbfmembership
+
+    return rbfmembership.representative_registrations(
+        _rbf_regs(spark, sf_dir)
+    )
+
+
+_RBF_PRIORITY_ORACLE = (
+    "WITH e AS (SELECT event_id AS k FROM events),\nregs AS ("
+    + _RBF_REGS_SQL
+    + """),
+dedup AS (
+  SELECT nameservice, namenode_id, state, date_modified,
+         min(router_id) AS router_id
+  FROM regs GROUP BY 1, 2, 3, 4),
+grp AS (
+  SELECT nameservice, namenode_id, state,
+         count(*) AS grp_size,
+         max(date_modified) AS newest_date,
+         CASE state WHEN 'ACTIVE' THEN 0 WHEN 'OBSERVER' THEN 1
+              WHEN 'STANDBY' THEN 2 WHEN 'UNAVAILABLE' THEN 3
+              WHEN 'EXPIRED' THEN 4 ELSE 5 END AS ord
+  FROM dedup GROUP BY 1, 2, 3),
+rn AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY nameservice, namenode_id
+      ORDER BY grp_size DESC, newest_date DESC, ord ASC) AS r_large,
+    row_number() OVER (PARTITION BY nameservice, namenode_id
+      ORDER BY newest_date DESC, ord ASC) AS r_new
+  FROM grp),
+n AS (
+  SELECT nameservice, namenode_id, count(*) AS raw_n
+  FROM regs GROUP BY 1, 2),
+rep AS (
+  SELECT lg.nameservice, lg.namenode_id,
+    CASE WHEN lg.grp_size > n.raw_n / 2.0 THEN lg.state
+         ELSE nw.state END AS rep_state,
+    CASE WHEN lg.grp_size > n.raw_n / 2.0 THEN lg.newest_date
+         ELSE nw.newest_date END AS rep_date
+  FROM (SELECT * FROM rn WHERE r_large = 1) lg
+  JOIN (SELECT * FROM rn WHERE r_new = 1) nw
+    USING (nameservice, namenode_id)
+  JOIN n USING (nameservice, namenode_id))
+SELECT nameservice, namenode_id, rep_state,
+  CAST(row_number() OVER (PARTITION BY nameservice
+    ORDER BY CASE rep_state WHEN 'ACTIVE' THEN 0
+         WHEN 'OBSERVER' THEN 1 WHEN 'STANDBY' THEN 2
+         WHEN 'UNAVAILABLE' THEN 3 ELSE 5 END ASC,
+      rep_date DESC, namenode_id ASC) AS INT) AS priority
+FROM rep WHERE rep_state <> 'EXPIRED'
+"""
+)
+
+
+@register("rbf_namenode_priority", _RBF_PRIORITY_ORACLE)
+def rbf_namenode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF RPC target ordering (operators/rbfmembership —
+    MembershipNamenodeResolver.getRecentRegistrationForQuery:352-383
+    drops EXPIRED [UNAVAILABLE kept when requested], then
+    NamenodePriorityComparator:40-66 sorts by the service-state enum
+    ordinal ACTIVE < OBSERVER < STANDBY < UNAVAILABLE with
+    newest-dateModified tie-break inside a state; equal (state,
+    date) pinned to namenode id). Consumes the quorum
+    representatives; one window per nameservice. All four rankable
+    states live at sf0.01."""
+    from hadoop_source_spark.operators import rbfmembership
+
+    reps = rbfmembership.representative_registrations(
+        _rbf_regs(spark, sf_dir)
+    )
+    return rbfmembership.namenode_priority(reps)
+
+
+_REENC_BASE_SQL = """
+f AS (
+  SELECT k % 20 AS zone_id,
+         printf('/ez%d/f%08d', k % 20, k) AS path,
+         CASE WHEN k % 11 = 0 THEN NULL
+              WHEN k % 6 < 2 THEN 'v2' ELSE 'v1' END AS fe,
+         k % 97 = 0 AS fault
+  FROM e),
+z AS (
+  SELECT k AS zone_id, 'v2' AS ver, k % 7 = 0 AS canceled,
+         CASE WHEN k % 5 = 0
+              THEN printf('/ez%d/f%08d', k, 500) END AS last
+  FROM e WHERE k < 20),
+j AS (
+  SELECT f.*, z.ver, z.canceled, z.last,
+    NOT z.canceled
+      AND (z.last IS NULL OR f.path > z.last)
+      AND f.fe IS NOT NULL AND f.fe <> z.ver AS elig
+  FROM f JOIN z USING (zone_id)),
+b AS (
+  SELECT *, CASE WHEN elig THEN CAST((row_number() OVER (
+      PARTITION BY zone_id, elig ORDER BY path) - 1) // 16 AS INT)
+    END AS batch_id
+  FROM j),
+fl AS (
+  SELECT zone_id, batch_id, bool_or(fault) AS bf
+  FROM b WHERE elig GROUP BY 1, 2),
+plan AS (
+  SELECT b.zone_id, b.path,
+    CASE WHEN b.canceled THEN 'ZONE_CANCELED'
+         WHEN b.last IS NOT NULL AND b.path <= b.last
+           THEN 'SKIP_CHECKPOINTED'
+         WHEN b.fe IS NULL THEN 'SKIP_NOT_ENCRYPTED'
+         WHEN b.fe = b.ver THEN 'SKIP_CURRENT_VERSION'
+         WHEN fl.bf THEN 'BATCH_FAILED'
+         ELSE 'REENCRYPTED' END AS verdict,
+    b.batch_id
+  FROM b LEFT JOIN fl USING (zone_id, batch_id))
+"""
+
+_REENC_ORACLE = (
+    "WITH e AS (SELECT event_id AS k FROM events),"
+    + _REENC_BASE_SQL
+    + "SELECT zone_id, path, verdict, batch_id FROM plan"
+)
+
+
+def _reenc_inputs(spark: SparkSession, sf_dir: str):
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    zones = e.where(k < 20).select(
+        k.alias("zone_id"),
+        F.lit("v2").alias("ez_key_version"),
+        (k % 7 == 0).alias("canceled"),
+        F.when(
+            k % 5 == 0,
+            F.format_string("/ez%d/f%08d", k, F.lit(500)),
+        ).alias("last_processed"),
+    )
+    files = e.select(
+        (k % 20).alias("zone_id"),
+        F.format_string("/ez%d/f%08d", k % 20, k).alias("path"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 6 < 2, "v2")
+        .otherwise("v1")
+        .alias("fe_version"),
+        (k % 97 == 0).alias("kms_fault"),
+    )
+    return zones, files
+
+
+@register("reencryption_batch_plan", _REENC_ORACLE)
+def reencryption_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EZ re-encryption sweep (operators/reencryption —
+    ReencryptionHandler.processFileInode:640-668 unencrypted and
+    current-key-version skips; batches of
+    dfs.namenode.reencrypt.batch.size eligible files in traversal
+    order, each failing ATOMICALLY with its single KMS call
+    [EDEKReencryptCallable:560-580]; restoreFromLastProcessedFile:
+    465-476 resume-after-checkpoint skip; checkINodeReady:672-690
+    canceled-zone abort; the KMS throttler is time-based daemon
+    pacing, documented unmodeled). Twenty zones pinned to an
+    absolute id range sweep canceled / checkpoint-resumed / fresh;
+    files sweep unencrypted / current / stale versions with KMS
+    fault injection — all six verdicts live at sf0.01 with batch
+    ids hash-checked. Scale: one when-chain + one eligible-row
+    window + one (zone, batch) aggregate, every exchange keyed on
+    the zone family."""
+    from hadoop_source_spark.operators import reencryption
+
+    zones, files = _reenc_inputs(spark, sf_dir)
+    return reencryption.batch_plan(zones, files, batch_size=16)
+
+
+_REENC_REPORT_ORACLE = (
+    "WITH e AS (SELECT event_id AS k FROM events),"
+    + _REENC_BASE_SQL
+    + """
+SELECT zone_id,
+  CAST(sum(CASE WHEN verdict = 'REENCRYPTED' THEN 1 ELSE 0 END)
+    AS BIGINT) AS files_reencrypted,
+  CAST(sum(CASE WHEN verdict = 'BATCH_FAILED' THEN 1 ELSE 0 END)
+    AS BIGINT) AS files_failed,
+  CAST(count(DISTINCT batch_id) AS INT) AS batches_submitted,
+  CAST(count(DISTINCT CASE WHEN verdict = 'BATCH_FAILED'
+    THEN batch_id END) AS INT) AS batches_failed,
+  CAST(sum(CASE WHEN verdict IN ('SKIP_CHECKPOINTED',
+    'SKIP_NOT_ENCRYPTED', 'SKIP_CURRENT_VERSION') THEN 1 ELSE 0 END)
+    AS BIGINT) AS files_skipped
+FROM plan GROUP BY zone_id
+"""
+)
+
+
+@register("reencryption_zone_report", _REENC_REPORT_ORACLE)
+def reencryption_zone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone rollup of the re-encryption sweep (ZoneReencryptionStatus
+    counters: per-file re-encrypted/failed tallies, per-BATCH
+    submission and failure counts — failures bump once per failed
+    KMS call, not per file). Same fixture as
+    reencryption_batch_plan; one extra zone-keyed aggregate."""
+    from hadoop_source_spark.operators import reencryption
+
+    zones, files = _reenc_inputs(spark, sf_dir)
+    return reencryption.zone_report(
+        reencryption.batch_plan(zones, files, batch_size=16)
+    )
+
+
+_APPLIFETIME_ORACLE = """
+WITH o AS (SELECT o_orderkey AS k FROM orders),
+q AS (
+  SELECT 'q' || k AS queue, k % 4 <> 3 AS is_leaf,
+    CASE WHEN k % 3 = 0 THEN -1 ELSE 300 + k * 10 END AS dflt,
+    CASE WHEN k % 2 = 0 THEN 0 ELSE 900 + k * 10 END AS qmax
+  FROM (SELECT event_id AS k FROM events WHERE event_id < 8)),
+a AS (
+  SELECT k, 'q' || (k % 9) AS queue,
+    CASE k % 5 WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 120
+         WHEN 3 THEN 5000 ELSE 100000 END AS req,
+    1700000000000 - (k * 97) % 10000000 AS submit,
+    k % 11 = 0 AS completed,
+    CASE k % 7 WHEN 0 THEN 1700000000000 - 5000
+         WHEN 1 THEN 1700000000000 + 50000
+         WHEN 2 THEN 1700000000000 + 200000000 END AS upd
+  FROM o),
+j AS (
+  SELECT a.*, q.is_leaf, q.dflt,
+    CASE WHEN q.is_leaf THEN q.qmax END AS qmax
+  FROM a LEFT JOIN q USING (queue)),
+x AS (
+  SELECT *,
+    CASE WHEN is_leaf IS NULL OR NOT is_leaf THEN req
+         WHEN qmax <= 0 THEN CASE WHEN req <= 0 THEN dflt ELSE req END
+         WHEN req <= 0 THEN dflt
+         WHEN req > qmax THEN qmax
+         ELSE req END AS eff,
+    submit + qmax * 1000 AS cap
+  FROM j),
+y AS (
+  SELECT *,
+    CASE WHEN upd IS NOT NULL THEN
+      CASE WHEN completed THEN 'IGNORED_COMPLETED'
+           WHEN upd < 1700000000000 THEN 'REJECTED_PAST'
+           WHEN qmax > 0 AND upd > cap THEN 'APPLIED_CAPPED'
+           ELSE 'APPLIED' END END AS outcome,
+    CASE WHEN eff > 0 THEN submit + eff * 1000 END AS base_exp
+  FROM x),
+z AS (
+  SELECT *,
+    CASE WHEN outcome IN ('APPLIED', 'APPLIED_CAPPED')
+         THEN CASE WHEN qmax > 0 AND upd > cap THEN cap ELSE upd END
+         ELSE base_exp END AS exp
+  FROM y)
+SELECT k AS app_id, eff AS effective_lifetime_sec,
+  outcome AS update_outcome,
+  CASE WHEN NOT completed THEN exp END AS expire_ms,
+  CASE WHEN completed THEN 'COMPLETED'
+       WHEN exp IS NULL THEN 'NOT_MONITORED'
+       WHEN exp <= 1700000000000 THEN 'EXPIRE_KILL'
+       ELSE 'MONITORED' END AS verdict
+FROM z
+"""
+
+
+@register("app_lifetime_plan", _APPLIFETIME_ORACLE)
+def app_lifetime_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN app lifetime resolution + monitor sweep
+    (operators/applifetime —
+    CapacityScheduler.checkAndGetApplicationLifetime:3228-3258
+    unknown/non-leaf passthrough, default-on-nonpositive,
+    cut-to-maximum; RMAppManager.updateApplicationTimeout:671-732
+    completed-app ignore + submitTime+queueMax cap;
+    RMServerUtils:560 STRICTLY-before-now rejection;
+    RMAppLifetimeMonitor.expire:74-96 kill-on-expiry,
+    never-registered on non-positive lifetime). Orders rows sweep
+    known/unknown/non-leaf queues x negative/zero/normal/over-max
+    requests x completed x past/normal/over-cap updates — all four
+    verdicts and all four update outcomes live at sf0.01. Scale:
+    one broadcast queue join + codegen when-chain, zero shuffles."""
+    from hadoop_source_spark.operators import applifetime
+
+    C = 1_700_000_000_000
+    K = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    k = F.col("event_id")
+    queues = e.where(k < 8).select(
+        F.concat(F.lit("q"), k.cast("string")).alias("queue"),
+        (k % 4 != 3).alias("is_leaf"),
+        F.when(k % 3 == 0, -1).otherwise(300 + k * 10).cast("long")
+        .alias("default_lifetime_sec"),
+        F.when(k % 2 == 0, 0).otherwise(900 + k * 10).cast("long")
+        .alias("max_lifetime_sec"),
+    )
+    apps = o.select(
+        K.alias("app_id"),
+        F.concat(F.lit("q"), (K % 9).cast("string")).alias("queue"),
+        F.when(K % 5 == 0, -1).when(K % 5 == 1, 0)
+        .when(K % 5 == 2, 120).when(K % 5 == 3, 5000)
+        .otherwise(100000).cast("long").alias("requested_lifetime_sec"),
+        (F.lit(C) - (K * 97) % 10_000_000).cast("long").alias(
+            "submit_time_ms"
+        ),
+        (K % 11 == 0).alias("completed"),
+        F.when(K % 7 == 0, C - 5000)
+        .when(K % 7 == 1, C + 50_000)
+        .when(K % 7 == 2, C + 200_000_000)
+        .cast("long")
+        .alias("update_expire_ms"),
+    )
+    return applifetime.lifetime_plan(apps, queues, now_ms=C)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -16142,6 +16798,10 @@ _WINDOW: list[str] = [
     "groups_cache_lookup", "container_relaunch_plan",
     "block_report_lease_check", "block_report_lease_admission",
     "placement_constraint_matrix",
+    "sps_file_status", "sps_move_plan",
+    "rbf_membership_quorum", "rbf_namenode_priority",
+    "reencryption_batch_plan", "reencryption_zone_report",
+    "app_lifetime_plan",
     # rotated out of the checked prefix in r11 (verified r09 + r10):
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
@@ -16150,7 +16810,7 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 217, len(_WINDOW)
+assert len(_WINDOW) == 224, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
