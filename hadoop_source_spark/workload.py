@@ -16668,6 +16668,101 @@ def app_lifetime_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applifetime.lifetime_plan(apps, queues, now_ms=C)
 
 
+_NFS_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+w AS (SELECT k, k // 8 AS f, (k // 8) % 8 AS s, k % 8 AS j FROM e)
+SELECT k AS write_id, f AS file_id,
+  CASE WHEN s = 1 AND j = 1 THEN 'BUFFERED'
+       WHEN s = 2 AND j = 1 THEN CASE WHEN f % 2 = 0
+         THEN 'PERFECT_OVERWRITE_OK' ELSE 'PERFECT_OVERWRITE_MISMATCH'
+         END
+       WHEN s = 3 AND j = 1 THEN 'TRIMMED_APPEND'
+       WHEN s = 4 AND j = 1 THEN 'BUFFERED'
+       WHEN s = 4 AND j = 2 THEN 'REPEATED_DROP'
+       WHEN s = 5 AND j IN (1, 2) THEN 'BUFFERED'
+       WHEN s = 5 AND j = 7 THEN CASE WHEN f % 2 = 0
+         THEN 'PERFECT_OVERWRITE_OK' ELSE 'PERFECT_OVERWRITE_MISMATCH'
+         END
+       WHEN s = 6 AND j = 1 THEN 'BUFFERED'
+       WHEN s = 7 AND j = 1 THEN 'DROPPED_COVERED'
+       WHEN s = 7 AND j = 2 THEN 'BUFFERED'
+       ELSE 'SEQUENTIAL' END AS verdict,
+  CAST(CASE WHEN (s = 3 AND j = 1) OR (s = 6 AND j = 1)
+         OR (s = 7 AND j = 2) THEN 50 ELSE 0 END AS INT)
+    AS trimmed_bytes,
+  NOT ((s = 2 AND j = 1) OR (s = 4 AND j = 2)
+       OR (s = 5 AND j IN (1, 2, 7)) OR (s = 7 AND j = 1))
+    AS executed,
+  CAST(CASE s WHEN 0 THEN 800 WHEN 1 THEN 800 WHEN 2 THEN 700
+       WHEN 3 THEN 750 WHEN 4 THEN 700 WHEN 5 THEN 500
+       WHEN 6 THEN 750 ELSE 750 END AS BIGINT) AS final_offset,
+  CAST(CASE s WHEN 1 THEN 100 WHEN 4 THEN 100 WHEN 5 THEN 200
+       WHEN 6 THEN 100 WHEN 7 THEN 300 ELSE 0 END AS BIGINT)
+    AS max_buffered,
+  CAST(CASE WHEN s = 5 THEN 2 ELSE 0 END AS INT) AS buffered_left
+FROM w
+"""
+
+
+@register("nfs_write_reorder", _NFS_ORACLE)
+def nfs_write_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFS gateway write reordering (operators/nfswrite —
+    OpenFileCtx.addWritesToCache:515-588 overwrite / straddle-trim /
+    sequential / buffer / repeated-drop arrival classes;
+    offerNextToWrite:965-1017 smallest-offset drain with the
+    covered-write silent removal :993-997 and the drain-time trim
+    :998-1006; processPerfectOverWrite byte-compare outcome taken as
+    an input flag; the jumbo NFS3ERR_INVAL needs a thread race and
+    is unreachable under the deterministic synchronous schedule —
+    documented). Every 8 events form one file following one of eight
+    closed-form write patterns: pure sequential, hole-filled,
+    perfect overwrite (both outcomes), reopen-append trim, repeated
+    request, stuck hole, drain-time trim, and covered-drop — all
+    seven verdicts, both trim sites and the stuck-hole rollup live
+    at sf0.01. Scale: one shuffle grouping writes per file; the
+    Arrow kernel replays a protocol-bounded in-flight window per
+    file."""
+    from hadoop_source_spark.operators import nfswrite
+
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    f = F.floor(k / 8)
+    s = f % 8
+    j = k % 8
+    off = (
+        F.when(s == 1, F.when(j == 1, 200).when(j == 2, 100)
+               .otherwise(j * 100))
+        .when(s == 2, F.when(j <= 1, 0).otherwise((j - 1) * 100))
+        .when(s == 3, F.when(j == 0, 0).when(j == 1, 50)
+              .otherwise(150 + (j - 2) * 100))
+        .when(s == 4, F.when(j == 0, 0).when(j.isin(1, 2), 300)
+              .when(j == 3, 100).when(j == 4, 200)
+              .otherwise((j - 1) * 100))
+        .when(s == 5, F.when(j == 0, 0).when(j == 1, 600)
+              .when(j == 2, 700).when(j == 7, 400)
+              .otherwise((j - 2) * 100))
+        .when(s == 6, F.when(j == 0, 0).when(j == 1, 150)
+              .when(j == 2, 100).otherwise(250 + (j - 3) * 100))
+        .when(s == 7, F.when(j == 0, 0).when(j == 1, 300)
+              .when(j == 2, 250).when(j == 3, 100).when(j == 4, 200)
+              .when(j == 5, 450).when(j == 6, 550).otherwise(650))
+        .otherwise(j * 100)
+    )
+    writes = e.select(
+        k.alias("write_id"),
+        f.alias("file_id"),
+        j.cast("int").alias("xid"),
+        off.cast("long").alias("offset"),
+        F.when((s == 7) & (j == 2), 200).otherwise(100).cast("int")
+        .alias("count"),
+        (f % 2 == 0).alias("data_matches"),
+    )
+    files = e.where(k % 8 == 0).select(
+        f.alias("file_id"), F.lit(0).cast("long").alias("initial_size")
+    )
+    return nfswrite.write_reorder_plan(files, writes)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -16801,7 +16896,7 @@ _WINDOW: list[str] = [
     "sps_file_status", "sps_move_plan",
     "rbf_membership_quorum", "rbf_namenode_priority",
     "reencryption_batch_plan", "reencryption_zone_report",
-    "app_lifetime_plan",
+    "app_lifetime_plan", "nfs_write_reorder",
     # rotated out of the checked prefix in r11 (verified r09 + r10):
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
@@ -16810,7 +16905,7 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 224, len(_WINDOW)
+assert len(_WINDOW) == 225, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

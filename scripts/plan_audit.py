@@ -155,6 +155,11 @@ def main() -> None:
     "scr_cache_sweep", "flow_run_rollup",
     "zkfc_failover_matrix", "zkfc_electability",
     "groups_cache_lookup", "container_relaunch_plan",
+    "block_report_lease_check", "block_report_lease_admission",
+    "placement_constraint_matrix", "sps_file_status", "sps_move_plan",
+    "rbf_membership_quorum", "rbf_namenode_priority",
+    "reencryption_batch_plan", "reencryption_zone_report",
+    "app_lifetime_plan", "nfs_write_reorder",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
