@@ -65,57 +65,47 @@ _TERM_COLS = [
 def _tag_stores(alloc_tags: DataFrame, nodes: DataFrame,
                 app_tags: DataFrame) -> DataFrame:
     """Unified cardinality store: (kind node|rack, entity, tag,
-    ns app|apptag|all, key, cnt). Derived from ONE aggregation of the
-    raw allocation rows; everything after reshuffles already-small
-    data."""
-    node_app = (
-        alloc_tags.groupBy("app_id", "node_id", "tag")
-        .agg(F.sum("cnt").alias("cnt"))
-        .join(F.broadcast(nodes.select("node_id", "rack")), "node_id")
-    )
-    rack_app = node_app.groupBy("app_id", "rack", "tag").agg(
-        F.sum("cnt").alias("cnt")
+    ns app|apptag|all, key, cnt). Each raw allocation row explodes
+    into its (kind, ns) projections BEFORE aggregating, so the whole
+    store is ONE groupBy — a single shuffle over the raw rows
+    instead of six per-shape re-aggregations of the same base."""
+    base = alloc_tags.join(
+        F.broadcast(nodes.select("node_id", "rack")), "node_id"
     )
 
-    def shape(df: DataFrame, kind: str, entity: str, ns: str,
-              key) -> DataFrame:
-        return df.select(
-            F.lit(kind).alias("kind"), F.col(entity).alias("entity"),
-            "tag", F.lit(ns).alias("ns"), key.alias("key"), "cnt",
+    def shape(kind, entity, ns, key):
+        return F.struct(
+            F.lit(kind).alias("kind"), entity.alias("entity"),
+            F.lit(ns).alias("ns"), key.alias("key"),
         )
 
-    parts = [
-        shape(node_app, "node", "node_id", "app", F.col("app_id")),
-        shape(rack_app, "rack", "rack", "app", F.col("app_id")),
-        shape(
-            node_app.groupBy("node_id", "tag").agg(
-                F.sum("cnt").alias("cnt")
-            ),
-            "node", "node_id", "all", F.lit(""),
-        ),
-        shape(
-            rack_app.groupBy("rack", "tag").agg(
-                F.sum("cnt").alias("cnt")
-            ),
-            "rack", "rack", "all", F.lit(""),
-        ),
-        shape(
-            node_app.join(app_tags, "app_id")
-            .groupBy("app_tag", "node_id", "tag")
-            .agg(F.sum("cnt").alias("cnt")),
-            "node", "node_id", "apptag", F.col("app_tag"),
-        ),
-        shape(
-            rack_app.join(app_tags, "app_id")
-            .groupBy("app_tag", "rack", "tag")
-            .agg(F.sum("cnt").alias("cnt")),
-            "rack", "rack", "apptag", F.col("app_tag"),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    node, rack = F.col("node_id"), F.col("rack")
+    direct = base.select(
+        F.explode(
+            F.array(
+                shape("node", node, "app", F.col("app_id")),
+                shape("rack", rack, "app", F.col("app_id")),
+                shape("node", node, "all", F.lit("")),
+                shape("rack", rack, "all", F.lit("")),
+            )
+        ).alias("s"),
+        "tag", "cnt",
+    )
+    tagged = base.join(app_tags, "app_id").select(
+        F.explode(
+            F.array(
+                shape("node", node, "apptag", F.col("app_tag")),
+                shape("rack", rack, "apptag", F.col("app_tag")),
+            )
+        ).alias("s"),
+        "tag", "cnt",
+    )
+    return (
+        direct.unionByName(tagged)
+        .select("s.kind", "s.entity", "tag", "s.ns", "s.key", "cnt")
+        .groupBy("kind", "entity", "tag", "ns", "key")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def placement_matrix(
