@@ -109,6 +109,55 @@ def representative_registrations(registrations: DataFrame) -> DataFrame:
     )
 
 
+ENTER = "ENTER_SAFEMODE"
+LEAVE = "LEAVE_SAFEMODE"
+STARTUP_DELAY = "STARTUP_DELAY"
+REMAIN_STALE = "REMAIN_SAFEMODE_STALE"
+REMAIN_MANUAL = "REMAIN_SAFEMODE_MANUAL"
+NORMAL = "NORMAL"
+
+
+def router_safemode_plan(routers: DataFrame, *, startup_interval_ms: int,
+                         stale_interval_ms: int, now_ms: int) -> DataFrame:
+    """One safemode-service tick per router
+    (``RouterSafemodeService.periodicInvoke:163-187``): within the
+    startup extension nothing happens (the router started IN
+    safemode, ``serviceInit:157``); a stale State Store cache
+    (now - cacheUpdateTime > staleInterval) enters safemode unless
+    already in it; a fresh cache leaves safemode ONLY when it was
+    not set manually (``dfsrouteradmin -safemode enter`` sticks,
+    :181-184), recording the time spent in safemode (``leave:
+    118-130``).
+
+    ``routers``: (router_id, startup_time_ms, cache_update_time_ms,
+    safe_mode boolean, manual boolean, enter_time_ms). Returns
+    (router_id, action, safe_mode_after, safemode_time_ms — only on
+    leave)."""
+    delta = F.lit(now_ms) - F.col("startup_time_ms")
+    stale = (
+        F.lit(now_ms) - F.col("cache_update_time_ms")
+    ) > stale_interval_ms
+    action = (
+        F.when(delta < startup_interval_ms, STARTUP_DELAY)
+        .when(stale & ~F.col("safe_mode"), ENTER)
+        .when(stale, REMAIN_STALE)
+        .when(F.col("safe_mode") & ~F.col("manual"), LEAVE)
+        .when(F.col("safe_mode"), REMAIN_MANUAL)
+        .otherwise(NORMAL)
+    )
+    return routers.select(
+        "router_id",
+        action.alias("action"),
+        F.when(action == ENTER, True)
+        .when(action == LEAVE, False)
+        .otherwise(F.col("safe_mode"))
+        .alias("safe_mode_after"),
+        F.when(
+            action == LEAVE, F.lit(now_ms) - F.col("enter_time_ms")
+        ).alias("safemode_time_ms"),
+    )
+
+
 def namenode_priority(representatives: DataFrame, *,
                       show_unavailable: bool = True) -> DataFrame:
     """RPC target order per nameservice over representative rows

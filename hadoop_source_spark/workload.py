@@ -16763,6 +16763,340 @@ def nfs_write_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfswrite.write_reorder_plan(files, writes)
 
 
+_ROUTER_SAFEMODE_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+r AS (
+  SELECT k,
+    1700000000000 - (k * 13) % 120000 AS startup,
+    1700000000000 - (k * 29) % 60000 AS cacheup,
+    k % 3 <> 0 AS safe, k % 5 = 0 AS manual,
+    1700000000000 - 40000 - (k % 7) * 1000 AS entert
+  FROM e),
+d AS (
+  SELECT *,
+    1700000000000 - startup AS delta,
+    1700000000000 - cacheup > 30000 AS stale
+  FROM r),
+a AS (
+  SELECT *,
+    CASE WHEN delta < 60000 THEN 'STARTUP_DELAY'
+         WHEN stale AND NOT safe THEN 'ENTER_SAFEMODE'
+         WHEN stale THEN 'REMAIN_SAFEMODE_STALE'
+         WHEN safe AND NOT manual THEN 'LEAVE_SAFEMODE'
+         WHEN safe THEN 'REMAIN_SAFEMODE_MANUAL'
+         ELSE 'NORMAL' END AS action
+  FROM d)
+SELECT k AS router_id, action,
+  CASE WHEN action = 'ENTER_SAFEMODE' THEN TRUE
+       WHEN action = 'LEAVE_SAFEMODE' THEN FALSE
+       ELSE safe END AS safe_mode_after,
+  CASE WHEN action = 'LEAVE_SAFEMODE'
+       THEN 1700000000000 - entert END AS safemode_time_ms
+FROM a
+"""
+
+
+@register("router_safemode_plan", _ROUTER_SAFEMODE_ORACLE)
+def router_safemode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF Router safemode ticks (operators/rbfmembership —
+    RouterSafemodeService.periodicInvoke:163-187 startup-extension
+    no-op, stale-cache enter, fresh-cache leave gated on
+    not-set-manually :181-184; leave:118-130 records the safemode
+    dwell time; the router starts IN safemode per serviceInit:157).
+    Events become router ticks sweeping startup ages x cache ages x
+    current/manual safemode — all six actions live at sf0.01.
+    Scale: one codegen when-chain, zero shuffles."""
+    from hadoop_source_spark.operators import rbfmembership
+
+    C = 1_700_000_000_000
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    routers = e.select(
+        k.alias("router_id"),
+        (F.lit(C) - (k * 13) % 120_000).cast("long").alias(
+            "startup_time_ms"
+        ),
+        (F.lit(C) - (k * 29) % 60_000).cast("long").alias(
+            "cache_update_time_ms"
+        ),
+        (k % 3 != 0).alias("safe_mode"),
+        (k % 5 == 0).alias("manual"),
+        (F.lit(C) - 40_000 - (k % 7) * 1000).cast("long").alias(
+            "enter_time_ms"
+        ),
+    )
+    return rbfmembership.router_safemode_plan(
+        routers, startup_interval_ms=60_000, stale_interval_ms=30_000,
+        now_ms=C,
+    )
+
+
+_ABSRES_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+q AS (SELECT k, k // 10 AS c, k % 10 AS s FROM e),
+lab AS (
+  SELECT q.*, l.label, l.mem, l.vc
+  FROM q CROSS JOIN (VALUES ('', 102400, 96), ('gpu', 51200, 48))
+    l(label, mem, vc)),
+b AS (
+  SELECT *, c % 3 AS v, c % 2 = 0 AS is_abs,
+    CASE WHEN s BETWEEN 1 AND 3 THEN s - 1
+         WHEN s >= 4 THEN (s - 4) // 2 END AS i,
+    CASE WHEN s >= 4 THEN (s - 4) % 2 END AS j
+  FROM lab),
+p AS (
+  SELECT *,
+    CASE WHEN v = 1 THEN CASE WHEN i = 0 THEN mem ELSE mem // 2 END
+         ELSE CASE WHEN i = 2 THEN mem // 2 ELSE mem // 4 END END
+      AS pconf_mem,
+    CASE WHEN v = 1 THEN CASE WHEN i = 0 THEN vc ELSE vc // 2 END
+         ELSE CASE WHEN i = 2 THEN vc // 2 ELSE vc // 4 END END
+      AS pconf_vc,
+    CASE i WHEN 0 THEN mem WHEN 1 THEN mem // 2 ELSE mem END
+      AS pmax_mem,
+    CASE i WHEN 0 THEN vc WHEN 1 THEN vc // 2 ELSE vc END AS pmax_vc,
+    CASE i WHEN 0 THEN 0.25 WHEN 1 THEN 0.25 ELSE 0.5 END AS pab,
+    CASE i WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS pam
+  FROM b),
+x AS (
+  SELECT *,
+    CASE WHEN v = 1 THEN pconf_mem // 2 ELSE pconf_mem END AS peff_mem,
+    CASE WHEN v = 1 THEN pconf_vc // 2 ELSE pconf_vc END AS peff_vc
+  FROM p),
+r AS (
+  SELECT k, c, s, label, mem, vc, v, is_abs, i, j,
+    CASE WHEN s = 0 THEN 'root'
+         WHEN s <= 3 THEN 'root.p' || i
+         ELSE 'root.p' || i || '.q' || j END AS path,
+    CASE
+      WHEN s = 0 THEN mem
+      WHEN s <= 3 THEN CASE WHEN is_abs THEN peff_mem
+                            ELSE CAST(mem * pab AS BIGINT) END
+      ELSE CASE WHEN is_abs THEN
+          CASE v WHEN 2 THEN pconf_mem // 2
+               WHEN 1 THEN pconf_mem // 4 ELSE pconf_mem // 2 END
+        ELSE CAST(mem * pab / 2 AS BIGINT) END END AS eff_min_mem,
+    CASE
+      WHEN s = 0 THEN vc
+      WHEN s <= 3 THEN CASE WHEN is_abs THEN peff_vc
+                            ELSE CAST(vc * pab AS BIGINT) END
+      ELSE CASE WHEN is_abs THEN
+          CASE v WHEN 2 THEN pconf_vc // 2
+               WHEN 1 THEN pconf_vc // 4 ELSE pconf_vc // 2 END
+        ELSE CAST(vc * pab / 2 AS BIGINT) END END AS eff_min_vcores,
+    CASE
+      WHEN s = 0 THEN mem
+      WHEN s <= 3 THEN CASE WHEN is_abs THEN pmax_mem
+                            ELSE CAST(mem * pam AS BIGINT) END
+      ELSE CASE WHEN is_abs THEN
+          CASE WHEN j = 1 THEN mem // 8 ELSE pmax_mem END
+        ELSE CAST(mem * CASE WHEN j = 0 THEN pam ELSE pam / 2 END
+                  AS BIGINT) END END AS eff_max_mem,
+    CASE
+      WHEN s = 0 THEN vc
+      WHEN s <= 3 THEN CASE WHEN is_abs THEN pmax_vc
+                            ELSE CAST(vc * pam AS BIGINT) END
+      ELSE CASE WHEN is_abs THEN
+          CASE WHEN j = 1 THEN vc // 8 ELSE pmax_vc END
+        ELSE CAST(vc * CASE WHEN j = 0 THEN pam ELSE pam / 2 END
+                  AS BIGINT) END END AS eff_max_vcores,
+    CASE
+      WHEN s = 0 THEN 1.0
+      WHEN s <= 3 THEN CASE WHEN is_abs
+                            THEN CAST(peff_mem AS DOUBLE) / mem
+                            ELSE pab END
+      ELSE 0.5 END AS capacity,
+    CASE
+      WHEN s = 0 THEN 1.0
+      WHEN s <= 3 THEN CASE WHEN is_abs
+                            THEN CAST(pmax_mem AS DOUBLE) / mem
+                            ELSE pam END
+      ELSE CASE WHEN is_abs THEN
+          CASE WHEN j = 1
+               THEN CAST(mem // 8 AS DOUBLE) / pmax_mem ELSE 1.0 END
+        ELSE CASE WHEN j = 0 THEN 1.0 ELSE 0.5 END END
+      END AS max_capacity,
+    CASE
+      WHEN s = 0 THEN 1.0
+      WHEN s <= 3 THEN CASE WHEN is_abs
+                            THEN CAST(peff_mem AS DOUBLE) / mem
+                            ELSE pab END
+      ELSE CASE WHEN is_abs
+                THEN 0.5 * CAST(peff_mem AS DOUBLE) / mem
+                ELSE pab / 2 END END AS abs_capacity,
+    CASE
+      WHEN s = 0 THEN 1.0
+      WHEN s <= 3 THEN CASE WHEN is_abs
+                            THEN CAST(pmax_mem AS DOUBLE) / mem
+                            ELSE pam END
+      ELSE CASE WHEN is_abs THEN
+          (CASE WHEN j = 1
+                THEN CAST(mem // 8 AS DOUBLE) / pmax_mem ELSE 1.0 END)
+          * CAST(pmax_mem AS DOUBLE) / mem
+        ELSE CASE WHEN j = 0 THEN pam ELSE pam / 2 END END
+      END AS abs_max_capacity
+  FROM x),
+f AS (
+  SELECT *,
+    CASE WHEN s >= 4 THEN
+      CASE WHEN i = 0 AND j = 1 THEN 80
+           ELSE CAST(trunc(10000 * abs_capacity) AS INT) END
+    END AS max_apps,
+    CASE WHEN c % 4 < 2 THEN 25.0 ELSE 50.0 END AS ul,
+    CASE WHEN c % 5 < 3 THEN 1.0 ELSE 2.0 END AS ulf
+  FROM r)
+SELECT c AS cluster_id, label, path,
+  eff_min_mem, eff_min_vcores, eff_max_mem, eff_max_vcores,
+  round(capacity, 6) AS capacity,
+  round(max_capacity, 6) AS max_capacity,
+  round(abs_capacity, 6) AS abs_capacity,
+  round(abs_max_capacity, 6) AS abs_max_capacity,
+  max_apps,
+  CASE WHEN s >= 4 THEN
+    least(max_apps, CAST(trunc(max_apps * (ul / 100.0) * ulf) AS INT))
+  END AS max_apps_per_user
+FROM f
+"""
+
+
+@register("cs_absolute_resources", _ABSRES_ORACLE)
+def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CS absolute-resource effective capacities (operators/
+    absresources — ParentQueue.updateEffectiveResources:948-1039:
+    per-parent configured-min sums, the scarcity ratio fired only
+    when the parent's effective min is STRICTLY below the sum
+    [getEffectiveMinRatioPerResource:1065-1086, zero-sum dimensions
+    pass through], float-multiply-then-truncate normalization
+    :1041-1063; effective max :996-1016 as a WHOLE-resource
+    Resources.min of child-configured-or-parent max vs parent max
+    under DefaultResourceCalculator;
+    deriveCapacityFromAbsoluteConfigurations:1088-1121 float
+    capacities from effective mins/maxes; leaf app limits :1122-1145
+    with the explicit-conf override and the truncated per-user
+    fraction; percentage children take the :1022-1027
+    label-resource-times-absolute-capacity branch). Every 10 events
+    form a 3-level cluster tree in absolute or percentage mode
+    across three scarcity variants (plentiful, root-scarce with
+    cascaded leaf scarcity, leaf-level-only scarce) x two labels —
+    both modes, both scarcity sites, inherited and capped maxes and
+    both app-limit sources live at sf0.01. Scale: the level loop is
+    bounded by hierarchy DEPTH; each level is one (cluster, label,
+    parent)-keyed sum + join."""
+    from hadoop_source_spark.operators import absresources
+
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    c = F.floor(k / 10)
+    s = k % 10
+    labs = F.explode(
+        F.array(
+            F.struct(
+                F.lit("").alias("label"),
+                F.lit(102400).cast("long").alias("mem"),
+                F.lit(96).cast("long").alias("vc"),
+            ),
+            F.struct(
+                F.lit("gpu").alias("label"),
+                F.lit(51200).cast("long").alias("mem"),
+                F.lit(48).cast("long").alias("vc"),
+            ),
+        )
+    )
+    base = e.select(
+        k.alias("k"), c.alias("c"), s.alias("s"), labs.alias("l")
+    ).select("k", "c", "s", "l.label", "l.mem", "l.vc")
+    s_ = F.col("s")
+    i = F.when(
+        (s_ >= 1) & (s_ <= 3), s_ - 1
+    ).when(s_ >= 4, F.floor((s_ - 4) / 2))
+    j = F.when(s_ >= 4, (s_ - 4) % 2)
+    v = F.col("c") % 3
+    is_abs = F.col("c") % 2 == 0
+    mem, vc = F.col("mem"), F.col("vc")
+    pconf_mem = F.when(
+        v == 1, F.when(i == 0, mem).otherwise(mem / 2)
+    ).otherwise(F.when(i == 2, mem / 2).otherwise(mem / 4))
+    pconf_vc = F.when(
+        v == 1, F.when(i == 0, vc).otherwise(vc / 2)
+    ).otherwise(F.when(i == 2, vc / 2).otherwise(vc / 4))
+    queues = base.select(
+        F.col("c").alias("cluster_id"), "label",
+        F.when(s_ == 0, "root")
+        .when(
+            s_ <= 3, F.concat(F.lit("root.p"), i.cast("string"))
+        )
+        .otherwise(
+            F.concat(
+                F.lit("root.p"), i.cast("string"), F.lit(".q"),
+                j.cast("string"),
+            )
+        )
+        .alias("path"),
+        F.when(s_ == 0, F.lit(None).cast("string"))
+        .when(s_ <= 3, F.lit("root"))
+        .otherwise(F.concat(F.lit("root.p"), i.cast("string")))
+        .alias("parent"),
+        F.when(is_abs, "absolute").otherwise("percentage").alias(
+            "mode"
+        ),
+        F.when(
+            ~is_abs | (s_ == 0), 0
+        ).when(s_ <= 3, pconf_mem)
+        .otherwise(
+            F.when(v == 2, pconf_mem).otherwise(pconf_mem / 2)
+        )
+        .cast("long").alias("min_mem"),
+        F.when(
+            ~is_abs | (s_ == 0), 0
+        ).when(s_ <= 3, pconf_vc)
+        .otherwise(F.when(v == 2, pconf_vc).otherwise(pconf_vc / 2))
+        .cast("long").alias("min_vcores"),
+        F.when(is_abs & (s_ <= 3) & (i == 1), mem / 2)
+        .when(is_abs & (s_ <= 3) & (i == 2), mem)
+        .when(is_abs & (s_ >= 4) & (j == 1), mem / 8)
+        .cast("long").alias("max_mem"),
+        F.when(is_abs & (s_ <= 3) & (i == 1), vc / 2)
+        .when(is_abs & (s_ <= 3) & (i == 2), vc)
+        .when(is_abs & (s_ >= 4) & (j == 1), vc / 8)
+        .cast("long").alias("max_vcores"),
+        F.when(
+            ~is_abs & (s_ >= 1),
+            F.when(s_ <= 3, F.when(i == 2, 0.5).otherwise(0.25))
+            .otherwise(F.when(i == 2, 0.25).otherwise(0.125)),
+        ).alias("pct_abs_capacity"),
+        F.when(
+            ~is_abs & (s_ >= 1),
+            F.when(
+                s_ <= 3, F.when(i == 1, 0.5).otherwise(1.0)
+            ).otherwise(
+                F.when(i == 1, F.when(j == 0, 0.5).otherwise(0.25))
+                .otherwise(F.when(j == 0, 1.0).otherwise(0.5))
+            ),
+        ).alias("pct_abs_max_capacity"),
+        (s_ >= 4).alias("is_leaf"),
+        F.when((s_ >= 4) & (i == 0) & (j == 1), 80)
+        .otherwise(-1).cast("int").alias("max_apps_conf"),
+        F.when(F.col("c") % 4 < 2, 25.0).otherwise(50.0).alias(
+            "user_limit"
+        ),
+        F.when(F.col("c") % 5 < 3, 1.0).otherwise(2.0).alias(
+            "user_limit_factor"
+        ),
+    )
+    clusters = (
+        e.where(k % 10 == 0)
+        .select(c.alias("cluster_id"), labs.alias("l"))
+        .select(
+            "cluster_id", "l.label", F.col("l.mem").alias("mem"),
+            F.col("l.vc").alias("vcores"),
+        )
+    )
+    return absresources.effective_resources(
+        queues, clusters, global_max_apps_per_queue=0,
+        max_system_apps=10_000,
+    )
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -16897,6 +17231,7 @@ _WINDOW: list[str] = [
     "rbf_membership_quorum", "rbf_namenode_priority",
     "reencryption_batch_plan", "reencryption_zone_report",
     "app_lifetime_plan", "nfs_write_reorder",
+    "router_safemode_plan", "cs_absolute_resources",
     # rotated out of the checked prefix in r11 (verified r09 + r10):
     "federation_router_decisions", "federation_amrm_split",
     "encryption_zone_resolution", "ez_rename_validity",
@@ -16905,7 +17240,7 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 225, len(_WINDOW)
+assert len(_WINDOW) == 227, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -160,6 +160,7 @@ def main() -> None:
     "rbf_membership_quorum", "rbf_namenode_priority",
     "reencryption_batch_plan", "reencryption_zone_report",
     "app_lifetime_plan", "nfs_write_reorder",
+    "router_safemode_plan", "cs_absolute_resources",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -190,6 +190,7 @@ EXTRA = (
     "rbf_membership_quorum", "rbf_namenode_priority",
     "reencryption_batch_plan", "reencryption_zone_report",
     "app_lifetime_plan", "nfs_write_reorder",
+    "router_safemode_plan", "cs_absolute_resources",
 )
 
 
