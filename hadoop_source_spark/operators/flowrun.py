@@ -28,15 +28,21 @@ Reference semantics (`hadoop-yarn-server-timelineservice-hbase-server/
   path, which re-folds it once old enough; we model that actual
   behavior.)
 
-Spark-first: one repartition on (run_key, qualifier) satisfies every
-window (latest-per-app rank, min/max rank, contributor sums) and the
-final per-column aggregate — a single shuffle whatever the flow
-count; mode and retention are plain parameters.
+Spark-first: the WHOLE collect phase is ONE aggregate over one
+repartition on (run_key, qualifier) — extremes group per (row,
+column, op) and the SUM family one key finer (the app id), with a
+single ``min_by`` over a composite (rank, -ts) ordering standing in
+for every per-rule rank window the previous formulation carried.
+Untagged cells never shuffle at all, and both emit consumers filter
+on the PICKED struct rather than a grouping key so the
+scan→exchange subtree stays identical and ReuseExchange ships the
+tagged cells exactly once. No rank windows anywhere; mode and
+retention are plain parameters.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FLOW_APP_ID = "application_00000000000_0000"
@@ -75,61 +81,76 @@ def flow_scan(
     if mode not in (READ, MAJOR_COMPACTION):
         raise ValueError("unknown FlowScanner mode %r" % mode)
 
-    c = cells.repartition("run_key", "qualifier")
-    col_w = Window.partitionBy("run_key", "qualifier")
-    sum_family = F.col("agg_op").isin("SUM", "SUM_FINAL")
+    # Untagged cells pass through unchanged (:268-271) — straight
+    # from the source, no shuffle at all.
+    raw = cells.where(F.col("agg_op").isNull()).select(
+        "run_key", "qualifier", "app_id", "ts", "value",
+        F.lit(RAW).alias("emit"),
+    )
 
-    # collect phase: newest per app for the SUM family, the single
-    # extreme cell for GLOBAL_MIN / GLOBAL_MAX
-    rn_app = F.row_number().over(
-        Window.partitionBy("run_key", "qualifier", "app_id").orderBy(
-            F.col("ts").desc()
+    # The collect phase as one aggregate: extremes per (row, column,
+    # op); the SUM family one key finer — SUM and SUM_FINAL share the
+    # seen-dimension set (:316-330), so `_kind` collapses them to one
+    # 'S' group per app. The pick is min_by over a composite
+    # (rank, -ts) ordering — GLOBAL_MIN ranks by value, GLOBAL_MAX by
+    # -value, the SUM family by ts alone; equal ranks break toward
+    # the newest cell (:276-287). Metric values/timestamps sit far
+    # from the +-2^63 negation edge.
+    sum_family = F.col("agg_op").isin("SUM", "SUM_FINAL")
+    rank = (
+        F.when(F.col("agg_op") == "GLOBAL_MIN", F.col("value"))
+        .when(F.col("agg_op") == "GLOBAL_MAX", -F.col("value"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    collected = (
+        cells.where(F.col("agg_op").isNotNull())
+        .repartition("run_key", "qualifier")
+        .groupBy(
+            "run_key",
+            "qualifier",
+            F.when(sum_family, F.lit("S"))
+            .otherwise(F.col("agg_op"))
+            .alias("_kind"),
+            F.when(sum_family, F.col("app_id")).alias("_dim"),
+        )
+        .agg(
+            F.min_by(
+                F.struct("app_id", "ts", "value", "agg_op"),
+                F.struct(rank.alias("r"), (-F.col("ts")).alias("nts")),
+            ).alias("c")
         )
     )
-    rn_min = F.row_number().over(
-        col_w.orderBy(F.col("value").asc(), F.col("ts").desc())
-    )
-    rn_max = F.row_number().over(
-        col_w.orderBy(F.col("value").desc(), F.col("ts").desc())
-    )
-    s1 = c.select(
-        "*",
-        (
-            F.when(F.col("agg_op").isNull(), True)
-            .when(sum_family, rn_app == 1)
-            .when(F.col("agg_op") == "GLOBAL_MIN", rn_min == 1)
-            .otherwise(rn_max == 1)
-        ).alias("_collected"),
-    ).where("_collected")
-
-    # exactly TWO consumers of the collected subtree — one row-level
-    # branch (passthrough, extremes, and the compaction's written-back
-    # cells share a per-row emit label) and one aggregate branch — so
-    # the window pass is not re-derived once per emit kind
-    folded = (F.col("agg_op") == "SUM_FINAL") & (
-        F.expr("ts div 1000000") + retention_ms < now_ms
+    # Both consumers below filter on the PICKED struct, never on a
+    # grouping key, so the predicates cannot push past the aggregate
+    # and the scan->exchange subtree stays byte-identical:
+    # ReuseExchange ships the tagged cells exactly once.
+    folded = (F.col("c.agg_op") == "SUM_FINAL") & (
+        F.expr("c.ts div 1000000") + retention_ms < now_ms
     )
     row_emit = (
-        F.when(F.col("agg_op").isNull(), RAW)
-        .when(F.col("agg_op") == "GLOBAL_MIN", MIN)
-        .when(F.col("agg_op") == "GLOBAL_MAX", MAX)
-        .when(
-            F.lit(mode == MAJOR_COMPACTION) & sum_family & ~folded, KEPT
-        )
+        F.when(F.col("c.agg_op") == "GLOBAL_MIN", MIN)
+        .when(F.col("c.agg_op") == "GLOBAL_MAX", MAX)
+        .when(F.lit(mode == MAJOR_COMPACTION) & ~folded, KEPT)
     )
-    row_level = (
-        s1.select(
-            "run_key", "qualifier", "app_id", "ts", "value",
-            row_emit.alias("emit"),
-        )
-        .where(F.col("emit").isNotNull())
-    )
+    row_level = collected.select(
+        "run_key", "qualifier",
+        F.col("c.app_id").alias("app_id"),
+        F.col("c.ts").alias("ts"),
+        F.col("c.value").alias("value"),
+        row_emit.alias("emit"),
+    ).where(F.col("emit").isNotNull())
 
     if mode == READ:
+        # processSummation:389-416 — hash-partitioning on the coarser
+        # (run_key, qualifier) pair survives the finer grouping above,
+        # so this aggregate adds no exchange.
         agg_level = (
-            s1.where(sum_family)
+            collected.where(F.col("c.agg_op").isin("SUM", "SUM_FINAL"))
             .groupBy("run_key", "qualifier")
-            .agg(F.max("ts").alias("ts"), F.sum("value").alias("value"))
+            .agg(
+                F.max("c.ts").alias("ts"),
+                F.sum("c.value").alias("value"),
+            )
             .select(
                 "run_key", "qualifier",
                 F.lit(None).cast("string").alias("app_id"),
@@ -137,10 +158,11 @@ def flow_scan(
             )
         )
     else:
+        # processSummationMajorCompaction:432-530 fold.
         agg_level = (
-            s1.where(sum_family & folded)
+            collected.where(folded)
             .groupBy("run_key", "qualifier")
-            .agg(F.sum("value").alias("value"))
+            .agg(F.sum("c.value").alias("value"))
             .select(
                 "run_key", "qualifier",
                 F.lit(FLOW_APP_ID).alias("app_id"),
@@ -148,4 +170,4 @@ def flow_scan(
                 "value", F.lit(NEW_SUM).alias("emit"),
             )
         )
-    return row_level.unionByName(agg_level)
+    return raw.unionByName(row_level).unionByName(agg_level)
