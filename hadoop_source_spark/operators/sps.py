@@ -215,19 +215,33 @@ def move_plan(files: DataFrame, blocks: DataFrame, replicas: DataFrame,
             avail.setdefault(r["node_id"], set()).add(r["storage_type"])
     rack_of = {r["node_id"]: r["rack"] for r in nodes.collect()}
     all_nodes = sorted(rack_of)
+    # Candidate indexes, built ONCE from the conf-sized cluster maps
+    # so the per-block remote pass scans a short pre-sorted list and
+    # skips excludes, instead of re-filtering every cluster node per
+    # pending type (the itertuples-era inner loop this replaces).
+    type_has_node = {t for ts in have.values() for t in ts}
+    global_cands: dict[str, list[str]] = {}
+    rack_cands: dict[tuple[str, str], list[str]] = {}
+    for n in all_nodes:
+        for t in avail.get(n, ()):
+            global_cands.setdefault(t, []).append(n)
+            rack_cands.setdefault((rack_of[n], t), []).append(n)
 
     def kernel(batches):
         import pandas as pd
 
-        for pdf in batches:
-            out: list[tuple] = []
-            for row in pdf.itertuples(index=False):
-                locs = sorted(row.locs, key=lambda s: s["slot"])
-                loc_pairs = [
-                    (s["node_id"], s["storage_type"]) for s in locs
-                ]
+        # Pairing is a pure function of (ordered replica placement,
+        # expected template) given the fixed cluster maps, and a
+        # bounded node set repeats the same placement signature across
+        # many blocks — memoize the verdict list per signature so the
+        # procedural walk below runs once per DISTINCT pattern, not
+        # once per block (worst case all-unique degrades to the plain
+        # per-block walk plus one tuple build).
+        memo: dict[tuple, list[tuple]] = {}
+
+        def pair(loc_pairs, raw_expected):
                 expected = [
-                    t for t in row.expected if t not in NON_MOVABLE
+                    t for t in raw_expected if t not in NON_MOVABLE
                 ]
                 existing = [
                     t for _, t in loc_pairs if t not in NON_MOVABLE
@@ -260,7 +274,7 @@ def move_plan(files: DataFrame, blocks: DataFrame, replicas: DataFrame,
                 # map abort: stop at the first type no live node HAS.
                 target_map: set[str] = set()
                 for t in expected:
-                    if not any(t in hs for hs in have.values()):
+                    if t not in type_has_node:
                         break
                     target_map.add(t)
                 exclude = {n for n, _ in loc_pairs}
@@ -287,18 +301,20 @@ def move_plan(files: DataFrame, blocks: DataFrame, replicas: DataFrame,
                             for t in pending:
                                 if t not in target_map:
                                     continue
-                                cands = [
-                                    n for n in all_nodes
-                                    if n not in exclude
-                                    and t in avail.get(n, ())
-                                    and (
-                                        tier == "REMOTE_ANY"
-                                        or rack_of.get(n)
-                                        == rack_of.get(node)
+                                cand_list = (
+                                    rack_cands.get(
+                                        (rack_of.get(node), t), ()
                                     )
-                                ]
-                                if cands:
-                                    chosen = (stype, tier, t, cands[0])
+                                    if tier == "REMOTE_SAME_RACK"
+                                    else global_cands.get(t, ())
+                                )
+                                # pre-sorted by node id; first
+                                # non-excluded == the old cands[0]
+                                for n in cand_list:
+                                    if n not in exclude:
+                                        chosen = (stype, tier, t, n)
+                                        break
+                                if chosen:
                                     break
                             if chosen:
                                 break
@@ -309,9 +325,25 @@ def move_plan(files: DataFrame, blocks: DataFrame, replicas: DataFrame,
                             exclude.add(chosen[3])
                         else:
                             moves[node] = (stype, "UNPAIRED", None, None)
-                for node, (stype, action, ttype, tnode) in moves.items():
+                return list(moves.items())
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for block_id, file_id, raw_locs, raw_expected in zip(
+                pdf["block_id"].tolist(), pdf["file_id"].tolist(),
+                pdf["locs"].tolist(), pdf["expected"].tolist(),
+            ):
+                loc_pairs = [
+                    (s["node_id"], s["storage_type"])
+                    for s in sorted(raw_locs, key=lambda s: s["slot"])
+                ]
+                key = (tuple(loc_pairs), tuple(raw_expected))
+                verdicts = memo.get(key)
+                if verdicts is None:
+                    verdicts = memo[key] = pair(loc_pairs, raw_expected)
+                for node, (stype, action, ttype, tnode) in verdicts:
                     out.append(
-                        (row.block_id, row.file_id, node, stype,
+                        (block_id, file_id, node, stype,
                          action, ttype, tnode)
                     )
             yield pd.DataFrame(
