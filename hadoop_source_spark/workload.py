@@ -17097,6 +17097,327 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACTIVITIES_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+a AS (
+  SELECT k,
+    'n' || CAST(k % 24 AS VARCHAR) AS node_id,
+    'app_' || CAST(k % 50 AS VARCHAR) AS app_id,
+    'root.q' || CAST(k % 4 AS VARCHAR) AS parent_path,
+    'root.q' || CAST(k % 4 AS VARCHAR) || '.leaf'
+      || CAST(k % 3 AS VARCHAR) AS leaf_path,
+    k % 7 = 0 AS multi_node, k % 11 = 0 AS ignore_excl,
+    k % 23 = 0 AS node_removed, k % 13 = 0 AS node_reserved,
+    (k * 37) % 8192 AS node_avail,
+    CASE WHEN k % 5 = 0 THEN 2048 ELSE 0 END AS node_killable,
+    CASE WHEN k % 47 = 0 THEN 512 ELSE 8192 END AS node_total,
+    CASE WHEN k % 21 = 0 THEN 1.0 ELSE 0.6 END AS part_used_cap,
+    CASE WHEN k % 42 = 0 THEN 5 ELSE 0 END AS part_killable,
+    k % 19 <> 0 AS parent_accessible,
+    CASE WHEN k % 37 = 0 THEN 0 ELSE 10 END AS parent_pending,
+    k % 41 = 0 AS parent_over_max,
+    k % 43 <> 0 AS leaf_accessible,
+    CASE WHEN k % 53 = 0 THEN 0 ELSE 10 END AS leaf_pending,
+    k % 59 = 0 AS leaf_over_max,
+    k % 17 <> 0 AS user_assignable,
+    k % 61 <> 0 AS app_has_pending,
+    CASE WHEN k % 67 = 0 THEN 0 ELSE 1 + k % 3 END AS any_ask,
+    CASE WHEN k % 71 = 0 THEN 0 ELSE 2 + k % 5 END AS outstanding,
+    k % 9 = 0 AS waiting_am, k % 29 <> 0 AS partition_match,
+    k % 3 <> 0 AS continue_looking, k % 31 <> 0 AS should_alloc,
+    (k * 53) % 4096 AS headroom,
+    CASE WHEN k % 6 = 0 THEN 2048 ELSE 0 END AS app_reserved,
+    k % 73 = 0 AS null_any_request, k % 15 AS missed_nonpart,
+    10 AS cluster_nodes, k % 79 = 0 AS blacklisted,
+    CASE WHEN k % 8 IN (0, 1, 6) THEN 1 ELSE 0 END AS node_ask,
+    CASE WHEN k % 8 < 4 THEN 1 ELSE 0 END AS rack_ask,
+    k % 83 <> 0 AS can_delay_rack, k % 89 <> 0 AS can_delay_any,
+    (k * 7) % 12 AS sched_opps, 4 AS node_delay,
+    CASE WHEN k % 2 = 0 THEN 2 ELSE -1 END AS rack_extra_delay,
+    1 + k % 6 AS uniq_asks, 512 * (1 + k % 5) AS capability,
+    k % 4 = 0 AS preemption_allowed,
+    k % 27 = 0 AS need_unreserve, k % 2 = 0 AS found_unreserve,
+    k % 101 = 0 AS container_create_fail,
+    k % 103 = 0 AS alloc_race_fail
+  FROM base
+),
+h AS (
+  SELECT *,
+    (node_avail >= capability)
+      OR (preemption_allowed
+          AND node_avail + node_killable >= capability) AS has_space,
+    sched_opps > least(cluster_nodes, node_delay) AS can_rack,
+    CASE WHEN node_ask > 0 THEN 'NODE_LOCAL'
+         WHEN rack_ask > 0 THEN 'RACK_LOCAL'
+         ELSE 'OFF_SWITCH' END AS req_type
+  FROM a
+),
+kinds AS (
+  SELECT *,
+    CASE WHEN capability > node_total THEN 'SKIP_TOTAL'
+         WHEN has_space AND (continue_looking
+              AND (NOT should_alloc OR need_unreserve))
+              AND NOT found_unreserve THEN 'SKIP_UNRES'
+         WHEN has_space THEN 'ALLOC'
+         WHEN should_alloc AND continue_looking AND need_unreserve
+              THEN 'SKIP_SPACE'
+         WHEN should_alloc THEN 'RESERVE'
+         ELSE 'SKIP_SPACE' END AS kind_new,
+    CASE WHEN capability > node_total THEN 'SKIP_TOTAL'
+         WHEN has_space THEN 'ALLOC'
+         ELSE 'RE_RESERVE' END AS kind_res,
+    CASE WHEN cluster_nodes = 0 THEN FALSE
+         WHEN uniq_asks = 1 THEN TRUE
+         WHEN rack_extra_delay > -1 THEN
+           sched_opps > least(cluster_nodes,
+                              node_delay + rack_extra_delay)
+         ELSE least(CAST(cluster_nodes AS DOUBLE),
+                    outstanding * least(
+                      greatest(uniq_asks - 1, 0)
+                        / CAST(cluster_nodes AS DOUBLE), 1.0))
+              < sched_opps END AS can_off
+  FROM h
+),
+wins AS (
+  SELECT *,
+    kind_new IN ('ALLOC', 'RESERVE', 'RE_RESERVE') AS term_new,
+    kind_res IN ('ALLOC', 'RESERVE', 'RE_RESERVE') AS term_res,
+    CASE WHEN kind_new IN ('ALLOC', 'RESERVE')
+              AND container_create_fail THEN 'CREATE_FAIL'
+         WHEN kind_new = 'ALLOC' AND alloc_race_fail THEN 'RACE_FAIL'
+         WHEN kind_new = 'ALLOC' THEN 'WIN_ALLOC'
+         ELSE 'WIN_RESERVE' END AS win_new,
+    CASE WHEN kind_res = 'ALLOC' THEN 'WIN_ALLOC'
+         ELSE 'WIN_RE_RESERVE' END AS win_res
+  FROM kinds
+),
+walks AS (
+  SELECT *,
+    CASE
+      WHEN (node_ask > 0 AND rack_ask > 0 AND term_new)
+        OR (rack_ask > 0 AND can_delay_rack AND can_rack AND term_new)
+        THEN win_new
+      WHEN rack_ask > 0 AND NOT can_delay_rack THEN 'RELAX'
+      WHEN any_ask > 0 AND NOT can_delay_any THEN 'RELAX'
+      WHEN any_ask > 0 AND NOT can_off THEN 'OFF_DELAY'
+      WHEN any_ask > 0 THEN
+        CASE WHEN term_new THEN win_new ELSE kind_new END
+      ELSE 'NO_ASK' END AS walk_new,
+    CASE
+      WHEN (node_ask > 0 AND rack_ask > 0 AND term_res)
+        OR (rack_ask > 0 AND can_delay_rack AND can_rack AND term_res)
+        THEN win_res
+      WHEN rack_ask > 0 AND NOT can_delay_rack THEN 'RELAX'
+      WHEN any_ask > 0 AND NOT can_delay_any THEN 'RELAX'
+      WHEN any_ask > 0 THEN
+        CASE WHEN term_res THEN win_res ELSE kind_res END
+      ELSE 'NO_ASK' END AS walk_res
+  FROM wins
+),
+coded AS (
+  SELECT *,
+    CASE
+      WHEN multi_node AND part_used_cap >= 1.0 AND part_killable = 0
+        THEN 'INIT_PART'
+      WHEN NOT multi_node AND node_removed THEN 'INIT_REMOVED'
+      WHEN NOT multi_node AND node_reserved THEN
+        CASE WHEN outstanding <= 0 THEN 'RES_RELEASE'
+             WHEN blacklisted THEN 'BLACKLIST'
+             ELSE walk_res END
+      WHEN NOT multi_node
+           AND node_avail + node_killable < 1024 THEN 'INIT_RES'
+      WHEN NOT ignore_excl AND NOT parent_accessible
+        THEN 'PARENT_ACCESS'
+      WHEN parent_pending <= 0 THEN 'PARENT_PENDING'
+      WHEN parent_over_max THEN 'PARENT_MAX'
+      WHEN NOT ignore_excl AND NOT leaf_accessible THEN 'LEAF_ACCESS'
+      WHEN leaf_pending <= 0 THEN 'LEAF_PENDING'
+      WHEN leaf_over_max THEN 'APP_MAX'
+      WHEN NOT user_assignable THEN 'APP_USER'
+      WHEN NOT app_has_pending THEN 'APP_NOPEND'
+      WHEN any_ask <= 0 OR outstanding <= 0 THEN 'REQ_NONEED'
+      WHEN ignore_excl AND waiting_am THEN 'REQ_AM'
+      WHEN NOT partition_match THEN 'REQ_PART'
+      WHEN NOT continue_looking AND NOT should_alloc THEN 'REQ_RESV'
+      WHEN headroom + CASE WHEN continue_looking THEN app_reserved
+                           ELSE 0 END < capability THEN 'REQ_HEADROOM'
+      WHEN null_any_request THEN 'REQ_NULL'
+      WHEN ignore_excl AND missed_nonpart < cluster_nodes
+        THEN 'REQ_NONPART'
+      WHEN blacklisted THEN 'BLACKLIST'
+      ELSE walk_new END AS code
+  FROM walks
+)
+SELECT k AS attempt_id, node_id, app_id,
+  CASE WHEN code LIKE 'INIT%' THEN 'QUEUE'
+       WHEN code IN ('PARENT_ACCESS', 'PARENT_PENDING', 'PARENT_MAX',
+                     'LEAF_ACCESS', 'LEAF_PENDING') THEN 'QUEUE'
+       WHEN code IN ('APP_MAX', 'APP_USER', 'APP_NOPEND',
+                     'CREATE_FAIL', 'RACE_FAIL') THEN 'APP'
+       WHEN code IN ('REQ_NONEED', 'REQ_AM', 'REQ_RESV',
+                     'REQ_HEADROOM', 'REQ_NULL', 'REQ_NONPART',
+                     'RES_RELEASE') THEN 'REQUEST'
+       ELSE 'NODE' END AS level,
+  CASE WHEN code LIKE 'INIT%' THEN 'root'
+       WHEN code LIKE 'PARENT%' THEN parent_path
+       ELSE leaf_path END AS queue,
+  CASE WHEN code IN ('INIT_PART', 'INIT_REMOVED', 'INIT_RES',
+                     'PARENT_ACCESS', 'PARENT_MAX', 'LEAF_ACCESS',
+                     'APP_MAX', 'APP_USER', 'REQ_HEADROOM',
+                     'CREATE_FAIL', 'RACE_FAIL') THEN 'REJECTED'
+       WHEN code = 'WIN_ALLOC' THEN 'ALLOCATED'
+       WHEN code = 'WIN_RESERVE' THEN 'RESERVED'
+       WHEN code = 'WIN_RE_RESERVE' THEN 'RE_RESERVED'
+       ELSE 'SKIPPED' END AS state,
+  CASE code
+    WHEN 'INIT_PART' THEN 'INIT_CHECK_PARTITION_RESOURCE_INSUFFICIENT'
+    WHEN 'INIT_REMOVED' THEN 'INIT_CHECK_SINGLE_NODE_REMOVED'
+    WHEN 'INIT_RES' THEN 'INIT_CHECK_SINGLE_NODE_RESOURCE_INSUFFICIENT'
+    WHEN 'PARENT_ACCESS' THEN 'QUEUE_NOT_ABLE_TO_ACCESS_PARTITION'
+    WHEN 'LEAF_ACCESS' THEN 'QUEUE_NOT_ABLE_TO_ACCESS_PARTITION'
+    WHEN 'PARENT_PENDING' THEN 'QUEUE_DO_NOT_NEED_MORE_RESOURCE'
+    WHEN 'LEAF_PENDING' THEN 'QUEUE_DO_NOT_NEED_MORE_RESOURCE'
+    WHEN 'PARENT_MAX' THEN 'QUEUE_HIT_MAX_CAPACITY_LIMIT'
+    WHEN 'APP_MAX' THEN 'QUEUE_HIT_MAX_CAPACITY_LIMIT'
+    WHEN 'APP_USER' THEN 'QUEUE_HIT_USER_MAX_CAPACITY_LIMIT'
+    WHEN 'APP_NOPEND' THEN 'APPLICATION_DO_NOT_NEED_RESOURCE'
+    WHEN 'REQ_NONEED' THEN 'REQUEST_DO_NOT_NEED_RESOURCE'
+    WHEN 'REQ_AM' THEN 'REQUEST_SKIPPED_IN_IGNORE_EXCLUSIVITY_MODE'
+    WHEN 'REQ_PART' THEN
+      'NODE_DO_NOT_MATCH_PARTITION_OR_PLACEMENT_CONSTRAINTS'
+    WHEN 'REQ_RESV' THEN 'REQUEST_SKIPPED_BECAUSE_OF_RESERVATION'
+    WHEN 'REQ_HEADROOM' THEN 'QUEUE_DO_NOT_HAVE_ENOUGH_HEADROOM'
+    WHEN 'REQ_NULL' THEN 'REQUEST_SKIPPED_BECAUSE_NULL_ANY_REQUEST'
+    WHEN 'REQ_NONPART' THEN
+      'REQUEST_SKIPPED_BECAUSE_NON_PARTITIONED_PARTITION_FIRST'
+    WHEN 'BLACKLIST' THEN 'NODE_IS_BLACKLISTED'
+    WHEN 'RELAX' THEN 'NODE_SKIPPED_BECAUSE_OF_RELAX_LOCALITY'
+    WHEN 'OFF_DELAY' THEN 'NODE_SKIPPED_BECAUSE_OF_OFF_SWITCH_DELAY'
+    WHEN 'SKIP_TOTAL' THEN
+      'NODE_TOTAL_RESOURCE_INSUFFICIENT_FOR_REQUEST'
+    WHEN 'SKIP_UNRES' THEN
+      'NODE_CAN_NOT_FIND_CONTAINER_TO_BE_UNRESERVED_WHEN_NEEDED'
+    WHEN 'SKIP_SPACE' THEN 'NODE_DO_NOT_HAVE_SUFFICIENT_RESOURCE'
+    WHEN 'NO_ASK' THEN
+      'NODE_SKIPPED_BECAUSE_OF_NO_OFF_SWITCH_AND_LOCALITY_VIOLATION'
+    WHEN 'WIN_RESERVE' THEN 'NODE_DO_NOT_HAVE_SUFFICIENT_RESOURCE'
+    WHEN 'WIN_RE_RESERVE' THEN 'NODE_DO_NOT_HAVE_SUFFICIENT_RESOURCE'
+    WHEN 'CREATE_FAIL' THEN 'APPLICATION_COULD_NOT_GET_CONTAINER'
+    WHEN 'RACE_FAIL' THEN 'APPLICATION_FAIL_TO_ALLOCATE'
+  END AS diagnostic,
+  CASE WHEN code LIKE 'WIN%' THEN req_type END AS alloc_type,
+  CASE WHEN code LIKE 'WIN%' THEN 'ACCEPTED'
+       WHEN code = 'APP_MAX' THEN 'REJECTED'
+       WHEN code IN ('REQ_HEADROOM', 'RES_RELEASE') THEN 'REJECTED'
+       WHEN code IN ('REQ_NONEED', 'REQ_PART', 'REQ_RESV', 'REQ_NULL',
+                     'RELAX', 'NO_ASK') THEN 'SKIPPED'
+  END AS echo_state,
+  CASE WHEN code = 'APP_MAX' THEN 'QUEUE_HIT_MAX_CAPACITY_LIMIT'
+       WHEN code IN ('REQ_HEADROOM', 'RES_RELEASE')
+         THEN 'QUEUE_DO_NOT_HAVE_ENOUGH_HEADROOM'
+       WHEN code IN ('REQ_NONEED', 'REQ_PART', 'REQ_RESV', 'REQ_NULL',
+                     'RELAX', 'NO_ASK')
+         THEN 'QUEUE_SKIPPED_TO_RESPECT_FIFO'
+  END AS echo_diag
+FROM coded
+"""
+
+
+@register("cs_allocation_activities", _ACTIVITIES_ORACLE)
+def cs_allocation_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CS ActivitiesManager allocation diagnostics (operators/activities
+    — the decisive per-attempt activity record plus the leaf queue
+    echo; decision chain verified against CapacityScheduler.java:
+    1609-1797, ParentQueue.java:548-619, LeafQueue.java:1142-1289,
+    RegularContainerAllocator.java:100-885 and
+    AbstractContainerAllocator.java:71-165; diagnostics are
+    ActivityDiagnosticConstant names). Orders rows sweep every
+    terminal: init checks, the reserved-container fulfill path
+    (release / blacklist / re-reserve / fulfill-allocate / the
+    otherwise-dead no-ask record), queue access/pending/max gates at
+    parent and leaf, user limit, request pre-checks, and the full
+    locality walk with reservation/unreserve/preemption outcomes —
+    every diagnostic constant is live at sf0.01. Scale: pure
+    whole-stage-codegen when-chain, zero shuffles, zero UDFs; one
+    verdict row per attempt row whatever the cluster size."""
+    from hadoop_source_spark.operators import activities
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    parent = F.concat(F.lit("root.q"), (k % 4).cast("string"))
+    attempts = o.select(
+        k.alias("attempt_id"),
+        F.concat(F.lit("n"), (k % 24).cast("string")).alias("node_id"),
+        F.concat(F.lit("app_"), (k % 50).cast("string")).alias("app_id"),
+        parent.alias("parent_path"),
+        F.concat(parent, F.lit(".leaf"), (k % 3).cast("string")).alias(
+            "leaf_path"
+        ),
+        (k % 7 == 0).alias("multi_node"),
+        (k % 11 == 0).alias("ignore_exclusivity"),
+        (k % 23 == 0).alias("node_removed"),
+        (k % 13 == 0).alias("node_reserved"),
+        ((k * 37) % 8192).cast("long").alias("node_avail"),
+        F.when(k % 5 == 0, 2048).otherwise(0).cast("long").alias(
+            "node_killable"
+        ),
+        F.when(k % 47 == 0, 512).otherwise(8192).cast("long").alias(
+            "node_total"
+        ),
+        F.lit(1024).cast("long").alias("min_alloc"),
+        F.when(k % 21 == 0, 1.0).otherwise(0.6).alias("part_used_cap"),
+        F.when(k % 42 == 0, 5).otherwise(0).cast("long").alias(
+            "part_killable"
+        ),
+        (k % 19 != 0).alias("parent_accessible"),
+        F.when(k % 37 == 0, 0).otherwise(10).cast("long").alias(
+            "parent_pending"
+        ),
+        (k % 41 == 0).alias("parent_over_max"),
+        (k % 43 != 0).alias("leaf_accessible"),
+        F.when(k % 53 == 0, 0).otherwise(10).cast("long").alias(
+            "leaf_pending"
+        ),
+        (k % 59 == 0).alias("leaf_over_max"),
+        (k % 17 != 0).alias("user_assignable"),
+        (k % 61 != 0).alias("app_has_pending"),
+        F.when(k % 67 == 0, F.lit(0).cast("long"))
+        .otherwise(1 + k % 3).alias("any_ask"),
+        F.when(k % 71 == 0, F.lit(0).cast("long"))
+        .otherwise(2 + k % 5).alias("outstanding"),
+        (k % 9 == 0).alias("waiting_am"),
+        (k % 29 != 0).alias("partition_match"),
+        (k % 3 != 0).alias("continue_looking"),
+        (k % 31 != 0).alias("should_alloc_or_reserve"),
+        ((k * 53) % 4096).cast("long").alias("headroom"),
+        F.when(k % 6 == 0, 2048).otherwise(0).cast("long").alias(
+            "app_reserved"
+        ),
+        (k % 73 == 0).alias("null_any_request"),
+        (k % 15).cast("long").alias("missed_nonpart"),
+        F.lit(10).cast("long").alias("cluster_nodes"),
+        (k % 79 == 0).alias("blacklisted"),
+        F.when((k % 8).isin(0, 1, 6), 1).otherwise(0).cast("long")
+        .alias("node_ask"),
+        F.when(k % 8 < 4, 1).otherwise(0).cast("long").alias("rack_ask"),
+        (k % 83 != 0).alias("can_delay_rack"),
+        (k % 89 != 0).alias("can_delay_any"),
+        ((k * 7) % 12).cast("long").alias("sched_opps"),
+        F.lit(4).cast("long").alias("node_delay"),
+        F.when(k % 2 == 0, 2).otherwise(-1).cast("long").alias(
+            "rack_extra_delay"
+        ),
+        (1 + k % 6).cast("long").alias("uniq_asks"),
+        (512 * (1 + k % 5)).cast("long").alias("capability"),
+        (k % 4 == 0).alias("preemption_allowed"),
+        (k % 27 == 0).alias("need_unreserve"),
+        (k % 2 == 0).alias("found_unreserve"),
+        (k % 101 == 0).alias("container_create_fail"),
+        (k % 103 == 0).alias("alloc_race_fail"),
+    )
+    return activities.allocation_activities(attempts)
+
+
 _WINDOW: list[str] = [
     # TPC-H shapes (22)
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
@@ -17238,9 +17559,11 @@ _WINDOW: list[str] = [
     "locality_delay_schedule", "kms_key_acl_matrix",
     "opportunistic_queue_plan",
     "aggregated_log_index", "log_retention_sweep",
+    # round 12
+    "cs_allocation_activities",
 ]
 
-assert len(_WINDOW) == 227, len(_WINDOW)
+assert len(_WINDOW) == 228, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
