@@ -17097,6 +17097,130 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLOWACT_ORACLE = """
+WITH e AS (SELECT event_id AS eid, event_id // 100 AS run FROM events),
+ev AS (
+  SELECT eid, run,
+    CASE WHEN run % 17 = 0 THEN 'c2' ELSE 'c1' END AS cluster,
+    1700000000000 + (eid * 7919) % 432000000 AS event_ts,
+    'u' || CAST(run % 5 AS VARCHAR) AS user_id,
+    'fl' || CAST(run % 9 AS VARCHAR) AS flow_name,
+    run AS run_id,
+    'v' || CAST(eid % 4 AS VARCHAR) AS version,
+    eid AS write_ts
+  FROM e
+),
+cells AS (
+  SELECT cluster, event_ts - event_ts % 86400000 AS day_ts,
+         user_id, flow_name, run_id,
+         arg_max(version, write_ts) AS version
+  FROM ev GROUP BY 1, 2, 3, 4, 5
+),
+flt AS (
+  SELECT * FROM cells
+  WHERE cluster = 'c1' AND day_ts >= 1700006400000
+),
+acts AS (
+  SELECT day_ts, user_id, flow_name FROM flt GROUP BY 1, 2, 3
+  ORDER BY day_ts DESC, user_id, flow_name LIMIT 40
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY day_ts DESC, user_id, flow_name) AS activity_rank
+  FROM acts
+),
+runs AS (
+  SELECT f.day_ts, f.user_id, f.flow_name, f.run_id, f.version,
+         r.activity_rank
+  FROM flt f JOIN ranked r USING (day_ts, user_id, flow_name)
+),
+mcells AS (
+  SELECT 'r' || CAST(run AS VARCHAR) AS run_key,
+         'app_' || CAST(eid % 5 AS VARCHAR) AS app_id,
+         1700000000000000 - eid AS ts,
+         CAST(1 + eid % 100 AS BIGINT) AS value
+  FROM e
+),
+latest AS (
+  SELECT run_key, app_id, arg_max(value, ts) AS value
+  FROM mcells GROUP BY 1, 2
+),
+sums AS (
+  SELECT run_key, CAST(sum(value) AS BIGINT) AS cpu_sum
+  FROM latest GROUP BY 1
+)
+SELECT r.day_ts, r.user_id, r.flow_name, r.run_id, r.version,
+       r.activity_rank, s.cpu_sum
+FROM runs r
+LEFT JOIN sums s ON s.run_key = 'r' || CAST(r.run_id AS VARCHAR)
+"""
+
+
+@register("flow_activity_rollup", _FLOWACT_ORACLE)
+def flow_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATSv2 flow-activity page scan joined to flow-run metrics
+    (operators/flowactivity — HBaseTimelineWriterImpl.java:302-349
+    cell writes with latest-version overwrite, FlowActivityRowKey.java
+    :164-186 inverted-day scan order, FlowActivityEntityReader.java
+    :102-190 created-range + PageFilter; run metrics come from
+    operators/flowrun's FlowScanner READ pass and join on the run —
+    how the reference's activity and run readers share one flow
+    context). Events become app-lifecycle writes across 6 UTC days
+    and two clusters; the range filter drops the oldest day, the page
+    keeps 40 activities, and every run carries its latest-per-app cpu
+    sum. Scale: one hash aggregate per table grain, a top-k page
+    (TakeOrderedAndProject) broadcast back to cells, and one join —
+    no global sorts; the rank window runs over the page-sized top-k
+    output only."""
+    from hadoop_source_spark.operators import flowactivity, flowrun
+
+    eid = F.col("event_id")
+    run = F.floor(eid / 100)
+    e = table(spark, sf_dir, "events")
+    writes = e.select(
+        F.when(run % 17 == 0, "c2").otherwise("c1").alias("cluster"),
+        (F.lit(1_700_000_000_000) + (eid * 7919) % 432_000_000)
+        .cast("long").alias("event_ts"),
+        F.concat(F.lit("u"), (run % 5).cast("string")).alias("user_id"),
+        F.concat(F.lit("fl"), (run % 9).cast("string")).alias(
+            "flow_name"
+        ),
+        run.cast("long").alias("run_id"),
+        F.concat(F.lit("v"), (eid % 4).cast("string")).alias("version"),
+        eid.alias("write_ts"),
+    )
+    page = flowactivity.flow_activity_scan(
+        flowactivity.flow_activity_table(writes),
+        cluster="c1", created_begin=1_700_006_400_000, limit=40,
+    )
+    mcells = e.select(
+        F.concat(F.lit("r"), run.cast("string")).alias("run_key"),
+        F.lit("cpu").alias("qualifier"),
+        F.concat(F.lit("app_"), (eid % 5).cast("string")).alias(
+            "app_id"
+        ),
+        (F.lit(1_700_000_000_000_000) - eid).cast("long").alias("ts"),
+        (1 + eid % 100).cast("long").alias("value"),
+        F.when(eid % 2 == 0, "SUM").otherwise("SUM_FINAL").alias(
+            "agg_op"
+        ),
+    )
+    sums = (
+        flowrun.flow_scan(mcells, mode=flowrun.READ)
+        .where(F.col("emit") == flowrun.SUM)
+        .select("run_key", F.col("value").alias("cpu_sum"))
+    )
+    return page.join(
+        sums,
+        sums["run_key"]
+        == F.concat(F.lit("r"), page["run_id"].cast("string")),
+        "left",
+    ).select(
+        "day_ts", "user_id", "flow_name", "run_id", "version",
+        "activity_rank", "cpu_sum",
+    )
+
+
 _ACTIVITIES_ORACLE = """
 WITH base AS (SELECT o_orderkey AS k FROM orders),
 a AS (
@@ -17560,10 +17684,10 @@ _WINDOW: list[str] = [
     "opportunistic_queue_plan",
     "aggregated_log_index", "log_retention_sweep",
     # round 12
-    "cs_allocation_activities",
+    "cs_allocation_activities", "flow_activity_rollup",
 ]
 
-assert len(_WINDOW) == 228, len(_WINDOW)
+assert len(_WINDOW) == 229, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
