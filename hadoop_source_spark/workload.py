@@ -17097,6 +17097,188 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUTOQ_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+ps AS (SELECT DISTINCT k % 40 AS p FROM base),
+labels AS (SELECT * FROM (VALUES (''), ('gpu')) AS t(label)),
+parents AS (
+  SELECT 'root.p' || CAST(p AS VARCHAR) AS parent_path, label,
+    CASE WHEN label = '' THEN 0.05 * (1 + p % 7)
+         ELSE 0.04 * (1 + p % 5) END AS parent_abs,
+    CASE WHEN label = '' THEN 0.02 + 0.01 * (p % 3)
+         ELSE 0.03 END AS template_abs,
+    CAST(20 + p % 10 AS DOUBLE) AS template_cap,
+    CAST(40 + p % 20 AS DOUBLE) AS template_max,
+    p FROM ps CROSS JOIN labels
+),
+ljk AS (SELECT DISTINCT k % 40 AS p, (k // 40) % 6 AS j FROM base),
+leaves AS (
+  SELECT 'root.p' || CAST(p AS VARCHAR) AS parent_path,
+    'root.p' || CAST(p AS VARCHAR) || '.lq' || CAST(j AS VARCHAR)
+      AS queue_path,
+    label,
+    CASE WHEN label = '' THEN (p + j) % 3 = 0
+         ELSE (p + j) % 4 = 0 END AS is_active,
+    (p * 7 + j) % 4 AS num_apps, p, j
+  FROM ljk CROSS JOIN labels
+),
+apps AS (
+  SELECT 'root.p' || CAST(k % 40 AS VARCHAR) AS parent_path,
+    'root.p' || CAST(k % 40 AS VARCHAR) || '.lq'
+      || CAST((k // 40) % 6 AS VARCHAR) AS queue_path,
+    'a' || CAST(k AS VARCHAR) AS app_id,
+    (k * 13) % 10007 AS submit_time
+  FROM base WHERE k % 2 = 0
+),
+mparents AS (SELECT * FROM parents WHERE p % 2 = 0),
+mleaves AS (SELECT * FROM leaves WHERE p % 2 = 0),
+lv AS (SELECT l.*, m.parent_abs, m.template_abs, m.template_cap,
+              m.template_max
+       FROM mleaves l JOIN mparents m USING (parent_path, label)),
+deact AS (SELECT * FROM lv WHERE is_active AND num_apps <= 0),
+totals AS (
+  SELECT parent_path, label,
+    sum(CASE WHEN is_active THEN template_abs ELSE 0 END)
+      AS activated_total,
+    sum(CASE WHEN is_active AND num_apps <= 0 THEN template_abs
+         ELSE 0 END) AS deactivated_total
+  FROM lv GROUP BY 1, 2
+),
+pcnt AS (SELECT parent_path, count(*) AS pending_apps
+         FROM apps GROUP BY 1),
+avail AS (
+  SELECT m.parent_path, m.label, m.template_abs, m.template_cap,
+    m.template_max,
+    m.parent_abs - coalesce(t.activated_total, 0)
+      + coalesce(t.deactivated_total, 0) + 0.0001 AS available,
+    coalesce(c.pending_apps, 0) AS pending_apps
+  FROM mparents m
+  LEFT JOIN totals t USING (parent_path, label)
+  LEFT JOIN pcnt c USING (parent_path)
+),
+avail2 AS (
+  SELECT *, CASE WHEN available >= template_abs AND template_abs > 0
+    THEN least(CAST(floor(available / template_abs) AS BIGINT),
+               pending_apps) ELSE 0 END AS max_activate
+  FROM avail
+),
+cand AS (
+  SELECT l.parent_path, l.queue_path, l.label, a.first_submit,
+    row_number() OVER (PARTITION BY l.parent_path, l.label
+      ORDER BY a.first_submit, l.queue_path) AS rk
+  FROM (SELECT parent_path, queue_path, min(submit_time)
+          AS first_submit FROM apps GROUP BY 1, 2) a
+  JOIN (SELECT parent_path, queue_path, label FROM mleaves
+        WHERE NOT is_active) l USING (parent_path, queue_path)
+  LEFT JOIN (SELECT parent_path, queue_path, label, TRUE AS d
+             FROM deact) dd
+    ON dd.parent_path = l.parent_path
+   AND dd.queue_path = l.queue_path AND dd.label = l.label
+  WHERE dd.d IS NULL
+),
+activated AS (
+  SELECT c.parent_path, c.queue_path, c.label,
+    'ACTIVATE' AS action, v.template_cap AS capacity,
+    v.template_max AS max_capacity
+  FROM cand c JOIN avail2 v USING (parent_path, label)
+  WHERE c.rk <= v.max_activate
+),
+deactivated AS (
+  SELECT parent_path, queue_path, label, 'DEACTIVATE' AS action,
+    0.0 AS capacity, template_max AS max_capacity
+  FROM deact
+),
+configured AS (
+  SELECT parent_path, queue_path, label, 'CONFIGURED' AS action,
+    CAST(5 + j AS DOUBLE) AS capacity, 100.0 AS max_capacity
+  FROM leaves WHERE p % 2 = 1
+)
+SELECT parent_path, queue_path, label, action,
+       round(capacity, 4) AS capacity, max_capacity
+FROM (SELECT * FROM deactivated UNION ALL SELECT * FROM activated
+      UNION ALL SELECT * FROM configured)
+"""
+
+
+@register("auto_queue_management", _AUTOQ_ORACLE)
+def auto_queue_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-created leaf queue management tick (operators/autoqueues —
+    GuaranteedOrZeroCapacityOverTimePolicy.java:356-470 per-label
+    pass: idle active leaves deactivate to zero capacity :583-610,
+    freed + unused parent capacity activates pending leaves in app
+    submit-time order :534-559 capped by floor(available/template)
+    and the pending-app count :627-639, entitlements carry the
+    template's relative capacity :796-809, EPSILON 0.0001 from
+    CSQueueUtils). Even-numbered parents are MANAGED (the policy
+    runs); odd parents keep their statically CONFIGURED leaves in the
+    same report — dynamic and configured queues coexist. Two template
+    node labels exercise the per-label independence. Scale: the leaf
+    population shuffles once on (parent, label); the activation walk
+    is one rank window on that grain; parents are conf-sized."""
+    from hadoop_source_spark.operators import autoqueues
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    labels = F.explode(F.array(F.lit(""), F.lit("gpu"))).alias("label")
+    p = F.col("p")
+    j = F.col("j")
+    lab = F.col("label")
+    ppath = F.concat(F.lit("root.p"), p.cast("string"))
+    qpath = F.concat(ppath, F.lit(".lq"), j.cast("string"))
+
+    parents_all = (
+        o.select((k % 40).alias("p")).distinct().select("p", labels)
+        .select(
+            ppath.alias("parent_path"), "label",
+            F.when(lab == "", 0.05 * (1 + p % 7))
+            .otherwise(0.04 * (1 + p % 5)).alias("parent_abs"),
+            F.when(lab == "", 0.02 + 0.01 * (p % 3))
+            .otherwise(F.lit(0.03)).alias("template_abs"),
+            (20 + p % 10).cast("double").alias("template_cap"),
+            (40 + p % 20).cast("double").alias("template_max"),
+            "p",
+        )
+    )
+    leaves_all = (
+        o.select((k % 40).alias("p"), (F.floor(k / 40) % 6).alias("j"))
+        .distinct().select("p", "j", labels)
+        .select(
+            ppath.alias("parent_path"), qpath.alias("queue_path"),
+            "label",
+            F.when(lab == "", (p + j) % 3 == 0)
+            .otherwise((p + j) % 4 == 0).alias("is_active"),
+            ((p * 7 + j) % 4).cast("long").alias("num_apps"),
+            "p", "j",
+        )
+    )
+    apps = o.where(k % 2 == 0).select(
+        F.concat(F.lit("root.p"), (k % 40).cast("string")).alias(
+            "parent_path"
+        ),
+        F.concat(
+            F.lit("root.p"), (k % 40).cast("string"), F.lit(".lq"),
+            (F.floor(k / 40) % 6).cast("string"),
+        ).alias("queue_path"),
+        F.concat(F.lit("a"), k.cast("string")).alias("app_id"),
+        ((k * 13) % 10007).cast("long").alias("submit_time"),
+    )
+    changes = autoqueues.queue_management_changes(
+        parents_all.where(p % 2 == 0).drop("p"),
+        leaves_all.where(p % 2 == 0).drop("p", "j"),
+        apps,
+    )
+    configured = leaves_all.where(p % 2 == 1).select(
+        "parent_path", "queue_path", "label",
+        F.lit("CONFIGURED").alias("action"),
+        (5 + j).cast("double").alias("capacity"),
+        F.lit(100.0).alias("max_capacity"),
+    )
+    return changes.unionByName(configured).select(
+        "parent_path", "queue_path", "label", "action",
+        F.round("capacity", 4).alias("capacity"), "max_capacity",
+    )
+
+
 _FLOWACT_ORACLE = """
 WITH e AS (SELECT event_id AS eid, event_id // 100 AS run FROM events),
 ev AS (
@@ -17685,9 +17867,10 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
     # round 12
     "cs_allocation_activities", "flow_activity_rollup",
+    "auto_queue_management",
 ]
 
-assert len(_WINDOW) == 229, len(_WINDOW)
+assert len(_WINDOW) == 230, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -1,0 +1,141 @@
+"""Auto-created leaf queue policy pins
+(GuaranteedOrZeroCapacityOverTimePolicy.java:356-470,534-559,583-639,
+690-719,755-809; CSQueueUtils.EPSILON)."""
+
+from __future__ import annotations
+
+from hadoop_source_spark.operators import autoqueues as aq
+
+P_SCHEMA = (
+    "parent_path string, label string, parent_abs double,"
+    " template_abs double, template_cap double, template_max double"
+)
+L_SCHEMA = (
+    "parent_path string, queue_path string, label string,"
+    " is_active boolean, num_apps long"
+)
+A_SCHEMA = (
+    "parent_path string, queue_path string, app_id string,"
+    " submit_time long"
+)
+
+
+def run(spark, parents, leaves, apps):
+    return aq.queue_management_changes(
+        spark.createDataFrame(parents, P_SCHEMA),
+        spark.createDataFrame(leaves, L_SCHEMA),
+        spark.createDataFrame(apps, A_SCHEMA),
+    ).collect()
+
+
+def test_deactivates_active_queue_without_apps(spark):
+    out = run(
+        spark,
+        [("root.p", "", 0.4, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", True, 0),
+         ("root.p", "root.p.b", "", True, 3)],
+        [],
+    )
+    (row,) = out
+    assert (row["queue_path"], row["action"]) == ("root.p.a", "DEACTIVATE")
+    assert (row["capacity"], row["max_capacity"]) == (0.0, 50.0)
+
+
+def test_activates_in_submit_order_capped_by_capacity(spark):
+    # available = 0.25 + eps -> floor(/0.1) = 2 activations
+    out = run(
+        spark,
+        [("root.p", "", 0.25, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", False, 0),
+         ("root.p", "root.p.b", "", False, 0),
+         ("root.p", "root.p.c", "", False, 0)],
+        [("root.p", "root.p.c", "app1", 100),
+         ("root.p", "root.p.a", "app2", 200),
+         ("root.p", "root.p.b", "app3", 300),
+         ("root.p", "root.p.a", "app4", 50)],  # a's EARLIEST is 50
+    )
+    acts = {r["queue_path"]: r for r in out}
+    assert set(acts) == {"root.p.a", "root.p.c"}  # submit order a(50), c(100)
+    assert all(r["action"] == "ACTIVATE" for r in out)
+    assert acts["root.p.a"]["capacity"] == 25.0  # template RELATIVE cap
+
+
+def test_activation_capped_by_pending_apps(spark):
+    out = run(
+        spark,
+        [("root.p", "", 1.0, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", False, 0),
+         ("root.p", "root.p.b", "", False, 0)],
+        [("root.p", "root.p.a", "app1", 100)],  # one app -> one leaf
+    )
+    assert [r["queue_path"] for r in out] == ["root.p.a"]
+
+
+def test_deactivated_capacity_funds_activation_but_not_reactivation(spark):
+    # parent fully consumed by the active-but-idle queue; deactivating
+    # it frees exactly one template slot for the pending queue, and the
+    # just-deactivated queue itself is skipped by the walk even though
+    # it has an (old) app row? -- no: deactivation requires num_apps=0,
+    # so give it no apps; new queue b has the only app.
+    out = run(
+        spark,
+        [("root.p", "", 0.1, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", True, 0),
+         ("root.p", "root.p.b", "", False, 0)],
+        [("root.p", "root.p.b", "app1", 100)],
+    )
+    by = {r["queue_path"]: r["action"] for r in out}
+    assert by == {"root.p.a": "DEACTIVATE", "root.p.b": "ACTIVATE"}
+
+
+def test_active_queue_with_apps_not_touched(spark):
+    out = run(
+        spark,
+        [("root.p", "", 1.0, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", True, 2)],
+        [("root.p", "root.p.a", "app1", 100)],
+    )
+    assert out == []  # already active: neither deactivated nor chosen
+
+
+def test_no_activation_below_template_capacity(spark):
+    out = run(
+        spark,
+        [("root.p", "", 0.05, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", False, 0)],
+        [("root.p", "root.p.a", "app1", 100)],
+    )
+    assert out == []
+
+
+def test_per_label_independence(spark):
+    # '' label has room, 'gpu' label is full
+    out = run(
+        spark,
+        [("root.p", "", 0.5, 0.1, 25.0, 50.0),
+         ("root.p", "gpu", 0.1, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.a", "", False, 0),
+         ("root.p", "root.p.a", "gpu", False, 0),
+         ("root.p", "root.p.b", "gpu", True, 1)],
+        [("root.p", "root.p.a", "app1", 100)],
+    )
+    assert [(r["label"], r["action"]) for r in out] == [("", "ACTIVATE")]
+
+
+def test_initial_leaf_template(spark):
+    parents = spark.createDataFrame(
+        [("root.p", "", 0.2, 0.1, 25.0, 50.0)], P_SCHEMA)
+    leaves = spark.createDataFrame(
+        [("root.p", "root.p.a", "", True, 1)], L_SCHEMA)
+    new_queues = spark.createDataFrame(
+        [("root.p", "root.p.new")], "parent_path string, queue_path string")
+    (row,) = aq.initial_leaf_template(parents, leaves, new_queues).collect()
+    assert row["activated"] and row["capacity"] == 25.0
+    # full parent -> born at zero
+    leaves2 = spark.createDataFrame(
+        [("root.p", "root.p.a", "", True, 1),
+         ("root.p", "root.p.b", "", True, 1)], L_SCHEMA)
+    (row2,) = aq.initial_leaf_template(
+        parents, leaves2, new_queues).collect()
+    assert not row2["activated"] and row2["capacity"] == 0.0
+    assert row2["max_capacity"] == 50.0
