@@ -17097,6 +17097,187 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALIASMAP_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+r AS (
+  SELECT k, 'bp' || CAST(k % 5 AS VARCHAR) AS bpid, k AS block_id,
+    '/warehouse/f' || CAST(k % 97 AS VARCHAR) AS path,
+    (k * 11) % 100000 AS "offset", 1 + k % 4096 AS "length",
+    1000 + k % 50 AS gen_stamp,
+    CASE WHEN k % 4 = 0 THEN 'n' || CAST(k % 13 AS VARCHAR)
+         ELSE '' END AS nonce_s
+  FROM base
+),
+lines AS (
+  SELECT *,
+    CAST(block_id AS VARCHAR) || ',' || path || ','
+      || CAST("offset" AS VARCHAR) || ',' || CAST("length" AS VARCHAR)
+      || ',' || CAST(gen_stamp AS VARCHAR)
+      || CASE WHEN nonce_s <> ''
+              THEN ',' || to_base64(CAST(nonce_s AS BLOB))
+              ELSE '' END AS line
+  FROM r
+),
+blobs AS (
+  SELECT bpid,
+    md5(string_agg(line || chr(10), '' ORDER BY block_id)) AS blob_md5
+  FROM lines GROUP BY bpid
+),
+storages AS (
+  SELECT k, block_id, 0 AS slot,
+    CASE WHEN k % 7 = 0 THEN 'p' || CAST(k % 6 AS VARCHAR)
+         ELSE 'd' || CAST(k % 20 AS VARCHAR) END AS node_id,
+    'DISK' AS storage_type
+  FROM r
+  UNION ALL
+  SELECT k, block_id, 1, 'd' || CAST((k + 7) % 20 AS VARCHAR), 'DISK'
+  FROM r WHERE k % 2 = 0
+  UNION ALL
+  SELECT k, block_id, 2, 'prov', 'PROVIDED' FROM r WHERE k % 5 <> 4
+),
+dns AS (SELECT 'p' || CAST(i AS VARCHAR) AS node_id
+        FROM range(6) t(i)),
+locals AS (SELECT * FROM storages WHERE storage_type <> 'PROVIDED'),
+nloc AS (
+  SELECT block_id, count(*) FILTER (WHERE storage_type <> 'PROVIDED')
+           AS n_local,
+         bool_or(storage_type = 'PROVIDED') AS is_provided
+  FROM storages GROUP BY block_id
+),
+cand AS (
+  SELECT n.block_id, d.node_id, n.n_local,
+    row_number() OVER (PARTITION BY n.block_id
+                       ORDER BY d.node_id) AS rk
+  FROM nloc n CROSS JOIN dns d
+  WHERE n.is_provided
+    AND NOT EXISTS (SELECT 1 FROM locals l
+                    WHERE l.block_id = n.block_id
+                      AND l.node_id = d.node_id)
+),
+prov_rows AS (
+  SELECT block_id, CAST(n_local + rk - 1 AS INT) AS pos, node_id,
+    'PROVIDED' AS storage_type
+  FROM cand WHERE rk <= 1 + greatest(0, least(3, 6) - (n_local + 1))
+),
+local_rows AS (
+  SELECT block_id,
+    CAST(row_number() OVER (PARTITION BY block_id ORDER BY slot) - 1
+         AS INT) AS pos,
+    node_id, storage_type
+  FROM locals
+),
+locs AS (SELECT * FROM local_rows UNION ALL SELECT * FROM prov_rows)
+SELECT l.block_id, l.pos, l.node_id, l.storage_type,
+  r.bpid, r.path, r."offset" AS offset, r."length" AS length,
+  r.gen_stamp,
+  to_base64(CAST(r.nonce_s AS BLOB)) AS nonce_b64,
+  b.blob_md5
+FROM locs l
+JOIN r ON r.block_id = l.block_id
+JOIN blobs b ON b.bpid = r.bpid
+"""
+
+
+@register("provided_alias_map", _ALIASMAP_ORACLE)
+def provided_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVIDED storage alias map + read routing (operators/aliasmap —
+    TextFileRegionAliasMap.java:346-367,443-458 text codec round-trip
+    with the md5 of every encoded blob pinned in the output, and
+    ProvidedStorageMap.java:247-299 location multiplexing: locals
+    first, then smallest-id provided datanodes outside the exclude
+    set up to min(defaultReplication=3, active=6); the first provided
+    location is appended even past replication). Every third orders
+    row is a file region across 5 block pools; a quarter carry
+    nonces (the Base64 sixth field), some blocks are local-only, and
+    k%7 rows host a local replica ON a provided datanode so the
+    exclude set decides picks. The located rows come from the DECODED
+    regions, proving the wire round-trip. Scale: encode is one
+    applyInPandas per block pool (bytes stay on executors), decode
+    one mapInPandas; routing is one rank over the block x datanode
+    anti-join."""
+    from hadoop_source_spark.operators import aliasmap
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders").where(k % 3 == 0)
+    nonce_s = F.when(
+        k % 4 == 0, F.concat(F.lit("n"), (k % 13).cast("string"))
+    ).otherwise(F.lit(""))
+    regions = o.select(
+        F.concat(F.lit("bp"), (k % 5).cast("string")).alias("bpid"),
+        k.alias("block_id"),
+        F.concat(F.lit("/warehouse/f"), (k % 97).cast("string")).alias(
+            "path"
+        ),
+        ((k * 11) % 100000).cast("long").alias("offset"),
+        (1 + k % 4096).cast("long").alias("length"),
+        (1000 + k % 50).cast("long").alias("gen_stamp"),
+        nonce_s.cast("binary").alias("nonce"),
+    )
+    blobs = aliasmap.encode_alias_map(regions)
+    decoded = aliasmap.decode_alias_map(blobs)
+    kk = F.col("block_id")
+    s0 = F.struct(
+        F.lit(0).alias("slot"),
+        F.when(
+            kk % 7 == 0, F.concat(F.lit("p"), (kk % 6).cast("string"))
+        )
+        .otherwise(F.concat(F.lit("d"), (kk % 20).cast("string")))
+        .alias("node_id"),
+        F.lit("DISK").alias("storage_type"),
+    )
+    s1 = F.when(
+        kk % 2 == 0,
+        F.struct(
+            F.lit(1).alias("slot"),
+            F.concat(F.lit("d"), ((kk + 7) % 20).cast("string")).alias(
+                "node_id"
+            ),
+            F.lit("DISK").alias("storage_type"),
+        ),
+    )
+    sp = F.when(
+        kk % 5 != 4,
+        F.struct(
+            F.lit(2).alias("slot"),
+            F.lit("prov").alias("node_id"),
+            F.lit("PROVIDED").alias("storage_type"),
+        ),
+    )
+    storages = (
+        decoded.select(
+            "block_id",
+            F.explode(
+                F.filter(
+                    F.array(s0, s1, sp), lambda x: x.isNotNull()
+                )
+            ).alias("s"),
+        )
+        .select(
+            "block_id", F.col("s.slot").alias("slot"),
+            F.col("s.node_id").alias("node_id"),
+            F.col("s.storage_type").alias("storage_type"),
+        )
+    )
+    dns = spark.createDataFrame(
+        [("p%d" % i,) for i in range(6)], "node_id string"
+    )
+    locs = aliasmap.provided_locations(
+        storages, dns, default_replication=3
+    )
+    return (
+        locs.join(decoded, "block_id")
+        .join(
+            blobs.select("bpid", F.md5("data").alias("blob_md5")),
+            "bpid",
+        )
+        .select(
+            "block_id", "pos", "node_id", "storage_type", "bpid",
+            "path", "offset", "length", "gen_stamp",
+            F.base64(F.col("nonce")).alias("nonce_b64"), "blob_md5",
+        )
+    )
+
+
 _AUTOQ_ORACLE = """
 WITH base AS (SELECT o_orderkey AS k FROM orders),
 ps AS (SELECT DISTINCT k % 40 AS p FROM base),
@@ -17867,10 +18048,10 @@ _WINDOW: list[str] = [
     "aggregated_log_index", "log_retention_sweep",
     # round 12
     "cs_allocation_activities", "flow_activity_rollup",
-    "auto_queue_management",
+    "auto_queue_management", "provided_alias_map",
 ]
 
-assert len(_WINDOW) == 230, len(_WINDOW)
+assert len(_WINDOW) == 231, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
