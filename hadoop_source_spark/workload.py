@@ -17097,6 +17097,160 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_YARNSVC_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+inst AS (
+  SELECT k, k % 300 AS s, (k // 300) % 5 AS j,
+    CASE (k * 7) % 10
+      WHEN 6 THEN 'RUNNING_BUT_UNREADY' WHEN 7 THEN 'SUCCEEDED'
+      WHEN 8 THEN 'FAILED' WHEN 9 THEN 'UPGRADING'
+      ELSE 'READY' END AS state
+  FROM base
+),
+comps AS (
+  SELECT DISTINCT s, j,
+    's' || CAST(s AS VARCHAR) AS service,
+    'comp' || CAST(j AS VARCHAR) AS component,
+    CAST(2 + (s + j) % 3 AS BIGINT) AS desired,
+    CASE (s + j) % 3 WHEN 0 THEN 'ALWAYS' WHEN 1 THEN 'ON_FAILURE'
+         ELSE 'NEVER' END AS restart_policy,
+    (s + j) % 11 = 0 AS containers_upgrading,
+    (s + j) % 13 = 0 AS upgrade_failed,
+    j = 0 AND s % 7 = 0 AS is_dominant
+  FROM inst
+),
+counts AS (
+  SELECT s, j,
+    sum(CASE WHEN state = 'READY' THEN 1 ELSE 0 END) AS n_ready,
+    sum(CASE WHEN state NOT IN ('SUCCEEDED', 'FAILED', 'STOPPED')
+         THEN 1 ELSE 0 END) AS n_running,
+    sum(CASE WHEN state = 'SUCCEEDED' THEN 1 ELSE 0 END) AS n_succeeded,
+    sum(CASE WHEN state = 'FAILED' THEN 1 ELSE 0 END) AS n_failed
+  FROM inst GROUP BY s, j
+),
+c AS (
+  SELECT comps.*, CAST(coalesce(n_ready, 0) AS BIGINT) AS n_ready,
+    CAST(coalesce(n_running, 0) AS BIGINT) AS n_running,
+    CAST(coalesce(n_succeeded, 0) AS BIGINT) AS n_succeeded,
+    CAST(coalesce(n_failed, 0) AS BIGINT) AS n_failed
+  FROM comps LEFT JOIN counts USING (s, j)
+),
+staged AS (
+  SELECT *,
+    CASE WHEN restart_policy = 'ALWAYS' THEN FALSE
+         WHEN restart_policy = 'ON_FAILURE' THEN n_succeeded >= desired
+         ELSE n_succeeded + n_failed >= desired END AS term
+  FROM c
+),
+states AS (
+  SELECT *,
+    CASE WHEN term THEN
+        CASE WHEN n_succeeded = desired THEN 'SUCCEEDED'
+             ELSE 'FAILED' END
+      WHEN restart_policy = 'ALWAYS' THEN
+        CASE WHEN containers_upgrading OR upgrade_failed
+               THEN 'NEEDS_UPGRADE'
+             WHEN n_ready = desired THEN 'STABLE'
+             ELSE 'FLEXING' END
+      ELSE CASE WHEN n_running + n_succeeded + n_failed < desired
+                THEN 'FLEXING' ELSE 'STABLE' END
+    END AS comp_state
+  FROM staged
+),
+svc AS (
+  SELECT service,
+    max(CASE WHEN is_dominant AND term THEN
+          CASE WHEN comp_state = 'SUCCEEDED' THEN 2 ELSE 1 END END)
+      AS dom_exit,
+    min(CASE WHEN term THEN 1 ELSE 0 END) AS all_term,
+    max(CASE WHEN n_failed > 0 THEN 1 ELSE 0 END) AS any_failed,
+    min(CASE WHEN comp_state = 'STABLE' THEN 1 ELSE 0 END)
+      AS all_stable
+  FROM states GROUP BY service
+),
+svcstate AS (
+  SELECT service,
+    CASE WHEN dom_exit = 2 THEN 'SUCCEEDED'
+         WHEN dom_exit = 1 THEN 'FAILED'
+         WHEN all_term = 1 THEN
+           CASE WHEN any_failed = 1 THEN 'FAILED' ELSE 'SUCCEEDED' END
+         WHEN all_stable = 1 THEN 'STABLE'
+         ELSE 'STARTED' END AS service_state
+  FROM svc
+)
+SELECT st.service, st.component, st.restart_policy, st.desired,
+  st.n_ready, st.n_running, st.n_succeeded, st.n_failed,
+  st.comp_state, st.comp_state = 'STABLE' AS upgrade_ready,
+  CAST(st.n_ready AS BIGINT) AS n_upgradable, sv.service_state
+FROM states st JOIN svcstate sv USING (service)
+"""
+
+
+@register("yarn_service_rollup", _YARNSVC_ORACLE)
+def yarn_service_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN service framework state rollup (operators/yarnservice —
+    Component.java checkIfStable:484-529 long-lived vs terminating
+    component states, doesNeedUpgrade:916-920, restart policies
+    Always/OnFailure/Never shouldTerminate + hasCompletedSuccessfully,
+    ServiceScheduler.java terminateServiceIfNeeded:951-1056 incl. the
+    dominant-component exit, ServiceMaster
+    checkAndUpdateServiceState:285-310, upgrade readiness per
+    ServiceApiUtil:661-681). Orders rows become ~10 instances per
+    component across 300 services x 5 components sweeping all three
+    restart policies, upgrade flags, dominant components and every
+    instance state — all component and service states live at sf0.01.
+    Scale: one hash aggregate per grain plus a broadcast join back;
+    two shuffles, no UDFs."""
+    from hadoop_source_spark.operators import yarnservice
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    s = (k % 300).alias("s")
+    j = (F.floor(k / 300) % 5).alias("j")
+    inst = o.select(
+        k.alias("k"), s, j,
+        F.when((k * 7) % 10 == 6, "RUNNING_BUT_UNREADY")
+        .when((k * 7) % 10 == 7, "SUCCEEDED")
+        .when((k * 7) % 10 == 8, "FAILED")
+        .when((k * 7) % 10 == 9, "UPGRADING")
+        .otherwise("READY")
+        .alias("state"),
+    )
+    sj = F.col("s") + F.col("j")
+    comps = (
+        inst.select("s", "j").distinct()
+        .select(
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias(
+                "service"
+            ),
+            F.concat(F.lit("comp"), F.col("j").cast("string")).alias(
+                "component"
+            ),
+            (2 + sj % 3).cast("long").alias("desired"),
+            F.when(sj % 3 == 0, "ALWAYS")
+            .when(sj % 3 == 1, "ON_FAILURE")
+            .otherwise("NEVER")
+            .alias("restart_policy"),
+            (sj % 11 == 0).alias("containers_upgrading"),
+            (sj % 13 == 0).alias("upgrade_failed"),
+            ((F.col("j") == 0) & (F.col("s") % 7 == 0)).alias(
+                "is_dominant"
+            ),
+        )
+    )
+    instances = inst.select(
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("service"),
+        F.concat(F.lit("comp"), F.col("j").cast("string")).alias(
+            "component"
+        ),
+        F.concat(F.lit("i"), F.col("k").cast("string")).alias(
+            "instance_id"
+        ),
+        "state",
+    )
+    return yarnservice.service_state_rollup(comps, instances)
+
+
 _ALIASMAP_ORACLE = """
 WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0),
 r AS (
@@ -18049,9 +18203,10 @@ _WINDOW: list[str] = [
     # round 12
     "cs_allocation_activities", "flow_activity_rollup",
     "auto_queue_management", "provided_alias_map",
+    "yarn_service_rollup",
 ]
 
-assert len(_WINDOW) == 231, len(_WINDOW)
+assert len(_WINDOW) == 232, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
