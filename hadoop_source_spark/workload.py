@@ -17097,6 +17097,133 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CGROUPS_ORACLE = """
+WITH e AS (SELECT event_id AS eid FROM events),
+s AS (
+  SELECT eid, eid % 400 AS c, eid // 400 AS idx,
+    1000 + (eid // 400) * 3000 + (eid % 400) % 7 * 13 AS ts,
+    (eid * 37) % 5000 AS uj, (eid * 11) % 3000 AS sj,
+    (eid * 13) % 4096 AS mem,
+    CASE WHEN eid % 5 = 0 THEN NULL
+         ELSE (eid * 13) % 4096 + eid % 512 END AS memsw,
+    ((eid * 13) % 4096) * 2 + (eid * 7) % 1024 AS pvmem
+  FROM e
+),
+tr AS (
+  SELECT *, max((uj + sj) * 10) OVER (
+      PARTITION BY c ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+),
+pct AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER w IS NULL THEN -1.0
+         ELSE (cum - lag(cum) OVER w) * 100.0
+              / (ts - lag(ts) OVER w) END AS cpu_pct
+  FROM tr WINDOW w AS (PARTITION BY c ORDER BY ts)
+),
+latest AS (
+  SELECT c, arg_max(pvmem, ts) AS vmem_usage,
+    arg_max(mem, ts) AS pmem_usage,
+    round(arg_max(cpu_pct, ts), 4) AS cpu_usage_pct
+  FROM pct GROUP BY c
+),
+ticks AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS container_id,
+    vmem_usage, pmem_usage, cpu_usage_pct,
+    3000 + (c % 11) * 300 AS vlim, 1500 + (c % 13) * 200 AS plim,
+    c % 17 = 0 AS strict, c % 34 = 0 AS elastic
+  FROM latest
+)
+SELECT container_id, cpu_usage_pct,
+  CAST(vmem_usage AS BIGINT) AS vmem_usage,
+  CAST(pmem_usage AS BIGINT) AS pmem_usage,
+  CASE WHEN strict AND NOT elastic THEN 'SKIP_CGROUP_OOM'
+       WHEN vmem_usage > 2 * vlim OR vmem_usage > vlim
+         OR pmem_usage > 2 * plim OR pmem_usage > plim
+         THEN 'KILL_CONTAINER'
+       ELSE 'WITHIN_LIMITS' END AS action,
+  CASE WHEN strict AND NOT elastic THEN NULL
+       WHEN vmem_usage > vlim THEN 'virtual'
+       WHEN pmem_usage > plim THEN 'physical' END AS over_dim,
+  CAST(CASE WHEN strict AND NOT elastic THEN NULL
+       WHEN vmem_usage > vlim THEN -103
+       WHEN pmem_usage > plim THEN -104 END AS INT) AS exit_status,
+  CAST(CASE WHEN strict AND NOT elastic THEN NULL
+       WHEN vmem_usage > vlim THEN vmem_usage - vlim
+       WHEN pmem_usage > plim THEN pmem_usage - plim END AS BIGINT)
+    AS delta
+FROM ticks
+"""
+
+
+@register("cgroups_usage_kill", _CGROUPS_ORACLE)
+def cgroups_usage_kill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CGroups usage accounting feeding the memory kill policy
+    (operators/cgroups — CGroupsResourceCalculator.java:152-192,
+    246-262 cpuacct.stat jiffy parsing + monotonic cumulative CPU,
+    CpuTimeTracker.java:66-106 percent math, CombinedResourceCalculator
+    :61-110 procfs virtual memory; composed into
+    operators/contmon.check_memory_limits, the ContainersMonitor
+    tick). Events become ~N/400 containers with one 3-second-spaced
+    sample series each (every gap exceeds the 100 ms minimum interval,
+    so the tracker's hold-previous branch — pinned in
+    tests/test_cgroups.py — never decides a row and the oracle's lag
+    formulation is exact); a fifth of samples lack swap accounting,
+    and limits/enforcement flags sweep the skip/kill/within actions
+    (cgroups aged usage EQUALS current usage, getRssMemorySize:
+    160-174, so the kill check reduces to usage > limit and the
+    monitor's one-iteration GRACE can never fire here — it is live in
+    the procfs-based container_memory_check row). Scale: stat parsing is JVM higher-order functions;
+    the tracker scan is one Arrow kernel partition-parallel by
+    container; one max_by aggregate + broadcast-sized limits join."""
+    from hadoop_source_spark.operators import cgroups, contmon
+
+    eid = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    c = eid % 400
+    samples = e.select(
+        F.concat(F.lit("c"), c.cast("string")).alias("container_id"),
+        (1000 + F.floor(eid / 400) * 3000 + (c % 7) * 13)
+        .cast("long").alias("sample_ts"),
+        F.concat(
+            F.lit("user "), ((eid * 37) % 5000).cast("string"),
+            F.lit("\nsystem "), ((eid * 11) % 3000).cast("string"),
+        ).alias("cpuacct_stat"),
+        ((eid * 13) % 4096).cast("long").alias("mem_usage"),
+        F.when(
+            eid % 5 != 0, (eid * 13) % 4096 + eid % 512
+        ).cast("long").alias("memsw_usage"),
+        (((eid * 13) % 4096) * 2 + (eid * 7) % 1024)
+        .cast("long").alias("procfs_vmem"),
+    )
+    usage = cgroups.usage_report(samples)
+    limits = (
+        e.select(c.alias("c")).distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("c").cast("string")).alias(
+                "container_id"
+            ),
+            (3000 + (F.col("c") % 11) * 300).cast("long").alias(
+                "vmem_limit"
+            ),
+            (1500 + (F.col("c") % 13) * 200).cast("long").alias(
+                "pmem_limit"
+            ),
+            (F.col("c") % 17 == 0).alias("strict_enforcement"),
+            (F.col("c") % 34 == 0).alias("elastic_memory"),
+        )
+    )
+    ticks = cgroups.monitor_ticks(usage, limits)
+    verdicts = contmon.check_memory_limits(ticks.drop("cpu_usage_pct"))
+    return ticks.select(
+        "container_id", F.round("cpu_usage_pct", 4).alias(
+            "cpu_usage_pct"
+        ),
+        "vmem_usage", "pmem_usage",
+    ).join(verdicts, "container_id")
+
+
 _YARNSVC_ORACLE = """
 WITH base AS (SELECT o_orderkey AS k FROM orders),
 inst AS (
@@ -18203,10 +18330,10 @@ _WINDOW: list[str] = [
     # round 12
     "cs_allocation_activities", "flow_activity_rollup",
     "auto_queue_management", "provided_alias_map",
-    "yarn_service_rollup",
+    "yarn_service_rollup", "cgroups_usage_kill",
 ]
 
-assert len(_WINDOW) == 232, len(_WINDOW)
+assert len(_WINDOW) == 233, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
