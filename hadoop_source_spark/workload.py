@@ -17097,6 +17097,275 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GPU_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+nodes AS (SELECT DISTINCT k % 50 AS n FROM base),
+devs AS (
+  SELECT n, i AS gpu_index, i % 2 AS minor,
+    CASE WHEN (n * 3 + i) % 4 = 0
+         THEN 'h' || CAST(n AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+    END AS used_by,
+    (n + i) % 3 = 0 AS holder_final
+  FROM nodes CROSS JOIN range(6) t(i)
+  WHERE i < 2 + n % 5
+),
+per_node AS (
+  SELECT n, count(*) AS n_allowed,
+    sum(CASE WHEN used_by IS NULL THEN 1 ELSE 0 END) AS n_avail,
+    sum(CASE WHEN used_by IS NOT NULL AND holder_final THEN 1
+         ELSE 0 END) AS n_releasing
+  FROM devs GROUP BY n
+),
+reqs AS (
+  SELECT k, k % 50 AS n, 'c' || CAST(k AS VARCHAR) AS container_id,
+    k % 5 AS requested
+  FROM base
+),
+verdicts AS (
+  SELECT r.*, p.n_allowed, p.n_avail, p.n_releasing,
+    CASE WHEN r.requested <= 0 THEN 'ALLOW_NONE'
+         WHEN r.requested <= p.n_avail THEN 'ASSIGNED'
+         WHEN r.requested <= p.n_avail + p.n_releasing
+           THEN 'WAIT_RELEASING'
+         ELSE 'FAIL_NOT_ENOUGH' END AS verdict
+  FROM reqs r JOIN per_node p USING (n)
+),
+free_ranked AS (
+  SELECT n, gpu_index, minor,
+    row_number() OVER (PARTITION BY n ORDER BY gpu_index, minor) AS rk
+  FROM devs WHERE used_by IS NULL
+),
+assigned AS (
+  SELECT v.n, v.container_id, v.verdict, f.gpu_index, f.minor,
+    CAST(v.requested AS BIGINT) AS n_assigned,
+    CAST(v.n_allowed - v.requested AS BIGINT) AS n_denied
+  FROM verdicts v JOIN free_ranked f USING (n)
+  WHERE v.verdict = 'ASSIGNED' AND f.rk <= v.requested
+),
+others AS (
+  SELECT n, container_id, verdict, CAST(NULL AS INT) AS gpu_index,
+    CAST(NULL AS INT) AS minor, CAST(0 AS BIGINT) AS n_assigned,
+    CAST(n_allowed AS BIGINT) AS n_denied
+  FROM verdicts WHERE verdict <> 'ASSIGNED'
+)
+SELECT 'n' || CAST(n AS VARCHAR) AS node_id, container_id, verdict,
+       gpu_index, minor, n_assigned, n_denied
+FROM (SELECT * FROM assigned UNION ALL SELECT * FROM others)
+"""
+
+
+@register("gpu_allocation_matrix", _GPU_ORACLE)
+def gpu_allocation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM GPU device allocation matrix (operators/gpu —
+    GpuResourceAllocator.java internalAssignGpus:220-277 first-R-free
+    devices in (index, minor) TreeSet order with the cgroup deny set,
+    assignGpus:182-218 wait-for-releasing gate [releasing =
+    getReleasingGpus:279-295, devices held by final-state containers],
+    fail-fast when even releasing cannot cover; zero-GPU requests
+    deny everything; recovery validation :118-160 is pytest-pinned).
+    Orders rows become per-node snapshots of 2-6 devices with held /
+    releasing mixes and 0-4-GPU requests — all four verdicts and
+    exact device picks live at sf0.01. Scale: one row_number window
+    per node over free devices + a conf-sized node aggregate; zero
+    UDFs."""
+    from hadoop_source_spark.operators import gpu
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    n = F.col("n")
+    i = F.col("i")
+    devices = (
+        o.select((k % 50).alias("n")).distinct()
+        .select("n", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i"))
+        .where(i < 2 + n % 5)
+        .select(
+            F.concat(F.lit("n"), n.cast("string")).alias("node_id"),
+            i.cast("int").alias("gpu_index"),
+            (i % 2).cast("int").alias("minor"),
+            F.when(
+                (n * 3 + i) % 4 == 0,
+                F.concat(F.lit("h"), n.cast("string"), F.lit("_"),
+                         i.cast("string")),
+            ).alias("used_by"),
+            ((n + i) % 3 == 0).alias("holder_final"),
+        )
+    )
+    requests = o.select(
+        F.concat(F.lit("n"), (k % 50).cast("string")).alias("node_id"),
+        F.concat(F.lit("c"), k.cast("string")).alias("container_id"),
+        (k % 5).cast("long").alias("requested"),
+    )
+    return gpu.assign_gpus(requests, devices)
+
+
+_DNS_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+c AS (
+  SELECT k, 'u' || CAST(k % 5 AS VARCHAR) AS usr,
+    'svc' || CAST(k % 20 AS VARCHAR) AS service,
+    'ctr-' || CAST(k AS VARCHAR) AS container_id,
+    'Comp' || CAST(k % 4 AS VARCHAR) || '-'
+      || CAST(k % 10 AS VARCHAR) AS description,
+    'COMP' || CAST(k % 4 AS VARCHAR) AS component,
+    'container_' || CAST(k AS VARCHAR) AS yarn_id,
+    CASE WHEN k % 7 = 0 THEN NULL
+         ELSE '10.' || CAST(k % 200 AS VARCHAR) || '.'
+           || CAST((k // 200) % 200 AS VARCHAR) || '.'
+           || CAST(1 + k % 250 AS VARCHAR) END AS ip,
+    CASE WHEN k % 11 = 0 THEN NULL
+         ELSE 'host' || CAST(k % 40 AS VARCHAR) END AS hostname
+  FROM base
+),
+cn AS (
+  SELECT *,
+    lower(description) || '.' || service || '.' || usr
+      || '.hwx.site.' AS inst,
+    container_id || '.hwx.site.' AS cidn,
+    lower(component) || '.' || service || '.' || usr
+      || '.hwx.site.' AS compn
+  FROM c
+),
+crecs AS (
+  SELECT inst AS record_name, 'A' AS rtype, ip AS rdata FROM cn
+  WHERE ip IS NOT NULL
+  UNION ALL
+  SELECT cidn, 'A', ip FROM cn WHERE ip IS NOT NULL
+  UNION ALL
+  SELECT compn, 'A', ip FROM cn WHERE ip IS NOT NULL
+  UNION ALL
+  SELECT inst, 'AAAA', '::ffff:' || ip FROM cn WHERE ip IS NOT NULL
+  UNION ALL
+  SELECT cidn, 'AAAA', '::ffff:' || ip FROM cn WHERE ip IS NOT NULL
+  UNION ALL
+  SELECT compn, 'AAAA', '::ffff:' || ip FROM cn WHERE ip IS NOT NULL
+  UNION ALL
+  SELECT split_part(ip, '.', 4) || '.' || split_part(ip, '.', 3)
+      || '.' || split_part(ip, '.', 2) || '.'
+      || split_part(ip, '.', 1) || '.in-addr.arpa.', 'PTR', inst
+  FROM cn WHERE ip IS NOT NULL AND hostname IS NOT NULL
+  UNION ALL
+  SELECT inst, 'TXT', 'id=' || yarn_id FROM cn
+),
+e AS (
+  SELECT k, 'u' || CAST(k % 5 AS VARCHAR) AS usr,
+    'svc' || CAST(k % 20 AS VARCHAR) AS service,
+    CAST(k % 2 AS INT) AS endpoint_idx,
+    CASE WHEN k % 2 = 0
+         THEN 'classpath:org.apache.hadoop.yarn.service.api.ep'
+           || CAST(k % 5 AS VARCHAR)
+         ELSE 'http://' END AS api,
+    CASE WHEN k % 2 = 1 THEN 'uri' ELSE 'host/port' END
+      AS address_type,
+    'h' || CAST(k % 30 AS VARCHAR) AS host,
+    1000 + k % 500 AS port,
+    '/p' || CAST(k % 9 AS VARCHAR) AS uri_path,
+    '10.2.' || CAST(k % 250 AS VARCHAR) || '.'
+      || CAST(1 + k % 99 AS VARCHAR) AS host_ip
+  FROM base WHERE k % 3 = 0
+),
+en AS (
+  SELECT *,
+    service || '.' || usr || '.hwx.site.' AS svcn,
+    replace(CASE WHEN starts_with(api,
+        'classpath:org.apache.hadoop.yarn.service.')
+      THEN substr(api, 42)
+      WHEN starts_with(api, 'http://') THEN 'http' END,
+      '.', '-') AS frag
+  FROM e
+),
+en2 AS (
+  SELECT *, frag || '-api.' || svcn AS epn,
+    '1 1 ' || CAST(port AS VARCHAR) || ' ' || host || '.' AS srv,
+    'api=' || frag || CASE WHEN address_type = 'uri'
+      THEN ' path=' || uri_path ELSE '' END AS txt
+  FROM en
+),
+erecs AS (
+  SELECT svcn AS record_name, 'SRV' AS rtype, srv AS rdata FROM en2
+  UNION ALL SELECT epn, 'SRV', srv FROM en2
+  UNION ALL SELECT svcn, 'TXT', txt FROM en2
+  UNION ALL SELECT epn, 'TXT', txt FROM en2
+  UNION ALL SELECT epn, 'CNAME', svcn FROM en2
+  UNION ALL SELECT svcn, 'A', host_ip FROM en2 WHERE endpoint_idx = 0
+  UNION ALL SELECT svcn, 'AAAA', '::ffff:' || host_ip FROM en2
+  WHERE endpoint_idx = 0
+)
+SELECT * FROM crecs UNION ALL SELECT * FROM erecs
+"""
+
+
+@register("registry_dns_zone", _DNS_ORACLE)
+def registry_dns_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry DNS zone synthesis (operators/registrydns —
+    ContainerServiceRecordProcessor.java:58-280 A/AAAA at the
+    instance, container-id and component names + hostname-gated PTR +
+    id TXT; ApplicationServiceRecordProcessor.java:60-180 SRV(1,1) /
+    TXT / CNAME per external endpoint at both the service and
+    <api-fragment>-api names, first endpoint sourcing the service
+    A/AAAA; getDNSApiFragment:429-438 prefix strip + dot->dash).
+    Orders rows become container records (a seventh without IPs, an
+    eleventh without hostnames) and every third an external endpoint
+    alternating classpath and http APIs — all record kinds and gates
+    live at sf0.01. Scale: pure projections + explode, zero
+    shuffles."""
+    from hadoop_source_spark.operators import registrydns
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    containers = o.select(
+        F.concat(F.lit("u"), (k % 5).cast("string")).alias("user"),
+        F.concat(F.lit("svc"), (k % 20).cast("string")).alias("service"),
+        F.concat(F.lit("ctr-"), k.cast("string")).alias("container_id"),
+        F.concat(
+            F.lit("Comp"), (k % 4).cast("string"), F.lit("-"),
+            (k % 10).cast("string"),
+        ).alias("description"),
+        F.concat(F.lit("COMP"), (k % 4).cast("string")).alias(
+            "component"
+        ),
+        F.concat(F.lit("container_"), k.cast("string")).alias("yarn_id"),
+        F.when(
+            k % 7 != 0,
+            F.concat(
+                F.lit("10."), (k % 200).cast("string"), F.lit("."),
+                (F.floor(k / 200) % 200).cast("string"), F.lit("."),
+                (1 + k % 250).cast("string"),
+            ),
+        ).alias("ip"),
+        F.when(
+            k % 11 != 0,
+            F.concat(F.lit("host"), (k % 40).cast("string")),
+        ).alias("hostname"),
+    )
+    endpoints = o.where(k % 3 == 0).select(
+        F.concat(F.lit("u"), (k % 5).cast("string")).alias("user"),
+        F.concat(F.lit("svc"), (k % 20).cast("string")).alias("service"),
+        (k % 2).cast("int").alias("endpoint_idx"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("classpath:org.apache.hadoop.yarn.service.api.ep"),
+                (k % 5).cast("string"),
+            ),
+        ).otherwise(F.lit("http://")).alias("api"),
+        F.when(k % 2 == 1, "uri").otherwise("host/port").alias(
+            "address_type"
+        ),
+        F.concat(F.lit("h"), (k % 30).cast("string")).alias("host"),
+        (1000 + k % 500).cast("int").alias("port"),
+        F.concat(F.lit("/p"), (k % 9).cast("string")).alias("uri_path"),
+        F.concat(
+            F.lit("10.2."), (k % 250).cast("string"), F.lit("."),
+            (1 + k % 99).cast("string"),
+        ).alias("host_ip"),
+    )
+    return registrydns.container_records(
+        containers, "hwx.site."
+    ).unionByName(
+        registrydns.application_records(endpoints, "hwx.site.")
+    )
+
+
 _CGROUPS_ORACLE = """
 WITH e AS (SELECT event_id AS eid FROM events),
 s AS (
@@ -18223,6 +18492,9 @@ _WINDOW: list[str] = [
     "block_report_lease_check", "block_report_lease_admission",
     "rbf_membership_quorum",
     # ---- end of checked prefix (50) ----
+    # round-12 late additions (never checked; rotate into the prefix
+    # next round)
+    "gpu_allocation_matrix", "registry_dns_zone",
     # rotated behind in r12 (driver-verified r10/r11): family suites
     # and the r11 tail, then the long-verified remainder in prior
     # window order
@@ -18299,7 +18571,7 @@ _WINDOW: list[str] = [
     "opportunistic_queue_plan", "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 233, len(_WINDOW)
+assert len(_WINDOW) == 235, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
