@@ -161,10 +161,13 @@ def provided_locations(
             ),
         )
     )
-    active = provided_dns.agg(
-        F.count(F.lit(1)).alias("active"),
-        F.min("node_id").alias("fallback_dn"),
-    )
+    # The provided-datanode list is cluster-conf-sized (the same
+    # documented driver-side bound as operators/sps.py's storage
+    # report): its count and smallest member become plan literals
+    # instead of a single-partition global aggregate.
+    dns = sorted(r["node_id"] for r in provided_dns.collect())
+    n_active = len(dns)
+    fallback_dn = dns[0] if dns else None
     # candidates per provided block: provided datanodes not hosting a
     # local replica (left-join-null anti-join), ranked by node id —
     # the engine's deterministic pin
@@ -186,13 +189,12 @@ def provided_locations(
                 Window.partitionBy("block_id").orderBy("node_id")
             ),
         )
-        .crossJoin(F.broadcast(active))
         .where(
             F.col("rk")
             <= 1
             + F.greatest(
                 F.lit(0),
-                F.least(F.lit(default_replication), F.col("active"))
+                F.lit(min(default_replication, n_active))
                 - (F.col("n_local") + 1),
             )
         )
@@ -217,11 +219,10 @@ def provided_locations(
             "left",
         )
         .where(F.col("_has").isNull())
-        .crossJoin(F.broadcast(active))
         .select(
             "block_id",
             F.col("n_local").cast("int").alias("pos"),
-            F.col("fallback_dn").alias("node_id"),
+            F.lit(fallback_dn).alias("node_id"),
             F.lit(PROVIDED).alias("storage_type"),
         )
     )

@@ -17763,8 +17763,16 @@ def provided_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1000 + k % 50).cast("long").alias("gen_stamp"),
         nonce_s.cast("binary").alias("nonce"),
     )
-    blobs = aliasmap.encode_alias_map(regions)
-    decoded = aliasmap.decode_alias_map(blobs)
+    # localCheckpoints cut the lineage above each Arrow codec so the
+    # kernels run ONCE however many plan branches consume them
+    # (column pruning would otherwise specialize each branch's copy
+    # past exchange reuse) — the same pattern as llmops/dedup.py:643
+    blobs = aliasmap.encode_alias_map(regions).localCheckpoint(
+        eager=False
+    )
+    decoded = aliasmap.decode_alias_map(blobs).localCheckpoint(
+        eager=False
+    )
     kk = F.col("block_id")
     s0 = F.struct(
         F.lit(0).alias("slot"),

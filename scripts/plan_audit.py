@@ -161,6 +161,10 @@ def main() -> None:
     "reencryption_batch_plan", "reencryption_zone_report",
     "app_lifetime_plan", "nfs_write_reorder",
     "router_safemode_plan", "cs_absolute_resources",
+    "cs_allocation_activities", "flow_activity_rollup",
+    "auto_queue_management", "provided_alias_map",
+    "yarn_service_rollup", "cgroups_usage_kill",
+    "gpu_allocation_matrix", "registry_dns_zone",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
