@@ -214,9 +214,13 @@ def main() -> None:
         "Caveats: iterative queries (dedup_connected_components) cut",
         "lineage with localCheckpoint between rounds, so the audited plan",
         "is the final read — per-round shuffle shape is asserted in",
-        "tests/test_plans.py instead. py-ops are the documented",
-        "Arrow-batched kernels (minhash signatures, BLAS scoring, text",
-        "profiling); row-at-a-time Python UDFs appear nowhere.",
+        "tests/test_plans.py instead; provided_alias_map's two alias-map",
+        "codec kernels likewise sit behind lineage cuts (run once,",
+        "scanned by every branch), so its py-ops column reads 0 — the",
+        "kernels are documented in operators/aliasmap.py and COVERAGE.md.",
+        "py-ops are the documented Arrow-batched kernels (minhash",
+        "signatures, BLAS scoring, text profiling); row-at-a-time Python",
+        "UDFs appear nowhere.",
     ]
     with open(os.path.join(repo, "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
