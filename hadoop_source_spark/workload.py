@@ -17097,6 +17097,83 @@ def cs_absolute_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OOM_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+c AS (
+  SELECT k, k % 100 AS n, 'c' || CAST(k AS VARCHAR) AS container_id,
+    (k % 13 <> 0) AND (k % 100) % 37 <> 0 AS running,
+    CASE k % 5 WHEN 0 THEN 'OPPORTUNISTIC' WHEN 1 THEN 'OPPORTUNISTIC'
+         WHEN 2 THEN 'GUARANTEED' WHEN 3 THEN 'GUARANTEED' END
+      AS exec_type,
+    (k * 17) % 100000 AS launch_time,
+    CASE WHEN k % 19 = 0 THEN NULL
+         ELSE (k % 8) * 1048576 END AS mem_usage,
+    4 AS request_mb
+  FROM base
+),
+run AS (
+  SELECT *, coalesce(exec_type = 'OPPORTUNISTIC', FALSE)
+      AS opportunistic,
+    coalesce(mem_usage > request_mb * 1048576, FALSE) AS out_of_limit
+  FROM c WHERE running
+),
+ranked AS (
+  SELECT 'n' || CAST(n AS VARCHAR) AS node_id, container_id,
+    'CANDIDATE' AS verdict, opportunistic, out_of_limit,
+    CAST(row_number() OVER (PARTITION BY n ORDER BY
+      opportunistic DESC, out_of_limit DESC, launch_time DESC,
+      container_id) AS INT) AS kill_rank
+  FROM run
+),
+give_up AS (
+  SELECT 'n' || CAST(n AS VARCHAR) AS node_id,
+    CAST(NULL AS VARCHAR) AS container_id, 'GIVE_UP' AS verdict,
+    FALSE AS opportunistic, FALSE AS out_of_limit,
+    CAST(NULL AS INT) AS kill_rank
+  FROM c GROUP BY n HAVING max(CASE WHEN running THEN 1 ELSE 0 END) = 0
+)
+SELECT * FROM ranked UNION ALL SELECT * FROM give_up
+"""
+
+
+@register("oom_kill_order", _OOM_ORACLE)
+def oom_kill_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-memory OOM kill ordering (operators/oomhandler —
+    DefaultOOMHandler.java:227-236 running-only candidates,
+    isContainerOutOfLimit:77-105 usage > requested bytes with
+    unreadable stats counting within-limit,
+    ContainerCandidate.compareTo:277-296 OPPORTUNISTIC-first then
+    out-of-limit then latest-launch, null tokens treated GUARANTEED
+    :330-334, :197-205 give-up on nodes with nothing running; the
+    container-id tiebreak is the engine's determinism pin over the
+    reference's unordered-map-stable sort). This is the branch the
+    memory monitor hands off to under strict cgroup enforcement with
+    elastic memory control (contmon's SKIP_CGROUP_OOM). Orders rows
+    become ~150 containers per node across 100 nodes sweeping both
+    exec types, null tokens, unreadable stats, non-running containers
+    and all-idle GIVE_UP nodes — every ordering key live at sf0.01.
+    Scale: one rank window per node, zero UDFs."""
+    from hadoop_source_spark.operators import oomhandler
+
+    k = F.col("o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    n = k % 100
+    containers = o.select(
+        F.concat(F.lit("n"), n.cast("string")).alias("node_id"),
+        F.concat(F.lit("c"), k.cast("string")).alias("container_id"),
+        ((k % 13 != 0) & (n % 37 != 0)).alias("running"),
+        F.when(k % 5 <= 1, "OPPORTUNISTIC")
+        .when(k % 5 <= 3, "GUARANTEED")
+        .alias("exec_type"),
+        ((k * 17) % 100000).cast("long").alias("launch_time"),
+        F.when(k % 19 != 0, (k % 8) * 1048576)
+        .cast("long").alias("mem_usage"),
+        F.lit(None).cast("long").alias("memsw_usage"),
+        F.lit(4).cast("long").alias("request_mb"),
+    )
+    return oomhandler.oom_kill_order(containers, enforce_virtual=False)
+
+
 _GPU_ORACLE = """
 WITH base AS (SELECT o_orderkey AS k FROM orders),
 nodes AS (SELECT DISTINCT k % 50 AS n FROM base),
@@ -18503,6 +18580,7 @@ _WINDOW: list[str] = [
     # round-12 late additions (never checked; rotate into the prefix
     # next round)
     "gpu_allocation_matrix", "registry_dns_zone",
+    "oom_kill_order",
     # rotated behind in r12 (driver-verified r10/r11): family suites
     # and the r11 tail, then the long-verified remainder in prior
     # window order
@@ -18579,7 +18657,7 @@ _WINDOW: list[str] = [
     "opportunistic_queue_plan", "aggregated_log_index", "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 235, len(_WINDOW)
+assert len(_WINDOW) == 236, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -164,7 +164,7 @@ def main() -> None:
     "cs_allocation_activities", "flow_activity_rollup",
     "auto_queue_management", "provided_alias_map",
     "yarn_service_rollup", "cgroups_usage_kill",
-    "gpu_allocation_matrix", "registry_dns_zone",
+    "gpu_allocation_matrix", "registry_dns_zone", "oom_kill_order",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

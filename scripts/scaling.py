@@ -192,7 +192,7 @@ EXTRA = (
     "app_lifetime_plan", "nfs_write_reorder",
     "router_safemode_plan", "cs_absolute_resources",
     "cs_allocation_activities", "flow_activity_rollup", "auto_queue_management", "provided_alias_map", "yarn_service_rollup", "cgroups_usage_kill",
-    "gpu_allocation_matrix", "registry_dns_zone",
+    "gpu_allocation_matrix", "registry_dns_zone", "oom_kill_order",
 )
 
 
@@ -203,9 +203,9 @@ def _bench_set() -> dict:
     return qs
 
 
-def bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+def bench(spark, sf_dir: str, reps: int = 3, qmap=None) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name, fn in _bench_set().items():
+    for name, fn in (qmap or _bench_set()).items():
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -235,6 +235,30 @@ def main() -> None:
 
     t01 = bench(spark, SRC)
     t1 = bench(spark, DST)
+
+    # Suspect re-measure: this host shows sporadic multi-second
+    # hypervisor-steal stalls that can straddle all three reps of a
+    # query, printing a fake blowup (or a fake speedup when the sf0.1
+    # pass was the polluted one). Any ratio outside [0.5, 3.5] gets
+    # BOTH scales re-benched (min merged) up to two passes; a real
+    # super-linear operator reproduces its ratio on every pass.
+    qs = _bench_set()
+    for _pass in range(2):
+        suspects = [
+            q for q in t01
+            if t01[q] > 0 and not 0.5 <= t1[q] / t01[q] <= 3.5
+        ]
+        if not suspects:
+            break
+        print(f"# re-measuring {len(suspects)} suspect ratios: "
+              f"{suspects}", file=sys.stderr)
+        for q in suspects:
+            sub = {q: qs[q]}
+            r01 = bench(spark, SRC, qmap=sub)
+            r1 = bench(spark, DST, qmap=sub)
+            t01[q] = min(t01[q], r01[q])
+            t1[q] = min(t1[q], r1[q])
+
     ratios = {
         q: (round(t1[q] / t01[q], 2) if t01[q] > 0 else None) for q in t01
     }
@@ -253,7 +277,10 @@ def main() -> None:
         "",
         f"Derived corpus: {DST} (see scripts/scaling.py for the",
         "FK-consistent re-keying rules). min-of-3 wall clock per query,",
-        "shared session, codegen warmed at sf0.01.",
+        "shared session, codegen warmed at sf0.01; ratios outside",
+        "[0.5, 3.5] are re-measured on both scales (mins merged, two",
+        "passes) because this host's sporadic hypervisor-steal stalls",
+        "can straddle a full rep set.",
         "",
         "| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |",
         "|---|---|---|---|",
