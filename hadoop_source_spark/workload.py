@@ -18540,6 +18540,193 @@ def cs_allocation_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activities.allocation_activities(attempts)
 
 
+_TIMELINE_GRAMMAR_ORACLE = """
+WITH ent AS (
+  SELECT event_id AS entity_id,
+         event_type,
+         CAST(floor(value * 100) AS BIGINT) AS vscore,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS kmod,
+         CASE WHEN event_type = 'error'
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+         END AS errs,
+         'u' || CAST(user_id % 20 AS VARCHAR) AS usr,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+              THEN CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                        AS VARCHAR)
+         END AS flag,
+         event_type AS mode,
+         CASE WHEN value > 300 THEN 'hot' ELSE 'cold' END AS level,
+         (value > 250) AS has_high,
+         (CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0)
+           AS has_even,
+         user_id % 10 AS flow_f,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS flow_g,
+         (user_id % 2 = 0) AS has_app,
+         user_id % 5 AS app_a
+  FROM events
+), p AS (
+  SELECT entity_id,
+    (((vscore > 15000 AND kmod < 25)
+      OR (errs IS NOT NULL AND errs <> 3)) AND vscore <= 40000) AS f1,
+    ((errs IS NULL OR errs <> 3) AND vscore >= 9000) AS f2,
+    (usr <> 'u7' AND (flag IS NULL OR flag <> '2')) AS f3,
+    (mode = 'error' OR level = 'hot') AS f4,
+    ((event_type = 'click' AND has_even) OR NOT has_high) AS f5,
+    ((flow_f = 2 AND flow_g = 1 AND has_app AND app_a = 2)
+     OR (flow_f <> 9 AND flow_g <> 0)) AS f6
+  FROM ent
+)
+SELECT
+  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS f1_n,
+  CAST(coalesce(sum(CASE WHEN f1 THEN entity_id END), -1) AS BIGINT)  AS f1_sum,
+  CAST(coalesce(min(CASE WHEN f1 THEN entity_id END), -1) AS BIGINT)  AS f1_min,
+  CAST(coalesce(max(CASE WHEN f1 THEN entity_id END), -1) AS BIGINT)  AS f1_max,
+  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS f2_n,
+  CAST(coalesce(sum(CASE WHEN f2 THEN entity_id END), -1) AS BIGINT)  AS f2_sum,
+  CAST(coalesce(min(CASE WHEN f2 THEN entity_id END), -1) AS BIGINT)  AS f2_min,
+  CAST(coalesce(max(CASE WHEN f2 THEN entity_id END), -1) AS BIGINT)  AS f2_max,
+  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS f3_n,
+  CAST(coalesce(sum(CASE WHEN f3 THEN entity_id END), -1) AS BIGINT)  AS f3_sum,
+  CAST(coalesce(min(CASE WHEN f3 THEN entity_id END), -1) AS BIGINT)  AS f3_min,
+  CAST(coalesce(max(CASE WHEN f3 THEN entity_id END), -1) AS BIGINT)  AS f3_max,
+  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS f4_n,
+  CAST(coalesce(sum(CASE WHEN f4 THEN entity_id END), -1) AS BIGINT)  AS f4_sum,
+  CAST(coalesce(min(CASE WHEN f4 THEN entity_id END), -1) AS BIGINT)  AS f4_min,
+  CAST(coalesce(max(CASE WHEN f4 THEN entity_id END), -1) AS BIGINT)  AS f4_max,
+  CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS f5_n,
+  CAST(coalesce(sum(CASE WHEN f5 THEN entity_id END), -1) AS BIGINT)  AS f5_sum,
+  CAST(coalesce(min(CASE WHEN f5 THEN entity_id END), -1) AS BIGINT)  AS f5_min,
+  CAST(coalesce(max(CASE WHEN f5 THEN entity_id END), -1) AS BIGINT)  AS f5_max,
+  CAST(sum(CASE WHEN f6 THEN 1 ELSE 0 END) AS BIGINT) AS f6_n,
+  CAST(coalesce(sum(CASE WHEN f6 THEN entity_id END), -1) AS BIGINT)  AS f6_sum,
+  CAST(coalesce(min(CASE WHEN f6 THEN entity_id END), -1) AS BIGINT)  AS f6_min,
+  CAST(coalesce(max(CASE WHEN f6 THEN entity_id END), -1) AS BIGINT)  AS f6_max
+FROM p
+"""
+
+
+@register("timeline_filter_grammar", _TIMELINE_GRAMMAR_ORACLE)
+def timeline_filter_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATSv2 REST filter-STRING grammar driving the predicates
+    (operators/timelinefilter; reference TimelineParserForCompareExpr.
+    java:32-56 + ForKVFilters + ForExistFilters + ForRelationFilters,
+    tree shapes pinned by TestTimelineReaderWebServicesUtils.java).
+
+    Entities derive from events; six REST filter strings — nested
+    metric compare with ene, ne-on-missing-key, info KV, config KV
+    (values-as-strings), event existence with !(...), and relation
+    key:values — are PARSED, compiled to map/array Column predicates,
+    and evaluated in ONE pass (conditional aggregation, map-side
+    partial agg shuffles 1 row). The oracle hand-translates each
+    filter into scalar SQL, so the parser+compiler path is checked
+    end-to-end against an independent rendering."""
+    from hadoop_source_spark.operators import timelinefilter as tf
+
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    u = F.col("user_id")
+    metrics_base = F.create_map(
+        F.lit("vscore"), F.floor(F.col("value") * 100).cast("long"),
+        F.lit("kmod"), (k % 50).cast("long"),
+    )
+    metrics = F.when(
+        F.col("event_type") == "error",
+        F.map_concat(
+            metrics_base,
+            F.create_map(F.lit("errs"), (k % 7).cast("long")),
+        ),
+    ).otherwise(metrics_base)
+    info_base = F.create_map(
+        F.lit("user"), F.concat(F.lit("u"), (u % 20).cast("string")),
+    )
+    info = F.when(
+        k % 3 == 0,
+        F.map_concat(
+            info_base,
+            F.create_map(F.lit("flag"), (k % 5).cast("string")),
+        ),
+    ).otherwise(info_base)
+    config = F.create_map(
+        F.lit("mode"), F.col("event_type"),
+        F.lit("level"), F.when(F.col("value") > 300, "hot").otherwise("cold"),
+    )
+    names = F.array_compact(
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") > 250, F.lit("HIGH")),
+            F.when(k % 2 == 0, F.lit("EVEN")),
+        )
+    )
+    rel_base = F.create_map(
+        F.lit("flow"),
+        F.array(
+            F.concat(F.lit("f"), (u % 10).cast("string")),
+            F.concat(F.lit("g"), (k % 3).cast("string")),
+        ),
+    )
+    rel = F.when(
+        u % 2 == 0,
+        F.map_concat(
+            rel_base,
+            F.create_map(
+                F.lit("app"),
+                F.array(F.concat(F.lit("a"), (u % 5).cast("string"))),
+            ),
+        ),
+    ).otherwise(rel_base)
+    ent = e.select(
+        F.col("event_id").alias("entity_id"),
+        metrics.alias("metrics"),
+        info.alias("info"),
+        config.alias("config"),
+        names.alias("event_names"),
+        rel.alias("relates_to"),
+    )
+    preds = {
+        "f1": tf.compare_predicate(
+            tf.parse_metric_filters(
+                "((vscore gt 15000 AND kmod lt 25) OR (errs ene 3)) "
+                "AND vscore le 40000"
+            ),
+            F.col("metrics"),
+        ),
+        "f2": tf.compare_predicate(
+            tf.parse_metric_filters("errs ne 3 AND vscore ge 9000"),
+            F.col("metrics"),
+        ),
+        "f3": tf.compare_predicate(
+            tf.parse_kv_filters("user ene u7 AND flag ne 2"),
+            F.col("info"),
+            stringly=True,
+        ),
+        "f4": tf.compare_predicate(
+            tf.parse_kv_filters(
+                "mode eq error OR level eq hot", value_as_string=True
+            ),
+            F.col("config"),
+            stringly=True,
+        ),
+        "f5": tf.exists_predicate(
+            tf.parse_event_filters("(click,EVEN) OR !(HIGH)"),
+            F.col("event_names"),
+        ),
+        "f6": tf.relation_predicate(
+            tf.parse_relation_filters("flow:f2:g1,app:a2 OR !(flow:f9:g0)"),
+            F.col("relates_to"),
+        ),
+    }
+    aggs = []
+    for nm, p in preds.items():
+        hit = F.when(p, F.col("entity_id"))
+        aggs += [
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"{nm}_n"),
+            F.coalesce(F.sum(hit), F.lit(-1)).alias(f"{nm}_sum"),
+            F.coalesce(F.min(hit), F.lit(-1)).alias(f"{nm}_min"),
+            F.coalesce(F.max(hit), F.lit(-1)).alias(f"{nm}_max"),
+        ]
+    return ent.agg(*aggs)
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
