@@ -119,6 +119,79 @@ def _fill_capped(nodes: DataFrame, total: int) -> DataFrame:
     )
 
 
+def queue_limit(
+    heartbeats: DataFrame,
+    sigma: float = 1.0,
+    range_min: int = 1,
+    range_max: int = 100,
+) -> DataFrame:
+    """Adaptive container-queuing limit the RM gossips to NMs
+    (reference `scheduler/distributed/QueueLimitCalculator.java`).
+
+    `Stats.update` (:46-66): over the tracked node list, mean =
+    sum/n in INT division, stdev = round(sqrt(Σ(v - mean)² / n))
+    with the already-truncated mean; `determineThreshold` (:95-97)
+    = (int)(mean + sigma·stdev), clamped to [rangeMin, rangeMax]
+    (:103-106). `createContainerQueuingLimit` (:108-120) publishes
+    the threshold as maxQueueLength under QUEUE_LENGTH (wait = -1)
+    and as maxQueueWaitTimeInMs under QUEUE_WAIT_TIME (length = -1).
+    Tracked sets follow NodeQueueLoadMonitor.updateNode:269-296 —
+    non-decommissioning nodes, and under QUEUE_WAIT_TIME only nodes
+    whose estimated wait != -1.
+
+    Returns one row per comparator: (comparator, n_nodes, mean,
+    stdev, threshold, max_queue_length, max_queue_wait_ms). Two
+    node-registry-sized aggregates (the truncated mean must exist
+    before deviations square), scalars ride broadcasts."""
+    s = latest_state(heartbeats).where(~F.col("decommissioning"))
+    metrics = s.select(
+        F.lit("QUEUE_LENGTH").alias("comparator"),
+        F.col("queue_len").alias("v"),
+    ).unionByName(
+        s.where(F.col("wait_time") != -1).select(
+            F.lit("QUEUE_WAIT_TIME").alias("comparator"),
+            F.col("wait_time").alias("v"),
+        )
+    )
+    means = metrics.groupBy("comparator").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("mean"),
+    )
+    stats = (
+        metrics.join(F.broadcast(means), "comparator")
+        .groupBy("comparator")
+        .agg(
+            F.first("n_nodes").alias("n_nodes"),
+            F.first("mean").alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("v") - F.col("mean")) ** 2)
+                    / F.first("n_nodes")
+                ),
+                0,
+            ).cast("long").alias("stdev"),
+        )
+    )
+    thres = F.least(
+        F.lit(range_max).cast("long"),
+        F.greatest(
+            F.lit(range_min).cast("long"),
+            F.floor(F.col("mean") + sigma * F.col("stdev")).cast("long"),
+        ),
+    )
+    return stats.select(
+        "comparator",
+        "n_nodes",
+        "mean",
+        "stdev",
+        thres.alias("threshold"),
+        F.when(F.col("comparator") == "QUEUE_LENGTH", thres)
+        .otherwise(F.lit(-1)).cast("long").alias("max_queue_length"),
+        F.when(F.col("comparator") == "QUEUE_WAIT_TIME", thres)
+        .otherwise(F.lit(-1)).cast("long").alias("max_queue_wait_ms"),
+    )
+
+
 def queue_plan(heartbeats: DataFrame, containers: int) -> DataFrame:
     """Per-node opportunistic placement plan for both comparators.
 

@@ -124,6 +124,119 @@ def route_apps(
     )
 
 
+def route_apps_random(
+    apps: DataFrame,
+    subclusters: DataFrame,
+    weights: DataFrame,
+    seed: int = 7,
+) -> DataFrame:
+    """Home subcluster under the randomized router family, with the
+    engine's deterministic arith-hash sample replacing the RNG (same
+    convention as llmops/sampling.hash_bucket — reproducible across
+    runs and engines, identical distribution over the id space).
+
+    - WeightedRandomRouterPolicy.java:37-81 — among ACTIVE,
+      non-blacklisted subclusters, walk the positive-weight list and
+      pick the first whose running weight covers samplePoint =
+      rand.nextFloat() * totalWeight (FederationPolicyUtils.
+      getWeightedRandom:217-243); all-nonpositive weights throw (NULL
+      row here). The reference walks a HashMap's order; this engine
+      pins sorted sc_id order (deterministic, same distribution).
+    - UniformRandomRouterPolicy.java:78-103 — active-minus-blacklist
+      list at rand.nextInt(size); pinned to sorted order with the
+      hash-derived index.
+    - LocalityRouterPolicy.java:66-150 — when the app's AM node
+      request resolves to a subcluster that is valid (active,
+      non-blacklisted) AND enabled (weight > 0), route there;
+      otherwise FailForward to the WeightedRandom pick (:133-150).
+      RejectRouterPolicy.java:62-74 routes nothing by construction —
+      no column for it.
+
+    `apps`: (app_id long, blacklist array<string>, node_sc string
+    nullable — the SubClusterResolver verdict for the AM node request,
+    NULL when unresolvable). Returns (app_id, home_weighted,
+    home_uniform, home_locality). Subcluster side broadcasts; per-app
+    picks window on app_id."""
+    from hadoop_source_spark.llmops.sampling import hash_bucket
+
+    sc = F.broadcast(
+        subclusters.join(weights, "sc_id", "left").select(
+            "sc_id", "active",
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+        )
+    )
+    cand = (
+        apps.crossJoin(sc)
+        .where(
+            F.col("active")
+            & ~F.array_contains(F.col("blacklist"), F.col("sc_id"))
+        )
+    )
+    u_w = hash_bucket("app_id", seed=seed, impl="arith") / F.lit(10000.0)
+    w_sort = Window.partitionBy("app_id").orderBy(F.col("sc_id").asc())
+    w_all = Window.partitionBy("app_id")
+    weighted_rows = (
+        cand.where(F.col("weight") > 0)
+        .select(
+            "app_id",
+            "sc_id",
+            F.sum("weight")
+            .over(w_sort.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__cum"),
+            F.sum("weight").over(w_all).alias("__tot"),
+        )
+        .where(u_w * F.col("__tot") <= F.col("__cum"))
+        .withColumn("__rn", F.row_number().over(w_sort))
+        .where(F.col("__rn") == 1)
+    )
+    weighted = weighted_rows.select(
+        "app_id", F.col("sc_id").alias("home_weighted")
+    )
+    # Locality: the resolved node subcluster must be active,
+    # non-blacklisted AND weight-enabled, else fall forward to the
+    # weighted pick computed above.
+    node_ok = (
+        cand.where(
+            (F.col("sc_id") == F.col("node_sc")) & (F.col("weight") > 0)
+        )
+        .select("app_id", F.col("sc_id").alias("__node_home"))
+    )
+    locality = (
+        apps.select("app_id")
+        .join(node_ok, "app_id", "left")
+        .join(weighted, "app_id", "left")
+        .select(
+            "app_id",
+            F.coalesce("__node_home", "home_weighted").alias(
+                "home_locality"
+            ),
+        )
+    )
+    uniform = (
+        cand.select(
+            "app_id",
+            "sc_id",
+            F.row_number().over(w_sort).alias("__pos"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        .where(
+            F.col("__pos")
+            == F.pmod(
+                hash_bucket("app_id", seed=seed + 1, impl="arith"),
+                F.col("__n"),
+            )
+            + 1
+        )
+        .select("app_id", F.col("sc_id").alias("home_uniform"))
+    )
+    return (
+        apps.select("app_id")
+        .join(weighted, "app_id", "left")
+        .join(uniform, "app_id", "left")
+        .join(locality, "app_id", "left")
+    )
+
+
 def split_any(
     requests: DataFrame, subclusters: DataFrame, hr_alpha: float
 ) -> DataFrame:

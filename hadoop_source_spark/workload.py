@@ -18727,6 +18727,555 @@ def timeline_filter_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.agg(*aggs)
 
 
+_NM_RECOVERY_ORACLE = """
+WITH rec AS (
+  SELECT 'c' || CAST(o_orderkey % 1200 AS VARCHAR) AS container_id,
+         o_orderkey % 1200 AS c,
+         CASE
+           WHEN o_orderkey % 17 IN (0, 1, 2) THEN
+             CASE WHEN o_orderkey % 1200 % 10 = 9
+                  THEN '/diagnostics' ELSE '/request' END
+           WHEN o_orderkey % 17 = 3 THEN '/version'
+           WHEN o_orderkey % 17 = 4 THEN '/starttime'
+           WHEN o_orderkey % 17 = 5 THEN '/queued'
+           WHEN o_orderkey % 17 = 6 THEN '/launched'
+           WHEN o_orderkey % 17 = 7 THEN '/paused'
+           WHEN o_orderkey % 17 = 8 THEN
+             CASE WHEN o_orderkey % 1200 % 7 = 0
+                  THEN '/killed' ELSE '/diagnostics' END
+           WHEN o_orderkey % 17 = 9 THEN
+             CASE WHEN o_orderkey % 1200 % 2 = 0
+                  THEN '/exitcode' ELSE '/diagnostics' END
+           WHEN o_orderkey % 17 = 10 THEN '/remainingRetryAttempts'
+           WHEN o_orderkey % 17 = 11 THEN '/workdir'
+           WHEN o_orderkey % 17 = 12 THEN '/logdir'
+           WHEN o_orderkey % 17 = 13 THEN
+             CASE WHEN o_orderkey % 1200 % 11 = 0
+                  THEN '/unknown_gc' ELSE '/diagnostics' END
+           ELSE '/diagnostics'
+         END AS suffix
+  FROM orders
+), vals AS (
+  SELECT container_id, c, suffix,
+         CASE suffix
+           WHEN '/version' THEN CAST(c % 5 + 1 AS VARCHAR)
+           WHEN '/starttime' THEN CAST(1700000000 + c AS VARCHAR)
+           WHEN '/exitcode' THEN CAST(c % 4 AS VARCHAR)
+           WHEN '/remainingRetryAttempts' THEN CAST(c % 3 AS VARCHAR)
+         END AS value
+  FROM rec
+), agg AS (
+  SELECT container_id,
+    max(CASE WHEN suffix = '/request' THEN 1 END) IS NOT NULL AS req,
+    max(CASE WHEN suffix = '/queued' THEN 1 END) IS NOT NULL AS q,
+    max(CASE WHEN suffix = '/paused' THEN 1 END) IS NOT NULL AS p,
+    max(CASE WHEN suffix = '/launched' THEN 1 END) IS NOT NULL AS l,
+    max(CASE WHEN suffix = '/killed' THEN 1 END) IS NOT NULL AS killed,
+    CAST(max(CASE WHEN suffix = '/exitcode' THEN value END) AS INTEGER)
+      AS exit_code,
+    coalesce(CAST(max(CASE WHEN suffix = '/version' THEN value END)
+                  AS INTEGER), 0) AS version,
+    CAST(max(CASE WHEN suffix = '/starttime' THEN value END) AS BIGINT)
+      AS start_time,
+    coalesce(CAST(max(CASE WHEN suffix = '/remainingRetryAttempts'
+                       THEN value END) AS INTEGER), -1)
+      AS remaining_retries,
+    max(CASE WHEN suffix = '/unknown_gc' THEN 1 END) IS NOT NULL AS unk,
+    count(*) AS n_records
+  FROM vals GROUP BY container_id
+)
+SELECT container_id,
+       CASE WHEN exit_code IS NOT NULL THEN 'COMPLETED'
+            WHEN p THEN 'PAUSED'
+            WHEN l THEN 'LAUNCHED'
+            WHEN q THEN 'QUEUED'
+            ELSE 'REQUESTED' END AS status,
+       exit_code, killed, version, start_time, remaining_retries,
+       CASE WHEN unk THEN 'KILL' ELSE 'RECOVER' END AS recovery_type,
+       n_records
+FROM agg WHERE req
+"""
+
+
+@register("nm_container_recovery", _NM_RECOVERY_ORACLE)
+def nm_container_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM LevelDB state-store container recovery (operators/statestore.
+    nm_recover_containers; reference NMLeveldbStateStoreService.java:
+    348-440 loadContainerState status fold, :328-333 request-less
+    containers removed, unknown keys -> RecoveredContainerType.KILL).
+    Records derive from orders (each row one persisted KV); the fold is
+    ONE map-side-combinable groupBy on container_id."""
+    from hadoop_source_spark.operators import statestore
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = k % 1200
+    s = k % 17
+    suffix = (
+        F.when(
+            s.isin(0, 1, 2),
+            F.when(c % 10 == 9, "/diagnostics").otherwise("/request"),
+        )
+        .when(s == 3, F.lit("/version"))
+        .when(s == 4, F.lit("/starttime"))
+        .when(s == 5, F.lit("/queued"))
+        .when(s == 6, F.lit("/launched"))
+        .when(s == 7, F.lit("/paused"))
+        .when(s == 8, F.when(c % 7 == 0, "/killed").otherwise("/diagnostics"))
+        .when(s == 9, F.when(c % 2 == 0, "/exitcode").otherwise("/diagnostics"))
+        .when(s == 10, F.lit("/remainingRetryAttempts"))
+        .when(s == 11, F.lit("/workdir"))
+        .when(s == 12, F.lit("/logdir"))
+        .when(s == 13, F.when(c % 11 == 0, "/unknown_gc").otherwise("/diagnostics"))
+        .otherwise(F.lit("/diagnostics"))
+    )
+    cc = F.col("c")
+    records = o.select(
+        F.concat(F.lit("c"), c.cast("string")).alias("container_id"),
+        c.alias("c"),
+        suffix.alias("suffix"),
+    ).select(
+        "container_id",
+        "suffix",
+        F.when(F.col("suffix") == "/version", (cc % 5 + 1).cast("string"))
+        .when(
+            F.col("suffix") == "/starttime", (cc + 1700000000).cast("string")
+        )
+        .when(F.col("suffix") == "/exitcode", (cc % 4).cast("string"))
+        .when(
+            F.col("suffix") == "/remainingRetryAttempts",
+            (cc % 3).cast("string"),
+        )
+        .alias("value"),
+    )
+    return statestore.nm_recover_containers(records)
+
+
+_RM_RECOVERY_ORACLE = """
+WITH aw AS (
+  SELECT o_orderkey AS k, o_orderkey % 300 AS a,
+         CASE WHEN o_orderkey % 23 = 0 THEN 'DELETE' ELSE 'PUT' END AS op,
+         CASE o_orderkey % 4 WHEN 0 THEN 'NEW' WHEN 1 THEN 'RUNNING'
+              WHEN 2 THEN 'FINISHED' ELSE 'KILLED' END AS state
+  FROM orders
+  WHERE o_orderkey % 5 < 3 AND o_orderkey % 13 <> 0
+), awin AS (
+  SELECT a, max_by(op, k) AS op, max_by(state, k) AS state,
+         max(k) AS wk
+  FROM aw GROUP BY a
+), apps AS (
+  SELECT 'app' || lpad(CAST(a AS VARCHAR), 4, '0') AS app_id,
+         CAST(a % 5 AS INTEGER) AS split_index, state,
+         (a % 97 <> 0) AS name_ok,
+         CAST(1 + CASE WHEN wk >= 16384 THEN 1 ELSE 0 END
+                + CASE WHEN wk >= 32768 THEN 1 ELSE 0 END
+                + CASE WHEN wk >= 49152 THEN 1 ELSE 0 END AS BIGINT)
+           AS epoch,
+         a
+  FROM awin WHERE op = 'PUT'
+), atw AS (
+  SELECT o_orderkey AS k, o_orderkey % 300 AS a,
+         1 + o_orderkey % 4 AS att,
+         CASE WHEN o_orderkey % 29 = 0 THEN 'DELETE' ELSE 'PUT' END AS op,
+         CASE o_orderkey % 3 WHEN 0 THEN 'FAILED' WHEN 1 THEN 'SUCCEEDED'
+              ELSE 'KILLED' END AS fs
+  FROM orders
+  WHERE o_orderkey % 5 >= 3 AND o_orderkey % 13 <> 0
+), atwin AS (
+  SELECT a, att, max_by(op, k) AS op, max_by(fs, k) AS fs
+  FROM atw GROUP BY a, att
+), atts AS (
+  SELECT a, count(*) AS n_attempts, max(att) AS max_attempt_id,
+         sum(CASE WHEN fs = 'FAILED' THEN 1 ELSE 0 END)
+           AS n_failed_attempts
+  FROM atwin WHERE op = 'PUT' GROUP BY a
+)
+SELECT p.app_id, p.split_index, p.state, p.name_ok, p.epoch,
+       CAST(coalesce(t.n_attempts, 0) AS BIGINT) AS n_attempts,
+       CAST(coalesce(t.max_attempt_id, -1) AS INTEGER)
+         AS max_attempt_id,
+       CAST(coalesce(t.n_failed_attempts, 0) AS BIGINT)
+         AS n_failed_attempts
+FROM apps p LEFT JOIN atts t USING (a)
+"""
+
+
+@register("rm_app_state_recovery", _RM_RECOVERY_ORACLE)
+def rm_app_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZK RM state-store recovery with fencing (operators/statestore.
+    rm_recover_apps; reference ZKRMStateStore.java:219-221 + 482-521
+    safe multi-ops on RM_ZK_FENCING_LOCK, :715-752 split-index app
+    hierarchy reassembly, :706-710 node-name validation, :754-771
+    attempt attachment). Writes derive from orders; a stale writer
+    (epoch behind the fence interval active at its zxid) is dropped by
+    the fence-interval broadcast join, then last-write-wins folds per
+    znode in one hash partitioning. The ORACLE hand-derives survival
+    (epoch = active - [k%13=0] => survival iff k%13<>0), so the fence
+    join is checked against an independent closed form."""
+    from hadoop_source_spark.operators import statestore
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = k % 300
+    active = (
+        F.lit(1)
+        + (k >= 16384).cast("int")
+        + (k >= 32768).cast("int")
+        + (k >= 49152).cast("int")
+    ).cast("long")
+    epoch = active - (k % 13 == 0).cast("long")
+    id_str = F.concat(F.lit("app"), F.lpad(a.cast("string"), 4, "0"))
+    si = (a % 5).cast("int")
+    base = o.select(
+        k.alias("seq"),
+        epoch.alias("epoch"),
+        a.alias("a"),
+        si.alias("split_index"),
+        id_str.alias("id_str"),
+        (k % 5).alias("lane"),
+        k.alias("k"),
+    )
+    app_writes = base.where(F.col("lane") < 3).select(
+        "seq",
+        "epoch",
+        "split_index",
+        F.expr("substring(id_str, 1, 7 - split_index)").alias("parent"),
+        F.expr("substring(id_str, 8 - split_index, split_index)").alias(
+            "leaf"
+        ),
+        F.when(F.col("k") % 23 == 0, "DELETE").otherwise("PUT").alias("op"),
+        F.when(F.col("a") % 97 == 0, F.concat(F.lit("X"), F.col("id_str")))
+        .otherwise(F.col("id_str"))
+        .alias("stored_app_id"),
+        F.when(F.col("k") % 4 == 0, "NEW")
+        .when(F.col("k") % 4 == 1, "RUNNING")
+        .when(F.col("k") % 4 == 2, "FINISHED")
+        .otherwise("KILLED")
+        .alias("state"),
+    )
+    attempt_writes = base.where(F.col("lane") >= 3).select(
+        "seq",
+        "epoch",
+        F.concat_ws(
+            "/",
+            F.col("split_index").cast("string"),
+            F.expr("substring(id_str, 1, 7 - split_index)"),
+            F.expr("substring(id_str, 8 - split_index, split_index)"),
+        ).alias("app_path"),
+        (1 + F.col("k") % 4).cast("int").alias("attempt_id"),
+        F.when(F.col("k") % 29 == 0, "DELETE").otherwise("PUT").alias("op"),
+        F.when(F.col("k") % 3 == 0, "FAILED")
+        .when(F.col("k") % 3 == 1, "SUCCEEDED")
+        .otherwise("KILLED")
+        .alias("final_status"),
+    )
+    fences = spark.createDataFrame(
+        [(0, 1), (16384, 2), (32768, 3), (49152, 4)], "seq long, epoch long"
+    )
+    return statestore.rm_recover_apps(app_writes, attempt_writes, fences)
+
+
+_QUEUE_LIMIT_ORACLE = """
+WITH hb AS (
+  SELECT 'n' || CAST(event_id % 60 AS VARCHAR) AS node_id,
+         event_id AS ts,
+         event_id % 7 AS queue_len,
+         CASE WHEN event_id % 9 = 4 THEN -1
+              ELSE event_id % 50 END AS wait_time,
+         (event_id % 17 = 3) AS decommissioning
+  FROM events
+), latest AS (
+  SELECT node_id,
+         max_by(queue_len, ts) AS queue_len,
+         max_by(wait_time, ts) AS wait_time,
+         max_by(decommissioning, ts) AS decommissioning
+  FROM hb GROUP BY node_id
+), live AS (
+  SELECT * FROM latest WHERE NOT decommissioning
+), m AS (
+  SELECT 'QUEUE_LENGTH' AS comparator, queue_len AS v FROM live
+  UNION ALL
+  SELECT 'QUEUE_WAIT_TIME' AS comparator, wait_time AS v FROM live
+  WHERE wait_time <> -1
+), mm AS (
+  SELECT comparator, count(*) AS n_nodes,
+         CAST(floor(sum(v) * 1.0 / count(*)) AS BIGINT) AS mean
+  FROM m GROUP BY comparator
+), st AS (
+  SELECT m.comparator,
+         any_value(n_nodes) AS n_nodes,
+         any_value(mean) AS mean,
+         CAST(round(sqrt(sum((v - mean) * (v - mean)) * 1.0
+                         / any_value(n_nodes)), 0) AS BIGINT) AS stdev
+  FROM m JOIN mm USING (comparator) GROUP BY m.comparator
+)
+SELECT comparator, n_nodes, mean, stdev,
+       least(25, greatest(2, CAST(floor(mean + 1.0 * stdev) AS BIGINT)))
+         AS threshold,
+       CASE WHEN comparator = 'QUEUE_LENGTH'
+            THEN least(25, greatest(2,
+                   CAST(floor(mean + 1.0 * stdev) AS BIGINT)))
+            ELSE -1 END AS max_queue_length,
+       CASE WHEN comparator = 'QUEUE_WAIT_TIME'
+            THEN least(25, greatest(2,
+                   CAST(floor(mean + 1.0 * stdev) AS BIGINT)))
+            ELSE -1 END AS max_queue_wait_ms
+FROM st
+"""
+
+
+@register("node_queue_limit", _QUEUE_LIMIT_ORACLE)
+def node_queue_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NodeQueueLoadMonitor's adaptive queuing limit (operators/
+    oppcontainers.queue_limit; reference QueueLimitCalculator.java:
+    46-66 integer mean + rounded stdev over the tracked node list,
+    :95-106 threshold mean + sigma*stdev clamped, :108-120 published
+    per comparator). Same NM heartbeat derivation as
+    opportunistic_queue_plan — this is the node-ranking monitor's
+    OTHER output, the backpressure limit the RM gossips back."""
+    from hadoop_source_spark.operators import oppcontainers
+
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    hbs = e.select(
+        F.concat(F.lit("n"), (eid % 60).cast("string")).alias("node_id"),
+        eid.cast("long").alias("ts"),
+        (eid % 7).cast("long").alias("queue_len"),
+        F.when(eid % 9 == 4, F.lit(-1))
+        .otherwise(eid % 50)
+        .cast("long")
+        .alias("wait_time"),
+        (4 + (eid % 60) % 7).cast("long").alias("queue_cap"),
+        (eid % 17 == 3).alias("decommissioning"),
+    )
+    return oppcontainers.queue_limit(hbs, sigma=1.0, range_min=2,
+                                     range_max=25)
+
+
+_FED_RANDOM_ORACLE = """
+WITH sc(sc_id, active, weight) AS (
+  VALUES ('sc0', TRUE, 0.5), ('sc1', TRUE, 1.0), ('sc2', TRUE, 2.0),
+         ('sc3', FALSE, 1.0), ('sc4', TRUE, 0.0), ('sc5', TRUE, 0.5),
+         ('sc6', TRUE, -1.0)
+),
+apps AS (
+  SELECT DISTINCT user_id AS app_id,
+         CASE WHEN user_id % 4 <> 1
+              THEN 'sc' || CAST(user_id % 8 AS VARCHAR) END AS node_sc,
+         user_id % 7 AS b
+  FROM events
+),
+cand AS (
+  SELECT a.app_id, a.node_sc, s.sc_id, s.weight
+  FROM apps a CROSS JOIN sc s
+  WHERE s.active
+    AND NOT (a.b = 3 AND s.sc_id = 'sc1')
+    AND NOT (a.b = 5 AND s.sc_id IN ('sc0', 'sc2'))
+),
+wrows AS (
+  SELECT app_id, sc_id,
+         sum(weight) OVER (PARTITION BY app_id ORDER BY sc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(weight) OVER (PARTITION BY app_id) AS tot,
+         ((app_id % 1000003 + 7) * 2654435761) % 10000 / 10000.0 AS u
+  FROM cand WHERE weight > 0
+),
+weighted AS (
+  SELECT app_id, sc_id AS home_weighted FROM (
+    SELECT app_id, sc_id,
+           row_number() OVER (PARTITION BY app_id ORDER BY sc_id) AS rn
+    FROM wrows WHERE u * tot <= cum) WHERE rn = 1
+),
+uniform AS (
+  SELECT app_id, sc_id AS home_uniform FROM (
+    SELECT app_id, sc_id,
+           row_number() OVER (PARTITION BY app_id ORDER BY sc_id) AS pos,
+           count(*) OVER (PARTITION BY app_id) AS n
+    FROM cand) t
+  WHERE pos = ((app_id % 1000003 + 8) * 2654435761) % 10000 % n + 1
+),
+node_ok AS (
+  SELECT app_id, sc_id AS node_home
+  FROM cand WHERE sc_id = node_sc AND weight > 0
+)
+SELECT a.app_id, w.home_weighted, u.home_uniform,
+       coalesce(n.node_home, w.home_weighted) AS home_locality
+FROM apps a LEFT JOIN weighted w USING (app_id)
+LEFT JOIN uniform u USING (app_id)
+LEFT JOIN node_ok n USING (app_id)
+"""
+
+
+@register("federation_random_routing", _FED_RANDOM_ORACLE)
+def federation_random_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARN Federation randomized-router family (operators/yarnfed.
+    route_apps_random; reference WeightedRandomRouterPolicy.java:37-81
+    + FederationPolicyUtils.getWeightedRandom:217-243 weight-walk,
+    UniformRandomRouterPolicy.java:78-103, LocalityRouterPolicy.java:
+    66-150 node-resolution with FailForward). The RNG sample is the
+    engine's deterministic arith-hash (llmops/sampling convention), so
+    the pick is reproducible and the ORACLE re-derives the identical
+    sample point. Registry exercises inactive/zero/negative weights,
+    blacklist shapes, unresolvable nodes (sc7 doesn't exist), a
+    disabled node target (sc4), and an inactive node target (sc3)."""
+    from hadoop_source_spark.operators import yarnfed
+
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    apps = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            uid.alias("app_id"),
+            F.when(uid % 7 == 3, F.array(F.lit("sc1")))
+            .when(uid % 7 == 5, F.array(F.lit("sc0"), F.lit("sc2")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("blacklist"),
+            F.when(
+                uid % 4 != 1,
+                F.concat(F.lit("sc"), (uid % 8).cast("string")),
+            ).alias("node_sc"),
+        )
+    )
+    subclusters = spark.createDataFrame(
+        [
+            ("sc0", True), ("sc1", True), ("sc2", True), ("sc3", False),
+            ("sc4", True), ("sc5", True), ("sc6", True),
+        ],
+        "sc_id string, active boolean",
+    )
+    weights = spark.createDataFrame(
+        [
+            ("sc0", 0.5), ("sc1", 1.0), ("sc2", 2.0), ("sc3", 1.0),
+            ("sc4", 0.0), ("sc5", 0.5), ("sc6", -1.0),
+        ],
+        "sc_id string, weight double",
+    )
+    return yarnfed.route_apps_random(apps, subclusters, weights, seed=7)
+
+
+_FPGA_ORACLE = """
+WITH dev AS (
+  SELECT DISTINCT o_orderkey % 192 AS d FROM orders
+), devices AS (
+  SELECT 'n' || CAST(d // 8 AS VARCHAR) AS node_id,
+         CASE WHEN d % 8 < 6 THEN 'IntelOpenCL' ELSE 'Xilinx' END
+           AS fpga_type,
+         CAST(d % 8 AS INTEGER) AS minor,
+         CASE WHEN d % 4 <> 0 THEN 'hash' || CAST(d % 3 AS VARCHAR) END
+           AS aocx_hash,
+         CASE WHEN d % 5 = 0 THEN 'holder' || CAST(d AS VARCHAR) END
+           AS used_by
+  FROM dev
+), req0 AS (
+  SELECT DISTINCT o_orderkey % 60 AS r FROM orders
+), requests AS (
+  SELECT 'n' || CAST(r % 24 AS VARCHAR) AS node_id,
+         'req' || CAST(r AS VARCHAR) AS container_id,
+         CASE WHEN r % 11 = 0 THEN 'UnknownType'
+              WHEN r % 7 = 0 THEN 'Xilinx'
+              ELSE 'IntelOpenCL' END AS fpga_type,
+         CAST(r % 9 - 1 AS BIGINT) AS requested,
+         CASE WHEN r % 6 <> 0 THEN 'HASH' || CAST(r % 3 AS VARCHAR) END
+           AS ipid_hash
+  FROM req0
+), pool AS (
+  SELECT node_id, fpga_type, count(*) AS n_type,
+         sum(CASE WHEN used_by IS NULL THEN 1 ELSE 0 END) AS n_avail
+  FROM devices GROUP BY 1, 2
+), allowed AS (
+  SELECT node_id, count(*) AS n_allowed FROM devices GROUP BY 1
+), r2 AS (
+  SELECT q.*, p.n_type, p.n_avail, a.n_allowed
+  FROM requests q LEFT JOIN pool p USING (node_id, fpga_type)
+  LEFT JOIN allowed a USING (node_id)
+), verdicts AS (
+  SELECT *, CASE WHEN n_type IS NULL THEN 'FAIL_NO_TYPE'
+                 WHEN requested < 0 OR requested > n_avail
+                   THEN 'FAIL_COUNT'
+                 WHEN requested = 0 THEN 'ALLOW_NONE'
+                 ELSE 'ASSIGNED' END AS verdict
+  FROM r2
+), free AS (
+  SELECT node_id, fpga_type, minor, aocx_hash
+  FROM devices WHERE used_by IS NULL
+), paired AS (
+  SELECT v.node_id, v.container_id, v.requested, v.n_avail, f.minor,
+         (f.aocx_hash IS NOT NULL AND v.ipid_hash IS NOT NULL
+          AND lower(f.aocx_hash) = lower(v.ipid_hash)) AS m
+  FROM verdicts v JOIN free f USING (node_id, fpga_type)
+  WHERE v.verdict = 'ASSIGNED'
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY node_id, container_id
+                            ORDER BY m DESC, minor) AS rk,
+         sum(CASE WHEN m THEN 1 ELSE 0 END)
+           OVER (PARTITION BY node_id, container_id) AS nm
+  FROM paired
+)
+SELECT node_id, container_id, 'ASSIGNED' AS verdict, minor,
+       m AS ip_matched,
+       CAST(greatest(requested, nm) AS BIGINT) AS n_assigned,
+       CAST(n_avail - greatest(requested, nm) AS BIGINT) AS n_denied
+FROM ranked WHERE rk <= greatest(requested, nm)
+UNION ALL
+SELECT node_id, container_id, verdict,
+       CAST(NULL AS INTEGER) AS minor,
+       CAST(NULL AS BOOLEAN) AS ip_matched,
+       CAST(0 AS BIGINT) AS n_assigned,
+       CAST(CASE WHEN verdict = 'ALLOW_NONE' THEN n_allowed ELSE 0 END
+            AS BIGINT) AS n_denied
+FROM verdicts WHERE verdict <> 'ASSIGNED'
+"""
+
+
+@register("fpga_allocation_matrix", _FPGA_ORACLE)
+def fpga_allocation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM FPGA allocation matrix (operators/fpga.assign_fpgas;
+    reference FpgaResourceAllocator.java:185-237 — per-type pools,
+    IP-matched devices grabbed FIRST and ALL of them even past the
+    requested count, remainder from list head, zero-count denies every
+    allowed device; discovery via IntelFpgaOpenclPlugin.java:45;
+    pinned by TestFpgaResourceHandlerImpl.java). 24 nodes x 8 devices
+    (6 IntelOpenCL + 2 Xilinx), held/unprogrammed devices, and 60
+    request shapes covering unknown type, negative count, not-enough,
+    zero-count, case-insensitive hash match."""
+    from hadoop_source_spark.operators import fpga
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dev = o.select((k % 192).alias("d")).distinct()
+    d = F.col("d")
+    devices = dev.select(
+        F.concat(F.lit("n"), F.floor(d / 8).cast("string")).alias("node_id"),
+        F.when(d % 8 < 6, "IntelOpenCL").otherwise("Xilinx").alias(
+            "fpga_type"
+        ),
+        (d % 8).cast("int").alias("minor"),
+        F.when(
+            d % 4 != 0, F.concat(F.lit("hash"), (d % 3).cast("string"))
+        ).alias("aocx_hash"),
+        F.when(
+            d % 5 == 0, F.concat(F.lit("holder"), d.cast("string"))
+        ).alias("used_by"),
+    )
+    req = o.select((k % 60).alias("r")).distinct()
+    rr = F.col("r")
+    requests = req.select(
+        F.concat(F.lit("n"), (rr % 24).cast("string")).alias("node_id"),
+        F.concat(F.lit("req"), rr.cast("string")).alias("container_id"),
+        F.when(rr % 11 == 0, "UnknownType")
+        .when(rr % 7 == 0, "Xilinx")
+        .otherwise("IntelOpenCL")
+        .alias("fpga_type"),
+        (rr % 9 - 1).cast("long").alias("requested"),
+        F.when(
+            rr % 6 != 0, F.concat(F.lit("HASH"), (rr % 3).cast("string"))
+        ).alias("ipid_hash"),
+    )
+    return fpga.assign_fpgas(requests, devices)
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
