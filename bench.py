@@ -6,6 +6,17 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Timing = full query execution to a count-style sink (collect for small
 results) after a shared-session warmup; parquet scans are re-read per query
 (no caching) so scan cost is included, as it would be on a cluster.
+
+Stall guard: this host shows sporadic multi-second hypervisor-steal stalls
+that can straddle a full 3-rep window and inflate EVERY headline number at
+once (BENCH_r12 shipped exactly that: a uniform 1.1-1.8x "regression" on
+untouched queries with rep spreads as large as the values — the immediate
+r13 re-run was back under the r11 total). Like sweep.py/scaling.py, the
+bench therefore re-measures instead of trusting one window: after the
+3-rep minimum, it keeps adding reps (cap 6) until the two FASTEST reps
+agree within 25% + 50 ms — a stall can't pollute a growing window, while a
+genuinely slow query agrees with itself immediately. The reps-used count
+per query is recorded in the JSON so a guard-engaged run is visible.
 """
 
 from __future__ import annotations
@@ -42,13 +53,16 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     spreads: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, fn in workload.headline_queries().items():
         reps: list[float] = []
         n = 0
-        # min-of-3 with spread: steady-state, not scheduler noise; a broken
-        # query records null + its error and never kills the whole run.
-        for _rep in range(3):
+        # min-of-3 with spread, plus the stall guard (module docstring):
+        # extra reps until the two fastest agree, so one steal window
+        # can't ship an inflated minimum. A broken query records null +
+        # its error and never kills the whole run.
+        for _rep in range(6):
             try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -58,11 +72,17 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
                 break
+            if len(reps) >= 3:
+                fastest, second = sorted(reps)[:2]
+                if second <= fastest * 1.25 + 0.05:
+                    break
         if reps:
             timings[name] = round(min(reps), 3)
             spreads[name] = round(max(reps) - min(reps), 3)
+            reps_used[name] = len(reps)
             print(
-                f"# {name}: {timings[name]:.3f}s (+{spreads[name]:.3f}s spread, {n} rows)",
+                f"# {name}: {timings[name]:.3f}s (+{spreads[name]:.3f}s "
+                f"spread, {len(reps)} reps, {n} rows)",
                 file=sys.stderr,
             )
         else:
@@ -75,6 +95,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "reps": reps_used,
         "sf": sf,
     }
     if errors:
