@@ -1046,27 +1046,43 @@ def rrf_fuse(
     """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
     ranked lists — the hybrid-retrieval combiner (sparse BM25 + dense
     ANN) RAG pipelines use. score(d) = Σ_lists 1/(rrf_k + rank_d);
-    candidates appear in either list (full outer join on the per-query
-    shortlists, each already top-k-bounded, so the fuse step is
-    list-sized, never corpus-sized). Ordering uses the EXACT fused
+    candidates appear in either list. Ordering uses the EXACT fused
     double (sums of 1/(k+int) are bit-identical across engines) with
     id tiebreak; the emitted score is rounded for hash stability.
-    """
+
+    Plan shape: the old full-outer join cost two (query,doc) exchanges
+    + sort-merge sorts + a third exchange for the fused window. Now
+    the legs UNION, one explicit repartition on query_id feeds the
+    (query, doc) conditional aggregate (HashPartitioning(query) also
+    satisfies ClusteredDistribution(query, doc)) AND the per-query
+    top-k window — the whole fuse+rank phase is ONE exchange and one
+    window sort, list-sized either way (both legs arrive
+    top-k-bounded)."""
     a = ranked_a.select(
-        query_id_col, id_col, F.col(rank_col).alias("__ra")
-    )
-    b = ranked_b.select(
-        query_id_col, id_col, F.col(rank_col).alias("__rb")
-    )
-    fused = a.join(b, [query_id_col, id_col], "full_outer").select(
         query_id_col,
         id_col,
-        (
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__ra")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__rb")), F.lit(0.0))
-        ).alias("__rrf"),
-        "__ra",
-        "__rb",
+        F.lit("a").alias("__leg"),
+        F.col(rank_col).cast("long").alias("__rank"),
+    )
+    b = ranked_b.select(
+        query_id_col,
+        id_col,
+        F.lit("b").alias("__leg"),
+        F.col(rank_col).cast("long").alias("__rank"),
+    )
+    fused = (
+        a.unionByName(b)
+        .repartition(query_id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum(1.0 / (F.lit(rrf_k) + F.col("__rank"))).alias("__rrf"),
+            F.max(F.when(F.col("__leg") == "a", F.col("__rank"))).alias(
+                "__ra"
+            ),
+            F.max(F.when(F.col("__leg") == "b", F.col("__rank"))).alias(
+                "__rb"
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__rrf").desc(), F.col(id_col).asc()

@@ -6552,7 +6552,7 @@ dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
 scal AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclen),
 qdocs AS (
   SELECT doc_id AS query_id, list_slice(t, 1, 6) AS q
-  FROM toks WHERE doc_id % 50 = 3
+  FROM toks WHERE doc_id % 50 = 3 AND doc_id < 5000
 ),
 qterms AS (
   SELECT DISTINCT query_id, u.term AS term
@@ -6585,7 +6585,8 @@ dense AS (
              round(list_cosine_similarity(e.embedding::DOUBLE[],
                                           q.embedding::DOUBLE[]), 6) AS cosine
       FROM embeddings e
-      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 50 = 3) q) s1) t
+      CROSS JOIN (SELECT * FROM embeddings
+                  WHERE vec_id % 50 = 3 AND vec_id < 5000) q) s1) t
   WHERE rnk <= 10
 ),
 fused AS (
@@ -6611,22 +6612,27 @@ WHERE fused_rank <= 10
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (llmops/similarity.rrf_fuse): BM25 sparse top-10
     and exact-cosine dense top-10 for the SAME queries (every 50th
-    document's first-6-token bag + that document's embedding — doc_id
-    and vec_id share the id space), fused by reciprocal-rank fusion
-    1/(60+rank) — the RAG-stack combiner. Each leg keeps its own scale
-    shape (one corpus pass each); the fuse is a full-outer join of two
-    top-k-bounded shortlists, list-sized, never corpus-sized."""
+    document below absolute id 5000 — the query workload is PINNED
+    seed-sized like knn_label_classify's held-out slice, so neither
+    leg goes corpus x corpus as the data grows), fused by
+    reciprocal-rank fusion 1/(60+rank) — the RAG-stack combiner. Each
+    leg keeps its own scale shape (one corpus pass each); the fuse is
+    a UNION + one conditional aggregate + top-k window sharing a
+    single query_id partitioning (the old full-outer join paid two
+    (query,doc) exchanges + SMJ sorts; see rrf_fuse docstring)."""
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
     toks = d.select("doc_id", ts.tokenize_words(F.col("text")).alias("__toks"))
-    qterms = toks.filter(F.col("doc_id") % 50 == 3).select(
+    qterms = toks.filter(
+        (F.col("doc_id") % 50 == 3) & (F.col("doc_id") < 5000)
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.explode(F.slice("__toks", 1, 6)).alias("term"),
     )
     sparse = ts.bm25_rank(d, qterms, "text", "doc_id", top_k=10)
-    qvecs = e.filter(F.col("vec_id") % 50 == 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    qvecs = e.filter(
+        (F.col("vec_id") % 50 == 3) & (F.col("vec_id") < 5000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     dense = sim.brute_force_topk(e, qvecs, k=10).withColumnRenamed(
         "vec_id", "doc_id"
     )

@@ -165,6 +165,9 @@ def main() -> None:
     "auto_queue_management", "provided_alias_map",
     "yarn_service_rollup", "cgroups_usage_kill",
     "gpu_allocation_matrix", "registry_dns_zone", "oom_kill_order",
+    "timeline_filter_grammar", "nm_container_recovery",
+    "rm_app_state_recovery", "node_queue_limit",
+    "federation_random_routing", "fpga_allocation_matrix",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
@@ -193,23 +196,67 @@ def main() -> None:
             f"| {'**YES**' if r['single_partition'] else 'no'} | {r['codegen']} "
             f"| {'yes' if r['pushed'] else 'no'} | {r['python']} |"
         )
+    # Every SinglePartition flag must be ADJUDICATED: either listed here
+    # with its bounding argument (the windowed table is control-plane-
+    # sized and the total order is the algorithm), or the audit says
+    # "fix" and stays red until it is. Keys absent from the flag set are
+    # reported as stale so this list can't rot.
+    sp_exceptions = {
+        "balancer_move_plan": (
+            "cumulative-interval pairing windows run on the NODE-COUNT-"
+            "sized utilization table (rows == datanodes, metadata scale); "
+            "the balancer serializes there too"
+        ),
+        "capacity_scheduler_allocation": (
+            "the global admission cumsum runs on the APP table (rows == "
+            "running apps) after the data-sized partial-agg groupBy has "
+            "reduced the input; the scheduler's allocation loop is a "
+            "total order by construction"
+        ),
+        "nnstorage_retention": (
+            "retention_purge's ranking window runs on the CHECKPOINT-"
+            "COUNT-sized fsimage/edit-segment tables of one namenode "
+            "(tens of rows; NNStorageRetentionManager sorts the same "
+            "list in memory)"
+        ),
+        "opportunistic_queue_plan": (
+            "the water-filling windows run on the NODE-REGISTRY-sized "
+            "table AFTER the data-sized heartbeat reduction (one "
+            "node_id groupBy); the capacity-gated round-robin is a "
+            "total order over nodes by definition"
+        ),
+        "rm_app_state_recovery": (
+            "statestore.fence_intervals' lead() window runs on the "
+            "FENCE LOG — one row per RM failover (single digits); the "
+            "intervals then broadcast into the data-sized write join"
+        ),
+    }
     bad = [n for n, r in rows.items() if r.get("single_partition")]
+    unadjudicated = [n for n in bad if n not in sp_exceptions]
+    stale = [n for n in sp_exceptions if n in rows and n not in bad]
     lines += [
         "",
         (
             "No headline query plans a SinglePartition exchange."
             if not bad
-            else f"SinglePartition exchanges found in: {', '.join(bad)} — fix."
+            else "SinglePartition exchanges found in: "
+            + ", ".join(bad)
+            + (
+                " — every one adjudicated below."
+                if not unadjudicated
+                else f" — UNADJUDICATED (fix): {', '.join(unadjudicated)}."
+            )
         ),
         "",
-        "Exceptions, by design: balancer_move_plan's cumulative-interval",
-        "pairing windows run on the NODE-COUNT-sized utilization table",
-        "(rows == datanodes, metadata scale), and",
-        "capacity_scheduler_allocation's global admission cumsum runs on",
-        "the APP table (rows == running apps) — in both, the only",
-        "data-sized pass (one partial-agg groupBy) has already reduced",
-        "the input, and the total order IS the algorithm (the scheduler /",
-        "balancer serializes there too), bounded by control-plane scale.",
+        "Adjudicated exceptions (control-plane-bounded by design):",
+    ]
+    for name_, why in sp_exceptions.items():
+        lines.append(f"- {name_}: {why}.")
+    if stale:
+        lines.append(
+            f"- STALE exceptions (no longer flagged, prune): {stale}"
+        )
+    lines += [
         "",
         "Caveats: iterative queries (dedup_connected_components) cut",
         "lineage with localCheckpoint between rounds, so the audited plan",
