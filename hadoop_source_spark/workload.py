@@ -19286,120 +19286,272 @@ _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
     # it has never (or least recently) checked, so the independent
-    # signal cycles the registry. Round 12: the fourteen r11-verified
-    # tail rows (ec_striped_read_plan .. weighted_sample_docs) and the
-    # fourteen family suites (limit_family .. streaming_typed_events,
-    # r10+r11-verified) rotate behind; in come the never-checked
-    # round-11 rows, the six new round-12 rows, and five LLM-pipeline
-    # rows the driver has not checked recently (>=5 LLM rows kept per
-    # policy). Every prefix row is oracle-backed.
-    # TPC-H shapes (22)
-    "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
-    "q04_order_priority", "q05_local_supplier", "q06_forecast_revenue",
-    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-    "q10_returned_items", "q11_important_stock", "q12_priority_lines",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
-    "q19_discounted_revenue", "q20_excess_shippers", "q21_suppliers_who_wait",
-    "q22_global_sales_opportunity",
-    # never driver-checked round-11 rows (r11 verdict item 9)
-    "scm_bootstrap_index", "scm_cleaner_plan", "scr_cache_sweep",
-    "flow_run_rollup", "zkfc_failover_matrix", "zkfc_electability",
-    "placement_constraint_matrix", "sps_file_status", "sps_move_plan",
-    "cs_absolute_resources", "nfs_write_reorder", "router_safemode_plan",
-    "groups_cache_lookup", "container_relaunch_plan",
-    # new round-12 rows
-    "cs_allocation_activities", "flow_activity_rollup",
-    "auto_queue_management", "provided_alias_map", "yarn_service_rollup",
-    "cgroups_usage_kill",
-    # LLM-pipeline rows (policy: >= 5 in the prefix)
-    "wet_extract_pipeline", "url_canonical_dedup", "temperature_resample",
-    "fim_transform_corpus", "embedding_decontamination",
-    # remaining never-checked round-11 rows
-    "block_report_lease_check", "block_report_lease_admission",
-    "rbf_membership_quorum",
-    # ---- end of checked prefix (50) ----
-    # round-12 late additions (never checked; rotate into the prefix
-    # next round)
-    "gpu_allocation_matrix", "registry_dns_zone",
+    # signal cycles the registry. Round 13: the entire r12-verified
+    # prefix (TPC-H shapes + r11/r12 rows) rotates behind; in come the
+    # 50 highest-priority NEVER-driver-checked rows — the three r12
+    # late rows, the six new round-13 operators (timeline filter
+    # grammar, NM/RM state-store recovery, queue-limit calculator,
+    # randomized federation routers, FPGA allocator), the LLM
+    # search/sketch north-star family (bm25/hybrid/semdedup/ann_pq/
+    # knn/bitext — the r12 verdict's top ask), the replay/sync family,
+    # and the remaining never-checked rows in prior window order.
+    # Four prefix rows are rows-only by design (semdedup_prune,
+    # quality_classifier_scores, knn_label_classify_ivf,
+    # bitext_margin_mining_ivf) — the driver records the weaker check
+    # for those, per ROWS_ONLY_BY_DESIGN below; every other prefix row
+    # is oracle-backed. After this round only ~70 of 242 rows will
+    # never have had a driver row; two more rotations cycle the rest.
+    "gpu_allocation_matrix",
+    "registry_dns_zone",
     "oom_kill_order",
-    # rotated behind in r12 (driver-verified r10/r11): family suites
-    # and the r11 tail, then the long-verified remainder in prior
-    # window order
-    "limit_family", "merge_sorted_runs", "find_ls_stat_docs",
-    "semi_anti_customers", "range_join_attribution", "sampling_suite",
-    "set_algebra", "snapshot_diff_orders", "asof_purchase_click", "kv_suite",
-    "content_summary_docs", "dist_stats_by_type", "events_sessionize",
-    "streaming_typed_events", "dedup_exact", "dsir_selection",
-    "ec_striped_read_plan", "local_cache_cleanup",
-    "resource_request_normalize", "auth_to_local_mapping",
-    "user_limit_matrix", "cs_queue_mapping", "fair_starvation_report",
-    "token_renewal_plan", "ifile_log_lookup", "dedup_embedding_cosine",
-    "ann_cosine_topk", "weighted_sample_docs",
-    "snapshot_diff_upsert_generations", "asof_nearest_tolerance",
-    "oiv_file_distribution", "webhdfs_liststatus_scan", "table_stats_report",
-    "events_hourly", "events_stats_json", "timeline_entity_filter",
-    "doc_profile", "dedup_span_exact", "dedup_jaccard_suite",
-    "dedup_connected_components", "capacity_scheduler_allocation",
-    "reservation_admission_plan", "fair_queue_placement",
-    "pipeline_recovery_plan", "reservation_integral_quota",
-    "node_label_allocation", "ann_cosine_approx", "bpe_tokenize_stats",
-    "quality_classifier_scores", "shard_manifest", "window_suite",
-    "grouping_sets_suite", "corpus_prep_training_set", "sketch_suite",
-    "sketch_ann_deterministic", "hll_distinct_rollup",
-    "corpus_mixture_sample", "tfidf_top_terms", "decontamination_check",
-    "bm25_search", "dedup_span_rewrite", "cross_source_dup_matrix",
-    "ann_pq_topk", "quality_repetition_filter", "boilerplate_prune",
-    "time_resample_gapfill", "pivot_event_matrix", "stats_corr_suite",
-    "distcp_sync_plan", "distcp_incremental_plan", "semdedup_prune",
-    "fsck_report", "balancer_move_plan", "block_placement_plan",
-    "encryption_zone_roundtrip", "storage_mover_plan", "cache_directive_plan",
-    "ec_reconstruct_check", "ec_rs_reconstruct_check", "zorder_curve",
-    "perplexity_quality_filter", "retention_expiry_plan", "window_suite_2",
-    "sketch_cms_user_counts", "cdc_merge_apply", "events_sliding_windows",
-    "kll_quantile_store", "theta_retention_overlap", "funnel_conversion",
-    "editlog_replay", "knn_label_classify", "knn_label_classify_ivf",
-    "hybrid_search_rrf", "audit_log_summary", "embedding_class_stats",
-    "replication_repair_plan", "streaming_audit_rollup",
-    "storage_type_quota_report", "permission_check_matrix",
-    "nntop_window_users", "rpc_scheduler_priority", "wrr_callqueue_drain",
-    "retry_cache_replay", "datanode_liveness_report", "safemode_report",
-    "anomaly_rolling_zscore", "delegation_token_sweep",
-    "pca_embedding_projection", "lease_recovery_sweep", "xattr_store_report",
-    "doc_chunking_rag", "drf_fair_share_ranking", "contrastive_pair_mining",
-    "length_bucket_batching", "speculative_execution_plan",
-    "range_partition_advisor", "cusum_drift_detection",
-    "streaming_cusum_drift", "preemption_reclaim_plan",
-    "acl_transformation_apply", "qjm_segment_recovery", "disk_balancer_plan",
-    "replica_read_ordering", "mount_table_resolution",
-    "composite_file_checksum", "bpe_pair_merge", "writable_hash_partitioning",
-    "trash_expunge_sweep", "volume_choice_assignment", "zipf_token_spectrum",
-    "block_scanner_queue", "observer_read_routing", "rbf_quota_report",
-    "bpe_segmentation_stats", "curriculum_phases", "nnstorage_retention",
-    "distcp_checksum_delta", "slow_peer_report", "bitext_margin_mining",
-    "bitext_margin_mining_ivf", "ec_policy_matrix", "hedged_read_plan",
-    "block_report_reconcile", "maintenance_readiness_report",
-    "snapshot_reclaim_report", "config_resolution", "proxy_user_matrix",
-    "retry_schedule_matrix", "token_entropy_report",
-    "streaming_heavy_hitters", "service_acl_host_matrix",
-    "rename_quota_check", "directory_scanner_reconcile",
-    "intra_queue_app_order", "queue_assignment_order",
-    "lazy_persist_eviction", "snapshot_admission_check",
-    "upgrade_domain_placement_report", "stupid_backoff_lm_score",
-    "am_blacklist_updates", "checkpoint_trigger_plan",
-    "concat_chunk_training_stream", "queue_hierarchy_capacities",
-    "unigram_lm_tokenize_stats", "ec_striped_lease_recovery",
-    "nodes_refresh_plan", "am_attempt_retry_policy", "container_memory_check",
-    "span_corruption_transform", "scheduler_headroom_matrix",
-    "rbf_namenode_priority", "reencryption_batch_plan",
-    "reencryption_zone_report", "app_lifetime_plan",
-    "federation_router_decisions", "federation_amrm_split",
-    "encryption_zone_resolution", "ez_rename_validity",
-    "locality_delay_schedule", "kms_key_acl_matrix",
-    "opportunistic_queue_plan", "aggregated_log_index", "log_retention_sweep",
+    # new round-13 operators
+    "timeline_filter_grammar",
+    "nm_container_recovery",
+    "rm_app_state_recovery",
+    "node_queue_limit",
+    "federation_random_routing",
+    "fpga_allocation_matrix",
+    # LLM search/sketch family (never checked before r13)
+    "sketch_ann_deterministic",
+    "hll_distinct_rollup",
+    "bm25_search",
+    "hybrid_search_rrf",
+    "semdedup_prune",
+    "ann_pq_topk",
+    "knn_label_classify",
+    "knn_label_classify_ivf",
+    "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
+    # replay / sync family (never checked before r13)
+    "cdc_merge_apply",
+    "editlog_replay",
+    "distcp_sync_plan",
+    "distcp_incremental_plan",
+    "distcp_checksum_delta",
+    "fsck_report",
+    "balancer_move_plan",
+    # remaining never-checked rows, prior window order
+    "bpe_tokenize_stats",
+    "quality_classifier_scores",
+    "shard_manifest",
+    "corpus_mixture_sample",
+    "tfidf_top_terms",
+    "decontamination_check",
+    "dedup_span_rewrite",
+    "cross_source_dup_matrix",
+    "quality_repetition_filter",
+    "boilerplate_prune",
+    "time_resample_gapfill",
+    "pivot_event_matrix",
+    "stats_corr_suite",
+    "block_placement_plan",
+    "encryption_zone_roundtrip",
+    "storage_mover_plan",
+    "cache_directive_plan",
+    "ec_reconstruct_check",
+    "ec_rs_reconstruct_check",
+    "zorder_curve",
+    "perplexity_quality_filter",
+    "retention_expiry_plan",
+    "window_suite_2",
+    "sketch_cms_user_counts",
+    # ---- end of checked prefix (50) ----
+    # r12-verified rows and the long tail, prior order
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_shippers",
+    "q21_suppliers_who_wait",
+    "q22_global_sales_opportunity",
+    "scm_bootstrap_index",
+    "scm_cleaner_plan",
+    "scr_cache_sweep",
+    "flow_run_rollup",
+    "zkfc_failover_matrix",
+    "zkfc_electability",
+    "placement_constraint_matrix",
+    "sps_file_status",
+    "sps_move_plan",
+    "cs_absolute_resources",
+    "nfs_write_reorder",
+    "router_safemode_plan",
+    "groups_cache_lookup",
+    "container_relaunch_plan",
+    "cs_allocation_activities",
+    "flow_activity_rollup",
+    "auto_queue_management",
+    "provided_alias_map",
+    "yarn_service_rollup",
+    "cgroups_usage_kill",
+    "wet_extract_pipeline",
+    "url_canonical_dedup",
+    "temperature_resample",
+    "fim_transform_corpus",
+    "embedding_decontamination",
+    "block_report_lease_check",
+    "block_report_lease_admission",
+    "rbf_membership_quorum",
+    "limit_family",
+    "merge_sorted_runs",
+    "find_ls_stat_docs",
+    "semi_anti_customers",
+    "range_join_attribution",
+    "sampling_suite",
+    "set_algebra",
+    "snapshot_diff_orders",
+    "asof_purchase_click",
+    "kv_suite",
+    "content_summary_docs",
+    "dist_stats_by_type",
+    "events_sessionize",
+    "streaming_typed_events",
+    "dedup_exact",
+    "dsir_selection",
+    "ec_striped_read_plan",
+    "local_cache_cleanup",
+    "resource_request_normalize",
+    "auth_to_local_mapping",
+    "user_limit_matrix",
+    "cs_queue_mapping",
+    "fair_starvation_report",
+    "token_renewal_plan",
+    "ifile_log_lookup",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "weighted_sample_docs",
+    "snapshot_diff_upsert_generations",
+    "asof_nearest_tolerance",
+    "oiv_file_distribution",
+    "webhdfs_liststatus_scan",
+    "table_stats_report",
+    "events_hourly",
+    "events_stats_json",
+    "timeline_entity_filter",
+    "doc_profile",
+    "dedup_span_exact",
+    "dedup_jaccard_suite",
+    "dedup_connected_components",
+    "capacity_scheduler_allocation",
+    "reservation_admission_plan",
+    "fair_queue_placement",
+    "pipeline_recovery_plan",
+    "reservation_integral_quota",
+    "node_label_allocation",
+    "ann_cosine_approx",
+    "window_suite",
+    "grouping_sets_suite",
+    "corpus_prep_training_set",
+    "sketch_suite",
+    "events_sliding_windows",
+    "kll_quantile_store",
+    "theta_retention_overlap",
+    "funnel_conversion",
+    "audit_log_summary",
+    "embedding_class_stats",
+    "replication_repair_plan",
+    "streaming_audit_rollup",
+    "storage_type_quota_report",
+    "permission_check_matrix",
+    "nntop_window_users",
+    "rpc_scheduler_priority",
+    "wrr_callqueue_drain",
+    "retry_cache_replay",
+    "datanode_liveness_report",
+    "safemode_report",
+    "anomaly_rolling_zscore",
+    "delegation_token_sweep",
+    "pca_embedding_projection",
+    "lease_recovery_sweep",
+    "xattr_store_report",
+    "doc_chunking_rag",
+    "drf_fair_share_ranking",
+    "contrastive_pair_mining",
+    "length_bucket_batching",
+    "speculative_execution_plan",
+    "range_partition_advisor",
+    "cusum_drift_detection",
+    "streaming_cusum_drift",
+    "preemption_reclaim_plan",
+    "acl_transformation_apply",
+    "qjm_segment_recovery",
+    "disk_balancer_plan",
+    "replica_read_ordering",
+    "mount_table_resolution",
+    "composite_file_checksum",
+    "bpe_pair_merge",
+    "writable_hash_partitioning",
+    "trash_expunge_sweep",
+    "volume_choice_assignment",
+    "zipf_token_spectrum",
+    "block_scanner_queue",
+    "observer_read_routing",
+    "rbf_quota_report",
+    "bpe_segmentation_stats",
+    "curriculum_phases",
+    "nnstorage_retention",
+    "slow_peer_report",
+    "ec_policy_matrix",
+    "hedged_read_plan",
+    "block_report_reconcile",
+    "maintenance_readiness_report",
+    "snapshot_reclaim_report",
+    "config_resolution",
+    "proxy_user_matrix",
+    "retry_schedule_matrix",
+    "token_entropy_report",
+    "streaming_heavy_hitters",
+    "service_acl_host_matrix",
+    "rename_quota_check",
+    "directory_scanner_reconcile",
+    "intra_queue_app_order",
+    "queue_assignment_order",
+    "lazy_persist_eviction",
+    "snapshot_admission_check",
+    "upgrade_domain_placement_report",
+    "stupid_backoff_lm_score",
+    "am_blacklist_updates",
+    "checkpoint_trigger_plan",
+    "concat_chunk_training_stream",
+    "queue_hierarchy_capacities",
+    "unigram_lm_tokenize_stats",
+    "ec_striped_lease_recovery",
+    "nodes_refresh_plan",
+    "am_attempt_retry_policy",
+    "container_memory_check",
+    "span_corruption_transform",
+    "scheduler_headroom_matrix",
+    "rbf_namenode_priority",
+    "reencryption_batch_plan",
+    "reencryption_zone_report",
+    "app_lifetime_plan",
+    "federation_router_decisions",
+    "federation_amrm_split",
+    "encryption_zone_resolution",
+    "ez_rename_validity",
+    "locality_delay_schedule",
+    "kms_key_acl_matrix",
+    "opportunistic_queue_plan",
+    "aggregated_log_index",
+    "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 236, len(_WINDOW)
+assert len(_WINDOW) == 242, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
