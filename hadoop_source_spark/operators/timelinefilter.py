@@ -85,6 +85,14 @@ class KeyValues:
     values: tuple
 
 
+@dataclass(frozen=True)
+class Prefix:
+    """Config/metric-to-retrieve leaf: keep keys with this prefix
+    (present=True) or drop them (present=False)."""
+    present: bool
+    prefix: str
+
+
 @dataclass
 class FilterList:
     op: str = "AND"
@@ -326,6 +334,65 @@ def parse_event_filters(expr: str | None) -> FilterList | None:
     """TimelineParserForExistFilters over the comma delimiter."""
     return _parse_equality_expr(
         expr, ",", lambda p, v: Exists(p, v), "Event Filter")
+
+
+def parse_data_to_retrieve(expr: str | None) -> FilterList | None:
+    """TimelineParserForDataToRetrieve (confstoretrieve /
+    metricstoretrieve): `prefix,prefix` or `(prefix,...)` keeps keys
+    matching ANY prefix (OR of EQUAL prefix filters); `!(prefix,...)`
+    keeps keys matching NONE (AND of NOT_EQUAL). A `!` requires a
+    bracketed group with nothing but whitespace before `(` and a
+    trailing `)`; an empty group returns None (retrieve nothing
+    extra). Pinned against TestTimelineReaderWebServicesUtils.java:
+    849-918 (testDataToRetrieve)."""
+    if expr is None:
+        return None
+    s = expr.strip()
+    if not s:
+        return None
+    neg = False
+    i = s.find("(")
+    if s[0] == "!":
+        if i == -1 or s[1:i].strip():
+            raise TimelineParseError(
+                "Invalid config/metric to retrieve expression")
+        neg = True
+        if not s.endswith(")"):
+            raise TimelineParseError(
+                "Invalid config/metric to retrieve expression")
+    elif i > 0:
+        raise TimelineParseError(
+            "Invalid config/metric to retrieve expression")
+    if i != -1 and s.endswith(")"):
+        s = s[i + 1:-1].strip()
+    if not s:
+        return None
+    return FilterList(
+        "AND" if neg else "OR",
+        [Prefix(not neg, p.strip()) for p in s.split(",")],
+    )
+
+
+def retrieve_keys(flist: FilterList | None, m: Column) -> Column:
+    """Apply a data-to-retrieve prefix list to a map column: keep the
+    entries whose key matches every NOT_EQUAL filter and (when the
+    list is the OR-of-EQUAL form) at least one prefix. None keeps the
+    map whole (the REST layer's 'no filter' default)."""
+    if flist is None:
+        return m
+
+    def cond(k: Column) -> Column:
+        out = None
+        for f in flist.children:
+            c = k.startswith(f.prefix)
+            if not f.present:
+                c = ~c
+            out = c if out is None else (
+                (out & c) if flist.op == "AND" else (out | c)
+            )
+        return out if out is not None else F.lit(False)
+
+    return F.map_filter(m, lambda k, v: cond(k))
 
 
 def parse_relation_filters(expr: str | None) -> FilterList | None:

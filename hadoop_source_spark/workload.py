@@ -19282,6 +19282,286 @@ def fpga_allocation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fpga.assign_fpgas(requests, devices)
 
 
+_SPEC_PARSE_ORACLE = """
+WITH e AS (SELECT event_id AS k FROM events),
+alloc AS (
+  SELECT 'a' || ((k + k // 37) % 20) AS app_id,
+         'n' || ((k * 13 + k // 53) % 40) AS node_id,
+         CASE (k + k // 29) % 4 WHEN 0 THEN 'hbase' WHEN 1 THEN 'zk'
+              WHEN 2 THEN 'web' ELSE 'spark' END AS tag,
+         count(*) AS cnt
+  FROM e WHERE k < 2000 GROUP BY 1, 2, 3),
+nodes AS (
+  SELECT 'n' || k AS node_id, 'r' || (k % 8) AS rack
+  FROM e WHERE k < 40),
+nattr AS (
+  SELECT 'n' || k AS node_id,
+         CASE k % 3 WHEN 0 THEN '1.8' WHEN 1 THEN '11' ELSE '17' END
+           AS java
+  FROM e WHERE k < 40),
+rack_app AS (
+  SELECT a.app_id, n.rack, a.tag, sum(a.cnt) AS cnt
+  FROM alloc a JOIN nodes n USING (node_id) GROUP BY 1, 2, 3),
+node_all AS (SELECT node_id, tag, sum(cnt) AS cnt FROM alloc
+             GROUP BY 1, 2),
+rack_all AS (SELECT rack, tag, sum(cnt) AS cnt FROM rack_app
+             GROUP BY 1, 2),
+reqs(req_id, app_id, source_tag, num_allocations) AS (VALUES
+  (0, 'a1', 'zk', 3), (1, 'a2', 'backup', 5), (2, 'a3', 'spark', 7),
+  (3, 'a4', 'web', 2), (4, 'a5', 'mon', 1), (5, 'a6', '', 0),
+  (6, 'a7', 'agent', 4), (7, 'a8', 'probe', 2), (8, 'a9', 'idle', 6),
+  (9, 'a0', 'dual', 2)),
+cand AS (
+  SELECT r.req_id, r.app_id, r.source_tag, r.num_allocations,
+         n.node_id, n.rack
+  FROM reqs r CROSS JOIN nodes n),
+selfc AS (
+  SELECT c.req_id, c.node_id,
+    coalesce(max(CASE WHEN a.tag = 'hbase' THEN a.cnt END), 0) AS hbase,
+    coalesce(max(CASE WHEN a.tag = 'zk' THEN a.cnt END), 0) AS zk,
+    coalesce(max(CASE WHEN a.tag = 'web' THEN a.cnt END), 0) AS web,
+    coalesce(max(CASE WHEN a.tag = 'spark' THEN a.cnt END), 0) AS spark
+  FROM cand c LEFT JOIN alloc a
+    ON a.node_id = c.node_id AND a.app_id = c.app_id
+  GROUP BY 1, 2),
+rackself AS (
+  SELECT c.req_id, c.node_id, coalesce(max(r.cnt), 0) AS zk
+  FROM cand c LEFT JOIN rack_app r
+    ON r.rack = c.rack AND r.app_id = c.app_id AND r.tag = 'zk'
+  GROUP BY 1, 2),
+allhb AS (
+  SELECT c.req_id, c.node_id, coalesce(max(na.cnt), 0) AS hbase
+  FROM cand c LEFT JOIN node_all na
+    ON na.node_id = c.node_id AND na.tag = 'hbase'
+  GROUP BY 1, 2),
+rallzk AS (
+  SELECT c.req_id, c.node_id, coalesce(max(ra.cnt), 0) AS zk
+  FROM cand c LEFT JOIN rack_all ra
+    ON ra.rack = c.rack AND ra.tag = 'zk'
+  GROUP BY 1, 2)
+SELECT CAST(c.req_id AS BIGINT) AS req_id, c.source_tag,
+       CAST(c.num_allocations AS INTEGER) AS num_allocations,
+       c.node_id,
+  CASE c.req_id
+    WHEN 0 THEN s.hbase >= 1
+    WHEN 1 THEN rs.zk <= 0
+    WHEN 2 THEN s.web BETWEEN 1 AND 3
+    WHEN 3 THEN s.hbase >= 1 AND s.zk <= 0
+    WHEN 4 THEN s.hbase <= 0 OR s.spark BETWEEN 2 AND 5
+    WHEN 5 THEN na.java = '1.8'
+    WHEN 6 THEN ah.hbase <= 0
+    WHEN 7 THEN (rz.zk - rs.zk) <= 4
+    WHEN 8 THEN TRUE
+    ELSE (s.hbase >= 1 AND s.zk >= 1) OR (s.web >= 1 AND s.spark >= 1)
+  END AS satisfied
+FROM cand c
+JOIN selfc s ON s.req_id = c.req_id AND s.node_id = c.node_id
+JOIN rackself rs ON rs.req_id = c.req_id AND rs.node_id = c.node_id
+JOIN allhb ah ON ah.req_id = c.req_id AND ah.node_id = c.node_id
+JOIN rallzk rz ON rz.req_id = c.req_id AND rz.node_id = c.node_id
+JOIN nattr na ON na.node_id = c.node_id
+"""
+
+
+@register("placement_spec_parse", _SPEC_PARSE_ORACLE)
+def placement_spec_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placement-spec STRINGS driving the constraint evaluator
+    (operators/constraintparser -> operators/constraints.
+    placement_matrix; reference PlacementConstraintParser.java:
+    723-786 parsePlacementSpec, 469-562 target/cardinality parsers,
+    384-467 node attributes, 569-604 conjunctions — trees pinned by
+    TestPlacementConstraintParser.java). Ten `-placement_spec`
+    strings — affinity, rack anti-affinity, cardinality windows,
+    AND / OR(AND...) conjunctions, a bare node-attribute constraint,
+    all/not-self namespaces, and a bare tag(n) with a null constraint
+    (trivially satisfied) — are PARSED, bridged to the evaluator's
+    term normal form, and judged against the same 40-node / 20-app
+    tag store placement_constraint_matrix pins. The oracle
+    hand-derives each spec's predicate from the store CTEs, checking
+    parser + bridge + evaluator end-to-end."""
+    from hadoop_source_spark.operators import constraintparser as cp
+    from hadoop_source_spark.operators import constraints
+
+    specs = [
+        (0, "a1", "zk(3),in,node,hbase"),
+        (1, "a2", "backup(5),notin,rack,zk"),
+        (2, "a3", "spark(7),cardinality,node,web,1,3"),
+        (3, "a4", "web(2),and(in,node,hbase:notin,node,zk)"),
+        (4, "a5", "mon(1),or(notin,node,hbase:cardinality,node,spark,2,5)"),
+        (5, "a6", "java=1.8"),
+        (6, "a7", "agent(4),notin,node,all/hbase"),
+        (7, "a8", "probe(2),cardinality,rack,not-self/zk,0,4"),
+        (8, "a9", "idle(6)"),
+        (9, "a0", "dual(2),or(and(in,node,hbase:in,node,zk)"
+                  ":and(in,node,web:in,node,spark))"),
+    ]
+    parsed = []
+    for req_id, app_id, spec in specs:
+        (st, c), = cp.parse_placement_spec(spec)
+        parsed.append((req_id, app_id, st, c))
+    req_rows, term_rows = cp.to_requests_and_terms(parsed)
+    requests = spark.createDataFrame(
+        req_rows,
+        "req_id long, app_id string, combinator string,"
+        " source_tag string, num_allocations int",
+    )
+    terms = spark.createDataFrame(
+        term_rows,
+        "req_id long, group_id int, term_id int, scope string,"
+        " target_type string, namespace string, target_key string,"
+        " target_values array<string>, min_card int, max_card int,"
+        " attr_opcode string",
+    ) if term_rows else spark.createDataFrame(
+        [],
+        "req_id long, group_id int, term_id int, scope string,"
+        " target_type string, namespace string, target_key string,"
+        " target_values array<string>, min_card int, max_card int,"
+        " attr_opcode string",
+    )
+    k = F.col("event_id")
+    e = table(spark, sf_dir, "events")
+    seed = e.where(k < 2000)
+    small = e.where(k < 40)
+    alloc_tags = (
+        seed.select(
+            F.concat(
+                F.lit("a"), ((k + F.floor(k / 37)) % 20).cast("string")
+            ).alias("app_id"),
+            F.concat(
+                F.lit("n"),
+                ((k * 13 + F.floor(k / 53)) % 40).cast("string"),
+            ).alias("node_id"),
+            F.when((k + F.floor(k / 29)) % 4 == 0, "hbase")
+            .when((k + F.floor(k / 29)) % 4 == 1, "zk")
+            .when((k + F.floor(k / 29)) % 4 == 2, "web")
+            .otherwise("spark")
+            .alias("tag"),
+        )
+        .groupBy("app_id", "node_id", "tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nodes = small.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("node_id"),
+        F.concat(F.lit("r"), (k % 8).cast("string")).alias("rack"),
+        F.lit("").alias("partition"),
+    )
+    node_attrs = small.select(
+        F.concat(F.lit("n"), k.cast("string")).alias("node_id"),
+        F.lit("java").alias("attr_key"),
+        F.when(k % 3 == 0, "1.8")
+        .when(k % 3 == 1, "11")
+        .otherwise("17")
+        .alias("attr_value"),
+    )
+    app_tags = spark.createDataFrame([], "app_id string, app_tag string")
+    candidates = requests.select("req_id").crossJoin(
+        nodes.select("node_id")
+    )
+    verdicts = constraints.placement_matrix(
+        candidates, requests, terms, nodes, node_attrs, alloc_tags,
+        app_tags,
+    )
+    return verdicts.join(
+        F.broadcast(
+            requests.select(
+                "req_id", "source_tag", "num_allocations"
+            )
+        ),
+        "req_id",
+    ).select(
+        "req_id", "source_tag", "num_allocations", "node_id", "satisfied"
+    )
+
+
+_DATA_RETRIEVE_ORACLE = """
+WITH ent AS (
+  SELECT event_id,
+         (CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0)
+           AS has_sys,
+         (user_id % 4 <> 2) AS has_env
+  FROM events
+)
+SELECT
+  CAST(sum(2) AS BIGINT) AS e1_keys,
+  CAST(count(*) AS BIGINT) AS e1_hit,
+  CAST(sum(CASE WHEN has_env THEN 1 ELSE 0 END) AS BIGINT) AS e2_keys,
+  CAST(sum(CASE WHEN has_env THEN 1 ELSE 0 END) AS BIGINT) AS e2_hit,
+  CAST(sum((CASE WHEN has_env THEN 1 ELSE 0 END)
+         + (CASE WHEN has_sys THEN 1 ELSE 0 END)) AS BIGINT) AS e3_keys,
+  CAST(sum(CASE WHEN has_env OR has_sys THEN 1 ELSE 0 END) AS BIGINT)
+    AS e3_hit,
+  CAST(sum(4 - (CASE WHEN has_env THEN 0 ELSE 1 END)
+             - (CASE WHEN has_sys THEN 0 ELSE 1 END)) AS BIGINT)
+    AS e4_keys
+FROM ent
+"""
+
+
+@register("timeline_data_to_retrieve", _DATA_RETRIEVE_ORACLE)
+def timeline_data_to_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATSv2 confstoretrieve/metricstoretrieve prefix lists
+    (operators/timelinefilter.parse_data_to_retrieve + retrieve_keys;
+    reference TimelineParserForDataToRetrieve.java — `p1,p2` keeps
+    keys matching ANY prefix, `!(p1,p2)` keys matching NONE, pinned by
+    TestTimelineReaderWebServicesUtils.java:849-918). Entity config
+    maps with conditionally-present keys are filtered by four
+    retrieve expressions (positive, negated, grouped, None
+    passthrough) via map_filter — pure codegen HOFs — and reduced in
+    one conditional aggregation; the oracle re-derives every kept-key
+    count from closed-form presence indicators."""
+    from hadoop_source_spark.operators import timelinefilter as tf
+
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    u = F.col("user_id")
+    base = F.create_map(
+        F.lit("cfg.mode"), F.col("event_type"),
+        F.lit("cfg.level"),
+        F.when(F.col("value") > 300, "hot").otherwise("cold"),
+    )
+    with_env = F.when(
+        u % 4 != 2,
+        F.map_concat(
+            base,
+            F.create_map(
+                F.lit("env.user"),
+                F.concat(F.lit("u"), (u % 20).cast("string")),
+            ),
+        ),
+    ).otherwise(base)
+    config = F.when(
+        k % 3 == 0,
+        F.map_concat(
+            with_env,
+            F.create_map(F.lit("sys.flag"), (k % 5).cast("string")),
+        ),
+    ).otherwise(with_env)
+    ent = e.select(config.alias("config"))
+    exprs = {
+        "e1": "cfg.",
+        "e2": "!(cfg.,sys.)",
+        "e3": "(env.,sys.)",
+        "e4": None,  # no filter: the REST default keeps the map whole
+    }
+    aggs = []
+    for nm, expr in exprs.items():
+        kept = F.size(
+            F.map_keys(
+                tf.retrieve_keys(
+                    tf.parse_data_to_retrieve(expr), F.col("config")
+                )
+            )
+        )
+        aggs.append(F.sum(kept).cast("long").alias(f"{nm}_keys"))
+        if nm != "e4":
+            aggs.append(
+                F.sum(F.when(kept > 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"{nm}_hit")
+            )
+    return ent.agg(*aggs)
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
@@ -19291,7 +19571,8 @@ _WINDOW: list[str] = [
     # 50 highest-priority NEVER-driver-checked rows — the three r12
     # late rows, the six new round-13 operators (timeline filter
     # grammar, NM/RM state-store recovery, queue-limit calculator,
-    # randomized federation routers, FPGA allocator), the LLM
+    # randomized federation routers, FPGA allocator, placement-
+    # spec grammar), the LLM
     # search/sketch north-star family (bm25/hybrid/semdedup/ann_pq/
     # knn/bitext — the r12 verdict's top ask), the replay/sync family,
     # and the remaining never-checked rows in prior window order.
@@ -19311,6 +19592,8 @@ _WINDOW: list[str] = [
     "node_queue_limit",
     "federation_random_routing",
     "fpga_allocation_matrix",
+    "placement_spec_parse",
+    "timeline_data_to_retrieve",
     # LLM search/sketch family (never checked before r13)
     "sketch_ann_deterministic",
     "hll_distinct_rollup",
@@ -19353,10 +19636,10 @@ _WINDOW: list[str] = [
     "zorder_curve",
     "perplexity_quality_filter",
     "retention_expiry_plan",
-    "window_suite_2",
-    "sketch_cms_user_counts",
     # ---- end of checked prefix (50) ----
+    "window_suite_2",
     # r12-verified rows and the long tail, prior order
+    "sketch_cms_user_counts",
     "q01_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
@@ -19551,7 +19834,7 @@ _WINDOW: list[str] = [
     "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 242, len(_WINDOW)
+assert len(_WINDOW) == 244, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

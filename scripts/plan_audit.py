@@ -168,6 +168,7 @@ def main() -> None:
     "timeline_filter_grammar", "nm_container_recovery",
     "rm_app_state_recovery", "node_queue_limit",
     "federation_random_routing", "fpga_allocation_matrix",
+    "placement_spec_parse", "timeline_data_to_retrieve",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -289,3 +289,57 @@ def test_relation_predicate(entities):
         parse_relation_filters("!(flow:f2)"), r)) == [1]
     assert _ids(df, relation_predicate(
         parse_relation_filters("app:a1:a2 OR flow:f2"), r)) == [2, 3]
+
+
+# --------------------------------------------------------------------------
+# Data-to-retrieve prefix lists (TestTimelineReaderWebServicesUtils:849-918)
+# --------------------------------------------------------------------------
+
+def test_data_to_retrieve_parsing():
+    from hadoop_source_spark.operators.timelinefilter import (
+        Prefix,
+        parse_data_to_retrieve,
+    )
+
+    expected = fl("OR", Prefix(True, "abc"), Prefix(True, "def"))
+    for expr in ("abc,def", "(abc,def)", "   (   abc  ,   def  )   ",
+                 "    abc  ,   def   "):
+        assert parse_data_to_retrieve(expr) == expected, expr
+    neg = fl("AND", Prefix(False, "abc"), Prefix(False, "def"))
+    assert parse_data_to_retrieve("!(abc,def)") == neg
+    assert parse_data_to_retrieve(" !  (   abc  ,  def  )  ") == neg
+    assert parse_data_to_retrieve("!(abc)") == fl(
+        "AND", Prefix(False, "abc"))
+    assert parse_data_to_retrieve("(abc)") == fl("OR", Prefix(True, "abc"))
+    assert parse_data_to_retrieve("abc") == fl("OR", Prefix(True, "abc"))
+    assert parse_data_to_retrieve(None) is None
+    assert parse_data_to_retrieve("  ") is None
+    assert parse_data_to_retrieve("()") is None
+    with pytest.raises(TimelineParseError):
+        parse_data_to_retrieve("!abc,def")  # ! without bracket
+    with pytest.raises(TimelineParseError):
+        parse_data_to_retrieve("!x(abc)")  # junk between ! and (
+    with pytest.raises(TimelineParseError):
+        parse_data_to_retrieve("!(abc")  # NOT without closing bracket
+
+
+def test_retrieve_keys_map_filter(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators.timelinefilter import (
+        parse_data_to_retrieve,
+        retrieve_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"cfg.a": "1", "cfg.b": "2", "env.u": "3", "sys.f": "4"})],
+        "id int, m map<string,string>")
+
+    def keys(expr):
+        c = retrieve_keys(parse_data_to_retrieve(expr), F.col("m"))
+        return sorted(df.select(F.map_keys(c).alias("k")).head()["k"])
+
+    assert keys("cfg.") == ["cfg.a", "cfg.b"]
+    assert keys("(cfg.,env.)") == ["cfg.a", "cfg.b", "env.u"]
+    assert keys("!(cfg.,sys.)") == ["env.u"]
+    assert keys(None) == ["cfg.a", "cfg.b", "env.u", "sys.f"]
