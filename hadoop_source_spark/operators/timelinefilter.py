@@ -45,6 +45,7 @@ scan where the source supports map pushdown.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
@@ -393,6 +394,56 @@ def retrieve_keys(flist: FilterList | None, m: Column) -> Column:
         return out if out is not None else F.lit(False)
 
     return F.map_filter(m, lambda k, v: cond(k))
+
+
+UID_DELIM = "!"
+UID_ESCAPE = "*"
+# Sentinels for the codegen-side escape-aware split: control chars that
+# cannot appear in YARN ids (cluster/user/flow/app ids are printable).
+_S_ESC = "\x01"
+_S_DELIM = "\x02"
+
+
+def uid_encode(*parts: Column) -> Column:
+    """ATSv2 REST UID join (TimelineReaderUtils.joinAndEscape, used by
+    TimelineUIDConverter.joinAndEscapeUIDParts:254-258): each part has
+    '*' doubled and '!' prefixed with '*', then parts join on '!'.
+    Pure string codegen — no UDF."""
+    escaped = [
+        F.replace(F.replace(p, F.lit(UID_ESCAPE),
+                            F.lit(UID_ESCAPE * 2)),
+                  F.lit(UID_DELIM), F.lit(UID_ESCAPE + UID_DELIM))
+        for p in parts
+    ]
+    return F.concat_ws(UID_DELIM, *escaped)
+
+
+def uid_decode(uid: Column) -> Column:
+    """Escape-aware UID split (TimelineReaderUtils.split:65-127):
+    '*'-escaped delimiters/escapes are literal; every part is TRIMMED
+    (the reference builder trims each split part). Implemented as a
+    sentinel dance in whole-stage codegen: '**' and '*!' swap to
+    control chars, the remaining '!' split, then each part restores
+    and trims. Returns array<string>; malformed escapes (a '*' not
+    followed by '*' or '!', including a trailing '*') yield NULL — the
+    batch-mode loud equivalent of the reference's
+    IllegalArgumentException."""
+    esc_folded = F.replace(uid, F.lit(UID_ESCAPE * 2), F.lit(_S_ESC))
+    # after folding '**', any remaining '*' must sit before '!'
+    malformed = esc_folded.rlike(r"\*(?!!)")
+    folded = F.replace(
+        esc_folded, F.lit(UID_ESCAPE + UID_DELIM), F.lit(_S_DELIM)
+    )
+    parts = F.transform(
+        F.split(folded, re.escape(UID_DELIM)),
+        lambda p: F.trim(
+            F.replace(
+                F.replace(p, F.lit(_S_DELIM), F.lit(UID_DELIM)),
+                F.lit(_S_ESC), F.lit(UID_ESCAPE),
+            )
+        ),
+    )
+    return F.when(~malformed, parts)
 
 
 def parse_relation_filters(expr: str | None) -> FilterList | None:

@@ -19562,6 +19562,127 @@ def timeline_data_to_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.agg(*aggs)
 
 
+_UID_ORACLE = """
+WITH ctx AS (
+  SELECT event_id AS k,
+         'cluster' || CAST(user_id % 3 AS VARCHAR) AS cluster,
+         CASE WHEN event_id % 7 = 0
+              THEN 'usr*' || CAST(user_id % 10 AS VARCHAR)
+              WHEN event_id % 7 = 1
+              THEN 'usr ' || CAST(user_id % 10 AS VARCHAR) || ' '
+              ELSE 'usr' || CAST(user_id % 10 AS VARCHAR) END AS usr,
+         CASE WHEN event_id % 5 = 0
+              THEN 'flow!' || CAST(event_id % 4 AS VARCHAR)
+              ELSE 'flow_' || CAST(event_id % 4 AS VARCHAR) END AS flow,
+         CAST(event_id % 100 AS VARCHAR) AS runid,
+         'application_' || CAST(event_id AS VARCHAR) AS appid
+  FROM events
+), enc AS (
+  SELECT k, cluster, usr, flow, runid, appid,
+    replace(replace(cluster, '*', '**'), '!', '*!') || '!' ||
+    replace(replace(usr, '*', '**'), '!', '*!') || '!' ||
+    replace(replace(flow, '*', '**'), '!', '*!') || '!' ||
+    replace(replace(runid, '*', '**'), '!', '*!') || '!' ||
+    replace(replace(appid, '*', '**'), '!', '*!') AS uid
+  FROM ctx
+), dec AS (
+  SELECT k, cluster, usr, flow, runid, appid, uid,
+    list_transform(
+      string_split(
+        replace(replace(uid, '**', chr(1)), '*!', chr(2)), '!'),
+      p -> trim(replace(replace(p, chr(2), '!'), chr(1), '*'))
+    ) AS parts
+  FROM enc
+), chk AS (
+  SELECT k, uid, parts,
+    (len(parts) = 5 AND parts[1] = cluster AND parts[2] = usr
+     AND parts[3] = flow AND parts[4] = runid AND parts[5] = appid)
+      AS ok
+  FROM dec
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_ok,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_distinct_uid,
+       CAST(sum(strlen(uid)) AS BIGINT) AS total_uid_len,
+       CAST(sum(CASE WHEN contains(uid, '*!') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_escaped_delim,
+       CAST(sum(CASE WHEN contains(uid, '**') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_escaped_escape
+FROM chk
+"""
+
+
+@register("timeline_uid_roundtrip", _UID_ORACLE)
+def timeline_uid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATSv2 REST UID codec (operators/timelinefilter.uid_encode /
+    uid_decode; reference TimelineReaderUtils.java:65-127 escape-aware
+    split with per-part trim, :129-170 escapeString/joinAndEscape,
+    TimelineUIDConverter.java APPLICATION_UID 5-part
+    cluster!user!flow!run!app form). Contexts derive from events with
+    parts that exercise both escapes ('*' in user names, '!' in flow
+    names) and the reference's trim quirk (users with surrounding
+    spaces do NOT round-trip — counted on both sides). Encode and the
+    sentinel-dance decode are pure string codegen; one conditional
+    aggregation reduces the corpus."""
+    from hadoop_source_spark.operators import timelinefilter as tf
+
+    e = table(spark, sf_dir, "events")
+    k = F.col("event_id")
+    u = F.col("user_id")
+    cluster = F.concat(F.lit("cluster"), (u % 3).cast("string"))
+    usr = (
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit("usr*"), (u % 10).cast("string")),
+        )
+        .when(
+            k % 7 == 1,
+            F.concat(F.lit("usr "), (u % 10).cast("string"), F.lit(" ")),
+        )
+        .otherwise(F.concat(F.lit("usr"), (u % 10).cast("string")))
+    )
+    flow = F.when(
+        k % 5 == 0, F.concat(F.lit("flow!"), (k % 4).cast("string"))
+    ).otherwise(F.concat(F.lit("flow_"), (k % 4).cast("string")))
+    runid = (k % 100).cast("string")
+    appid = F.concat(F.lit("application_"), k.cast("string"))
+    ctx = e.select(
+        cluster.alias("cluster"), usr.alias("usr"), flow.alias("flow"),
+        runid.alias("runid"), appid.alias("appid"),
+    )
+    enc = ctx.withColumn(
+        "uid",
+        tf.uid_encode(
+            F.col("cluster"), F.col("usr"), F.col("flow"),
+            F.col("runid"), F.col("appid"),
+        ),
+    )
+    dec = enc.withColumn("parts", tf.uid_decode(F.col("uid")))
+    ok = (
+        (F.size("parts") == 5)
+        & (F.element_at("parts", 1) == F.col("cluster"))
+        & (F.element_at("parts", 2) == F.col("usr"))
+        & (F.element_at("parts", 3) == F.col("flow"))
+        & (F.element_at("parts", 4) == F.col("runid"))
+        & (F.element_at("parts", 5) == F.col("appid"))
+    )
+    return dec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias(
+            "n_roundtrip_ok"
+        ),
+        F.count_distinct(F.col("uid")).alias("n_distinct_uid"),
+        F.sum(F.length("uid")).cast("long").alias("total_uid_len"),
+        F.sum(F.when(F.col("uid").contains("*!"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_escaped_delim"),
+        F.sum(F.when(F.col("uid").contains("**"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_escaped_escape"),
+    )
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
@@ -19594,6 +19715,7 @@ _WINDOW: list[str] = [
     "fpga_allocation_matrix",
     "placement_spec_parse",
     "timeline_data_to_retrieve",
+    "timeline_uid_roundtrip",
     # LLM search/sketch family (never checked before r13)
     "sketch_ann_deterministic",
     "hll_distinct_rollup",
@@ -19635,8 +19757,8 @@ _WINDOW: list[str] = [
     "ec_rs_reconstruct_check",
     "zorder_curve",
     "perplexity_quality_filter",
-    "retention_expiry_plan",
     # ---- end of checked prefix (50) ----
+    "retention_expiry_plan",
     "window_suite_2",
     # r12-verified rows and the long tail, prior order
     "sketch_cms_user_counts",
@@ -19834,7 +19956,7 @@ _WINDOW: list[str] = [
     "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 244, len(_WINDOW)
+assert len(_WINDOW) == 245, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

@@ -343,3 +343,55 @@ def test_retrieve_keys_map_filter(spark):
     assert keys("(cfg.,env.)") == ["cfg.a", "cfg.b", "env.u"]
     assert keys("!(cfg.,sys.)") == ["env.u"]
     assert keys(None) == ["cfg.a", "cfg.b", "env.u", "sys.f"]
+
+
+# --------------------------------------------------------------------------
+# UID codec (TimelineReaderUtils.split/joinAndEscape, TestTimelineReaderUtils)
+# --------------------------------------------------------------------------
+
+def test_uid_roundtrip_and_escapes(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators.timelinefilter import (
+        uid_decode,
+        uid_encode,
+    )
+
+    rows = [
+        (1, "yarn-cluster", "user1", "flow_name"),
+        (2, "yarn!cluster", "us*er", "fl*!ow"),   # both escapes
+        (3, "c", "**", "!!"),                      # runs of specials
+        (4, "c", " padded ", "flow"),              # trim quirk
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b string, c string")
+    out = df.select(
+        "id", "a", "b", "c",
+        uid_encode(F.col("a"), F.col("b"), F.col("c")).alias("uid"),
+    ).withColumn("parts", uid_decode(F.col("uid")))
+    got = {r["id"]: r for r in out.collect()}
+    # clean and escaped parts round-trip exactly
+    for i in (1, 2, 3):
+        r = got[i]
+        assert r["parts"] == [r["a"], r["b"], r["c"]], r
+    # the reference trims each split part: padded parts do NOT round-trip
+    assert got[4]["parts"] == ["c", "padded", "flow"]
+    # encode layout spot-checks
+    assert got[1]["uid"] == "yarn-cluster!user1!flow_name"
+    assert got[2]["uid"] == "yarn*!cluster!us**er!fl***!ow"
+
+
+def test_uid_decode_malformed_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_source_spark.operators.timelinefilter import uid_decode
+
+    df = spark.createDataFrame(
+        [("a*b",), ("ab*",), ("a**b!c",), ("a*!b",)], "uid string")
+    got = df.select("uid", uid_decode(F.col("uid")).alias("p")).collect()
+    by = {r["uid"]: r["p"] for r in got}
+    # '*' before a normal char / trailing '*' are invalid escapes
+    assert by["a*b"] is None
+    assert by["ab*"] is None
+    # properly escaped forms decode
+    assert by["a**b!c"] == ["a*b", "c"]
+    assert by["a*!b"] == ["a!b"]
