@@ -19683,6 +19683,103 @@ def timeline_uid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IR_METRICS_ORACLE = """
+WITH hybrid AS (
+  SELECT query_id, doc_id, fused_rank FROM (""" + _RRF_ORACLE + """) h
+),
+rels AS (
+  SELECT q.query_id, d.doc_id,
+         1 + (q.query_id + d.doc_id) % 3 AS grade
+  FROM (SELECT doc_id AS query_id FROM documents
+        WHERE doc_id % 50 = 3 AND doc_id < 5000) q
+  CROSS JOIN (SELECT doc_id FROM documents) d
+  WHERE (q.query_id + d.doc_id) % 25 = 0
+),
+ideal AS (
+  SELECT query_id, count(*) AS n_rel,
+         sum(CASE WHEN i <= 10
+                  THEN (pow(2, grade) - 1) / log2(i + 1) END) AS idcg
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY grade DESC, doc_id) AS i
+        FROM rels) t
+  GROUP BY 1
+),
+hits AS (
+  SELECT h.query_id, h.doc_id, h.fused_rank AS rank, r.grade
+  FROM hybrid h LEFT JOIN rels r USING (query_id, doc_id)
+),
+perq AS (
+  SELECT query_id,
+    sum(CASE WHEN grade IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+    min(CASE WHEN grade IS NOT NULL THEN rank END) AS first_hit,
+    sum(CASE WHEN grade IS NOT NULL
+             THEN (pow(2, grade) - 1) / log2(rank + 1) END) AS dcg
+  FROM hits GROUP BY 1
+),
+apn AS (
+  SELECT query_id, sum(CAST(hits_le AS DOUBLE) / rank) AS ap_num
+  FROM (SELECT query_id, rank, grade,
+          sum(CASE WHEN grade IS NOT NULL THEN 1 ELSE 0 END)
+            OVER (PARTITION BY query_id ORDER BY rank
+                  ROWS UNBOUNDED PRECEDING) AS hits_le
+        FROM hits) t
+  WHERE grade IS NOT NULL GROUP BY 1
+)
+SELECT q.query_id,
+  CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+  CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+  round(CASE WHEN coalesce(i.n_rel, 0) > 0
+             THEN CAST(coalesce(p.n_hits, 0) AS DOUBLE) / i.n_rel
+             ELSE 0 END, 6) AS recall_at_k,
+  round(coalesce(1.0 / p.first_hit, 0), 6) AS mrr,
+  round(CASE WHEN coalesce(i.idcg, 0) > 0
+             THEN coalesce(p.dcg, 0) / i.idcg ELSE 0 END, 6)
+    AS ndcg_at_k,
+  round(CASE WHEN coalesce(i.n_rel, 0) > 0
+             THEN coalesce(a.ap_num, 0)
+                  / CAST(least(i.n_rel, 10) AS DOUBLE)
+             ELSE 0 END, 6) AS ap_at_k
+FROM (SELECT DISTINCT query_id FROM hybrid) q
+LEFT JOIN ideal i USING (query_id)
+LEFT JOIN perq p USING (query_id)
+LEFT JOIN apn a USING (query_id)
+"""
+
+
+@register("retrieval_metrics_hybrid", _IR_METRICS_ORACLE)
+def retrieval_metrics_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation metrics over the hybrid retriever (llmops/
+    irmetrics.ranking_metrics on hybrid_search_rrf's fused top-10):
+    per query recall@10, MRR, nDCG@10 (2^rel - 1 gains, ideal DCG
+    from the corpus-wide relevant set's 10 best grades) and MAP@10 —
+    the gate numbers every RAG / curation pipeline reads before
+    trusting a retriever. Graded relevance derives arithmetically
+    ((q+d)%25 == 0 relevant, grade 1+(q+d)%3 — ~4% of the corpus per
+    query); the k-bounded shortlist join is list-sized, the relevance
+    table is one broadcast-pruned pass over the corpus per the
+    100-query pinned eval set."""
+    from hadoop_source_spark.llmops import irmetrics
+
+    ranked = hybrid_search_rrf(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    q = d.where(
+        (F.col("doc_id") % 50 == 3) & (F.col("doc_id") < 5000)
+    ).select(F.col("doc_id").alias("query_id"))
+    pairs = F.broadcast(q).crossJoin(d)
+    rels = pairs.where(
+        (F.col("query_id") + F.col("doc_id")) % 25 == 0
+    ).select(
+        "query_id",
+        "doc_id",
+        (1 + (F.col("query_id") + F.col("doc_id")) % 3)
+        .cast("int")
+        .alias("grade"),
+    )
+    return irmetrics.ranking_metrics(
+        ranked, rels, k=10, rank_col="fused_rank"
+    )
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
@@ -19716,6 +19813,7 @@ _WINDOW: list[str] = [
     "placement_spec_parse",
     "timeline_data_to_retrieve",
     "timeline_uid_roundtrip",
+    "retrieval_metrics_hybrid",
     # LLM search/sketch family (never checked before r13)
     "sketch_ann_deterministic",
     "hll_distinct_rollup",
@@ -19756,8 +19854,8 @@ _WINDOW: list[str] = [
     "ec_reconstruct_check",
     "ec_rs_reconstruct_check",
     "zorder_curve",
-    "perplexity_quality_filter",
     # ---- end of checked prefix (50) ----
+    "perplexity_quality_filter",
     "retention_expiry_plan",
     "window_suite_2",
     # r12-verified rows and the long tail, prior order
@@ -19956,7 +20054,7 @@ _WINDOW: list[str] = [
     "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 245, len(_WINDOW)
+assert len(_WINDOW) == 246, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

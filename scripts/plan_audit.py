@@ -169,7 +169,7 @@ def main() -> None:
     "rm_app_state_recovery", "node_queue_limit",
     "federation_random_routing", "fpga_allocation_matrix",
     "placement_spec_parse", "timeline_data_to_retrieve",
-    "timeline_uid_roundtrip",
+    "timeline_uid_roundtrip", "retrieval_metrics_hybrid",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
