@@ -1758,3 +1758,96 @@ def embedding_decontaminate(
             (F.col("cosine") >= threshold).alias("contaminated"),
         )
     )
+
+
+def mmr_rerank(
+    ranked: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein, SIGIR'98) of a per-query shortlist — the re-rank stage
+    between retrieval fusion (rrf_fuse) and consumption that stops a
+    RAG context window filling with near-duplicates.
+
+    Greedy: the first pick maximizes relevance; each next pick
+    maximizes  lam * rel(c) - (1 - lam) * max_{s in S} cos(c, s)
+    over the remaining candidates (ties break on ascending id).
+    Relevance is used as given (rrf scores, cosine, BM25 — any
+    monotone score).
+
+    `ranked`: (query_id, doc_id, score) — the k-bounded shortlist.
+    `vectors`: (doc_id, embedding array<float>) — the corpus
+    embedding table; only shortlist members are joined out of it.
+    Returns (query_id, doc_id, mmr_rank 1-based, mmr_score round 6).
+
+    Scale shape: one equi-join pulls shortlist embeddings (list-sized
+    left side against the corpus — a broadcast of the shortlist when
+    small, else a hash join pruned to list size), then ONE
+    applyInPandas group per query whose state is the <=|shortlist|
+    candidate matrix — the greedy loop is inherently sequential in k
+    but bounded by the shortlist length, never corpus-sized. The
+    selection kernel is the documented-Arrow-kernel class (PLANS.md
+    py-ops policy); greedy argmax chains are not SQL-expressible, so
+    the driver row is rows-only by design with the kernel pinned
+    against a NumPy reference in tests/test_mmr.py."""
+    import numpy as np
+    import pandas as pd
+
+    joined = ranked.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("double").alias("rel"),
+    ).join(
+        vectors.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v")
+        ),
+        "doc_id",
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        m = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sims = mn @ mn.T
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        for _ in range(min(k, n)):
+            if selected:
+                red = sims[np.ix_(remaining, selected)].max(axis=1)
+                mmr = lam * rel[remaining] - (1.0 - lam) * red
+            else:
+                mmr = lam * rel[remaining]
+            # argmax with ascending-doc_id tiebreak: rows are sorted
+            # by doc_id, and np.argmax takes the first maximum.
+            j = int(np.argmax(mmr))
+            scores.append(float(mmr[j]))
+            selected.append(remaining.pop(j))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(
+                    len(selected)
+                ).reset_index(drop=True),
+                "doc_id": pdf["doc_id"].iloc[selected].reset_index(
+                    drop=True
+                ),
+                "mmr_rank": np.arange(1, len(selected) + 1,
+                                      dtype=np.int32),
+                "mmr_score": np.round(np.array(scores), 6),
+            }
+        )
+
+    out_schema = (
+        "query_id long, doc_id long, mmr_rank int, mmr_score double"
+    )
+    return joined.groupBy("query_id").applyInPandas(pick, out_schema)

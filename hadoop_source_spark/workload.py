@@ -19780,6 +19780,28 @@ def retrieval_metrics_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mmr_diversify_hybrid", None)
+def mmr_diversify_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of the hybrid retriever's shortlist
+    (llmops/similarity.mmr_rerank; Carbonell & Goldstein SIGIR'98):
+    the re-rank between fusion and consumption that keeps a RAG
+    context from filling with near-duplicates. Fused top-10 per query
+    -> greedy top-5 by lam*rel - (1-lam)*max-cos-to-selected over the
+    query's own shortlist embeddings. Rows-only by design (greedy
+    argmax chains are not SQL-expressible); the Arrow kernel is
+    pinned against a NumPy reference in tests/test_mmr.py. Scale:
+    the per-query group state is the <=10-row shortlist matrix."""
+    fused = hybrid_search_rrf(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sim.mmr_rerank(
+        fused.select("query_id", "doc_id", "rrf_score"),
+        e.withColumnRenamed("vec_id", "doc_id"),
+        k=5,
+        lam=0.7,
+        score_col="rrf_score",
+    ).orderBy("query_id", "mmr_rank")
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
@@ -19858,6 +19880,9 @@ _WINDOW: list[str] = [
     "perplexity_quality_filter",
     "retention_expiry_plan",
     "window_suite_2",
+    # r13 late addition (rows-only by design; rotate into the prefix
+    # next round like the r12 trio)
+    "mmr_diversify_hybrid",
     # r12-verified rows and the long tail, prior order
     "sketch_cms_user_counts",
     "q01_pricing_summary",
@@ -20054,7 +20079,7 @@ _WINDOW: list[str] = [
     "log_retention_sweep",
 ]
 
-assert len(_WINDOW) == 246, len(_WINDOW)
+assert len(_WINDOW) == 247, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
@@ -20065,6 +20090,7 @@ assert len(_WINDOW) == 246, len(_WINDOW)
 # window/registry consistency against this list so an oracle can never
 # be dropped silently.
 ROWS_ONLY_BY_DESIGN = frozenset({
+    "mmr_diversify_hybrid",
     "sketch_suite", "ann_cosine_approx", "semdedup_prune",
     "quality_classifier_scores", "pca_embedding_projection",
     "bpe_segmentation_stats", "bitext_margin_mining_ivf",

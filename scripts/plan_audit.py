@@ -170,6 +170,7 @@ def main() -> None:
     "federation_random_routing", "fpga_allocation_matrix",
     "placement_spec_parse", "timeline_data_to_retrieve",
     "timeline_uid_roundtrip", "retrieval_metrics_hybrid",
+    "mmr_diversify_hybrid",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}
