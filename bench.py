@@ -104,7 +104,38 @@ def main() -> None:
         out["control_plane"] = control_plane_open_bench(spark)
     except Exception as exc:  # auxiliary metric must never fail the bench
         print(f"# control_plane: FAILED {exc}", file=sys.stderr)
-    print(json.dumps(out))
+
+    # The driver records only a 2000-char TAIL of stdout; BENCH_r13 shipped
+    # unparseable (parsed: null) when the full dict with spreads/reps/the
+    # control-plane matrix outgrew that window and the capture started
+    # mid-JSON. So: the FULL artifact goes to disk (BENCH_LOCAL.json, next
+    # to this file, committed per round), and stdout gets ONE compact line
+    # — metric/value/queries plus the single published control-plane
+    # number — that stays far under the capture window.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        compact["errors"] = errors
+    cp = out.get("control_plane")
+    if isinstance(cp, dict):
+        compact["open_ops_per_sec"] = cp.get("open_ops_per_sec")
+    compact["detail"] = "BENCH_LOCAL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never regress into the truncation failure mode
+        del compact["queries"]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
