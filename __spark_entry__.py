@@ -6,17 +6,19 @@ queries()     — every implemented operator from SURVEY.md §2 + llmops,
                 per operator family sit in the driver's verification
                 window (workload._WINDOW).
 oracle_sql()  — DuckDB-equivalent SQL per query. Omitted only for the
-                genuinely non-SQL rows: the approximate sketch/ANN
-                suites (sketch_suite, ann_cosine_approx — error bounds
-                / recall pytest-gated; their deterministic slices ARE
-                oracle-backed via sketch_ann_deterministic, the PQ path
-                via ann_pq_topk's in-plan recall gate, and the BPE
-                tokenizer via bpe_tokenize_stats' reconstruction gate),
-                semdedup (clustered greedy pruning), and
-                quality_classifier_scores (iterative GD training; its
-                0.95-accuracy gate holds on planted separable corpora
-                in tests, not on the near-chance testdata labels) —
-                each validated in tests/ against ground truth instead.
+                genuinely non-SQL rows (workload.ROWS_ONLY_BY_DESIGN):
+                the approximate sketch/ANN suites, the TRAINED
+                variants of semdedup / IVF knn / IVF bitext (k-means
+                quantizer), quality_classifier_scores (iterative GD),
+                PCA/unigram/BPE-segmentation, and MMR — each
+                ground-truth-gated in tests/. The sketch/ANN/tokenizer
+                families carry oracle-backed deterministic rows
+                (sketch_ann_deterministic, ann_pq_topk,
+                bpe_tokenize_stats), and round 14 added pinned slices
+                semdedup_prune_pinned / knn_ivf_pinned /
+                bitext_ivf_pinned / quality_scores_pinned that run the
+                SAME distributed kernels with pinned centroids /
+                weights so the driver hash-checks them end to end.
 """
 
 from __future__ import annotations

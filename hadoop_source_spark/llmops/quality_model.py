@@ -27,10 +27,24 @@ from pyspark.sql import functions as F
 from hadoop_source_spark.llmops.dedup import tokens
 
 
-def _bucket_col(text_col: str, hash_buckets: int):
+def _bucket_col(text_col: str, hash_buckets: int, bucket_mode: str = "xxhash"):
+    """Token → feature-bucket array. ``bucket_mode='xxhash'`` is the
+    production hash (JVM, fastest); ``'md5'`` buckets on the first 8 hex
+    chars of md5 — bit-identical in DuckDB (``('0x' ||
+    substr(md5(t),1,8))::BIGINT``), which is what makes the pinned-weight
+    scorer slice SQL-oracle-able."""
+    if bucket_mode == "md5":
+        tok_hash = (
+            "cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 8), 16, 10)"
+            " as bigint)"
+        )
+    elif bucket_mode == "xxhash":
+        tok_hash = "xxhash64(t)"
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     return F.expr(
         f"transform(filter(split(lower({text_col}), '[^\\\\w]+'), "
-        f"t -> t != ''), t -> pmod(xxhash64(t), {hash_buckets}))"
+        f"t -> t != ''), t -> pmod({tok_hash}, {hash_buckets}))"
     )
 
 
@@ -92,6 +106,7 @@ def score_quality(
     id_col: str = "doc_id",
     hash_buckets: int = 4096,
     threshold: float = 0.5,
+    bucket_mode: str = "xxhash",
 ) -> DataFrame:
     """Distributed scoring: (id, n_toks, quality_score, keep). Empty
     docs score sigmoid(bias)."""
@@ -104,7 +119,9 @@ def score_quality(
     )
     pos = df.select(
         F.col(id_col),
-        F.explode(_bucket_col(text_col, hash_buckets)).alias("__b"),
+        F.explode(_bucket_col(text_col, hash_buckets, bucket_mode)).alias(
+            "__b"
+        ),
     )
     sums = (
         pos.join(F.broadcast(wdf), "__b")

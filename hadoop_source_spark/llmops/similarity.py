@@ -292,38 +292,55 @@ def _train_and_assign_cells(
     vec_col: str,
     num_cells: int,
     train_fraction: float | None = None,
+    centroids=None,
 ):
     """Shared IVF front half: train the coarse quantizer on a seeded,
     driver-bounded sample and assign every corpus vector to its nearest
     cell in one Arrow-batched pass. Returns (centroids ndarray, assigned
-    DataFrame with a `cell` column)."""
+    DataFrame with a `cell` column).
+
+    ``centroids`` (ndarray [num_cells, dim]) skips training and pins the
+    quantizer — the deterministic-slice mode whose assignment argmax has
+    a closed-form SQL formulation (the k-means path does not)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    # NB: fraction must be passed by KEYWORD — PySpark's sample() arg
-    # shuffling drops an explicit seed when fraction arrives positionally
-    # in the withReplacement slot, silently making the sample random.
-    sample = (
-        corpus.sample(fraction=train_fraction, seed=42)
-        if train_fraction and train_fraction < 1.0
-        else corpus
-    )
-    # deterministic, driver-bounded training set: ≳256 points per cell is
-    # plenty for a coarse quantizer (FAISS trains IVF the same way)
-    train_cap = max(num_cells * 256, 4096)
-    rows = (
-        sample.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
-        .sort("__i")
-        .limit(train_cap)
-        .collect()
-    )
-    if len(rows) < num_cells:
-        raise ValueError(
-            f"IVF needs ≥ num_cells={num_cells} training vectors, got {len(rows)}"
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        if cent.shape[0] != num_cells:
+            raise ValueError(
+                f"pinned centroids: got {cent.shape[0]}, want {num_cells}"
+            )
+    else:
+        # NB: fraction must be passed by KEYWORD — PySpark's sample() arg
+        # shuffling drops an explicit seed when fraction arrives
+        # positionally in the withReplacement slot, silently making the
+        # sample random.
+        sample = (
+            corpus.sample(fraction=train_fraction, seed=42)
+            if train_fraction and train_fraction < 1.0
+            else corpus
         )
-    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
-    cent = _lloyd(x, num_cells, iters=10, seed=42)
+        # deterministic, driver-bounded training set: ≳256 points per
+        # cell is plenty for a coarse quantizer (FAISS trains IVF the
+        # same way)
+        train_cap = max(num_cells * 256, 4096)
+        rows = (
+            sample.select(
+                F.col(id_col).alias("__i"), F.col(vec_col).alias("__v")
+            )
+            .sort("__i")
+            .limit(train_cap)
+            .collect()
+        )
+        if len(rows) < num_cells:
+            raise ValueError(
+                f"IVF needs ≥ num_cells={num_cells} training vectors,"
+                f" got {len(rows)}"
+            )
+        x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+        cent = _lloyd(x, num_cells, iters=10, seed=42)
 
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
 
@@ -352,6 +369,7 @@ def semdedup(
     num_cells: int = 16,
     threshold: float = 0.95,
     train_fraction: float | None = None,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
     pruning by clustering embeddings and dropping, within each cluster,
@@ -374,7 +392,8 @@ def semdedup(
     import pandas as pd
 
     _, assigned = _train_and_assign_cells(
-        corpus, id_col, vec_col, num_cells, train_fraction
+        corpus, id_col, vec_col, num_cells, train_fraction,
+        centroids=centroids,
     )
 
     def prune(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -982,6 +1001,7 @@ def knn_classify(
     num_cells: int = 16,
     nprobe: int = 4,
     train_fraction: float | None = None,
+    centroids=None,
 ) -> DataFrame:
     """k-NN majority-vote classification of `queries` against the
     labeled `train` corpus — the standard embedding-space labeler
@@ -1007,6 +1027,7 @@ def knn_classify(
             train, queries, k=k, id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, num_cells=num_cells,
             nprobe=nprobe, train_fraction=train_fraction,
+            centroids=centroids,
         )
     elif method == "exact":
         nn = brute_force_topk(
@@ -1517,6 +1538,7 @@ def margin_bitext_mine_ivf(
     num_cells: int = 16,
     nprobe: int = 4,
     train_fraction: float | None = None,
+    centroids=None,
 ) -> DataFrame:
     """Sub-quadratic margin-based bitext mining: IVF candidate pruning
     in front of the exact ratio-margin arithmetic of
@@ -1548,7 +1570,8 @@ def margin_bitext_mine_ivf(
         dst.select(id_col, vec_col)
     )
     cent, _ = _train_and_assign_cells(
-        train, id_col, vec_col, num_cells, train_fraction
+        train, id_col, vec_col, num_cells, train_fraction,
+        centroids=centroids,
     )
 
     # each side's probe output feeds BOTH its member branch and its
@@ -1641,6 +1664,7 @@ def ivf_topk_bipartite(
     num_cells: int = 16,
     nprobe: int = 4,
     train_fraction: float | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN for a LARGE query side: unlike `ivf_topk` (which
     broadcasts the query slice — the right shape when queries are
@@ -1659,7 +1683,8 @@ def ivf_topk_bipartite(
                        F.col(vec_col).alias("__tv"))
     )
     cent, _ = _train_and_assign_cells(
-        train, "__tid", "__tv", num_cells, train_fraction
+        train, "__tid", "__tv", num_cells, train_fraction,
+        centroids=centroids,
     )
     mem = _probe_cells(corpus, id_col, vec_col, cent, nprobe).select(
         "__id", "__vec", F.get("__cells", 0).alias("cell")
@@ -1851,3 +1876,29 @@ def mmr_rerank(
         "query_id long, doc_id long, mmr_rank int, mmr_score double"
     )
     return joined.groupBy("query_id").applyInPandas(pick, out_schema)
+
+
+def pinned_centroids(
+    corpus: DataFrame,
+    ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Centroid matrix pinned to specific corpus vectors (ordered by
+    id — cell j is the j-th smallest pinned id). The deterministic-
+    slice quantizer: data-derived, driver-bounded (len(ids) rows), and
+    reproducible in SQL as `WHERE id IN (...) ORDER BY id` — which is
+    what lets an IVF query carry a closed-form DuckDB oracle."""
+    import numpy as np
+
+    rows = (
+        corpus.where(F.col(id_col).isin(*ids))
+        .select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+        .sort("__i")
+        .collect()
+    )
+    if len(rows) != len(ids):
+        raise ValueError(
+            f"pinned centroid ids missing: want {len(ids)}, got {len(rows)}"
+        )
+    return np.asarray([r["__v"] for r in rows], dtype=np.float64)

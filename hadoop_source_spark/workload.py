@@ -19802,89 +19802,912 @@ def mmr_diversify_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+# ---------------------------------------------------------------------------
+# Round 14: RM graceful decommission, NM health checks, Docker runtime
+# admission, AHS history rollup — and the pinned deterministic slices
+# that put the four rows-only LLM kernels under a SQL oracle.
+# ---------------------------------------------------------------------------
+
+_DECOM_ORACLE = """
+WITH ids AS (SELECT DISTINCT event_id % 60 AS k FROM events),
+nodes AS (
+  SELECT 'n' || k AS node_id,
+         CASE k % 5 WHEN 4 THEN 'RUNNING' WHEN 3 THEN 'DECOMMISSIONED'
+              ELSE 'DECOMMISSIONING' END AS node_state,
+         CAST(1000 * (k % 7) AS BIGINT) AS decom_start_time,
+         CAST(CASE WHEN k % 4 = 0 THEN -1 ELSE 3000 * (k % 4) END
+              AS BIGINT) AS timeout_ms
+  FROM ids),
+cr AS (SELECT DISTINCT event_id % 600 AS r FROM events),
+cs AS (
+  SELECT 'n' || ((r % 300) % 30) AS node_id,
+         'c' || (r % 300) AS container_id,
+         CASE WHEN r < 300 THEN 'RUNNING'
+              WHEN (r % 300) % 30 < 10 THEN 'COMPLETE'
+              WHEN (r % 300) % 3 = 0 THEN 'COMPLETE'
+              WHEN (r % 300) % 3 = 1 THEN 'RUNNING'
+              ELSE 'NEW' END AS state,
+         r AS update_seq
+  FROM cr),
+last AS (
+  SELECT node_id, container_id, arg_max(state, update_seq) AS state
+  FROM cs GROUP BY 1, 2),
+drains AS (
+  SELECT node_id,
+         sum(CASE WHEN state IN ('RUNNING', 'NEW') THEN 1 ELSE 0 END)
+           AS n_active
+  FROM last GROUP BY 1),
+ar AS (SELECT DISTINCT event_id % 120 AS a FROM events),
+apps AS (SELECT 'n' || (a % 40) AS node_id,
+                count(DISTINCT 'app' || a) AS n_apps
+         FROM ar GROUP BY 1),
+j AS (
+  SELECT n.node_id, n.node_state,
+         coalesce(d.n_active, 0) AS n_active,
+         coalesce(p.n_apps, 0) AS n_apps,
+         5000 - n.decom_start_time AS wait_ms, n.timeout_ms
+  FROM nodes n LEFT JOIN drains d USING (node_id)
+  LEFT JOIN apps p USING (node_id)),
+st AS (
+  SELECT node_id, node_state,
+         CASE WHEN node_state = 'DECOMMISSIONED' THEN 'DECOMMISSIONED'
+              WHEN node_state <> 'DECOMMISSIONING' THEN 'NONE'
+              WHEN n_active > 0 THEN
+                CASE WHEN timeout_ms < 0 OR wait_ms < timeout_ms
+                     THEN 'WAIT_CONTAINER' ELSE 'TIMEOUT' END
+              WHEN n_apps = 0 THEN 'READY'
+              ELSE CASE WHEN timeout_ms < 0 OR wait_ms < timeout_ms
+                        THEN 'WAIT_APP' ELSE 'TIMEOUT' END
+         END AS status,
+         CAST(n_active AS BIGINT) AS n_active,
+         CAST(n_apps AS BIGINT) AS n_apps,
+         CAST(wait_ms AS BIGINT) AS wait_ms
+  FROM j)
+SELECT node_id, node_state, status,
+       status IN ('READY', 'TIMEOUT') AS ready,
+       n_active, n_apps, wait_ms,
+       CASE WHEN status = 'TIMEOUT' THEN 'SEND_DECOMMISSION'
+            WHEN status IN ('NONE', 'DECOMMISSIONED') THEN 'REMOVE'
+            ELSE 'KEEP' END AS action
+FROM st
+"""
+
+
+@register("decom_watcher_status", _DECOM_ORACLE)
+def decom_watcher_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM graceful-decommission readiness rollup
+    (operators/decomwatcher; reference
+    DecommissioningNodesWatcher.java:243-256 status decision +
+    PollTimerTask:276-319 actions, pinned by
+    TestDecommissioningNodesWatcher.java). 60 nodes (DECOMMISSIONING /
+    RUNNING / DECOMMISSIONED mix, -1 and finite timeouts), a 2-updates-
+    per-container status log (last state wins; nodes n0-n9 fully
+    drained), and running-apps rows for n0-n39 — exercising all six
+    DecommissioningNodeStatus values and the WAIT_APP shuffle-data
+    hold. One max_by drain agg + two slim node joins."""
+    from hadoop_source_spark.operators import decomwatcher as dw
+
+    e = table(spark, sf_dir, "events")
+    k = F.col("k")
+    nodes = e.select((F.col("event_id") % 60).alias("k")).distinct().select(
+        F.concat(F.lit("n"), k.cast("string")).alias("node_id"),
+        F.when(k % 5 == 4, "RUNNING")
+        .when(k % 5 == 3, "DECOMMISSIONED")
+        .otherwise("DECOMMISSIONING")
+        .alias("node_state"),
+        (1000 * (k % 7)).cast("long").alias("decom_start_time"),
+        F.when(k % 4 == 0, -1)
+        .otherwise(3000 * (k % 4))
+        .cast("long")
+        .alias("timeout_ms"),
+    )
+    r = F.col("r")
+    c = r % 300
+    statuses = (
+        e.select((F.col("event_id") % 600).alias("r")).distinct().select(
+            F.concat(F.lit("n"), (c % 30).cast("string")).alias("node_id"),
+            F.concat(F.lit("c"), c.cast("string")).alias("container_id"),
+            F.when(r < 300, "RUNNING")
+            .when(c % 30 < 10, "COMPLETE")
+            .when(c % 3 == 0, "COMPLETE")
+            .when(c % 3 == 1, "RUNNING")
+            .otherwise("NEW")
+            .alias("state"),
+            r.alias("update_seq"),
+        )
+    )
+    a = F.col("a")
+    apps = e.select((F.col("event_id") % 120).alias("a")).distinct().select(
+        F.concat(F.lit("n"), (a % 40).cast("string")).alias("node_id"),
+        F.concat(F.lit("app"), a.cast("string")).alias("app_id"),
+    )
+    st = dw.decommissioning_status(nodes, statuses, apps, now=5000)
+    return st.join(
+        dw.poll_actions(st).select("node_id", "action"), "node_id"
+    )
+
+
+_NM_HEALTH_ORACLE = r"""
+WITH rr AS (SELECT DISTINCT event_id % 400 AS r FROM events),
+runs AS (
+  SELECT 'nm' || ((r % 200) % 40) AS node_id,
+         'script_' || ((r % 200) // 40) AS script_name,
+         (r % 200) // 40 AS script_order,
+         r AS run_seq, CAST(100 + r AS BIGINT) AS check_time,
+         (r % 13 = 0) AS timed_out,
+         CASE WHEN r % 7 = 3 THEN 2 ELSE 0 END AS exit_code,
+         CASE WHEN r % 11 = 5
+              THEN 'java.io.IOException: boom ' || r END AS exception,
+         CASE r % 5 WHEN 1 THEN 'ERROR disk failure ' || r
+              WHEN 2 THEN 'ok' || chr(10) || 'ERROR late line'
+              WHEN 3 THEN 'fine xERROR mid-token'
+              ELSE 'OK ' || r END AS output
+  FROM rr),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY node_id, script_name
+                                 ORDER BY run_seq DESC) AS rn
+    FROM runs) t
+  WHERE rn = 1),
+cls AS (
+  SELECT *,
+         CASE WHEN timed_out THEN 'TIMED_OUT'
+              WHEN exception IS NOT NULL THEN 'FAILED_WITH_EXCEPTION'
+              WHEN exit_code <> 0 THEN 'FAILED_WITH_EXIT_CODE'
+              WHEN regexp_matches(output, '(^|\n)ERROR') THEN 'FAILED'
+              ELSE 'SUCCESS' END AS status
+  FROM latest),
+rep AS (
+  SELECT *,
+         status IN ('SUCCESS', 'FAILED_WITH_EXIT_CODE') AS healthy,
+         CASE status WHEN 'TIMED_OUT' THEN 'Node health script timed out'
+              WHEN 'FAILED_WITH_EXCEPTION' THEN exception
+              WHEN 'FAILED' THEN output ELSE '' END AS report
+  FROM cls)
+SELECT node_id, bool_and(healthy) AS healthy,
+       coalesce(string_agg(report, ';' ORDER BY script_order)
+                  FILTER (WHERE report <> ''), '') AS health_report,
+       max(check_time) AS last_report_time,
+       count(*) AS n_reporters,
+       CAST(sum(CASE WHEN healthy THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_unhealthy
+FROM rep GROUP BY 1
+"""
+
+
+@register("nm_health_report", _NM_HEALTH_ORACLE)
+def nm_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NM composite node-health rollup (operators/nodehealth;
+    reference NodeHealthScriptRunner.java:152-237 classification —
+    non-zero exit stays HEALTHY, a timeout beats the exception branch,
+    only line-anchored ERROR output fails — + NodeHealthCheckerService
+    ';'-joined multi-reporter merge; pinned by
+    TestNodeHealthService.java). 40 nodes x 5 script reporters, two
+    runs each (latest wins), outputs covering every
+    HealthCheckerExitStatus plus the mid-token xERROR negative."""
+    from hadoop_source_spark.operators import nodehealth as nh
+
+    e = table(spark, sf_dir, "events")
+    r = F.col("r")
+    k = r % 200
+    runs = e.select((F.col("event_id") % 400).alias("r")).distinct().select(
+        F.concat(F.lit("nm"), (k % 40).cast("string")).alias("node_id"),
+        F.concat(F.lit("script_"), F.expr("(r % 200) div 40").cast("string"))
+        .alias("script_name"),
+        F.expr("(r % 200) div 40").cast("int").alias("script_order"),
+        r.alias("run_seq"),
+        (100 + r).cast("long").alias("check_time"),
+        (r % 13 == 0).alias("timed_out"),
+        F.when(r % 7 == 3, 2).otherwise(0).cast("int").alias("exit_code"),
+        F.when(
+            r % 11 == 5,
+            F.concat(F.lit("java.io.IOException: boom "), r.cast("string")),
+        ).alias("exception"),
+        F.when(
+            r % 5 == 1,
+            F.concat(F.lit("ERROR disk failure "), r.cast("string")),
+        )
+        .when(r % 5 == 2, F.lit("ok\nERROR late line"))
+        .when(r % 5 == 3, F.lit("fine xERROR mid-token"))
+        .otherwise(F.concat(F.lit("OK "), r.cast("string")))
+        .alias("output"),
+    )
+    return nh.node_health_report(runs)
+
+
+_DOCKER_MOUNT_PAT = (
+    r"^([^:]+):([^:]+)(:(r[ow]|(r[ow]\+)?(r?shared|r?slave|r?private)))?$"
+)
+
+_DOCKER_ORACLE = r"""
+WITH rr AS (SELECT DISTINCT o_orderkey % 120 AS r FROM orders),
+ctr AS (
+  SELECT 'cont' || r AS container_id, 'user' || (r % 6) AS "user",
+         CASE r % 10 WHEN 0 THEN NULL
+              WHEN 1 THEN 'registry.example.com:5000/hadoop/app:v1.0'
+              WHEN 2 THEN 'Repo:Tag'
+              ELSE 'img-' || r END AS image,
+         CASE r % 7 WHEN 1 THEN 'bridge' WHEN 2 THEN 'isolated'
+              WHEN 3 THEN 'none' ELSE NULL END AS network,
+         CASE r % 11 WHEN 1 THEN 'ctr-' || r WHEN 2 THEN '-bad'
+              WHEN 3 THEN 'x' WHEN 4 THEN repeat('h', 70)
+              ELSE NULL END AS hostname,
+         CASE r % 13 WHEN 1 THEN 'runc' WHEN 2 THEN 'kata'
+              WHEN 3 THEN '' ELSE NULL END AS runtime,
+         CASE r % 17 WHEN 1 THEN ':8080'
+              WHEN 2 THEN '8080:80,127.0.0.1:9090:90'
+              WHEN 3 THEN 'abc:80' ELSE NULL END AS ports_mapping,
+         CASE r % 19 WHEN 1 THEN '/src:/dst'
+              WHEN 2 THEN '/a:/b:ro,/c:/d:rshared'
+              WHEN 3 THEN '/bad'
+              WHEN 4 THEN '/e:/f:rw+rslave' ELSE NULL END AS mounts,
+         CASE r % 23 WHEN 1 THEN '/tmpfs1,/run'
+              WHEN 2 THEN 'rel/path' ELSE NULL END AS tmpfs_mounts,
+         CASE r % 29 WHEN 1 THEN 'host' WHEN 2 THEN 'private'
+              ELSE NULL END AS pid_namespace,
+         (r % 3 = 1) AS privileged,
+         (r % 31 = 1) AS service_mode,
+         (r % 37 = 1) AS entry_point
+  FROM rr),
+conf(cluster, priv_enabled, host_pid_enabled, kata_ok) AS (
+  VALUES ('a', TRUE, FALSE, FALSE), ('b', FALSE, TRUE, TRUE)),
+eff AS (
+  SELECT c.*, f.cluster, f.priv_enabled, f.host_pid_enabled, f.kata_ok,
+         coalesce(c.image, 'library/default-image:latest') AS eimage,
+         coalesce(c.network, 'host') AS enetwork,
+         lower(coalesce(c.pid_namespace, '')) = 'host' AS pid_host
+  FROM ctr c CROSS JOIN conf f),
+chk AS (
+  SELECT *,
+    CASE
+      WHEN enetwork NOT IN ('host', 'none', 'bridge') THEN 'FAIL_NETWORK'
+      WHEN hostname IS NOT NULL AND NOT (
+           regexp_matches(hostname, '^[a-zA-Z0-9][a-zA-Z0-9_.-]+$')
+           AND len(hostname) <= 64) THEN 'FAIL_HOSTNAME'
+      WHEN NOT regexp_matches(eimage,
+           '^(([a-zA-Z0-9.-]+)(:\d+)?/)?([a-z0-9_./-]+)(:[\w.-]+)?$')
+        THEN 'FAIL_IMAGE'
+      WHEN runtime IS NOT NULL AND runtime <> '' AND runtime <> 'runc'
+           AND NOT (kata_ok AND runtime = 'kata') THEN 'FAIL_RUNTIME'
+      WHEN ports_mapping IS NOT NULL AND len(list_filter(
+           str_split(ports_mapping, ','), x -> NOT regexp_matches(x,
+           '^:[0-9]+$|^[0-9]+:[0-9]+$|^(([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\.){3}([0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5]):[0-9]+:[0-9]+$'
+           ))) > 0 THEN 'FAIL_PORTS'
+      WHEN mounts IS NOT NULL AND len(list_filter(
+           str_split(mounts, ','), x -> NOT regexp_matches(x,
+           '__MOUNT_PAT__'))) > 0 THEN 'FAIL_MOUNTS'
+      WHEN tmpfs_mounts IS NOT NULL AND len(list_filter(
+           str_split(tmpfs_mounts, ','), x -> NOT regexp_matches(x,
+           '^/[^:]+$'))) > 0 THEN 'FAIL_TMPFS'
+      WHEN pid_host AND NOT host_pid_enabled THEN 'FAIL_PID_NS'
+      WHEN privileged AND NOT priv_enabled THEN 'FAIL_PRIVILEGED_DISABLED'
+      WHEN privileged AND "user" NOT IN ('user0', 'user1', 'user2')
+        THEN 'FAIL_PRIVILEGED_ACL'
+      ELSE 'ALLOWED' END AS verdict
+  FROM eff)
+SELECT cluster, container_id, "user", verdict,
+       eimage AS image, enetwork AS network,
+       CASE WHEN enetwork = 'host' AND hostname IS NULL THEN NULL
+            ELSE hostname END AS hostname,
+       (privileged AND verdict = 'ALLOWED') AS privileged,
+       (pid_host AND host_pid_enabled) AS host_pid,
+       (service_mode OR entry_point) AS use_entry_point,
+       NOT (service_mode OR entry_point) AS detach,
+       NOT service_mode AS mount_yarn_dirs,
+       CASE WHEN mounts IS NULL THEN ''
+            ELSE array_to_string(list_transform(str_split(mounts, ','),
+              x -> regexp_extract(x, '__MOUNT_PAT__', 1) || ':'
+                || regexp_extract(x, '__MOUNT_PAT__', 2) || ':'
+                || CASE WHEN regexp_extract(x, '__MOUNT_PAT__', 3) = ''
+                        THEN 'rw'
+                        WHEN regexp_matches(
+                          regexp_extract(x, '__MOUNT_PAT__', 3), '^:r[ow]')
+                        THEN regexp_extract(x, '__MOUNT_PAT__', 4)
+                        ELSE 'rw+' || substr(
+                          regexp_extract(x, '__MOUNT_PAT__', 3), 2)
+                   END), ',') END AS mounts_canon
+FROM chk
+""".replace("__MOUNT_PAT__", _DOCKER_MOUNT_PAT)
+
+
+@register("docker_runtime_admission", _DOCKER_ORACLE)
+def docker_runtime_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docker/OCI runtime admission + launch-spec matrix
+    (operators/dockerrun; reference DockerLinuxContainerRuntime.java
+    launchContainer:584-838 validation order and knobs over
+    OCIContainerRuntime.java's network/hostname/pid/privileged checks,
+    pinned by TestDockerContainerRuntime.java). 120 env shapes x two
+    cluster configurations (privileged on + ACL vs off, host-pid off
+    vs on, runc-only vs runc+kata) — every FAIL_* class non-empty plus
+    defaults substitution, entry-point/service-mode spec synthesis and
+    explode-free mount canonicalization."""
+    from hadoop_source_spark.operators import dockerrun as dr
+
+    o = table(spark, sf_dir, "orders")
+    r = F.col("r")
+    ctr = o.select((F.col("o_orderkey") % 120).alias("r")).distinct().select(
+        F.concat(F.lit("cont"), r.cast("string")).alias("container_id"),
+        F.concat(F.lit("user"), (r % 6).cast("string")).alias("user"),
+        F.when(r % 10 == 0, F.lit(None).cast("string"))
+        .when(r % 10 == 1, "registry.example.com:5000/hadoop/app:v1.0")
+        .when(r % 10 == 2, "Repo:Tag")
+        .otherwise(F.concat(F.lit("img-"), r.cast("string")))
+        .alias("image"),
+        F.when(r % 7 == 1, "bridge")
+        .when(r % 7 == 2, "isolated")
+        .when(r % 7 == 3, "none")
+        .alias("network"),
+        F.when(r % 11 == 1, F.concat(F.lit("ctr-"), r.cast("string")))
+        .when(r % 11 == 2, "-bad")
+        .when(r % 11 == 3, "x")
+        .when(r % 11 == 4, F.lit("h" * 70))
+        .alias("hostname"),
+        F.when(r % 13 == 1, "runc")
+        .when(r % 13 == 2, "kata")
+        .when(r % 13 == 3, "")
+        .alias("runtime"),
+        F.when(r % 17 == 1, ":8080")
+        .when(r % 17 == 2, "8080:80,127.0.0.1:9090:90")
+        .when(r % 17 == 3, "abc:80")
+        .alias("ports_mapping"),
+        F.when(r % 19 == 1, "/src:/dst")
+        .when(r % 19 == 2, "/a:/b:ro,/c:/d:rshared")
+        .when(r % 19 == 3, "/bad")
+        .when(r % 19 == 4, "/e:/f:rw+rslave")
+        .alias("mounts"),
+        F.when(r % 23 == 1, "/tmpfs1,/run")
+        .when(r % 23 == 2, "rel/path")
+        .alias("tmpfs_mounts"),
+        F.when(r % 29 == 1, "host")
+        .when(r % 29 == 2, "private")
+        .alias("pid_namespace"),
+        (r % 3 == 1).alias("privileged"),
+        (r % 31 == 1).alias("service_mode"),
+        (r % 37 == 1).alias("entry_point"),
+    )
+    canon = dr.canonical_mounts(ctr).select(
+        "container_id",
+        F.array_join("mount_spec", ",").alias("mounts_canon"),
+    )
+    out = []
+    for tag, kw in (
+        (
+            "a",
+            dict(privileged_enabled=True,
+                 privileged_acl=("user0", "user1", "user2"),
+                 host_pid_enabled=False,
+                 allowed_runtimes=("runc",)),
+        ),
+        (
+            "b",
+            dict(privileged_enabled=False, privileged_acl=(),
+                 host_pid_enabled=True,
+                 allowed_runtimes=("runc", "kata")),
+        ),
+    ):
+        adm = dr.docker_admission(
+            ctr,
+            default_network="host",
+            default_image="library/default-image:latest",
+            **kw,
+        )
+        out.append(adm.select(F.lit(tag).alias("cluster"), "*"))
+    from hadoop_source_spark.operators import setops as so
+
+    return so.union_all(out).join(F.broadcast(canon), "container_id")
+
+
+_AHS_ORACLE = """
+WITH rr AS (SELECT DISTINCT o_orderkey % 1440 AS r FROM orders),
+base AS (
+  SELECT r, r // 480 AS part, r % 480 AS e,
+         (r % 480) % 60 AS app, (r % 480) // 60 AS slot
+  FROM rr),
+ent AS (
+  SELECT r AS seq,
+         CASE WHEN part = 0 THEN 'start' ELSE 'finish' END AS suffix,
+         'app' || app AS app_id,
+         CASE WHEN slot = 0 THEN 'application'
+              WHEN slot <= 2 THEN 'appattempt'
+              ELSE 'container' END AS entity_type,
+         CASE WHEN slot = 0 THEN 'application_' || app
+              WHEN slot <= 2 THEN 'appattempt_' || app || '_' || slot
+              ELSE 'container_' || app || '_' || slot END AS entity_id,
+         'job' || app AS name, 'u' || (app % 7) AS "user",
+         'q' || (app % 5) AS queue,
+         CAST(1000 + e AS BIGINT) AS start_time,
+         CAST(5000 + e AS BIGINT) AS finish_time,
+         CASE e % 3 WHEN 0 THEN 'SUCCEEDED' WHEN 1 THEN 'FAILED'
+              ELSE 'KILLED' END AS final_status,
+         CASE WHEN e % 4 = 1 THEN 1 ELSE 0 END AS exit_status
+  FROM base
+  WHERE (part = 0 AND e % 17 <> 3)
+     OR (part = 1 AND e % 13 <> 2)
+     OR (part = 2 AND e % 11 = 4)),
+fst AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity_id, suffix
+                                 ORDER BY seq) AS rn
+    FROM ent) t
+  WHERE rn = 1),
+merged AS (
+  SELECT app_id, entity_type, entity_id,
+         bool_or(suffix = 'start') AS has_start,
+         bool_or(suffix = 'finish') AS has_finish,
+         max(CASE WHEN suffix = 'start' THEN name END) AS name,
+         max(CASE WHEN suffix = 'start' THEN "user" END) AS "user",
+         max(CASE WHEN suffix = 'start' THEN queue END) AS queue,
+         max(CASE WHEN suffix = 'start' THEN start_time END)
+           AS start_time,
+         max(CASE WHEN suffix = 'finish' THEN finish_time END)
+           AS finish_time,
+         max(CASE WHEN suffix = 'finish' THEN final_status END)
+           AS final_status,
+         max(CASE WHEN suffix = 'finish' THEN exit_status END)
+           AS exit_status
+  FROM fst GROUP BY 1, 2, 3),
+apps AS (SELECT * FROM merged WHERE entity_type = 'application'),
+cnt AS (
+  SELECT app_id,
+         sum(CASE WHEN entity_type = 'appattempt' THEN 1 ELSE 0 END)
+           AS n_attempts,
+         sum(CASE WHEN entity_type = 'container' THEN 1 ELSE 0 END)
+           AS n_containers,
+         sum(CASE WHEN entity_type = 'container' AND has_finish
+                  THEN 1 ELSE 0 END) AS n_finished_containers,
+         sum(CASE WHEN entity_type = 'container'
+                  AND coalesce(exit_status, 0) <> 0
+                  THEN 1 ELSE 0 END) AS n_failed_containers
+  FROM merged WHERE entity_type <> 'application' GROUP BY 1)
+SELECT a.app_id, a.name, a."user", a.queue, a.final_status,
+       a.start_time, a.finish_time,
+       CASE WHEN a.has_start AND a.has_finish
+            THEN a.finish_time - a.start_time END AS elapsed_ms,
+       CAST(coalesce(c.n_attempts, 0) AS BIGINT) AS n_attempts,
+       CAST(coalesce(c.n_containers, 0) AS BIGINT) AS n_containers,
+       CAST(coalesce(c.n_finished_containers, 0) AS BIGINT)
+         AS n_finished_containers,
+       CAST(coalesce(c.n_failed_containers, 0) AS BIGINT)
+         AS n_failed_containers,
+       (a.has_start AND a.has_finish) AS complete
+FROM apps a LEFT JOIN cnt c USING (app_id)
+"""
+
+
+@register("ahs_history_rollup", _AHS_ORACLE)
+def ahs_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AHS generic-history rollup (operators/ahstore; reference
+    FileSystemApplicationHistoryStore.java — first-entry-per-
+    (entity, suffix) merge of start/finish field groups :158-186 /
+    :591-643, missing-suffix rows survive with warnings, apps with
+    neither are absent; pinned by
+    TestFileSystemApplicationHistoryStore.java). 60 apps x (1 app + 2
+    attempts + 5 containers), skipped starts (e%17=3) and finishes
+    (e%13=2), and late duplicate finish entries (e%11=4) that
+    first-wins must ignore. One min_by + one conditional-agg pivot +
+    one slim count join — no self-joins."""
+    from hadoop_source_spark.operators import ahstore
+
+    o = table(spark, sf_dir, "orders")
+    r = F.col("r")
+    part = F.expr("r div 480")
+    e = r % 480
+    app = e % 60
+    slot = F.expr("(r % 480) div 60")
+    entries = (
+        o.select((F.col("o_orderkey") % 1440).alias("r")).distinct()
+        .filter(
+            ((part == 0) & (e % 17 != 3))
+            | ((part == 1) & (e % 13 != 2))
+            | ((part == 2) & (e % 11 == 4))
+        )
+        .select(
+            r.alias("seq"),
+            F.when(part == 0, "start").otherwise("finish").alias("suffix"),
+            F.concat(F.lit("app"), app.cast("string")).alias("app_id"),
+            F.when(slot == 0, "application")
+            .when(slot <= 2, "appattempt")
+            .otherwise("container")
+            .alias("entity_type"),
+            F.when(
+                slot == 0,
+                F.concat(F.lit("application_"), app.cast("string")),
+            )
+            .when(
+                slot <= 2,
+                F.concat_ws(
+                    "_", F.lit("appattempt"), app.cast("string"),
+                    slot.cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    "_", F.lit("container"), app.cast("string"),
+                    slot.cast("string"),
+                )
+            )
+            .alias("entity_id"),
+            F.concat(F.lit("job"), app.cast("string")).alias("name"),
+            F.concat(F.lit("u"), (app % 7).cast("string")).alias("user"),
+            F.concat(F.lit("q"), (app % 5).cast("string")).alias("queue"),
+            F.concat(F.lit("h"), (e % 31).cast("string")).alias("host"),
+            F.concat(F.lit("nd"), (e % 17).cast("string")).alias("node"),
+            F.when(part == 2, F.concat(F.lit("late-duplicate-"),
+                                       e.cast("string")))
+            .otherwise(F.concat(F.lit("diag"), e.cast("string")))
+            .alias("diagnostics"),
+            F.when(e % 3 == 0, "SUCCEEDED")
+            .when(e % 3 == 1, "FAILED")
+            .otherwise("KILLED")
+            .alias("final_status"),
+            F.lit("FINISHED").alias("state"),
+            (1000 + e).cast("long").alias("start_time"),
+            (5000 + e).cast("long").alias("finish_time"),
+            F.when(e % 4 == 1, 1).otherwise(0).cast("int")
+            .alias("exit_status"),
+        )
+    )
+    merged = ahstore.merge_history_entries(entries)
+    return ahstore.app_history_rollup(merged)
+
+
+# ---------------------------------------------------------------------------
+# Pinned deterministic slices: the four kernels that were rows-only at
+# the driver (iterative k-means / GD training) re-run with PINNED
+# quantizer centroids / weights, which gives each a closed-form DuckDB
+# oracle. The production (trained) variants stay registered behind the
+# checked prefix; these rows carry the driver-hash evidence for the
+# same distributed kernels.
+# ---------------------------------------------------------------------------
+
+# 16 pinned centroids = the embeddings at vec_id ≡ 7 (mod 30) below 480
+# — present at every SF, reproducible as WHERE ... ORDER BY vec_id.
+_PINNED_CENTROID_IDS = [7 + 30 * i for i in range(16)]
+
+_PINNED_CENTS_SQL = """
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+  FROM embeddings WHERE vec_id % 30 = 7 AND vec_id < 480),
+ranked AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_inner_product(e.embedding::DOUBLE[],
+                              c.embedding::DOUBLE[])
+           - 0.5 * list_inner_product(c.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) DESC,
+           c.cell) AS rk
+  FROM embeddings e CROSS JOIN cents c)
+"""
+
+
+def _pinned_cents(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "embeddings")
+    return sim.pinned_centroids(e, _PINNED_CENTROID_IDS)
+
+
+_SEMDEDUP_DET_ORACLE = f"""
+WITH {_PINNED_CENTS_SQL},
+assign AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+sims AS (
+  SELECT a.vec_id,
+         max(round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6))
+           AS nn
+  FROM assign a
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN assign b ON b.cell = a.cell AND b.vec_id < a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  GROUP BY 1)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       coalesce(s.nn, -1.0) AS nn_sim,
+       CAST(CASE WHEN coalesce(s.nn, -1.0) < 0.4 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM assign a LEFT JOIN sims s ON s.vec_id = a.vec_id
+"""
+
+
+@register("semdedup_prune_pinned", _SEMDEDUP_DET_ORACLE)
+def semdedup_prune_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a PINNED coarse quantizer (llmops/similarity.
+    semdedup, centroids= the 16 embeddings at vec_id ≡ 7 mod 30): the
+    SAME distributed kernel as semdedup_prune — Arrow cell assignment,
+    per-cell row-blocked greedy prune — but the quantizer argmax has a
+    closed-form SQL mirror, so the driver hash-checks the whole prune
+    (cells, nn_sim, keep) instead of recording rows-only. The trained
+    variant remains the production path behind the prefix."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.semdedup(
+        e, num_cells=16, threshold=0.4,
+        centroids=_pinned_cents(spark, sf_dir),
+    ).select("vec_id", "cell", "nn_sim", "keep")
+
+
+_KNN_IVF_DET_ORACLE = f"""
+WITH {_PINNED_CENTS_SQL},
+mem AS (SELECT vec_id, cell FROM ranked
+        WHERE rk = 1 AND vec_id % 10 <> 7),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rk <= 4 AND vec_id % 10 = 7),
+cand AS (
+  SELECT p.query_id, m.vec_id,
+         round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                      em.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM probe p JOIN mem m USING (cell)
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings em ON em.vec_id = m.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk
+    FROM cand) t
+  WHERE rnk <= 10),
+votes AS (
+  SELECT query_id, e.label, count(*) AS votes
+  FROM knn JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+win AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, label) AS r
+    FROM votes) t
+  WHERE r = 1)
+SELECT w.query_id, q.label AS true_label, w.pred_label, w.votes,
+       (w.pred_label = q.label) AS correct
+FROM win w JOIN embeddings q ON q.vec_id = w.query_id
+"""
+
+
+@register("knn_ivf_pinned", _KNN_IVF_DET_ORACLE)
+def knn_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF k-NN labeling with a PINNED quantizer (llmops/similarity.
+    knn_classify method='ivf', centroids pinned): the SAME
+    cell-co-shuffled bipartite scoring kernel as
+    knn_label_classify_ivf (members in home cells, queries exploded
+    into nprobe=4 probes, per-cell BLAS top-k, majority vote) made
+    hash-checkable — pinned centroids turn the cell argmax into SQL.
+    Raw (isotropic) embeddings: recall vs exact is irrelevant here
+    because the oracle reproduces the identical IVF semantics."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        F.col("label").alias("true_label"),
+    )
+    train = e.filter(F.col("vec_id") % 10 != 7)
+    pred = sim.knn_classify(
+        train, q.select("query_id", "embedding"), k=10,
+        method="ivf", num_cells=16, nprobe=4,
+        centroids=_pinned_cents(spark, sf_dir),
+    )
+    return pred.join(q.select("query_id", "true_label"), "query_id").select(
+        "query_id", "true_label", "pred_label", "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+_BITEXT_IVF_DET_ORACLE = f"""
+WITH {_PINNED_CENTS_SQL},
+s AS (SELECT vec_id FROM embeddings
+      WHERE label % 2 = 0 AND vec_id < 1000),
+d AS (SELECT vec_id FROM embeddings WHERE label % 2 = 1),
+mem_d AS (SELECT r.vec_id, r.cell FROM ranked r
+          JOIN d USING (vec_id) WHERE rk = 1),
+mem_s AS (SELECT r.vec_id, r.cell FROM ranked r
+          JOIN s USING (vec_id) WHERE rk = 1),
+probe_s AS (SELECT r.vec_id, r.cell FROM ranked r
+            JOIN s USING (vec_id) WHERE rk <= 4),
+probe_d AS (SELECT r.vec_id, r.cell FROM ranked r
+            JOIN d USING (vec_id) WHERE rk <= 4),
+cx AS (
+  SELECT p.vec_id AS x, m.vec_id AS y,
+         round(list_cosine_similarity(ex.embedding::DOUBLE[],
+                                      ey.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM probe_s p JOIN mem_d m USING (cell)
+  JOIN embeddings ex ON ex.vec_id = p.vec_id
+  JOIN embeddings ey ON ey.vec_id = m.vec_id),
+cy AS (
+  SELECT p.vec_id AS y, m.vec_id AS x,
+         round(list_cosine_similarity(ey.embedding::DOUBLE[],
+                                      ex.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM probe_d p JOIN mem_s m USING (cell)
+  JOIN embeddings ey ON ey.vec_id = p.vec_id
+  JOIN embeddings ex ON ex.vec_id = m.vec_id),
+tx AS (SELECT *, row_number() OVER (PARTITION BY x
+         ORDER BY cosine DESC, y) AS r FROM cx),
+ty AS (SELECT *, row_number() OVER (PARTITION BY y
+         ORDER BY cosine DESC, x) AS r FROM cy),
+ax AS (SELECT x, avg(cosine) AS avg_x FROM tx WHERE r <= 4 GROUP BY x),
+ay AS (SELECT y, avg(cosine) AS avg_y FROM ty WHERE r <= 4 GROUP BY y),
+best AS (SELECT x, y, cosine FROM tx WHERE r = 1),
+back AS (SELECT y, x AS bk FROM ty WHERE r = 1)
+SELECT b.x AS src_id, b.y AS dst_id, b.cosine,
+       round(b.cosine / ((ax.avg_x + ay.avg_y) / 2), 6) AS margin,
+       coalesce(bk = b.x, FALSE) AS mutual
+FROM best b JOIN ax ON ax.x = b.x JOIN ay ON ay.y = b.y
+LEFT JOIN back ON back.y = b.y
+"""
+
+
+@register("bitext_ivf_pinned", _BITEXT_IVF_DET_ORACLE)
+def bitext_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bitext mining with a PINNED quantizer (llmops/similarity.
+    margin_bitext_mine_ivf, centroids pinned): the SAME sub-quadratic
+    candidate generation as bitext_margin_mining_ivf — both sides
+    probe nprobe=4 cells, per-cell BLAS local top-k, shared
+    _margin_tail ratio-margin/mutual arithmetic — on the exact
+    kernel's src/dst split, with the probe/member cell assignment in
+    closed SQL form so the driver hash-checks the full margin
+    output. The trained (cluster-shifted) variant stays behind the
+    prefix as the production path."""
+    e = table(spark, sf_dir, "embeddings")
+    src = e.filter(
+        (F.col("label") % 2 == 0) & (F.col("vec_id") < 1000)
+    ).select("vec_id", "embedding")
+    dst = e.filter(F.col("label") % 2 == 1).select("vec_id", "embedding")
+    return sim.margin_bitext_mine_ivf(
+        src, dst, k=4, num_cells=16, nprobe=4,
+        centroids=_pinned_cents(spark, sf_dir),
+    )
+
+
+_QUALITY_DET_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\w]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(u.t), 1, 8))::BIGINT) % 4096 AS b
+  FROM toks, UNNEST(t) AS u(t)),
+sums AS (
+  SELECT doc_id,
+         sum(((b * 37) % 201 - 100) / 100.0) AS sw
+  FROM occ GROUP BY 1),
+cnts AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+SELECT c.doc_id, CAST(c.n_toks AS BIGINT) AS n_toks,
+       round(CASE WHEN c.n_toks > 0
+             THEN 1.0 / (1.0 + exp(-(0.25 + coalesce(s.sw, 0) / c.n_toks)))
+             ELSE 1.0 / (1.0 + exp(-0.25)) END, 6) AS quality_score,
+       round(CASE WHEN c.n_toks > 0
+             THEN 1.0 / (1.0 + exp(-(0.25 + coalesce(s.sw, 0) / c.n_toks)))
+             ELSE 1.0 / (1.0 + exp(-0.25)) END, 6) >= 0.5 AS keep
+FROM cnts c LEFT JOIN sums s USING (doc_id)
+"""
+
+
+@register("quality_scores_pinned", _QUALITY_DET_ORACLE)
+def quality_scores_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier SCORER with pinned weights
+    (llmops/quality_model.score_quality, bucket_mode='md5'): the same
+    distributed explode → broadcast-(bucket, weight) join → per-doc
+    sigmoid as quality_classifier_scores, but weights are the fixed
+    w[b] = ((37b mod 201) − 100)/100 ramp and the feature hash is the
+    md5-prefix bucket — both bit-reproducible in DuckDB, so the full
+    scoring pipeline is hash-checked. Training (iterative GD) stays
+    pytest-gated on the rows-only row behind the prefix."""
+    import numpy as np
+
+    from hadoop_source_spark.llmops import quality_model as qm
+
+    d = table(spark, sf_dir, "documents")
+    w = ((np.arange(4096, dtype=np.int64) * 37) % 201 - 100) / 100.0
+    return qm.score_quality(d, w, 0.25, bucket_mode="md5")
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
     # it has never (or least recently) checked, so the independent
-    # signal cycles the registry. Round 13: the entire r12-verified
-    # prefix (TPC-H shapes + r11/r12 rows) rotates behind; in come the
-    # 50 highest-priority NEVER-driver-checked rows — the three r12
-    # late rows, the six new round-13 operators (timeline filter
-    # grammar, NM/RM state-store recovery, queue-limit calculator,
-    # randomized federation routers, FPGA allocator, placement-
-    # spec grammar), the LLM
-    # search/sketch north-star family (bm25/hybrid/semdedup/ann_pq/
-    # knn/bitext — the r12 verdict's top ask), the replay/sync family,
-    # and the remaining never-checked rows in prior window order.
-    # Four prefix rows are rows-only by design (semdedup_prune,
-    # quality_classifier_scores, knn_label_classify_ivf,
-    # bitext_margin_mining_ivf) — the driver records the weaker check
-    # for those, per ROWS_ONLY_BY_DESIGN below; every other prefix row
-    # is oracle-backed. After this round only ~70 of 242 rows will
-    # never have had a driver row; two more rotations cycle the rest.
-    "gpu_allocation_matrix",
-    "registry_dns_zone",
-    "oom_kill_order",
-    # new round-13 operators
-    "timeline_filter_grammar",
-    "nm_container_recovery",
-    "rm_app_state_recovery",
-    "node_queue_limit",
-    "federation_random_routing",
-    "fpga_allocation_matrix",
-    "placement_spec_parse",
-    "timeline_data_to_retrieve",
-    "timeline_uid_roundtrip",
-    "retrieval_metrics_hybrid",
-    # LLM search/sketch family (never checked before r13)
-    "sketch_ann_deterministic",
-    "hll_distinct_rollup",
-    "bm25_search",
-    "hybrid_search_rrf",
-    "semdedup_prune",
-    "ann_pq_topk",
-    "knn_label_classify",
-    "knn_label_classify_ivf",
-    "bitext_margin_mining",
-    "bitext_margin_mining_ivf",
-    # replay / sync family (never checked before r13)
-    "cdc_merge_apply",
-    "editlog_replay",
-    "distcp_sync_plan",
-    "distcp_incremental_plan",
-    "distcp_checksum_delta",
-    "fsck_report",
-    "balancer_move_plan",
-    # remaining never-checked rows, prior window order
-    "bpe_tokenize_stats",
-    "quality_classifier_scores",
-    "shard_manifest",
-    "corpus_mixture_sample",
-    "tfidf_top_terms",
-    "decontamination_check",
-    "dedup_span_rewrite",
-    "cross_source_dup_matrix",
-    "quality_repetition_filter",
-    "boilerplate_prune",
-    "time_resample_gapfill",
-    "pivot_event_matrix",
-    "stats_corr_suite",
-    "block_placement_plan",
-    "encryption_zone_roundtrip",
-    "storage_mover_plan",
-    "cache_directive_plan",
-    "ec_reconstruct_check",
-    "ec_rs_reconstruct_check",
-    "zorder_curve",
-    # ---- end of checked prefix (50) ----
+    # signal cycles the registry. Round 14: the prefix is (a) the four
+    # new reference operators (RM graceful-decommission watcher, NM
+    # health-check service, Docker/OCI runtime admission, AHS history
+    # rollup), (b) the four PINNED deterministic slices that put the
+    # formerly rows-only kernels (semdedup / IVF knn / IVF bitext /
+    # quality scorer) under a closed-form SQL oracle — so the prefix
+    # has ZERO no-oracle rows this round — and (c) the next 42
+    # never-driver-checked oracle-backed rows in prior window order
+    # (streaming, sketch stores, window_suite_2, funnel, ...). The 45
+    # rows still never checked (including the four rows-only-by-design
+    # production variants and mmr) sit immediately behind the prefix
+    # for the round-15 rotation; the r13-verified prefix sits last.
+    "decom_watcher_status",
+    "nm_health_report",
+    "docker_runtime_admission",
+    "ahs_history_rollup",
+    "semdedup_prune_pinned",
+    "knn_ivf_pinned",
+    "bitext_ivf_pinned",
+    "quality_scores_pinned",
     "perplexity_quality_filter",
     "retention_expiry_plan",
     "window_suite_2",
-    # r13 late addition (rows-only by design; rotate into the prefix
-    # next round like the r12 trio)
-    "mmr_diversify_hybrid",
-    # r12-verified rows and the long tail, prior order
     "sketch_cms_user_counts",
+    "events_sliding_windows",
+    "kll_quantile_store",
+    "theta_retention_overlap",
+    "funnel_conversion",
+    "audit_log_summary",
+    "embedding_class_stats",
+    "replication_repair_plan",
+    "streaming_audit_rollup",
+    "storage_type_quota_report",
+    "permission_check_matrix",
+    "nntop_window_users",
+    "rpc_scheduler_priority",
+    "wrr_callqueue_drain",
+    "retry_cache_replay",
+    "datanode_liveness_report",
+    "safemode_report",
+    "anomaly_rolling_zscore",
+    "delegation_token_sweep",
+    "lease_recovery_sweep",
+    "xattr_store_report",
+    "doc_chunking_rag",
+    "drf_fair_share_ranking",
+    "contrastive_pair_mining",
+    "length_bucket_batching",
+    "speculative_execution_plan",
+    "range_partition_advisor",
+    "cusum_drift_detection",
+    "streaming_cusum_drift",
+    "preemption_reclaim_plan",
+    "acl_transformation_apply",
+    "qjm_segment_recovery",
+    "disk_balancer_plan",
+    "replica_read_ordering",
+    "mount_table_resolution",
+    "composite_file_checksum",
+    "bpe_pair_merge",
+    "writable_hash_partitioning",
+    "trash_expunge_sweep",
+    # ---- end of checked prefix (50) ----
+    "mmr_diversify_hybrid",
+    "pca_embedding_projection",
+    "volume_choice_assignment",
+    "zipf_token_spectrum",
+    "block_scanner_queue",
+    "observer_read_routing",
+    "rbf_quota_report",
+    "bpe_segmentation_stats",
+    "curriculum_phases",
+    "nnstorage_retention",
+    "slow_peer_report",
+    "ec_policy_matrix",
+    "hedged_read_plan",
+    "block_report_reconcile",
+    "maintenance_readiness_report",
+    "snapshot_reclaim_report",
+    "config_resolution",
+    "proxy_user_matrix",
+    "retry_schedule_matrix",
+    "token_entropy_report",
+    "streaming_heavy_hitters",
+    "service_acl_host_matrix",
+    "rename_quota_check",
+    "directory_scanner_reconcile",
+    "intra_queue_app_order",
+    "queue_assignment_order",
+    "lazy_persist_eviction",
+    "snapshot_admission_check",
+    "upgrade_domain_placement_report",
+    "stupid_backoff_lm_score",
+    "am_blacklist_updates",
+    "checkpoint_trigger_plan",
+    "concat_chunk_training_stream",
+    "queue_hierarchy_capacities",
+    "unigram_lm_tokenize_stats",
+    "ec_striped_lease_recovery",
+    "nodes_refresh_plan",
+    "am_attempt_retry_policy",
+    "container_memory_check",
+    "span_corruption_transform",
+    "scheduler_headroom_matrix",
+    "rbf_namenode_priority",
+    "reencryption_batch_plan",
+    "reencryption_zone_report",
+    "app_lifetime_plan",
     "q01_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
@@ -19986,88 +20809,6 @@ _WINDOW: list[str] = [
     "grouping_sets_suite",
     "corpus_prep_training_set",
     "sketch_suite",
-    "events_sliding_windows",
-    "kll_quantile_store",
-    "theta_retention_overlap",
-    "funnel_conversion",
-    "audit_log_summary",
-    "embedding_class_stats",
-    "replication_repair_plan",
-    "streaming_audit_rollup",
-    "storage_type_quota_report",
-    "permission_check_matrix",
-    "nntop_window_users",
-    "rpc_scheduler_priority",
-    "wrr_callqueue_drain",
-    "retry_cache_replay",
-    "datanode_liveness_report",
-    "safemode_report",
-    "anomaly_rolling_zscore",
-    "delegation_token_sweep",
-    "pca_embedding_projection",
-    "lease_recovery_sweep",
-    "xattr_store_report",
-    "doc_chunking_rag",
-    "drf_fair_share_ranking",
-    "contrastive_pair_mining",
-    "length_bucket_batching",
-    "speculative_execution_plan",
-    "range_partition_advisor",
-    "cusum_drift_detection",
-    "streaming_cusum_drift",
-    "preemption_reclaim_plan",
-    "acl_transformation_apply",
-    "qjm_segment_recovery",
-    "disk_balancer_plan",
-    "replica_read_ordering",
-    "mount_table_resolution",
-    "composite_file_checksum",
-    "bpe_pair_merge",
-    "writable_hash_partitioning",
-    "trash_expunge_sweep",
-    "volume_choice_assignment",
-    "zipf_token_spectrum",
-    "block_scanner_queue",
-    "observer_read_routing",
-    "rbf_quota_report",
-    "bpe_segmentation_stats",
-    "curriculum_phases",
-    "nnstorage_retention",
-    "slow_peer_report",
-    "ec_policy_matrix",
-    "hedged_read_plan",
-    "block_report_reconcile",
-    "maintenance_readiness_report",
-    "snapshot_reclaim_report",
-    "config_resolution",
-    "proxy_user_matrix",
-    "retry_schedule_matrix",
-    "token_entropy_report",
-    "streaming_heavy_hitters",
-    "service_acl_host_matrix",
-    "rename_quota_check",
-    "directory_scanner_reconcile",
-    "intra_queue_app_order",
-    "queue_assignment_order",
-    "lazy_persist_eviction",
-    "snapshot_admission_check",
-    "upgrade_domain_placement_report",
-    "stupid_backoff_lm_score",
-    "am_blacklist_updates",
-    "checkpoint_trigger_plan",
-    "concat_chunk_training_stream",
-    "queue_hierarchy_capacities",
-    "unigram_lm_tokenize_stats",
-    "ec_striped_lease_recovery",
-    "nodes_refresh_plan",
-    "am_attempt_retry_policy",
-    "container_memory_check",
-    "span_corruption_transform",
-    "scheduler_headroom_matrix",
-    "rbf_namenode_priority",
-    "reencryption_batch_plan",
-    "reencryption_zone_report",
-    "app_lifetime_plan",
     "federation_router_decisions",
     "federation_amrm_split",
     "encryption_zone_resolution",
@@ -20077,9 +20818,59 @@ _WINDOW: list[str] = [
     "opportunistic_queue_plan",
     "aggregated_log_index",
     "log_retention_sweep",
+    "gpu_allocation_matrix",
+    "registry_dns_zone",
+    "oom_kill_order",
+    "timeline_filter_grammar",
+    "nm_container_recovery",
+    "rm_app_state_recovery",
+    "node_queue_limit",
+    "federation_random_routing",
+    "fpga_allocation_matrix",
+    "placement_spec_parse",
+    "timeline_data_to_retrieve",
+    "timeline_uid_roundtrip",
+    "retrieval_metrics_hybrid",
+    "sketch_ann_deterministic",
+    "hll_distinct_rollup",
+    "bm25_search",
+    "hybrid_search_rrf",
+    "semdedup_prune",
+    "ann_pq_topk",
+    "knn_label_classify",
+    "knn_label_classify_ivf",
+    "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
+    "cdc_merge_apply",
+    "editlog_replay",
+    "distcp_sync_plan",
+    "distcp_incremental_plan",
+    "distcp_checksum_delta",
+    "fsck_report",
+    "balancer_move_plan",
+    "bpe_tokenize_stats",
+    "quality_classifier_scores",
+    "shard_manifest",
+    "corpus_mixture_sample",
+    "tfidf_top_terms",
+    "decontamination_check",
+    "dedup_span_rewrite",
+    "cross_source_dup_matrix",
+    "quality_repetition_filter",
+    "boilerplate_prune",
+    "time_resample_gapfill",
+    "pivot_event_matrix",
+    "stats_corr_suite",
+    "block_placement_plan",
+    "encryption_zone_roundtrip",
+    "storage_mover_plan",
+    "cache_directive_plan",
+    "ec_reconstruct_check",
+    "ec_rs_reconstruct_check",
+    "zorder_curve",
 ]
 
-assert len(_WINDOW) == 247, len(_WINDOW)
+assert len(_WINDOW) == 255, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely
