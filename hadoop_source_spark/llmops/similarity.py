@@ -324,22 +324,30 @@ def _train_and_assign_cells(
         )
         # deterministic, driver-bounded training set: ≳256 points per
         # cell is plenty for a coarse quantizer (FAISS trains IVF the
-        # same way)
-        train_cap = max(num_cells * 256, 4096)
-        rows = (
+        # same way); the hard cap keeps the driver transfer + Lloyd
+        # cost bounded as cells scale ~sqrt(N) — at 64k the floor is
+        # still >100 points/cell up to ~600 cells, and past that the
+        # per-cell sample thins gracefully (FAISS's own warn-but-train
+        # regime; a corpus needing tens of thousands of cells would
+        # move to hierarchical / distributed quantizer training).
+        train_cap = min(max(num_cells * 256, 4096), 65536)
+        # Arrow toPandas, NOT collect(): the py4j row path serializes
+        # each vector element-by-element and was the dominant cost of
+        # quantizer training at 10x data (train set grows with cells).
+        pdf = (
             sample.select(
                 F.col(id_col).alias("__i"), F.col(vec_col).alias("__v")
             )
             .sort("__i")
             .limit(train_cap)
-            .collect()
+            .toPandas()
         )
-        if len(rows) < num_cells:
+        if len(pdf) < num_cells:
             raise ValueError(
                 f"IVF needs ≥ num_cells={num_cells} training vectors,"
-                f" got {len(rows)}"
+                f" got {len(pdf)}"
             )
-        x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+        x = np.asarray(list(pdf["__v"]), dtype=np.float64)
         cent = _lloyd(x, num_cells, iters=10, seed=42)
 
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
