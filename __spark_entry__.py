@@ -16,9 +16,11 @@ oracle_sql()  — DuckDB-equivalent SQL per query. Omitted only for the
                 (sketch_ann_deterministic, ann_pq_topk,
                 bpe_tokenize_stats), and round 14 added pinned slices
                 semdedup_prune_pinned / knn_ivf_pinned /
-                bitext_ivf_pinned / quality_scores_pinned that run the
-                SAME distributed kernels with pinned centroids /
-                weights so the driver hash-checks them end to end.
+                bitext_ivf_pinned / quality_scores_pinned /
+                mmr_diversify_pinned that run the SAME distributed
+                kernels with pinned centroids / weights / an unrolled
+                greedy oracle, so the driver hash-checks each end to
+                end.
 """
 
 from __future__ import annotations

@@ -20596,6 +20596,481 @@ def quality_scores_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qm.score_quality(d, w, 0.25, bucket_mode="md5")
 
 
+# ---------------------------------------------------------------------------
+# Round 14 (second batch): ATS 1.5 EntityGroupFS plugin storage, web-proxy
+# AmIpFilter / ProxyUriUtils, metrics2 RollingFileSystemSink.
+# ---------------------------------------------------------------------------
+
+_EGFS_ORACLE = """
+WITH apps AS (SELECT DISTINCT (o_orderkey % 900) % 60 AS app FROM orders),
+act AS (SELECT app FROM apps WHERE app < 30),
+stg AS (SELECT app FROM apps WHERE app < 5),
+dn AS (SELECT app FROM apps WHERE app >= 30),
+scan AS (
+  SELECT 'scan' AS family,
+         'application_1700000000000_' || (100 + app) AS key,
+         CAST(CASE WHEN app % 4 <> 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_domain,
+         CAST(1 + CASE WHEN app % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_summary,
+         CAST(CASE WHEN app % 5 <> 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_entity,
+         CAST(1 AS BIGINT) AS n_skipped,
+         CAST(1000000 + (app % 7) * 20000 +
+              CASE WHEN app % 3 = 0 THEN 7
+                   WHEN app % 5 <> 2 THEN 5 ELSE 4 END AS BIGINT)
+           AS mtime,
+         CASE WHEN app % 11 = 0 THEN 'COMPLETED' ELSE 'ACTIVE' END AS s1,
+         CAST(NULL AS VARCHAR) AS s2
+  FROM act
+  UNION ALL
+  SELECT 'scan', 'application_1700000000000_' || (900 + app),
+         0, 0, 0, 0,
+         CAST(1000000 + (app % 7) * 20000 + 10 AS BIGINT),
+         CASE WHEN 1100000 - (1000000 + (app % 7) * 20000 + 10) > 60000
+              THEN 'COMPLETED' ELSE 'UNKNOWN' END,
+         NULL
+  FROM stg),
+clean AS (
+  SELECT 'clean' AS family,
+         'done/' || (1700000000000 + app % 2) || '/0000/'
+           || printf('%04d', (7 * app) // 10) || '/application_'
+           || (1700000000000 + app % 2) || '_' || (700 * app) AS key,
+         CAST(NULL AS BIGINT) AS n_domain, CAST(NULL AS BIGINT) AS n_summary,
+         CAST(NULL AS BIGINT) AS n_entity, CAST(NULL AS BIGINT) AS n_skipped,
+         CAST(CASE WHEN app % 13 <> 4
+              THEN 1000000 + (app % 7) * 20000 + 4 END AS BIGINT) AS mtime,
+         'app_dir' AS s1,
+         CASE WHEN app % 13 = 4 THEN 'DELETE'
+              WHEN 1100000 - (1000000 + (app % 7) * 20000 + 4) > 50000
+              THEN 'DELETE' ELSE 'KEEP' END AS s2
+  FROM dn
+  UNION ALL
+  SELECT 'clean', t.path, NULL, NULL, NULL, NULL, t.mtime, 'ts_dir', t.dec
+  FROM (VALUES ('done/1700000000000', CAST(1000000 AS BIGINT), 'KEEP'),
+               ('done/1700000000001', CAST(1000000 AS BIGINT), 'KEEP'),
+               ('done/1700000000099', CAST(1000500 AS BIGINT), 'DELETE'),
+               ('done/1700000000777', CAST(1090000 AS BIGINT), 'KEEP'))
+       AS t(path, mtime, dec)),
+dpath AS (
+  SELECT 'done_path' AS family,
+         'application_' || (1700000000000 + app % 2) || '_' || (700 * app)
+           AS key,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         'done/' || (1700000000000 + app % 2) || '/0000/'
+           || printf('%04d', (7 * app) // 10) || '/application_'
+           || (1700000000000 + app % 2) || '_' || (700 * app) AS s1,
+         CAST(NULL AS VARCHAR) AS s2
+  FROM dn)
+SELECT * FROM scan UNION ALL SELECT * FROM clean
+UNION ALL SELECT * FROM dpath
+"""
+
+
+@register("egfs_timeline_scan", _EGFS_ORACLE)
+def egfs_timeline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATS 1.5 EntityGroupFS plugin storage (operators/egfsstore;
+    reference EntityGroupFSTimelineStore.java — scanActiveLogs:361-383
+    app-dir discovery incl. the per-user layer, scanForLogs:747-797
+    domainlog-/summarylog-/entitylog- classification with the
+    skip-files-don't-advance-mtime rule, parseSummaryLogs:716-723
+    UNKNOWN→assumed-COMPLETED staleness, getDoneAppPath:589-596 bucket
+    fan-out, cleanLogs:466-549 retention). A 60-app synthetic
+    active+done+staging tree (junk files, non-attempt dirs, empty app
+    dirs, fresh/stale mixes, app-less timestamp dirs); the oracle is a
+    CLOSED-FORM derivation of every expected row, independent of the
+    operator's listing algebra. All path logic is regexp projections +
+    two aggregates — no recursion, no driver listing."""
+    from hadoop_source_spark.operators import egfsstore as eg
+    from hadoop_source_spark.operators import setops as so
+
+    o = table(spark, sf_dir, "orders")
+    r = F.col("r")
+    app = (r % 60).cast("long")
+    part = F.expr("r div 60")
+    keys = o.select((F.col("o_orderkey") % 900).alias("r")).distinct()
+    s = lambda c: c.cast("string")  # noqa: E731
+    appid_a = F.concat(F.lit("application_1700000000000_"), s(100 + app))
+    adir = F.when(
+        app % 2 == 0, F.concat(F.lit("active/"), appid_a)
+    ).otherwise(
+        F.concat(F.lit("active/user"), s(app % 5), F.lit("/"), appid_a)
+    )
+    att1 = F.concat(adir, F.lit("/appattempt_"), s(app), F.lit("_1"))
+    att2 = F.concat(adir, F.lit("/appattempt_"), s(app), F.lit("_2"))
+    dts = (F.lit(1700000000000) + app % 2).cast("long")
+    appid_d = F.concat(
+        F.lit("application_"), s(dts), F.lit("_"), s(700 * app)
+    )
+    ddir = F.concat(
+        F.lit("done/"), s(dts), F.lit("/0000/"),
+        F.format_string("%04d", F.expr("(7 * (r % 60)) div 10")),
+        F.lit("/"), appid_d,
+    )
+    datt = F.concat(ddir, F.lit("/appattempt_"), s(app), F.lit("_1"))
+    is_act = app < 30
+    path = (
+        F.when(is_act & (part == 0), adir)
+        .when(is_act & (part == 1), att1)
+        .when(is_act & (part == 2) & (app % 3 == 0), att2)
+        .when(
+            is_act & (part == 2),
+            F.concat(adir, F.lit("/junk_"), s(app)),
+        )
+        .when(
+            is_act & (part == 3) & (app % 4 != 1),
+            F.concat(att1, F.lit("/domainlog-1")),
+        )
+        .when(is_act & (part == 4), F.concat(att1, F.lit("/summarylog-1")))
+        .when(
+            is_act & (part == 5) & (app % 5 != 2),
+            F.concat(att1, F.lit("/entitylog-group1")),
+        )
+        .when(is_act & (part == 6), F.concat(att1, F.lit("/other.tmp")))
+        .when(
+            is_act & (part == 7) & (app % 3 == 0),
+            F.concat(att2, F.lit("/summarylog-2")),
+        )
+        .when(is_act & (part == 8), F.concat(adir, F.lit("/data")))
+        .when(is_act & (part == 9), F.concat(adir, F.lit("/data/blob")))
+        .when(
+            is_act & (part == 10) & (app < 5),
+            F.concat(F.lit("staging/application_1700000000000_"),
+                     s(900 + app)),
+        )
+        .when(~is_act & (part == 0), ddir)
+        .when(~is_act & (part == 1) & (app % 13 != 4), datt)
+        .when(
+            ~is_act & (part == 3) & (app % 13 != 4),
+            F.concat(datt, F.lit("/entitylog-g")),
+        )
+        .when(
+            ~is_act & (part == 4) & (app % 13 != 4),
+            F.concat(datt, F.lit("/summarylog-1")),
+        )
+    )
+    is_dir = (part <= 2) | (part == 8) | (part == 10) | (
+        ~is_act & (part == 1)
+    )
+    gen = keys.select(
+        path.alias("path"),
+        is_dir.alias("is_dir"),
+        (1000000 + (app % 7) * 20000 + part).cast("long").alias("mtime"),
+    ).where(F.col("path").isNotNull())
+    extra = spark.createDataFrame(
+        [("active", True, 1000000), ("staging", True, 1000000),
+         ("done", True, 1000000)]
+        + [(f"active/user{k}", True, 1000000) for k in range(5)]
+        + [("done/1700000000000", True, 1000000),
+           ("done/1700000000001", True, 1000000),
+           ("done/1700000000099", True, 1000500),
+           ("done/1700000000777", True, 1090000)],
+        "path string, is_dir boolean, mtime long",
+    )
+    listing = so.union_all([gen, extra])
+    act_dirs = eg.discover_app_dirs(listing, "active")
+    stg_dirs = eg.discover_app_dirs(listing, "staging")
+    done_ids = keys.where((r % 60 < 30) & (r % 60 % 11 == 0)).select(
+        F.concat(F.lit("application_1700000000000_"),
+                 s(100 + (r % 60))).alias("app_id")
+    ).distinct()
+    scan = eg.app_scan_rollup(
+        listing, so.union_all([act_dirs, stg_dirs]),
+        now=1100000, unknown_active_ms=60000, done_app_ids=done_ids,
+    )
+    clean = eg.clean_plan(listing, "done", now=1100000, retain_ms=50000)
+    dn = keys.where(r % 60 >= 30).select(
+        appid_d.alias("app_id"),
+        eg.done_app_path(700 * app, dts, "done").alias("path"),
+    ).distinct()
+    nl = lambda: F.lit(None).cast("long")  # noqa: E731
+    ns = lambda: F.lit(None).cast("string")  # noqa: E731
+    return so.union_all([
+        scan.select(
+            F.lit("scan").alias("family"), F.col("app_id").alias("key"),
+            "n_domain", "n_summary", "n_entity", "n_skipped",
+            F.col("newest_log_mtime").alias("mtime"),
+            F.col("state").alias("s1"), ns().alias("s2"),
+        ),
+        clean.select(
+            F.lit("clean").alias("family"), F.col("path").alias("key"),
+            nl().alias("n_domain"), nl().alias("n_summary"),
+            nl().alias("n_entity"), nl().alias("n_skipped"),
+            F.col("newest_mtime").alias("mtime"),
+            F.col("kind").alias("s1"), F.col("decision").alias("s2"),
+        ),
+        dn.select(
+            F.lit("done_path").alias("family"),
+            F.col("app_id").alias("key"),
+            nl().alias("n_domain"), nl().alias("n_summary"),
+            nl().alias("n_entity"), nl().alias("n_skipped"),
+            nl().alias("mtime"), F.col("path").alias("s1"),
+            ns().alias("s2"),
+        ),
+    ])
+
+
+_AMPROXY_ORACLE = """
+WITH rr AS (SELECT DISTINCT o_orderkey % 120 AS r FROM orders),
+req AS (
+  SELECT 'req' || r AS req_id, r,
+         CASE r % 5 WHEN 0 THEN '10.0.0.1' WHEN 1 THEN '10.0.0.2'
+              ELSE '192.168.' || (r % 3) || '.9' END AS remote_addr,
+         CASE r % 4 WHEN 0 THEN '/proxy/application_14_5/jobs/job_1'
+              WHEN 1 THEN '/cluster/apps'
+              WHEN 2 THEN '/proxy/redirect/application_14_5'
+              ELSE '/proxy/application_9_' || r END AS request_uri,
+         CASE WHEN r % 7 = 0 THEN 'a=1&b=' || r
+              WHEN r % 7 = 1 THEN '' END AS query_string,
+         CASE WHEN r % 3 = 0 THEN 'alice' || r END AS cookie_user
+  FROM rr),
+dec AS (
+  SELECT *,
+         r % 5 IN (0, 1) AS from_proxy,
+         CASE r % 4
+           WHEN 0 THEN 'http://rm.example.com:8088/proxy/redirect/application_14_5/jobs/job_1'
+           WHEN 1 THEN 'http://rm.example.com:8088/cluster/apps'
+           WHEN 2 THEN 'http://rm.example.com:8088/proxy/redirect/redirect/application_14_5'
+           ELSE 'http://rm.example.com:8088/proxy/redirect/application_9_' || r
+         END AS bounced
+  FROM req)
+SELECT req_id,
+       CASE WHEN NOT from_proxy THEN 'REDIRECT'
+            WHEN cookie_user IS NOT NULL THEN 'PASS_WITH_USER'
+            ELSE 'PASS_ANON' END AS action,
+       CASE WHEN NOT from_proxy THEN
+         bounced || CASE WHEN query_string IS NOT NULL
+                         AND query_string <> ''
+                         THEN '?' || query_string ELSE '' END
+       END AS redirect_url,
+       CASE WHEN from_proxy THEN cookie_user END AS principal,
+       r % 4 <> 1 AS is_proxy,
+       r % 4 = 2 AS redirected,
+       CASE WHEN r % 4 = 0 THEN 'application_14_5'
+            WHEN r % 4 = 2 THEN 'application_14_5'
+            WHEN r % 4 = 3 THEN 'application_9_' || r END AS app_id,
+       CASE WHEN r % 4 = 0 THEN 'jobs/job_1' END AS rest,
+       CASE WHEN r % 4 <> 1 THEN TRUE END AS roundtrip_ok
+FROM dec
+"""
+
+
+@register("amproxy_filter_matrix", _AMPROXY_ORACLE)
+def amproxy_filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-proxy URL plumbing (operators/webproxy; reference
+    ProxyUriUtils.java getPath:66-105 proxied/redirect paths +
+    AmIpFilter.java doFilter:134-190 — non-proxy remotes bounce to
+    base+URI with '/redirect' inserted after the first '/proxy' of the
+    COMBINED string and the query re-appended; proxy remotes pass with
+    the proxy-user cookie principal; pinned by TestAmFilter /
+    TestProxyUriUtils). 120 request shapes x {proxy, non-proxy}
+    remotes; the same row also parses the tracking URI back to
+    (app_id, rest, redirected) and round-trips it through the path
+    builder. Pure string codegen; the address set is a literal
+    predicate."""
+    from hadoop_source_spark.operators import webproxy as wp
+
+    o = table(spark, sf_dir, "orders")
+    r = F.col("r")
+    s = lambda c: c.cast("string")  # noqa: E731
+    reqs = o.select((F.col("o_orderkey") % 120).alias("r")).distinct().select(
+        "r",
+        F.concat(F.lit("req"), s(r)).alias("req_id"),
+        F.when(r % 5 == 0, "10.0.0.1")
+        .when(r % 5 == 1, "10.0.0.2")
+        .otherwise(
+            F.concat(F.lit("192.168."), s(r % 3), F.lit(".9"))
+        ).alias("remote_addr"),
+        F.when(r % 4 == 0, "/proxy/application_14_5/jobs/job_1")
+        .when(r % 4 == 1, "/cluster/apps")
+        .when(r % 4 == 2, "/proxy/redirect/application_14_5")
+        .otherwise(
+            F.concat(F.lit("/proxy/application_9_"), s(r))
+        ).alias("request_uri"),
+        F.when(r % 7 == 0, F.concat(F.lit("a=1&b="), s(r)))
+        .when(r % 7 == 1, F.lit(""))
+        .alias("query_string"),
+        F.when(r % 3 == 0, F.concat(F.lit("alice"), s(r)))
+        .alias("cookie_user"),
+    )
+    actions = wp.am_filter_matrix(
+        reqs, ("10.0.0.1", "10.0.0.2"), "http://rm.example.com:8088"
+    )
+    is_proxy, redirected, app_id, rest = wp.parse_proxy_path(
+        F.col("request_uri")
+    )
+    rebuilt = F.concat(
+        F.lit("/proxy/"),
+        F.when(redirected, "redirect/").otherwise(""),
+        app_id,
+        F.when(rest.isNotNull(), F.concat(F.lit("/"), rest)).otherwise(""),
+    )
+    parsed = reqs.select(
+        "req_id",
+        is_proxy.alias("is_proxy"),
+        redirected.alias("redirected"),
+        app_id.alias("app_id"),
+        rest.alias("rest"),
+        F.when(is_proxy, rebuilt == F.col("request_uri")).alias(
+            "roundtrip_ok"
+        ),
+    )
+    return actions.join(parsed, "req_id")
+
+
+_METRICS_SINK_ORACLE = """
+WITH recs AS (
+  SELECT 1700000000000 + (event_id % 7200) * 1000 AS ts,
+         CASE WHEN event_id % 2 = 0 THEN 'dfs' ELSE 'yarn' END AS context,
+         'r' || (event_id % 3) AS record,
+         (event_id % 97) / 4.0 AS ops,
+         (event_id % 53) / 8.0 AS avg_time
+  FROM events),
+buck AS (
+  SELECT strftime(make_timestamp(((ts // 600000) * 600000) * 1000),
+                  '%Y%m%d%H%M') AS bucket,
+         context, record, ops, avg_time
+  FROM recs),
+lng AS (
+  SELECT bucket, context, record, 'ops' AS name, ops AS num FROM buck
+  UNION ALL
+  SELECT bucket, context, record, 'avgTime', avg_time FROM buck)
+SELECT bucket, context, record, name, count(*) AS n,
+       round(sum(num), 6) AS sum, round(avg(num), 6) AS avg,
+       min(num) AS min, max(num) AS max
+FROM lng GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("metrics_sink_rollup", _METRICS_SINK_ORACLE)
+def metrics_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics2 RollingFileSystemSink round trip (operators/metrics2sink;
+    reference RollingFileSystemSink.java putMetrics:823-845 line format
+    '<ts> <context>.<record>: k=v, k=v', yyyyMMddHHmm GMT roll-bucket
+    dirs :164/:545-557, getRollInterval:342-390 '<int>[unit]' spec).
+    Events become metric records (one non-numeric Hostname tag + two
+    numeric metrics), are FORMATTED to sink lines, PARSED back, and
+    rolled up per (10-minute bucket, context, record, metric) — the
+    oracle recomputes the rollup from the raw numbers, so a formatting
+    or parsing drift anywhere in the round trip flips the hash. String
+    projections + one partial-agg groupBy."""
+    from hadoop_source_spark.operators import metrics2sink as ms
+
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    recs = e.select(
+        (F.lit(1700000000000) + (eid % 7200) * 1000).cast("long").alias(
+            "ts"
+        ),
+        F.when(eid % 2 == 0, "dfs").otherwise("yarn").alias("context"),
+        F.concat(F.lit("r"), (eid % 3).cast("string")).alias("record"),
+        F.create_map(
+            F.lit("Hostname"),
+            F.concat(F.lit("host"), (F.col("user_id") % 4).cast("string")),
+            F.lit("ops"),
+            ((eid % 97) / 4.0).cast("string"),
+            F.lit("avgTime"),
+            ((eid % 53) / 8.0).cast("string"),
+        ).alias("kvs"),
+    )
+    interval = ms.roll_interval_ms("10m")
+    lines = ms.format_metrics_lines(recs)
+    parsed = ms.parse_metrics_lines(lines)
+    return ms.metrics_rollup(parsed, interval)
+
+
+def _mmr_step_sql(t: int) -> str:
+    """One unrolled greedy step: candidates = shortlist minus selected,
+    redundancy = max pairwise cosine to the selected set."""
+    return f"""
+c{t} AS (
+  SELECT c.query_id, c.doc_id,
+         0.7 * c.rel - 0.3 * max(p.sim) AS mmr
+  FROM short c
+  ANTI JOIN sel{t - 1} x
+    ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+  JOIN sel{t - 1} s ON s.query_id = c.query_id
+  JOIN pairs p ON p.query_id = c.query_id AND p.pa = c.doc_id
+              AND p.pb = s.doc_id
+  GROUP BY c.query_id, c.doc_id, c.rel),
+p{t} AS (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, doc_id) AS rn
+    FROM c{t}) t
+  WHERE rn = 1),
+sel{t} AS (SELECT query_id, doc_id FROM sel{t - 1}
+           UNION ALL SELECT query_id, doc_id FROM p{t})"""
+
+
+_MMR_DET_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 50 = 3 AND vec_id < 5000),
+sc AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.qv::DOUBLE[]), 6) AS rel
+  FROM embeddings e CROSS JOIN q),
+short AS (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM sc) t
+  WHERE rn <= 10),
+pairs AS (
+  SELECT a.query_id, a.doc_id AS pa, b.doc_id AS pb,
+         list_cosine_similarity(ea.embedding::DOUBLE[],
+                                eb.embedding::DOUBLE[]) AS sim
+  FROM short a
+  JOIN short b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id),
+p1 AS (
+  SELECT query_id, doc_id, 0.7 * rel AS mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM short) t
+  WHERE rn = 1),
+sel1 AS (SELECT query_id, doc_id FROM p1),{steps}
+SELECT query_id, doc_id, CAST(1 AS INTEGER) AS mmr_rank,
+       round(mmr, 6) AS mmr_score FROM p1
+UNION ALL SELECT query_id, doc_id, 2, round(mmr, 6) FROM p2
+UNION ALL SELECT query_id, doc_id, 3, round(mmr, 6) FROM p3
+UNION ALL SELECT query_id, doc_id, 4, round(mmr, 6) FROM p4
+UNION ALL SELECT query_id, doc_id, 5, round(mmr, 6) FROM p5
+""".replace("{steps}", ",".join(_mmr_step_sql(t) for t in (2, 3, 4, 5)))
+
+
+@register("mmr_diversify_pinned", _MMR_DET_ORACLE)
+def mmr_diversify_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification with a SQL-checkable shortlist
+    (llmops/similarity.mmr_rerank — the SAME Arrow greedy kernel as
+    mmr_diversify_hybrid): the pinned query set's exact dense top-10
+    (relevance = round-6 cosine) re-ranked to the greedy top-5 by
+    lam*rel − (1−lam)*max-cos-to-selected. The oracle UNROLLS the
+    five greedy steps (k is a constant, so the argmax chain is five
+    chained CTEs over a pairwise-cosine table) — putting the kernel
+    under the driver hash; the rrf-fed production variant stays
+    rows-only behind the prefix."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 50 == 3) & (F.col("vec_id") < 5000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    short = sim.brute_force_topk(e, q, k=10).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    return sim.mmr_rerank(
+        short,
+        e.withColumnRenamed("vec_id", "doc_id"),
+        k=5,
+        lam=0.7,
+    )
+
+
 _WINDOW: list[str] = [
     # The driver hash-checks the FIRST 50 slots each round. Rotation
     # policy: rows the driver verified last round rotate BEHIND rows
@@ -20612,6 +21087,9 @@ _WINDOW: list[str] = [
     # rows still never checked (including the four rows-only-by-design
     # production variants and mmr) sit immediately behind the prefix
     # for the round-15 rotation; the r13-verified prefix sits last.
+    "egfs_timeline_scan",
+    "amproxy_filter_matrix",
+    "metrics_sink_rollup",
     "decom_watcher_status",
     "nm_health_report",
     "docker_runtime_admission",
@@ -20620,6 +21098,7 @@ _WINDOW: list[str] = [
     "knn_ivf_pinned",
     "bitext_ivf_pinned",
     "quality_scores_pinned",
+    "mmr_diversify_pinned",
     "perplexity_quality_filter",
     "retention_expiry_plan",
     "window_suite_2",
@@ -20658,11 +21137,13 @@ _WINDOW: list[str] = [
     "disk_balancer_plan",
     "replica_read_ordering",
     "mount_table_resolution",
+    # ---- end of checked prefix (50) ----
     "composite_file_checksum",
+    # displaced by the round-14 second batch (egfs/amproxy/metrics);
+    # first in line for the round-15 rotation
     "bpe_pair_merge",
     "writable_hash_partitioning",
     "trash_expunge_sweep",
-    # ---- end of checked prefix (50) ----
     "mmr_diversify_hybrid",
     "pca_embedding_projection",
     "volume_choice_assignment",
@@ -20870,7 +21351,7 @@ _WINDOW: list[str] = [
     "zorder_curve",
 ]
 
-assert len(_WINDOW) == 255, len(_WINDOW)
+assert len(_WINDOW) == 259, len(_WINDOW)
 
 # The driver records a weaker rows-only check for queries registered
 # WITHOUT an oracle. That set is closed and deliberate — genuinely

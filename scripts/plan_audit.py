@@ -171,6 +171,12 @@ def main() -> None:
     "placement_spec_parse", "timeline_data_to_retrieve",
     "timeline_uid_roundtrip", "retrieval_metrics_hybrid",
     "mmr_diversify_hybrid",
+    # round 14
+    "decom_watcher_status", "nm_health_report",
+    "docker_runtime_admission", "ahs_history_rollup",
+    "semdedup_prune_pinned", "knn_ivf_pinned", "bitext_ivf_pinned",
+    "quality_scores_pinned", "egfs_timeline_scan",
+    "amproxy_filter_matrix", "metrics_sink_rollup",
     ):
         audited.setdefault(extra, workload.QUERIES[extra].fn)
     rows = {}

@@ -193,6 +193,13 @@ EXTRA = (
     "router_safemode_plan", "cs_absolute_resources",
     "cs_allocation_activities", "flow_activity_rollup", "auto_queue_management", "provided_alias_map", "yarn_service_rollup", "cgroups_usage_kill",
     "gpu_allocation_matrix", "registry_dns_zone", "oom_kill_order",
+    # round-14 operators + pinned deterministic slices
+    "decom_watcher_status", "nm_health_report",
+    "docker_runtime_admission", "ahs_history_rollup",
+    "semdedup_prune_pinned", "knn_ivf_pinned", "bitext_ivf_pinned",
+    "quality_scores_pinned", "mmr_diversify_pinned",
+    "egfs_timeline_scan", "amproxy_filter_matrix",
+    "metrics_sink_rollup",
 )
 
 
