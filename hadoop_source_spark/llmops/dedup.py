@@ -719,17 +719,34 @@ def dedup_clusters(
     within its own first job — both union branches would re-execute the
     (expensive) pair-generation pipeline. One blocking pass here makes
     every later reference a checkpoint read. Per-round lineage is cut
-    with lazy checkpoints (each is referenced only downstream), and
-    convergence is checked every other round (a zero-change round is a
-    fixed point regardless of history; the skipped round's work
-    piggybacks on the next count's job).
+    with lazy checkpoints (each is referenced only downstream).
+
+    Per-round cost (r14 optimization, guide §2.4 — remove exchanges):
+    SELF-LOOP edges fold the keep-own-label left-join into the
+    neighbour min-aggregate, so a round is ONE equi-join + min-agg plus
+    the halving self-join (was: join + agg + left-join + self-join),
+    and convergence reads a one-row CHECKSUM from the same round's
+    materialization: labels only ever decrease (min over a set that
+    contains the current label), so an unchanged sum(label) IS a fixed
+    point — no __old carry, no extra filter+count pass, checked every
+    round instead of every other. The sum aggregates as decimal(38,0):
+    ids are arbitrary longs and an ANSI bigint sum could overflow at
+    100 TB node counts.
     """
     base = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
+    nodes = (
+        base.select(F.col("src").alias("node"))
+        .unionByName(base.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     edges = (
         base.unionByName(
             base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=False)
@@ -737,7 +754,10 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for it in range(max_iter):
+    checksum = None
+    for _it in range(max_iter):
+        # min over neighbours' labels; the self-loop keeps the own label
+        # in the candidate set, so no keep-alive left join is needed
         neigh_min = (
             edges.join(
                 labels.select(
@@ -746,38 +766,29 @@ def dedup_clusters(
                 "dst",
             )
             .groupBy(F.col("src").alias("node"))
-            .agg(F.min("nlabel").alias("minn"))
-        )
-        # carry the pre-round label through the plan so convergence is a
-        # filter+count on this round's result — no extra old-vs-new join
-        propagated = labels.join(neigh_min, "node", "left").select(
-            "node",
-            F.col("label").alias("__old"),
-            F.least(
-                F.col("label"), F.coalesce("minn", F.col("label"))
-            ).alias("label"),
+            .agg(F.min("nlabel").alias("label"))
         )
         # pointer halving: label := min(label, label(label)) — labels are
         # min-reachable so label(label) is always ≤-or-equal along a path
-        parent = propagated.select(
+        parent = neigh_min.select(
             F.col("node").alias("label"), F.col("label").alias("plabel")
         )
-        new_labels = (
-            propagated.join(parent, "label", "left")
+        labels = (
+            neigh_min.join(parent, "label", "left")
             .select(
                 "node",
-                "__old",
                 F.least(
                     F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        labels = new_labels.drop("__old")
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = new_labels.filter(F.col("label") != F.col("__old")).count()
-            if changed == 0:
-                break
+        new_checksum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
     return labels.select("node", F.col("label").alias("cluster"))
 
 

@@ -40,13 +40,28 @@ def with_payload(df: DataFrame, text_col: str = "text",
     )
 
 
-def extract_meta(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_meta(
+    payloads: DataFrame,
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
     """Per-payload metadata via mapInPandas (Arrow batches).
 
     n_bytes/md5 are real; fake_width/fake_height stand in for the decode
     step (STUB — deterministic function of the byte length, replace with a
     real image decode where PIL/ffmpeg are available).
+
+    ``passthrough`` columns of ``payloads`` are carried across the Arrow
+    boundary unchanged and appended to the output, so a caller can fuse
+    downstream JVM projections over this kernel's single scan instead of
+    paying a second corpus scan plus a join to re-widen (guide §2.4 — at
+    corpus cardinality that join is a full shuffle of both sides; the
+    bench-scale broadcast it picks locally does not survive 100 TB).
     """
+    extra = [payloads.schema[c] for c in passthrough]
+    schema = META_SCHEMA + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in extra
+    )
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -54,19 +69,20 @@ def extract_meta(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             payload = pdf["payload"]
             n_bytes = payload.map(len).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": n_bytes,
-                    "md5": payload.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "fake_width": (n_bytes % 1920).astype("int32"),
-                    "fake_height": (n_bytes % 1080).astype("int32"),
-                }
-            )
+            out = {
+                "doc_id": pdf[id_col],
+                "n_bytes": n_bytes,
+                "md5": payload.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+                "fake_width": (n_bytes % 1920).astype("int32"),
+                "fake_height": (n_bytes % 1080).astype("int32"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return payloads.mapInPandas(batches, META_SCHEMA)
+    return payloads.mapInPandas(batches, schema)
 
 
 def resize_images(

@@ -362,7 +362,12 @@ def _train_and_assign_cells(
     # module uses `from __future__ import annotations`, which stringifies
     # hints; pandas_udf needs the real objects to infer the eval type
     _nearest_cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    _nearest_cell = pandas_udf(_nearest_cell_fn, "int")
+    # asNondeterministic: a downstream join/filter on `cell` otherwise
+    # pushes an isnotnull(cell) probe BELOW the projection and the plan
+    # evaluates the UDF twice per corpus row (two ArrowEvalPython nodes —
+    # guide §4.4); the assignment is pure, the marker only pins it to one
+    # evaluation.
+    _nearest_cell = pandas_udf(_nearest_cell_fn, "int").asNondeterministic()
 
     assigned = corpus.select(
         id_col, vec_col, _nearest_cell(F.col(vec_col)).alias("cell")
@@ -461,31 +466,40 @@ def ivf_topk(
         corpus, id_col, vec_col, num_cells, train_fraction
     )
 
-    centroids = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(i, [float(v) for v in c]) for i, c in enumerate(cent)],
-            "cell int, centroid array<double>",
-        )
-    )
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    probe_cells = (
-        q.crossJoin(centroids)
-        .select(
-            query_id_col,
-            "__qvec",
-            "cell",
-            cosine(F.col("__qvec"), F.col("centroid")).alias("__cdist"),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("__cdist").desc(), F.col("cell")
-                )
-            ),
-        )
-        .filter(F.col("__rk") <= nprobe)
-        .select(query_id_col, "__qvec", "cell")
+    # Probe-cell selection runs ON THE DRIVER (r14 optimization): the
+    # query side is small by ANN convention (it is broadcast below either
+    # way), and num_cells × nq cosines are driver-trivial — the previous
+    # crossJoin + window subplan cost a broadcast-build job with its own
+    # exchange per query run. The fold replicates the JVM `cosine()`
+    # expression bit-exactly — sequential accumulation in element order,
+    # query-norm squares at FLOAT precision (zip_with over two float
+    # arrays multiplies before widening), dot products widened per
+    # element (float query × double centroid) — so the nprobe ranking,
+    # including float ties, matches the old crossJoin+window plan's.
+    # __qvec stays array<float> for the same reason: the exact re-rank
+    # below must keep multiplying at float precision as before.
+    import math
+
+    import numpy as np
+
+    def _probe_cos(q: list[float], c: list[float]) -> float:
+        dot = acc_q = acc_c = 0.0
+        for x, y in zip(q, c):
+            dot += x * y                        # double × double
+            acc_q += float(np.float32(x) * np.float32(x))  # fl32 square
+            acc_c += y * y                      # centroid is double
+        return dot / (math.sqrt(acc_q) * math.sqrt(acc_c))
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    cent_lists = [[float(v) for v in c] for c in cent]
+    probe_rows = []
+    for r in qrows:
+        qv = [float(v) for v in r[1]]
+        cds = [_probe_cos(qv, c) for c in cent_lists]
+        order = sorted(range(len(cds)), key=lambda i: (-cds[i], i))[:nprobe]
+        probe_rows.extend((r[0], qv, int(cell)) for cell in order)
+    probe_cells = corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} long, __qvec array<float>, cell int"
     )
     scored = assigned.join(F.broadcast(probe_cells), "cell").select(
         query_id_col,

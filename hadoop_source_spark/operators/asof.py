@@ -49,6 +49,7 @@ def asof_join(
     suffix: str = "_right",
     how: str = "inner",
     tolerance: Column | int | float | None = None,
+    build_tiebreak: str | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row by ``on`` within ``by``.
 
@@ -58,6 +59,16 @@ def asof_join(
 
     how='inner' drops left rows with no match; how='left' keeps them with
     nulls (getClosest returns null before the first key).
+
+    ``build_tiebreak`` names a build-side column that deterministically
+    resolves DUPLICATE build keys (same by-keys and same ``on``): the row
+    with the MINIMUM tiebreak value wins. Without it, callers must
+    pre-aggregate the build side to one row per key — an extra exchange
+    that this parameter folds into the union sort (the tiebreak column
+    is appended descending, so the carried `last` build row at equal
+    ``on`` is the minimum). backward/forward only: `nearest` carries two
+    frames over one sort and a shared tiebreak direction cannot serve
+    both, so pre-aggregate for nearest.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -65,6 +76,11 @@ def asof_join(
         )
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
+    if build_tiebreak is not None and direction == "nearest":
+        raise ValueError(
+            "build_tiebreak is not supported for direction='nearest' — "
+            "pre-aggregate the build side instead"
+        )
     by_cols = [by] if isinstance(by, str) else list(by or [])
     tol = (
         F.lit(tolerance)
@@ -127,8 +143,17 @@ def asof_join(
     # Null probe keys sort FIRST in both directions: nothing precedes them
     # in the frame, so they match no build row (NULL out / dropped by
     # how='inner') instead of accidentally pairing with the min/max key.
-    asc = [F.col(on).asc_nulls_first(), F.col("__side").asc()]
-    desc = [F.col(on).desc_nulls_first(), F.col("__side").asc()]
+    # The tiebreak column sorts DESCENDING after __side: at equal `on`,
+    # the `last`-carried build row is then the minimum tiebreak value
+    # (probe rows hold NULL there — desc puts nulls last, but __side
+    # already separates the sides, so probe ordering is unaffected).
+    tie = (
+        [F.col(renamed[build_tiebreak]).desc()]
+        if build_tiebreak is not None
+        else []
+    )
+    asc = [F.col(on).asc_nulls_first(), F.col("__side").asc()] + tie
+    desc = [F.col(on).desc_nulls_first(), F.col("__side").asc()] + tie
     preceding = (Window.unboundedPreceding, Window.currentRow)
     following = (Window.currentRow, Window.unboundedFollowing)
 

@@ -684,18 +684,26 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (MapFile.getClosest backward): each purchase matched to
     the user's most recent click at-or-before it. Implemented with the
-    union+window kernel — one shuffle on user_id, no range join."""
+    union+window kernel — one shuffle on user_id, no range join. The
+    simultaneous-click tie (min event_id, the oracle's pre-aggregate) is
+    folded into the union sort via build_tiebreak (r14 optimization,
+    guide §2.4): the old groupBy(user_id, ts).min(event_id) pre-pass
+    cost a full exchange of the click side just to deduplicate keys."""
     e = table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.min("event_id").alias("click_id"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     joined = asof.asof_join(
-        purchases, clicks, on="ts", by="user_id", direction="backward", how="inner"
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        direction="backward",
+        how="inner",
+        build_tiebreak="click_id",
     )
     return joined.select(
         "purchase_id",
@@ -1661,14 +1669,33 @@ def _doc_profile_oracle() -> str:
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document featurization suite at one grain (doc_id): quality
     stats + stopword-profile language ID + the Text/MD5Hash scalar+digest
-    surface, all FUSED into one codegen'd scan (extra_cols — no
-    self-join to widen), then one join with the binary-payload metadata
-    branch, which must stay separate because it runs through the real
-    mapInPandas multimodal plumbing (multimodal_meta)."""
+    surface + the binary-payload metadata — ALL over ONE corpus scan
+    (r14 optimization). The payload metadata still runs through the real
+    mapInPandas multimodal plumbing, but with text/lang/source passed
+    through the Arrow boundary so the stats/langid/hash projection fuses
+    ON TOP of the kernel's output instead of re-scanning the corpus and
+    joining at doc_id grain — that join is broadcast only at bench scale;
+    at corpus cardinality it becomes a full two-sided shuffle (guide
+    §2.4/§3). Values are bit-identical: same payload bytes, same
+    expressions, one plan."""
+    from hadoop_source_spark.llmops import multimodal as mm
+
     d = table(spark, sf_dir, "documents")
-    profile = ts.doc_profile(d, "text", "doc_id", extra_cols=_string_hash_cols())
-    meta = multimodal_meta(spark, sf_dir)
-    return profile.join(meta, "doc_id")
+    src = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        "text",
+        "lang",
+        "source",
+    )
+    meta = mm.extract_meta(src, passthrough=("text", "lang", "source"))
+    extra = _string_hash_cols() + [
+        F.col("n_bytes"),
+        F.col("md5"),
+        F.col("fake_width"),
+        F.col("fake_height"),
+    ]
+    return ts.doc_profile(meta, "text", "doc_id", extra_cols=extra)
 
 
 def _langid_oracle() -> str:

@@ -731,3 +731,71 @@ def test_pipeline_recovery_satisfy_boundaries(spark):
     assert not out[8].needs_replacement
     assert out[9].action == "ABORT_NO_DATANODES"
     assert not out[10].needs_replacement and out[10].action == "CONTINUE"
+
+
+def test_asof_build_tiebreak_matches_preaggregate(spark):
+    """build_tiebreak (r14): duplicate build keys resolved to the MIN
+    tiebreak value must equal the classic pre-aggregate formulation —
+    the exchange it removes is pure key-dedup."""
+    left = spark.createDataFrame(
+        [("u", 10, 100), ("u", 5, 101), ("v", 7, 102)],
+        "g string, t long, pid long",
+    )
+    # duplicate (g, t) build keys: ids 3/1 at u@5 (min 1 wins), 9/8 at u@10
+    right = spark.createDataFrame(
+        [("u", 5, 3), ("u", 5, 1), ("u", 10, 9), ("u", 10, 8), ("v", 1, 7)],
+        "g string, t long, bid long",
+    )
+    fused = asof.asof_join(
+        left, right, on="t", by="g", direction="backward", how="inner",
+        build_tiebreak="bid",
+    ).select("g", "t", "pid", "bid", "t_right")
+    pre = right.groupBy("g", "t").agg(F.min("bid").alias("bid"))
+    classic = asof.asof_join(
+        left, pre, on="t", by="g", direction="backward", how="inner"
+    ).select("g", "t", "pid", "bid", "t_right")
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
+    got = {r.pid: r.bid for r in fused.collect()}
+    assert got == {100: 8, 101: 1, 102: 7}
+
+    # forward direction honours the same min-wins rule
+    fwd = asof.asof_join(
+        left, right, on="t", by="g", direction="forward", how="inner",
+        build_tiebreak="bid",
+    )
+    assert {r.pid: r.bid for r in fwd.collect()} == {100: 8, 101: 1}
+
+    with pytest.raises(ValueError, match="nearest"):
+        asof.asof_join(
+            left, right, on="t", by="g", direction="nearest",
+            build_tiebreak="bid",
+        )
+
+
+def test_extract_meta_passthrough_columns(spark):
+    """extract_meta passthrough (r14): carried columns come back
+    unchanged next to the kernel's own metadata, enabling single-scan
+    fusion of downstream projections (doc_profile)."""
+    from hadoop_source_spark.llmops import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    src = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"),
+        "text", "lang",
+    )
+    out = {r.doc_id: r for r in
+           mm.extract_meta(src, passthrough=("text", "lang")).collect()}
+    import hashlib
+
+    assert out[1].text == "hello world" and out[1].lang == "en"
+    assert out[1].n_bytes == 11
+    assert out[1].md5 == hashlib.md5(b"hello world").hexdigest()
+    assert out[2].lang == "fr" and out[2].n_bytes == 7
+    # no passthrough → the classic 5-column contract is unchanged
+    legacy = mm.extract_meta(mm.with_payload(docs)).columns
+    assert legacy == ["doc_id", "n_bytes", "md5", "fake_width", "fake_height"]
