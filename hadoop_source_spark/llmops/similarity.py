@@ -59,6 +59,16 @@ def brute_force_topk(
     impl="arrow" (default) scores with a numpy matrix product inside
     mapInPandas (BLAS, float64) — the vectorized path for wide fan-out;
     impl="sql" keeps the pure-JVM zip_with fold.
+
+    r14 optimization (guide §2.3 — aggregate before the shuffle, and
+    before the Python→JVM boundary): the Arrow kernel keeps a running
+    per-task top-k per query and emits ONLY nq·k candidate rows per
+    task instead of nrow·nq scored pairs. Every global top-k row is by
+    definition in its task's top-k under the same total order
+    (cosine desc, id asc — ids are unique), so the downstream window
+    over the surviving candidates returns the identical result; the
+    boundary transfer and the final sort shrink from corpus-sized to
+    candidate-sized.
     """
     if impl == "arrow":
         import numpy as np
@@ -71,16 +81,37 @@ def brute_force_topk(
         def batches(it):
             import pandas as pd
 
+            nq = qids.shape[0]
+            run_i = np.empty((0, nq), dtype=np.int64)
+            run_c = np.empty((0, nq), dtype=np.float64)
             for pdf in it:
                 m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
                 norms = np.linalg.norm(m, axis=1, keepdims=True)
                 cos = np.round((m / norms) @ qn.T, 6)  # rows x nq
-                nrow, nq = cos.shape
+                ids = pdf[id_col].to_numpy(np.int64)
+                # id-ascending pre-sort + STABLE score argsort = exact
+                # (cosine desc, id asc) batch order, fully vectorized
+                perm = np.argsort(ids, kind="stable")
+                ids_s, cos_s = ids[perm], cos[perm]
+                top = np.argsort(-cos_s, axis=0, kind="stable")[:k]
+                cand_i = np.vstack([run_i, ids_s[top]])
+                cand_c = np.vstack(
+                    [run_c, np.take_along_axis(cos_s, top, axis=0)]
+                )
+                nkeep = min(k, cand_i.shape[0])
+                keep_i = np.empty((nkeep, nq), dtype=np.int64)
+                keep_c = np.empty((nkeep, nq), dtype=np.float64)
+                for j in range(nq):  # nq columns of ≤2k candidates
+                    order = np.lexsort((cand_i[:, j], -cand_c[:, j]))[:k]
+                    keep_i[:, j] = cand_i[order, j]
+                    keep_c[:, j] = cand_c[order, j]
+                run_i, run_c = keep_i, keep_c
+            if run_i.size:
                 yield pd.DataFrame(
                     {
-                        query_id_col: np.tile(qids, nrow),
-                        id_col: np.repeat(pdf[id_col].to_numpy(), nq),
-                        "cosine": cos.ravel(),
+                        query_id_col: np.tile(qids, run_i.shape[0]),
+                        id_col: run_i.ravel(),
+                        "cosine": run_c.ravel(),
                     }
                 )
 

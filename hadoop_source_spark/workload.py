@@ -4193,8 +4193,14 @@ def sketch_ann_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = sim.brute_force_topk(emb, q, k=10).select(
-        "query_id", "vec_id"
+    # One brute-force pass, not three: the exact top-k feeds the count
+    # below AND both recall legs' semi-joins — localCheckpoint (nq·k
+    # rows) materializes it once (r14, guide §1.2: don't recompute what
+    # you already paid for; same pattern as dedup.py's pair base).
+    exact = (
+        sim.brute_force_topk(emb, q, k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     n_exact = exact.count()
 
@@ -9096,10 +9102,18 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily.filter(F.col("idx") < mid).coalesce(1).write.mode(
         "append"
     ).parquet(d)
-    time.sleep(1.1)  # distinct mod time → deterministic batch order
+    first = {os.path.join(d, f) for f in os.listdir(d)}
     daily.filter(F.col("idx") >= mid).coalesce(1).write.mode(
         "append"
     ).parquet(d)
+    # distinct mod times → deterministic batch order; set explicitly
+    # (r14: replaces a wall-clock sleep between the writes, guide §1 —
+    # a literal second of dead time in every run)
+    now = time.time()
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        t = now - 60 if p in first else now
+        os.utime(p, (t, t))
     stream = (
         spark.readStream.schema("series string, idx int, val double")
         .option("maxFilesPerTrigger", 1)
@@ -11156,6 +11170,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY (the lossy regime's N/capacity undercount bound is
     pytest-gated). Emissions are per-batch; the last batch per group
     is the answer."""
+    import os
     import tempfile
     import time
     import uuid
@@ -11174,10 +11189,17 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed.filter(F.col("event_id") % 2 == 0).drop("event_id").coalesce(
         1
     ).write.mode("append").parquet(d)
-    time.sleep(1.1)
+    first = {os.path.join(d, f) for f in os.listdir(d)}
     keyed.filter(F.col("event_id") % 2 == 1).drop("event_id").coalesce(
         1
     ).write.mode("append").parquet(d)
+    # distinct mod times → deterministic batch order; set explicitly
+    # (r14: replaces a wall-clock sleep between the writes, guide §1)
+    now = time.time()
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        t = now - 60 if p in first else now
+        os.utime(p, (t, t))
     stream = (
         spark.readStream.schema("grp string, key string")
         .option("maxFilesPerTrigger", 1)
