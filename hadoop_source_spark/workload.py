@@ -20738,7 +20738,14 @@ def egfs_timeline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.col("r")
     app = (r % 60).cast("long")
     part = F.expr("r div 60")
-    keys = o.select((F.col("o_orderkey") % 900).alias("r")).distinct()
+    # EAGER checkpoint (r14, guide §3.3/§7.3): `keys` feeds the listing
+    # generator, done_ids and dn — without the cut each branch re-scans
+    # orders and re-pays the distinct exchange.
+    keys = (
+        o.select((F.col("o_orderkey") % 900).alias("r"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     s = lambda c: c.cast("string")  # noqa: E731
     appid_a = F.concat(F.lit("application_1700000000000_"), s(100 + app))
     adir = F.when(
@@ -20817,7 +20824,16 @@ def egfs_timeline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            ("done/1700000000777", True, 1090000)],
         "path string, is_dir boolean, mtime long",
     )
-    listing = so.union_all([gen, extra])
+    # EAGER checkpoint (r14): `listing` fans out into seven consumers
+    # (two discover passes, classify_logs' file and dir sides, clean's
+    # under/app/ts slices), and the generator column is a ~20-branch
+    # CASE — Catalyst inlines that expression tree into every
+    # downstream substring/split/rlike reference across the fan-out,
+    # so optimizer time on the union plan (driver-side, §7.3) was the
+    # query's dominant cost: 12-14 s warm for 99 output rows,
+    # checkpoint cuts it to ~1 s. The materialized fixture is
+    # control-plane-sized (one row per tree entry).
+    listing = so.union_all([gen, extra]).localCheckpoint(eager=True)
     act_dirs = eg.discover_app_dirs(listing, "active")
     stg_dirs = eg.discover_app_dirs(listing, "staging")
     done_ids = keys.where((r % 60 < 30) & (r % 60 % 11 == 0)).select(
