@@ -908,33 +908,66 @@ def ivfpq_topk(
     corpus. Returns (query_id, id, cosine, rank).
     """
     import numpy as np
+    import pandas as pd
 
-    vn = corpus.select(
-        id_col,
-        F.transform(
-            vec_col,
-            lambda x: (x / F.sqrt(_dot(
-                F.transform(F.col(vec_col), lambda y: y.cast("double")),
-                F.transform(F.col(vec_col), lambda y: y.cast("double")),
-            ))).cast("double"),
-        ).alias("__vn"),
-        F.col(vec_col),
-    )
-    cent, assigned = _train_and_assign_cells(
-        vn, id_col, "__vn", num_cells, train_fraction
-    )
+    # L2 normalization runs in numpy INSIDE the Arrow kernels, not as a
+    # Catalyst higher-order transform (r14): the previous
+    # transform(x -> x / sqrt(aggregate(...))) re-derived the row norm
+    # per ELEMENT in interpreted HOF evaluation — O(dim²) per row and
+    # ~1.2 s per corpus pass at bench scale, paid three times (trainer
+    # fetch, codebook-sample fetch, encode). The numpy fold below
+    # accumulates squares LEFT-TO-RIGHT across elements (vectorized
+    # over rows), the exact order of the old JVM aggregate, so the
+    # normalized values — and every centroid/code/score downstream —
+    # are bit-identical.
+    def _seq_normalize(v: "np.ndarray") -> "np.ndarray":
+        x = v.astype(np.float64, copy=False)
+        acc = np.zeros(len(x), dtype=np.float64)
+        for j in range(x.shape[1]):
+            acc += x[:, j] * x[:, j]
+        return x / np.sqrt(acc)[:, None]
 
-    # residual codebooks from the assigned bounded sample
-    rows = (
-        assigned.select(
-            F.col(id_col).alias("__i"), F.col("__vn"), F.col("cell")
+    # trainer + codebook samples as raw-column Arrow fetches (ids
+    # ascending), normalized on the driver. The k-means trainer draws
+    # from the (optionally sampled) corpus exactly like
+    # _train_and_assign_cells; the residual codebooks draw from the
+    # FULL corpus prefix, as the previous assigned-table fetch did.
+    # With no train_fraction the trainer rows are a prefix of the
+    # codebook rows, so one fetch serves both.
+    train_cap = min(max(num_cells * 256, 4096), 65536)
+    pq_cap = max(ksub * 256, 4096)
+
+    def _raw_fetch(df, cap):
+        return (
+            df.select(
+                F.col(id_col).alias("__i"), F.col(vec_col).alias("__v")
+            )
+            .sort("__i")
+            .limit(cap)
+            .toPandas()
         )
-        .sort("__i")
-        .limit(max(ksub * 256, 4096))
-        .collect()
+
+    if train_fraction and train_fraction < 1.0:
+        pdf_t = _raw_fetch(
+            corpus.sample(fraction=train_fraction, seed=42), train_cap
+        )
+        pdf_s = _raw_fetch(corpus, pq_cap)
+    else:
+        pdf_s = _raw_fetch(corpus, max(pq_cap, train_cap))
+        pdf_t = pdf_s.iloc[:train_cap]
+    if len(pdf_t) < num_cells:
+        raise ValueError(
+            f"IVF needs ≥ num_cells={num_cells} training vectors,"
+            f" got {len(pdf_t)}"
+        )
+    x = _seq_normalize(
+        np.asarray(list(pdf_s["__v"].iloc[:pq_cap]), dtype=np.float32)
     )
-    x = np.asarray([r["__vn"] for r in rows], dtype=np.float64)
-    cells = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+    xt = _seq_normalize(np.asarray(list(pdf_t["__v"]), dtype=np.float32))
+    cent = _lloyd(xt, num_cells, iters=10, seed=42)
+    # same argmax formula (and float64 dtype) as the assignment kernel,
+    # so driver-side cells match the distributed assignment exactly
+    cells = (x @ cent.T - 0.5 * (cent * cent).sum(axis=1)).argmax(axis=1)
     resid = x - cent[cells]
     dim = x.shape[1]
     if dim % m:
@@ -948,13 +981,16 @@ def ivfpq_topk(
     bc_cent, bc_books = sc.broadcast(cent), sc.broadcast(books)
 
     def encode(it):
-        import pandas as pd
-
         cb, ct = bc_books.value, bc_cent.value
         cn2 = 0.5 * (cb * cb).sum(axis=2)
+        ctn2 = 0.5 * (ct * ct).sum(axis=1)
         for pdf in it:
-            v = np.array([list(r) for r in pdf["__vn"]], dtype=np.float64)
-            cell = pdf["cell"].to_numpy()
+            if not len(pdf):
+                continue
+            v = _seq_normalize(
+                np.array([list(r) for r in pdf["__raw"]], dtype=np.float32)
+            )
+            cell = (v @ ct.T - ctn2).argmax(axis=1).astype("int32")
             r = v - ct[cell]
             codes = np.empty((len(v), m), dtype=np.int16)
             for j in range(m):
@@ -964,9 +1000,9 @@ def ivfpq_topk(
                 {id_col: pdf[id_col], "cell": cell, "codes": list(codes)}
             )
 
-    coded = assigned.mapInPandas(
-        encode, f"{id_col} long, cell int, codes array<smallint>"
-    )
+    coded = corpus.select(
+        id_col, F.col(vec_col).alias("__raw")
+    ).mapInPandas(encode, f"{id_col} long, cell int, codes array<smallint>")
 
     # query side: probe cells + per-query residual LUT and base terms
     qrows = queries.select(query_id_col, vec_col).collect()

@@ -257,56 +257,45 @@ def read_aggregated_logs(files: DataFrame) -> DataFrame:
     checksum endIndex. ``.tmp`` and ``-checksum`` names are never
     read as logs (getNodeLogFileToRead:747-763).
 
-    Scale: checksum decode and blob decode are Arrow-batched
-    ``mapInPandas`` (bytes stay on executors); recovery is one
-    (dir, recorded-name) join — both sides shuffle once on the dir
-    key; no driver-side iteration."""
+    Scale: one ``applyInPandas`` per remote app dir — the grain the
+    reference read path walks (``readAggregatedLogs`` lists one app's
+    dir) and the grain the old checksum join shuffled to anyway.
+    Checksum parse and blob decode happen in the same pass, so the
+    (possibly expensive) lineage producing ``files`` is evaluated
+    once, not once per branch; bytes stay on executors; no
+    driver-side iteration. A dir's file count is bounded (one file
+    per NM per rollover), so the per-group pandas frame is
+    control-plane-sized even at 100 TB corpus scale."""
     import pandas as pd
-
-    def decode_checks(batches: Iterator[pd.DataFrame]):
-        for pdf in batches:
-            rows = []
-            for dir_key, blob in zip(pdf["dir_key"], pdf["blob"]):
-                rec = decode_checksum(bytes(blob))
-                if rec is not None and rec[0]:
-                    rows.append((dir_key, rec[0], rec[1]))
-            yield pd.DataFrame(
-                rows, columns=["dir_key", "rec_name", "end_index"]
-            )
-
-    checks = (
-        files.where(F.col("file_name").endswith(CHECK_SUM_FILE_SUFFIX))
-        .select("dir_key", "blob")
-        .mapInPandas(decode_checks, _CHECK_SCHEMA)
-    )
-    logs = files.where(
-        ~F.col("file_name").endswith(CHECK_SUM_FILE_SUFFIX)
-        & ~F.col("file_name").endswith(TMP_FILE_SUFFIX)
-    )
-    joined = logs.join(
-        checks,
-        (logs["dir_key"] == checks["dir_key"])
-        & (logs["file_name"] == checks["rec_name"]),
-        "left",
-    ).select(
-        logs["dir_key"], "app_id", "file_name", "blob", "end_index"
-    )
 
     col_names = [c.strip().split(" ")[0] for c in _OUT_SCHEMA.split(",")]
 
-    def decode_logs(batches: Iterator[pd.DataFrame]):
-        for pdf in batches:
-            rows = []
-            for app_id, name, blob, end in zip(
-                pdf["app_id"], pdf["file_name"], pdf["blob"],
-                pdf["end_index"],
+    def decode_dir(pdf: pd.DataFrame) -> pd.DataFrame:
+        # parseCheckSumFiles: recovered (name, endIndex) keyed by the
+        # RECORDED name; a stale checksum naming another file never
+        # matches. Kept as lists to preserve the old left-join
+        # semantics exactly (k matching checksum rows -> k decodes).
+        checks: dict[str, list[int]] = {}
+        for name, blob in zip(pdf["file_name"], pdf["blob"]):
+            if name.endswith(CHECK_SUM_FILE_SUFFIX):
+                rec = decode_checksum(bytes(blob))
+                if rec is not None and rec[0]:
+                    checks.setdefault(rec[0], []).append(rec[1])
+        rows = []
+        for app_id, name, blob in zip(
+            pdf["app_id"], pdf["file_name"], pdf["blob"]
+        ):
+            if name.endswith(CHECK_SUM_FILE_SUFFIX) or name.endswith(
+                TMP_FILE_SUFFIX
             ):
-                blob = bytes(blob)
-                recovered = not pd.isna(end)
+                continue
+            for end in checks.get(name, [None]):
+                blob_b = bytes(blob)
+                recovered = end is not None
                 end_index = int(end) if recovered else -1
                 try:
                     meta = load_indexed_logs_meta(
-                        blob, end_index, create_uuid(app_id)
+                        blob_b, end_index, create_uuid(app_id)
                     )
                 except MetaLoadError:
                     rows.append(
@@ -320,7 +309,7 @@ def read_aggregated_logs(files: DataFrame) -> DataFrame:
                          None, None, recovered, NO_META)
                     )
                     continue
-                for cid, m, ts, raw in iter_entries(blob, meta):
+                for cid, m, ts, raw in iter_entries(blob_b, meta):
                     rows.append(
                         (
                             m["entryId"], app_id, name, cid,
@@ -329,6 +318,6 @@ def read_aggregated_logs(files: DataFrame) -> DataFrame:
                             m["lastModifiedTime"], recovered, VISIBLE,
                         )
                     )
-            yield pd.DataFrame(rows, columns=col_names)
+        return pd.DataFrame(rows, columns=col_names)
 
-    return joined.mapInPandas(decode_logs, _OUT_SCHEMA)
+    return files.groupBy("dir_key").applyInPandas(decode_dir, _OUT_SCHEMA)

@@ -128,11 +128,19 @@ def metrics_rollup(
 ) -> DataFrame:
     """Per (bucket, context, record, metric) numeric rollup — the
     dashboard-feeding aggregate over a rolled metrics tree. Non-numeric
-    values (tags) are skipped."""
+    values (tags) are skipped.
+
+    explode_outer, not explode: a plain explode makes the optimizer
+    infer `size(kvs) > 0` and push it below the parse/format
+    projections, re-deriving the whole line round trip from the raw
+    columns a second time per input row (measured 4x the query's cost).
+    The outer variant emits one null entry for an empty/null map, which
+    the numeric filter below drops — identical output, no inferred
+    filter."""
     ex = parsed.select(
         bucket_dir(F.col("ts"), interval_ms).alias("bucket"),
         "context", "record",
-        F.explode("kvs").alias("name", "value"),
+        F.explode_outer("kvs").alias("name", "value"),
     ).withColumn(
         # try_cast: tag values ('host3') must skip, not throw — the
         # driver's session may run ANSI mode where plain cast errors
