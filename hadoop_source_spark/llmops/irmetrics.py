@@ -76,48 +76,54 @@ def ranking_metrics(
         )
     )
 
-    hits = r.join(g, ["query_id", "doc_id"], "left")
-    per_q = hits.groupBy("query_id").agg(
-        F.sum(F.when(F.col("grade").isNotNull(), 1).otherwise(0)).alias(
-            "n_hits"
-        ),
-        F.min(F.when(F.col("grade").isNotNull(), F.col("rank"))).alias(
-            "__first"
-        ),
-        F.sum(
-            F.when(
-                F.col("grade").isNotNull(),
-                (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
-                / F.log2(F.col("rank") + 1.0),
-            )
-        ).alias("__dcg"),
-    )
+    # ONE pass over `ranked` (r14): the hit-join output feeds a single
+    # window + aggregate producing n_hits / first-hit rank / DCG / AP
+    # numerator together, and the surviving query_id set doubles as the
+    # output spine (the left join keeps every r row, so the groupBy
+    # covers exactly distinct(r.query_id)). The previous shape consumed
+    # `ranked` three times — per-query agg, AP window, spine distinct —
+    # re-evaluating the (possibly expensive) retriever lineage per
+    # branch; e.g. retrieval_metrics_hybrid ran both hybrid retriever
+    # legs 3x. The conditional sums preserve the old NULL semantics
+    # exactly: a query with zero hits aggregates to NULL, just as the
+    # old missing ap_num/per_q row surfaced NULL through its left join.
+    #
     # AP numerator: precision at each hit position = (number of hits
     # with rank <= this hit's rank) / rank — a rank-ordered running
     # count over the k-row-per-query hit list (bounded window).
     w_rank = Window.partitionBy("query_id").orderBy("rank")
-    ap_num = (
-        hits.withColumn(
+    per_q = (
+        r.join(g, ["query_id", "doc_id"], "left")
+        .withColumn(
             "__hits_le",
             F.sum(
                 F.when(F.col("grade").isNotNull(), 1).otherwise(0)
             ).over(w_rank.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .where(F.col("grade").isNotNull())
         .groupBy("query_id")
         .agg(
             F.sum(
-                F.col("__hits_le").cast("double") / F.col("rank")
-            ).alias("__ap_num")
+                F.when(F.col("grade").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+            F.min(
+                F.when(F.col("grade").isNotNull(), F.col("rank"))
+            ).alias("__first"),
+            F.sum(
+                F.when(
+                    F.col("grade").isNotNull(),
+                    (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                    / F.log2(F.col("rank") + 1.0),
+                )
+            ).alias("__dcg"),
+            F.sum(
+                F.when(
+                    F.col("grade").isNotNull(),
+                    F.col("__hits_le").cast("double") / F.col("rank"),
+                )
+            ).alias("__ap_num"),
         )
     )
-    out = (
-        r.select("query_id")
-        .distinct()
-        .join(ideal, "query_id", "left")
-        .join(per_q, "query_id", "left")
-        .join(ap_num, "query_id", "left")
-    )
+    out = per_q.join(ideal, "query_id", "left")
     n_rel = F.coalesce(F.col("n_rel"), F.lit(0))
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
     return out.select(

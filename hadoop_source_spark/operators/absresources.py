@@ -61,6 +61,14 @@ def effective_resources(
 
     Returns per queue: effective min/max, float capacity /
     max_capacity / absolute capacities, and leaf app limits."""
+    # Materialize the queue-conf input once (r14): the level loop
+    # consumes `queues` in every level's joins plus the final app-limit
+    # join (~2 per level + 2), and Catalyst re-inlines its whole
+    # lineage — for the events-derived workload input that was 7 full
+    # scans per run. The depth probe below evaluates it anyway, so the
+    # eager checkpoint adds no extra pass; it is recomputed from the
+    # source on every invocation (no cross-run caching).
+    queues = queues.localCheckpoint(eager=True)
     depth = queues.select(
         F.max(F.size(F.split("path", r"\."))).alias("d")
     ).collect()[0]["d"]
@@ -166,6 +174,10 @@ def effective_resources(
             is_abs,
             o_max_mem.cast("double") / F.col("_p_max_mem"),
         ).otherwise(F.col("pct_abs_max_capacity") / F.col("_p_absmax"))
+        # checkpoint each level's state: level L's lineage otherwise
+        # re-evaluates level L-1's whole subtree (once as the next
+        # level's parent_state, once again in the final union) — the
+        # same per-iteration lineage cut the dedup CC loop uses.
         levels.append(
             kids.select(
                 "cluster_id", "label", "path",
@@ -177,7 +189,7 @@ def effective_resources(
                 maxcap.alias("max_capacity"),
                 (cap * F.col("_p_abs")).alias("abs_capacity"),
                 (maxcap * F.col("_p_absmax")).alias("abs_max_capacity"),
-            )
+            ).localCheckpoint(eager=True)
         )
     state = levels[0]
     for lv in levels[1:]:

@@ -71,19 +71,28 @@ def encode_alias_map(regions: DataFrame, delim: str = DELIM) -> DataFrame:
         import pandas as pd
 
         bpid = pdf["bpid"].iloc[0]
-        out = []
-        for _, r in pdf.sort_values("block_id").iterrows():
-            fields = [
-                str(int(r["block_id"])), r["path"], str(int(r["offset"])),
-                str(int(r["length"])), str(int(r["gen_stamp"])),
-            ]
-            nonce = r["nonce"]
-            if nonce is not None and len(nonce) > 0:
-                fields.append(
-                    base64.b64encode(bytes(nonce)).decode("ascii")
-                )
-            out.append(delim.join(fields))
-        data = ("\n".join(out) + "\n").encode("utf-8") if out else b""
+        p = pdf.sort_values("block_id")
+        # vectorized line build (r14): the previous per-row iterrows
+        # loop was the kernel's whole cost at 10k+ rows per pool, on
+        # pool-count parallelism
+        lines = (
+            p["block_id"].astype("int64").astype(str) + delim
+            + p["path"].astype(str) + delim
+            + p["offset"].astype("int64").astype(str) + delim
+            + p["length"].astype("int64").astype(str) + delim
+            + p["gen_stamp"].astype("int64").astype(str)
+        )
+        b64 = p["nonce"].map(
+            lambda n: base64.b64encode(bytes(n)).decode("ascii")
+            if n is not None and len(n) > 0
+            else None
+        )
+        lines = lines.where(b64.isna(), lines + delim + b64.fillna(""))
+        data = (
+            ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+            if len(lines)
+            else b""
+        )
         return pd.DataFrame(
             [(bpid, file_name(bpid), data)],
             columns=["bpid", "file_name", "data"],
@@ -148,93 +157,87 @@ def provided_locations(
     Returns (block_id, pos int — 0-based location order, node_id,
     storage_type): the local replicas first (slot order), then the
     provided picks (smallest-id candidates outside the exclude set)
-    up to min(default_replication, active provided datanodes)."""
-    local = storages.where(F.col("storage_type") != PROVIDED)
-    n_local = (
-        storages.groupBy("block_id")
-        .agg(
-            F.sum(
-                F.when(F.col("storage_type") != PROVIDED, 1).otherwise(0)
-            ).alias("n_local"),
-            F.max(F.col("storage_type") == PROVIDED).alias(
-                "is_provided"
-            ),
-        )
-    )
-    # The provided-datanode list is cluster-conf-sized (the same
-    # documented driver-side bound as operators/sps.py's storage
-    # report): its count and smallest member become plan literals
-    # instead of a single-partition global aggregate.
+    up to min(default_replication, active provided datanodes).
+
+    Shape (r14): the provided-datanode list is cluster-conf-sized
+    (the same documented driver-side bound as operators/sps.py's
+    storage report), so the whole multiplex is ONE groupBy(block_id)
+    aggregation + array expressions — the sorted-dn literal minus the
+    block's hosting set IS the ranked candidate list, and the local/
+    provided/fallback location sequence concatenates into a single
+    posexplode whose index is `pos`. The previous shape paid a
+    dn cross-join, an exclude anti-join, a rank window, and a second
+    evaluation of the candidate subtree for the fallback anti-join."""
     dns = sorted(r["node_id"] for r in provided_dns.collect())
     n_active = len(dns)
     fallback_dn = dns[0] if dns else None
-    # candidates per provided block: provided datanodes not hosting a
-    # local replica (left-join-null anti-join), ranked by node id —
-    # the engine's deterministic pin
-    cand = (
-        n_local.where("is_provided")
-        .join(F.broadcast(provided_dns), how="cross")
-        .join(
-            local.select(
-                "block_id", F.col("node_id").alias("node_id"),
-                F.lit(True).alias("_hit"),
-            ),
-            ["block_id", "node_id"],
-            "left",
+    per_block = storages.groupBy("block_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("storage_type") != PROVIDED,
+                    F.struct("slot", "node_id", "storage_type"),
+                )
+            )
+        ).alias("__locals"),
+        F.max(F.col("storage_type") == PROVIDED).alias("__is_provided"),
+        F.collect_set(
+            F.when(
+                (F.col("storage_type") != PROVIDED)
+                & F.col("node_id").isin(dns) if dns else F.lit(False),
+                F.col("node_id"),
+            )
+        ).alias("__hosted"),
+    )
+    n_local = F.size("__locals")
+    need = 1 + F.greatest(
+        F.lit(0),
+        F.lit(min(default_replication, n_active)) - (n_local + 1),
+    )
+    avail = (
+        F.array_except(
+            F.array(*[F.lit(d) for d in dns]), F.col("__hosted")
         )
-        .where(F.col("_hit").isNull())
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("block_id").orderBy("node_id")
+        if dns
+        else F.array().cast("array<string>")
+    )
+    loc_part = F.transform(
+        F.col("__locals"),
+        lambda x: F.struct(
+            x["node_id"].alias("node_id"),
+            x["storage_type"].alias("storage_type"),
+        ),
+    )
+    # :239-243 — every provided candidate is a local host -> the
+    # pinned fallback (smallest provided dn), exactly once
+    prov_part = F.when(
+        ~F.col("__is_provided"),
+        F.array().cast(
+            "array<struct<node_id:string,storage_type:string>>"
+        ),
+    ).when(
+        F.size(avail) > 0,
+        F.transform(
+            F.slice(avail, 1, need),
+            lambda n: F.struct(
+                n.alias("node_id"),
+                F.lit(PROVIDED).alias("storage_type"),
             ),
-        )
-        .where(
-            F.col("rk")
-            <= 1
-            + F.greatest(
-                F.lit(0),
-                F.lit(min(default_replication, n_active))
-                - (F.col("n_local") + 1),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(fallback_dn).cast("string").alias("node_id"),
+                F.lit(PROVIDED).alias("storage_type"),
             )
         )
-        .select(
-            "block_id",
-            (F.col("n_local") + F.col("rk") - 1).cast("int").alias(
-                "pos"
-            ),
-            "node_id",
-            F.lit(PROVIDED).alias("storage_type"),
-        )
     )
-    # fallback: every provided candidate is a local host -> choose any
-    # (pinned: the smallest provided datanode), exactly once (:239-243)
-    no_cand = (
-        n_local.where("is_provided")
-        .join(
-            cand.select("block_id").distinct().withColumn(
-                "_has", F.lit(True)
-            ),
-            "block_id",
-            "left",
-        )
-        .where(F.col("_has").isNull())
-        .select(
-            "block_id",
-            F.col("n_local").cast("int").alias("pos"),
-            F.lit(fallback_dn).alias("node_id"),
-            F.lit(PROVIDED).alias("storage_type"),
-        )
-    )
-    local_rows = local.select(
+    return per_block.select(
         "block_id",
-        (
-            F.row_number().over(
-                Window.partitionBy("block_id").orderBy("slot")
-            )
-            - 1
-        ).cast("int").alias("pos"),
-        "node_id",
-        "storage_type",
+        F.posexplode(F.concat(loc_part, prov_part)).alias("pos", "__s"),
+    ).select(
+        "block_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("__s.node_id").alias("node_id"),
+        F.col("__s.storage_type").alias("storage_type"),
     )
-    return local_rows.unionByName(cand).unionByName(no_cand)

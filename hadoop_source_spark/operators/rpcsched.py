@@ -305,12 +305,27 @@ def retry_cache_replay(
         "epoch_start long"
     )
 
-    def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(ts_col)
+    # One kernel group per CLIENT, not per cache key (r14): the fold
+    # is still per (client, call) — the loop resets its state at every
+    # call-id boundary of the (call, ts)-sorted frame — but the
+    # call-id fan-in cuts applyInPandas group invocations by the
+    # per-client call count (2000 -> 50 at the workload shape, whose
+    # per-group overhead was the whole query cost). State stays
+    # retry-chain bounded; the shuffle still keys on the cache-key
+    # family.
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([call_col, ts_col], kind="mergesort")
         actions, executed_l, epochs = [], [], []
+        cur_call = object()
         epoch_start = None
         last_success = None
-        for ts, ok in zip(pdf[ts_col], pdf[success_col]):
+        for call, ts, ok in zip(
+            pdf[call_col], pdf[ts_col], pdf[success_col]
+        ):
+            if call != cur_call:
+                cur_call = call
+                epoch_start = None
+                last_success = None
             if epoch_start is None:
                 action, executed = "NEW", True
                 epoch_start = ts
@@ -340,6 +355,6 @@ def retry_cache_replay(
 
     return (
         calls.select(client_col, call_col, ts_col, success_col)
-        .groupBy(client_col, call_col)
+        .groupBy(client_col)
         .applyInPandas(fold, out_schema)
     )

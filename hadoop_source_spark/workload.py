@@ -5276,21 +5276,25 @@ def reservation_integral_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + eid % 10).cast("long").alias("amount"),
         (eid % 10 >= 8).alias("is_req"),
     )
-    existing = (
-        res.filter(~F.col("is_req"))
-        .select("queue", "user", "start", "end", "amount")
-        .distinct()
+    # One dedup pass over the scan, then eager localCheckpoint (r14):
+    # the integral pipeline consumes `requests` five times and
+    # `existing` twice (unions + the broadcast join), and Catalyst
+    # re-inlined the scan+distinct into every consumer — 40 events
+    # scans in the before-plan. The deduped tables are the bounded
+    # derivation space (≤ 3·7·96·8·10 shapes), so checkpointing them
+    # is control-plane-sized; the data-sized dedup scan now runs once
+    # per table, recomputed from parquet on every invocation.
+    shapes = res.select(
+        "queue", "user", "start", "end", "amount", "is_req"
+    ).distinct().localCheckpoint(eager=True)
+    existing = shapes.filter(~F.col("is_req")).select(
+        "queue", "user", "start", "end", "amount"
     )
-    requests = (
-        res.filter(F.col("is_req"))
-        .select("queue", "user", "start", "end", "amount")
-        .distinct()
-        .select(
-            F.concat_ws(
-                "|", "queue", "user", "start", "end", "amount"
-            ).alias("request_id"),
-            "queue", "user", "start", "end", "amount",
-        )
+    requests = shapes.filter(F.col("is_req")).select(
+        F.concat_ws(
+            "|", "queue", "user", "start", "end", "amount"
+        ).alias("request_id"),
+        "queue", "user", "start", "end", "amount",
     )
     caps = spark.createDataFrame(
         [("q0", 416), ("q1", 440), ("q2", 464)],
