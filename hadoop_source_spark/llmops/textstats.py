@@ -567,11 +567,33 @@ def bm25_rank(
     ).distinct()
     term_set = qterms.select("__t").distinct()
 
-    cand = toks.select(
-        id_col,
-        F.size("__toks").cast("long").alias("__dl"),
-        F.explode("__toks").alias("__t"),
-    ).join(F.broadcast(term_set), "__t")
+    # Token prefilter (r14, guide §2.2): when the distinct query-term
+    # set is small enough to be a plan literal, filter each doc's token
+    # array BEFORE the explode — the non-matching tokens (the vast
+    # majority of the corpus token stream) never become rows, and the
+    # broadcast hash-join build disappears. The 1024-term cap keeps the
+    # per-token array_contains scan bounded; a wider term set falls
+    # back to the broadcast join, whose O(1) hash probe wins at that
+    # scale. Both branches produce identical (id, dl, t) rows.
+    _TERM_LIT_CAP = 1024
+    probe = term_set.limit(_TERM_LIT_CAP + 1).collect()
+    if 0 < len(probe) <= _TERM_LIT_CAP:  # empty set: join path types cleanly
+        lit_terms = F.array(*[F.lit(r["__t"]) for r in probe])
+        cand = toks.select(
+            id_col,
+            F.size("__toks").cast("long").alias("__dl"),
+            F.explode(
+                F.filter(
+                    "__toks", lambda x: F.array_contains(lit_terms, x)
+                )
+            ).alias("__t"),
+        )
+    else:
+        cand = toks.select(
+            id_col,
+            F.size("__toks").cast("long").alias("__dl"),
+            F.explode("__toks").alias("__t"),
+        ).join(F.broadcast(term_set), "__t")
     tf = cand.groupBy(id_col, "__t", "__dl").agg(
         F.count(F.lit(1)).alias("__tf")
     )

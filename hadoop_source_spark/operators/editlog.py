@@ -146,13 +146,18 @@ def resolve_rename_chains(log: DataFrame, max_iter: int = 30) -> DataFrame:
             F.col("anc").alias("anc2"),
             F.col("d").alias("d2"),
         )
-        joined = ptr.join(hop, "anc", "left").localCheckpoint(eager=False)
+        # ONE materialization per round (r14): the join checkpoints
+        # eagerly, the convergence count reads from the checkpointed
+        # partitions, and the next round's ptr is a plain projection
+        # of them — the old shape paid a second checkpoint-copy pass
+        # per round for the same lineage cut.
+        joined = ptr.join(hop, "anc", "left").localCheckpoint(eager=True)
         remaining = joined.filter(F.col("anc2").isNotNull()).count()
         ptr = joined.select(
             "node",
             F.coalesce("anc2", "anc").alias("anc"),
             (F.col("d") + F.coalesce("d2", F.lit(0))).alias("d"),
-        ).localCheckpoint(eager=False)
+        )
         if remaining == 0:
             break
     else:
@@ -190,6 +195,10 @@ def replay(log: DataFrame) -> DataFrame:
     after the last truncate — OP_TRUNCATE resets the file the way
     `FSEditLogLoader` applies TruncateOp before later AppendOps), and
     mtime (max op time, OP_TIMES included)."""
+    # one derivation of the (possibly expensive) log lineage: the
+    # rename resolver, the OP_ADD roots, the phantom probe and the
+    # attribution join all read the same lazily-checkpointed pass (r14)
+    log = log.localCheckpoint(eager=False)
     name_map = resolve_rename_chains(log)
     attr = log.select(
         F.coalesce("path2", "path").alias("name"), "op", "delta", "ts", "eid"
