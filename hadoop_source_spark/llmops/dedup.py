@@ -803,22 +803,67 @@ def simhash(
     For each shingle hash h, bit k contributes +1 if set else -1; the
     signature bit k is 1 iff the sum is positive. Zero shuffles.
     """
+    import numpy as np
+
     hashed = df.select(
         F.col(id_col),
         shingle_hashes(F.col(text_col), shingle_n).alias("__hashes"),
     )
-    # SQL-expression form: the shift amount is a lambda variable, which the
-    # Python shiftleft/shiftright API doesn't accept (int-only).
-    bitsums = (
-        "aggregate(__hashes, array_repeat(0L, 64), "
-        "(acc, h) -> zip_with(acc, sequence(0, 63), "
-        "(x, k) -> x + IF((shiftright(h, k) & 1) = 1, 1L, -1L)))"
-    )
-    fp = (
-        f"aggregate(zip_with({bitsums}, sequence(0, 63), "
-        "(s, k) -> IF(s > 0, shiftleft(1L, k), 0L)), 0L, (a, v) -> a | v)"
-    )
-    return hashed.select(id_col, F.expr(fp).alias("simhash"))
+
+    # Arrow kernel (r14, guide §4): the previous interpreted
+    # higher-order aggregate evaluated ~64 zip_with lambdas per shingle
+    # hash (~25k expression evals per doc) and dominated every simhash
+    # consumer. Shingle hashing stays in the JVM (xxhash64); the bit
+    # vote is pure int64 arithmetic — associative, exact — so the
+    # vectorized fold below is bit-identical: arithmetic >> matches
+    # Spark's shiftright on long, and the sign-bit pack accumulates in
+    # uint64 then reinterprets, reproducing shiftleft(1L, 63)'s wrap.
+    def sign_pack(it):
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lists = pdf["__hashes"]
+            # null hash arrays (null text) fold to a null simhash, like
+            # the SQL aggregate over a null array
+            null_mask = np.fromiter(
+                (l is None for l in lists), dtype=bool, count=len(lists)
+            )
+            counts = np.fromiter(
+                (0 if l is None else len(l) for l in lists),
+                dtype=np.int64,
+                count=len(lists),
+            )
+            sums = np.zeros((len(lists), 64), dtype=np.int64)
+            nz = counts > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(l, dtype=np.int64) for l in lists[nz]]
+                )
+                bits = (
+                    ((flat[:, None] >> shifts) & 1) * 2 - 1
+                ).astype(np.int64)
+                offsets = np.concatenate(
+                    ([0], np.cumsum(counts[nz])[:-1])
+                )
+                sums[nz] = np.add.reduceat(bits, offsets, axis=0)
+            fp_u = (
+                (sums > 0).astype(np.uint64)
+                << shifts.astype(np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            fp = pd.array(fp_u.view(np.int64), dtype="Int64")
+            if null_mask.any():
+                fp[null_mask] = pd.NA
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash": fp,
+                }
+            )
+
+    return hashed.mapInPandas(sign_pack, f"{id_col} long, simhash long")
 
 
 def simhash_dup_pairs(

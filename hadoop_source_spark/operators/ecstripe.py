@@ -102,6 +102,11 @@ def plan_striped_reads(
     Ranges violating the reference's precondition (start > end or
     end >= data_size, ``:446-449``) yield a single INVALID_RANGE row
     rather than a silent empty plan."""
+    # one evaluation of the request lineage (r14): the geometry
+    # consumes `requests` in the invalid branch, the cell explode and
+    # the stripe-merge join; without the lineage cut Catalyst re-ran
+    # the upstream derivation per branch (10 scans in the before-plan)
+    requests = requests.localCheckpoint(eager=False)
     k = F.col("data_units").cast("long")
     p = F.col("parity_units").cast("long")
     c = F.col("cell_size").cast("long")
@@ -142,10 +147,12 @@ def plan_striped_reads(
     )
 
     # Step 2 — per-block vertical ranges (getRangesForInternalBlocks)
+    # consumed by both the stripe-point merge and the chunk join —
+    # checkpoint so the cell explode + aggregate runs once (r14)
     vr = cells.groupBy("req_id", "blk_idx").agg(
         F.min("cell_off").alias("voff"),
         F.sum("cell_size").alias("vspan"),
-    )
+    ).localCheckpoint(eager=False)
 
     # Step 3 — merge endpoints into stripes (mergeRangesForInternalBlocks).
     # The parity envelope [earliestStart, latestEnd+1] endpoints are the
