@@ -649,7 +649,15 @@ def ngram_jaccard_pairs(
     shingles, the oracle configuration.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = df.select(
+    src = df.select(F.col(id_col), F.col(text_col))
+    # Same small-scan widening as minhash_signatures (r14): the shingle
+    # explode is the branch's CPU cost, and a scan with fewer splits
+    # than the session has slots runs it nearly single-threaded. A
+    # no-op on any real corpus (split count >= slots).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    sh = src.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct().localCheckpoint(eager=False)  # referenced 3x below
@@ -805,7 +813,14 @@ def simhash(
     """
     import numpy as np
 
-    hashed = df.select(
+    src = df.select(F.col(id_col), F.col(text_col))
+    # Same small-scan widening as minhash_signatures (r14): shingle
+    # hashing + the Arrow vote are the whole cost, and a scan with
+    # fewer splits than slots leaves cores idle. No-op on real corpora.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    hashed = src.select(
         F.col(id_col),
         shingle_hashes(F.col(text_col), shingle_n).alias("__hashes"),
     )

@@ -490,11 +490,26 @@ def perplexity_score(
             .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         )
 
+    # one corpus-sized pass over the reference split (r14, guide §1.2):
+    # the bigram explode feeds ONLY the (w1, w2) count table; the head
+    # counts and vocabulary size are exact rollups of it —
+    # c(w1) = sum_w2 c(w1, w2) and V = |{w1}| = row count of uni — so
+    # they derive from the vocab-sized table instead of re-evaluating
+    # the tokenize+explode lineage (3 evaluations before). The
+    # checkpoints cut lineage on the bounded count tables only.
     tr = bigrams(train)
-    uni = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    bi = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    v = tr.select(
-        F.countDistinct("w1").alias("__v")
+    bi = (
+        tr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        bi.groupBy("w1")
+        .agg(F.sum("cb").alias("cu"))
+        .localCheckpoint(eager=False)
+    )
+    v = uni.select(
+        F.count(F.lit(1)).alias("__v")
     )  # vocabulary of bigram heads, single-row broadcast
 
     scored = (

@@ -364,6 +364,11 @@ def resolve_hierarchy(queues: DataFrame) -> DataFrame:
     parent-keyed children rollup. Two shuffles on (queue, label);
     queue trees are config-sized but the plan would hold at any
     fan-out."""
+    # one evaluation of the queue-config derivation (r14): `queues` is
+    # consumed by the prefix chain, the ancestor caps, the child sums
+    # and the own-capacity join; without the lineage cut Catalyst
+    # re-inlines the caller's derivation into all four
+    queues = queues.localCheckpoint(eager=False)
     parts = F.split(F.col("queue_path"), "\\.")
     prefixes = F.transform(
         F.sequence(F.lit(1), F.size(parts)),
