@@ -4054,15 +4054,40 @@ def ann_cosine_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = sim.ivf_topk(
-        e, q, k=10, num_cells=8, nprobe=3, train_fraction=0.25
-    ).select(F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank")
-    lsh = sim.lsh_topk(e, q, k=10, id_col="vec_id", vec_col="embedding").select(
+
+    # Overlap the three index builds (guide §2.6): IVF and IVF-PQ each
+    # pay an eager quantizer-training fetch + driver k-means before
+    # returning their (lazy) search plan; running the builds from a
+    # thread pool overlaps those independent jobs instead of paying
+    # them back to back. Same seeded builds, identical results.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ivf():
+        return sim.ivf_topk(
+            e, q, k=10, num_cells=8, nprobe=3, train_fraction=0.25
+        )
+
+    def _lsh():
+        return sim.lsh_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
+
+    def _ivfpq():
+        return sim.ivfpq_topk(
+            e, q, k=10, num_cells=8, nprobe=3, m=16, ksub=32, refine=10
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ivf, f_lsh, f_pq = (
+            pool.submit(_ivf), pool.submit(_lsh), pool.submit(_ivfpq)
+        )
+        ivf_df, lsh_df, ivfpq_df = f_ivf.result(), f_lsh.result(), f_pq.result()
+
+    ivf = ivf_df.select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
+    )
+    lsh = lsh_df.select(
         F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
     )
-    ivfpq = sim.ivfpq_topk(
-        e, q, k=10, num_cells=8, nprobe=3, m=16, ksub=32, refine=10
-    ).select(
+    ivfpq = ivfpq_df.select(
         F.lit("ivfpq").alias("method"), "query_id", "vec_id", "cosine", "rank"
     )
     return ivf.unionByName(lsh).unionByName(ivfpq)
@@ -4193,16 +4218,45 @@ def sketch_ann_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+
     # One brute-force pass, not three: the exact top-k feeds the count
     # below AND both recall legs' semi-joins — localCheckpoint (nq·k
     # rows) materializes it once (r14, guide §1.2: don't recompute what
     # you already paid for; same pattern as dedup.py's pair base).
-    exact = (
-        sim.brute_force_topk(emb, q, k=10)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
-    n_exact = exact.count()
+    def _exact_build():
+        ex = (
+            sim.brute_force_topk(emb, q, k=10)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        return ex, ex.count()
+
+    def _ivf_build():
+        return sim.ivf_topk(
+            emb, q, k=10, num_cells=8, nprobe=4, train_fraction=0.5
+        )
+
+    def _lsh_build():
+        return sim.lsh_topk(
+            emb, q, k=10, id_col="vec_id", vec_col="embedding",
+            num_planes=16, bands=8,
+        )
+
+    # Overlap the independent eager builds (guide §2.6): the exact-top-k
+    # checkpoint pass, the IVF quantizer-training sample fetch, and the
+    # LSH plane build share no state, and Spark happily runs concurrent
+    # jobs — submitted from a thread pool, each job's task tail
+    # back-fills slots the others leave idle instead of serializing
+    # three build jobs end to end. Results are unchanged: the same
+    # seeded builds run, only their scheduling overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(_exact_build)
+        f_ivf = pool.submit(_ivf_build)
+        f_lsh = pool.submit(_lsh_build)
+        exact, n_exact = f_exact.result()
+        ivf_approx, lsh_approx = f_ivf.result(), f_lsh.result()
 
     def recall_row(approx: DataFrame, name: str, gate: float) -> DataFrame:
         hits = approx.select("query_id", "vec_id").join(
@@ -4218,17 +4272,8 @@ def sketch_ann_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ivf = recall_row(
-        sim.ivf_topk(emb, q, k=10, num_cells=8, nprobe=4, train_fraction=0.5),
-        "ivf", 0.6,
-    )
-    lsh = recall_row(
-        sim.lsh_topk(
-            emb, q, k=10, id_col="vec_id", vec_col="embedding",
-            num_planes=16, bands=8,
-        ),
-        "lsh", 0.5,
-    )
+    ivf = recall_row(ivf_approx, "ivf", 0.6)
+    lsh = recall_row(lsh_approx, "lsh", 0.5)
     return setops.union_all([bl, hll, ivf, lsh])
 
 
