@@ -71,6 +71,15 @@ def queue_management_changes(
     Returns (parent_path, queue_path, label, action ACTIVATE |
     DEACTIVATE, capacity double — the new entitlement's capacity,
     max_capacity double)."""
+    # Lineage cuts (r14, guide §5): parents/leaves are each consumed
+    # three times below (lv feeds deact AND totals; leaves again in the
+    # candidate walk; parents again in avail) and Catalyst re-inlines
+    # their whole upstream derivation per consumer — the auto_queue
+    # workload's distinct-of-scan input showed 11 source scans in one
+    # plan. Both tables are queue-state-sized by contract (leaves per
+    # managed parent), so cutting at entry is control-plane cheap.
+    parents = parents.localCheckpoint(eager=False)
+    leaves = leaves.localCheckpoint(eager=False)
     # step 1: deactivations + per-(parent,label) running totals
     lv = leaves.join(parents, ["parent_path", "label"])
     deact = lv.where(F.col("is_active") & (F.col("num_apps") <= 0))
@@ -87,8 +96,17 @@ def queue_management_changes(
             ).otherwise(0.0)
         ).alias("deactivated_total"),
     )
-    pending_cnt = apps.groupBy("parent_path").agg(
-        F.count(F.lit(1)).alias("pending_apps")
+    # ONE pass over the (corpus-sized) apps table: the per-queue
+    # aggregate serves both consumers — the parent-level pending count
+    # is the exact sum of per-queue counts, and the candidate walk
+    # needs the per-queue earliest submit. Before: two independent
+    # groupBys each re-evaluated the full apps derivation (guide §1.2).
+    q_agg = apps.groupBy("parent_path", "queue_path").agg(
+        F.count(F.lit(1)).alias("__napps"),
+        F.min("submit_time").alias("first_submit"),
+    ).localCheckpoint(eager=False)
+    pending_cnt = q_agg.groupBy("parent_path").agg(
+        F.sum("__napps").alias("pending_apps")
     )
     avail = (
         parents.join(totals, ["parent_path", "label"], "left")
@@ -121,8 +139,7 @@ def queue_management_changes(
     # step 3: candidate walk — each queue enters at its EARLIEST app's
     # submit time; active and just-deactivated leaves are skipped
     cand = (
-        apps.groupBy("parent_path", "queue_path")
-        .agg(F.min("submit_time").alias("first_submit"))
+        q_agg.select("parent_path", "queue_path", "first_submit")
         .join(
             leaves.where(~F.col("is_active")).select(
                 "parent_path", "queue_path", "label"

@@ -132,11 +132,22 @@ def placement_matrix(
 
     Returns (req_id, node_id, satisfied boolean); a request with no
     terms is trivially satisfied (canSatisfyConstraints:302-306)."""
-    base = (
-        candidates.join(requests, "req_id")
-        .join(terms.select(*_TERM_COLS), "req_id")
-        .join(F.broadcast(nodes), "node_id")
+    # Lineage cuts (r14, guide §5/§2.4): the pre-cut plan evaluated
+    # candidates⋈requests TWICE (base + the final verdict join) and
+    # `base` THREE times (one per target_type branch) — with `terms`
+    # itself a multi-branch union, that re-inlining cost 28 scans of
+    # the source in one plan (plans/r14/placement_constraint_matrix_
+    # before.txt, zero ReusedExchange). Lazy localCheckpoints make each
+    # shared derivation evaluate once; the three branches filter base
+    # DISJOINTLY (every term has exactly one target_type), so one
+    # materialized pass is strictly less work than three rebuilds.
+    cand_req = candidates.join(requests, "req_id").localCheckpoint(
+        eager=False
     )
+    base = (
+        cand_req.join(terms.select(*_TERM_COLS), "req_id")
+        .join(F.broadcast(nodes), "node_id")
+    ).localCheckpoint(eager=False)
 
     # --- allocation-tag terms: explode tags, look up cardinalities.
     tagt = base.where(F.col("target_type") == "allocation_tag")
@@ -173,7 +184,11 @@ def placement_matrix(
         (ns_type == "not-self").alias("_sub_self"),
         F.col("app_id").alias("_self_app"),
     )
-    store = _tag_stores(alloc_tags, nodes, app_tags)
+    # consumed twice (primary + own) — cut the store's lineage too;
+    # it is cluster-state-sized (tags × nodes), never corpus-sized.
+    store = _tag_stores(alloc_tags, nodes, app_tags).localCheckpoint(
+        eager=False
+    )
     primary = store.select(
         F.col("kind").alias("_kind"), F.col("entity").alias("_entity"),
         F.col("tag").alias("_tag"), F.col("ns").alias("_ns"),
@@ -275,7 +290,7 @@ def placement_matrix(
         F.min("group_ok").alias("_all"), F.max("group_ok").alias("_any")
     )
     return (
-        candidates.join(requests.select("req_id", "combinator"), "req_id")
+        cand_req.select("req_id", "node_id", "combinator")
         .join(verdicts, ["req_id", "node_id"], "left")
         .select(
             "req_id", "node_id",

@@ -18170,6 +18170,10 @@ def auto_queue_management(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((p * 7 + j) % 4).cast("long").alias("num_apps"),
             "p", "j",
         )
+        # consumed by BOTH the managed-parent tick and the configured
+        # branch; one distinct pass over the scan, not two (r14, §5 —
+        # the table is queue-population-sized: ≤ 40·6·2 rows)
+        .localCheckpoint(eager=False)
     )
     apps = o.where(k % 2 == 0).select(
         F.concat(F.lit("root.p"), (k % 40).cast("string")).alias(

@@ -71,6 +71,34 @@ def test_activation_capped_by_pending_apps(spark):
     assert [r["queue_path"] for r in out] == ["root.p.a"]
 
 
+def test_pending_rollup_counts_multi_app_queues_individually(spark):
+    # r14: the parent-level pending count is rolled up from ONE
+    # per-queue apps aggregate (sum of per-queue counts == count of
+    # all app rows). Pin the discriminating shapes: a queue with
+    # SEVERAL apps ranks by its EARLIEST submit, apps on an ACTIVE
+    # queue still count toward the parent's pending total, and the
+    # capacity floor (not pending) caps the walk.
+    out = run(
+        spark,
+        [("root.p", "", 0.35, 0.1, 25.0, 50.0)],
+        [("root.p", "root.p.x", "", True, 2),   # active, keeps 0.1
+         ("root.p", "root.p.a", "", False, 0),
+         ("root.p", "root.p.b", "", False, 0),
+         ("root.p", "root.p.c", "", False, 0)],
+        [("root.p", "root.p.x", "app0", 10),    # active queue's apps
+         ("root.p", "root.p.x", "app1", 20),    #   count toward pending
+         ("root.p", "root.p.a", "app2", 90),
+         ("root.p", "root.p.a", "app3", 50),    # a's earliest is 50
+         ("root.p", "root.p.b", "app4", 100),
+         ("root.p", "root.p.c", "app5", 25)],
+    )
+    # available = 0.35 - 0.1 + eps -> floor = 2 activations; submit
+    # order c(25), a(50), b(100) -> c and a activate
+    acts = sorted(r["queue_path"] for r in out)
+    assert acts == ["root.p.a", "root.p.c"]
+    assert all(r["action"] == "ACTIVATE" for r in out)
+
+
 def test_deactivated_capacity_funds_activation_but_not_reactivation(spark):
     # parent fully consumed by the active-but-idle queue; deactivating
     # it frees exactly one template slot for the pending queue, and the
