@@ -52,13 +52,33 @@ def dsir_weights(
         toks = toks.select(
             id_col, F.pmod(F.xxhash64("tok"), F.lit(hash_buckets)).alias("tok")
         )
-    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        toks.join(target_ids.select(id_col), id_col, "left_semi")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # Fuse the raw and target unigram counts into ONE aggregation
+    # (r14, guide §1.2/§2.4): the old shape evaluated the corpus
+    # explode THREE times (raw counts, target counts, the per-doc
+    # score join) — 8 source scans in one plan. A left-joined target
+    # flag counted conditionally gives the exact (rc, tc) pair the old
+    # raw⋈tgt join produced (distinct() preserves left_semi's
+    # indifference to duplicate target ids). The token stream itself
+    # is deliberately NOT checkpointed: it flows straight into
+    # map-side partial aggregation, and materializing pre-aggregation
+    # rows costs more than the one remaining re-derivation (measured
+    # 2x locally; guide §2.3 "aggregate before you shuffle").
+    tflag = target_ids.select(F.col(id_col)).distinct().withColumn(
+        "__t", F.lit(1)
     )
-    feats = raw.join(tgt, "tok", "left").na.fill({"tc": 0})
+    feats = (
+        toks.join(tflag, id_col, "left")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count("__t").alias("tc"),
+        )
+        # NOT checkpointed: a materialized table loses its size
+        # estimate and the ratios join stopped broadcasting (measured
+        # slower); the double consumption below (totals + ratios)
+        # re-derives one fused pass, still down from the old shape's
+        # two-passes-twice.
+    )
     scalars = feats.agg(
         F.sum("rc").alias("t_raw"),
         F.sum("tc").alias("t_tgt"),

@@ -201,7 +201,10 @@ def queue_plan(heartbeats: DataFrame, containers: int) -> DataFrame:
     per tracked-by-either node: eligibility, rank and assigned count
     under QUEUE_LENGTH (capacity-gated) and QUEUE_WAIT_TIME
     (ungated)."""
-    s = latest_state(heartbeats)
+    # node-count-sized monitor state over a corpus-sized heartbeat log;
+    # consumed by both comparators' rank/fill stages and the final
+    # rollup — one heartbeat reduction, not eight (r14, §5)
+    s = latest_state(heartbeats).localCheckpoint(eager=False)
     live = s.where(~F.col("decommissioning"))
     # QUEUE_LENGTH: every non-decommissioning node tracks
     len_rank = Window.orderBy(

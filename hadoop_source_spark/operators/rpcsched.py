@@ -87,6 +87,13 @@ def assign_priorities(
     len(thresholds) if none. The grand total is a scalar partial agg
     broadcast back over the caller-sized frame — no single-partition
     window anywhere in the plan."""
+    # Lineage cut (r14, §5): `state` is caller-count-sized by contract
+    # but its lineage is a corpus-sized aggregation — consumed here by
+    # BOTH the grand-total scalar and the share projection (and every
+    # downstream consumer of the priority table re-inlines it again:
+    # the rpc_scheduler_priority plan paid 8 source scans). One lazy
+    # checkpoint makes the log aggregation evaluate exactly once.
+    state = state.localCheckpoint(eager=False)
     total = state.agg(F.sum("decayed_cost").alias("__total"))
     state = state.crossJoin(F.broadcast(total))
     share = F.col("decayed_cost") / F.col("__total")

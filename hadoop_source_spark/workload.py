@@ -4716,7 +4716,12 @@ def ec_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    blocks = erasure.stripe_blocks(d, "doc_id", "payload", k=4)
+    # three consumers (parity encode, loss projection, survivor union)
+    # re-derived the scan+stripe projection — one pass, three reads
+    # (r14, §5; same cut as the RS row)
+    blocks = erasure.stripe_blocks(d, "doc_id", "payload", k=4).localCheckpoint(
+        eager=False
+    )
     parity = erasure.encode_parity(blocks)
     lost = blocks.select(
         "stripe_id",
@@ -6014,11 +6019,22 @@ def ec_rs_reconstruct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    blocks = erasure.stripe_blocks(d, "doc_id", "payload", k=k)
-    full = blocks.groupBy("stripe_id").agg(F.count(F.lit(1)).alias("nb")).filter(
-        F.col("nb") == k
+    # Complete-stripe filter as ONE window count on the stripe grain
+    # (r14, §2.4: the old groupBy + left-semi self-join re-evaluated the
+    # scan+stripe projection on both sides for the same one shuffle),
+    # and a lazy checkpoint on the result: four consumers below (parity
+    # encode, loss enumeration, lost-length metadata, survivor union)
+    # otherwise each re-derive the corpus scan — this query's plan had
+    # EIGHT documents scans and was the scaling table's worst row.
+    blocks = (
+        erasure.stripe_blocks(d, "doc_id", "payload", k=k)
+        .withColumn(
+            "__nb", F.count(F.lit(1)).over(Window.partitionBy("stripe_id"))
+        )
+        .filter(F.col("__nb") == k)
+        .drop("__nb")
+        .localCheckpoint(eager=False)
     )
-    blocks = blocks.join(full.select("stripe_id"), "stripe_id", "left_semi")
     parity = erasure.rs_encode(blocks, k=k, m=m)
     l1 = (F.col("stripe_id") % 6).cast("int")
     l2 = ((F.col("stripe_id") % 6 + 1 + F.col("stripe_id") % 5) % 6).cast("int")
@@ -9485,6 +9501,10 @@ def qjm_segment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(d0))
         .select(F.datediff(F.to_date("ts"), F.col("d0")).alias("day"))
         .distinct()
+        # day-count-sized; feeds the max probe AND the report fan-out
+        # (which the recovery operator consumes again) — one corpus
+        # distinct instead of eight (r14, §5)
+        .localCheckpoint(eager=False)
     )
     mx = days.agg(F.max("day").alias("mxd"))
     day = F.col("day")
@@ -10354,6 +10374,10 @@ def nnstorage_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(d0))
         .select(F.datediff(F.to_date("ts"), F.col("d0")).alias("day"))
         .distinct()
+        # day-count-sized; feeds images AND segments, and the purge
+        # operator fans both out further — one corpus distinct, not
+        # eight re-derivations (r14, §5)
+        .localCheckpoint(eager=False)
     )
     images = days.filter(F.col("day") % 3 == 0).select(
         (F.col("day") * 100000 + 99999).cast("long").alias("txid")
@@ -14724,6 +14748,13 @@ def nodes_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("exc_timeout"),
     )
+    # the two fleets' refresh passes share all three inputs — one
+    # evaluation each instead of eight scans across the two calls
+    # (r14, §5; the include/exclude host files are conf-sized, the
+    # node registry is fleet-sized)
+    nodes = nodes.localCheckpoint(eager=False)
+    includes = includes.localCheckpoint(eager=False)
+    excludes = excludes.localCheckpoint(eager=False)
     out_g = nodeslist.refresh_nodes_plan(
         nodes.where(F.col("graceful")).drop("graceful"),
         includes, excludes, graceful=True, request_timeout=3600,

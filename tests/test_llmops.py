@@ -581,6 +581,32 @@ def test_dsir_selects_target_like_docs(spark):
     assert again == sel_hash
 
 
+def test_dsir_duplicate_target_ids_do_not_double_count(spark):
+    """r14: raw+target counts fuse into one aggregation via a left-join
+    target flag. The old left_semi was indifferent to duplicate target
+    ids; the fused shape must be too — duplicated target rows must
+    change neither the weights nor the selection."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_source_spark.data import table
+    from hadoop_source_spark.llmops import selection as dsel
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    target = d.filter(F.col("lang") == "en").select("doc_id")
+    base = sorted(
+        map(tuple, dsel.dsir_weights(d, target, "text", "doc_id").collect())
+    )
+    dup = sorted(
+        map(
+            tuple,
+            dsel.dsir_weights(
+                d, target.unionByName(target), "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert base == dup
+
+
 def test_bpe_learn_and_apply(spark):
     """BPE training + distributed application: learned merges are
     deterministic, reconstruct words exactly (concatenating a word's
