@@ -13924,6 +13924,10 @@ def flow_run_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("ts"),
         (1 + eid % 1000).cast("long").alias("value"),
     )
+    # the two scanner fleets and flow_scan's tagged/untagged branches
+    # are four disjoint filters of one slim projection — one corpus
+    # pass, four reads (r14, §5)
+    cells = cells.localCheckpoint(eager=False)
     out_r = flowrun.flow_scan(
         cells.where(F.col("is_read")).drop("is_read"), mode="READ"
     ).withColumn("fleet", F.lit("read"))
@@ -19412,7 +19416,13 @@ def fpga_allocation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             rr % 6 != 0, F.concat(F.lit("HASH"), (rr % 3).cast("string"))
         ).alias("ipid_hash"),
     )
-    return fpga.assign_fpgas(requests, devices)
+    # both inputs are fleet-conf-sized distinct derivations the
+    # allocator consumes repeatedly (ip-matched pass, head remainder,
+    # denies) — one corpus distinct each (r14, §5)
+    return fpga.assign_fpgas(
+        requests.localCheckpoint(eager=False),
+        devices.localCheckpoint(eager=False),
+    )
 
 
 _SPEC_PARSE_ORACLE = """
@@ -20054,6 +20064,11 @@ def decom_watcher_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("n"), (a % 40).cast("string")).alias("node_id"),
         F.concat(F.lit("app"), a.cast("string")).alias("app_id"),
     )
+    # NOTE (r14 audit): st is consumed twice (join LHS + poll_actions),
+    # re-deriving the three fixture distincts — a localCheckpoint here
+    # measured 0.62→0.79 s (the materialization barrier beats the two
+    # cheap pushed-filter re-derivations), so the double evaluation is
+    # the better trade; adjudicated in OPTIMIZATION_r14.md entry 27.
     st = dw.decommissioning_status(nodes, statuses, apps, now=5000)
     return st.join(
         dw.poll_actions(st).select("node_id", "action"), "node_id"
