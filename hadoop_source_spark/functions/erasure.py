@@ -90,6 +90,75 @@ def _payload_matrix(payloads, length: int):
     return mat
 
 
+def _batched_stripes(
+    df: DataFrame,
+    stripe_col: str,
+    sort_col: str,
+    in_cols: list[str],
+    out_schema: str,
+    per_batch: Callable,
+) -> DataFrame:
+    """Batch-vectorized sibling of _grouped_stripes: same one-shuffle /
+    sort-within-partitions / carry-the-trailing-stripe mechanics, but the
+    kernel receives a whole pandas batch of COMPLETE stripes at once and
+    vectorizes across them (r15, guide §4.2: per-stripe numpy matvecs on
+    ~hundreds-of-byte blocks were dominated by fixed per-call overhead —
+    batching stripes turns the GF math into a handful of table lookups
+    over (n_stripes, L) slabs per batch)."""
+
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf[stripe_col].iloc[-1]
+            mask = pdf[stripe_col] == last
+            carry = pdf[mask]
+            done_in = pdf[~mask]
+            if len(done_in):
+                done = per_batch(done_in.reset_index(drop=True))
+                if done is not None and len(done):
+                    yield done
+        if carry is not None and len(carry):
+            done = per_batch(carry.reset_index(drop=True))
+            if done is not None and len(done):
+                yield done
+
+    gen.__annotations__ = {}
+    return (
+        df.select(*in_cols)
+        .repartition(stripe_col)
+        .sortWithinPartitions(stripe_col, sort_col)
+        .mapInPandas(gen, out_schema)
+    )
+
+
+def _payload_matrix_flat(payloads, length: int):
+    """(n, length) uint8 zero-padded matrix + per-row byte lengths for a
+    sequence of bytes-like payloads, built with ONE bytes concatenation
+    and one vectorized scatter — no per-row numpy calls (the per-stripe
+    _payload_matrix spent its time in n small frombuffer/assign pairs)."""
+    import numpy as np
+
+    n = len(payloads)
+    bs = [bytes(p) for p in payloads]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    mat = np.zeros(n * length, dtype=np.uint8)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    if len(flat):
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        intra = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        mat[np.repeat(np.arange(n, dtype=np.int64) * length, lens) + intra] = (
+            flat
+        )
+    return mat.reshape(n, length), lens
+
+
 # ---------------------------------------------------------------------------
 # XOR(k, 1) — parity = bytewise XOR of the data blocks; any ONE lost block
 # is the XOR of the survivors + parity (XORRawEncoder/Decoder semantics).
@@ -285,6 +354,27 @@ def _gf_matvec_blocks(rows, blocks):
     return out
 
 
+def _gf_matvec_batch(rows, blocks3):
+    """Batch form of _gf_matvec_blocks: ``blocks3`` is (n_stripes, k, L)
+    and out[s, r] = XOR_i mul[rows[r, i]][blocks3[s, i]] — the SAME
+    coefficient loop, but each table lookup now runs over an
+    (n_stripes, L) slab, so per-call numpy overhead amortizes across the
+    whole stripe batch instead of being paid per stripe (r15, §4.2)."""
+    import numpy as np
+
+    _, _, mul = _gf_tables()
+    n_out = rows.shape[0]
+    nb, _, ln = blocks3.shape
+    out = np.zeros((nb, n_out, ln), dtype=np.uint8)
+    for r in range(n_out):
+        acc = out[:, r]
+        for i in range(rows.shape[1]):
+            c = rows[r, i]
+            if c:
+                acc ^= mul[c][blocks3[:, i]]
+    return out
+
+
 def rs_encode(
     blocks: DataFrame,
     k: int = 4,
@@ -296,32 +386,75 @@ def rs_encode(
     """m parity blocks per stripe (block_idx = k..k+m-1), each a Cauchy
     GF(256) combination of the k data blocks zero-padded to the stripe's
     max block length (parity length == stripe max, as in the reference's
-    cell-padded striped layout)."""
+    cell-padded striped layout).
+
+    The GF math is vectorized ACROSS stripes (r15): stripes of k blocks
+    stack into one (n_stripes, k, L) slab per chunk and the m*k Cauchy
+    coefficients each cost one table lookup over the whole slab — the
+    previous per-stripe kernel paid ~dozens of small numpy calls per
+    stripe, which dominated at millions of small stripes. Stripes with a
+    block count != k (never produced by a complete-stripe filter) fall
+    back to the per-stripe path with its original semantics."""
     state: dict = {}
 
-    def enc(g, out):
-        gm = state.get("gm")
-        if gm is None:
-            gm = state["gm"] = _cauchy_matrix(k, m)
-        payloads = list(g[payload_col])
+    def enc_one(payloads, gm):
         data = _payload_matrix(
             payloads, max(len(bytes(p)) for p in payloads)
         )
         parity = _gf_matvec_blocks(gm, data)
-        sid = g[stripe_col].iloc[0]
-        out.setdefault(stripe_col, []).extend([sid] * m)
-        out.setdefault(idx_col, []).extend(range(k, k + m))
-        out.setdefault(payload_col, []).extend(
-            parity[j].tobytes() for j in range(m)
+        return [parity[j].tobytes() for j in range(m)]
+
+    def enc_batch(pdf):
+        import numpy as np
+        import pandas as pd
+
+        gm = state.get("gm")
+        if gm is None:
+            gm = state["gm"] = _cauchy_matrix(k, m)
+        sid_arr = pdf[stripe_col].to_numpy()
+        pay_arr = pdf[payload_col].to_numpy()
+        sids, starts, counts = np.unique(
+            sid_arr, return_index=True, return_counts=True
+        )
+        out_sid: list = []
+        out_idx: list = []
+        out_pay: list = []
+        chunk = 4096  # stripes per padded slab: bounds peak memory
+        for c0 in range(0, len(sids), chunk):
+            c1 = min(c0 + chunk, len(sids))
+            st, ct = starts[c0:c1], counts[c0:c1]
+            reg = ct == k
+            if reg.any():
+                sel = (st[reg][:, None] + np.arange(k)).ravel()
+                lmax = max(len(bytes(p)) for p in pay_arr[sel])
+                mat, lens = _payload_matrix_flat(pay_arr[sel], lmax)
+                ns = int(reg.sum())
+                parity = _gf_matvec_batch(gm, mat.reshape(ns, k, lmax))
+                smax = lens.reshape(ns, k).max(axis=1)
+                for s, sid in enumerate(sids[c0:c1][reg]):
+                    out_sid.extend([sid] * m)
+                    out_idx.extend(range(k, k + m))
+                    ls = smax[s]
+                    out_pay.extend(
+                        parity[s, j, :ls].tobytes() for j in range(m)
+                    )
+            for s in np.nonzero(~reg)[0]:
+                out_sid.extend([sids[c0 + s]] * m)
+                out_idx.extend(range(k, k + m))
+                out_pay.extend(
+                    enc_one(list(pay_arr[st[s] : st[s] + ct[s]]), gm)
+                )
+        return pd.DataFrame(
+            {stripe_col: out_sid, idx_col: out_idx, payload_col: out_pay}
         )
 
-    return _grouped_stripes(
+    return _batched_stripes(
         blocks,
         stripe_col,
         idx_col,
         [stripe_col, idx_col, payload_col],
         f"{stripe_col} long, {idx_col} int, {payload_col} binary",
-        enc,
+        enc_batch,
     )
 
 
@@ -345,45 +478,128 @@ def rs_reconstruct(
     invert over GF(256) (MEMOIZED per loss pattern — only O((k+m) choose
     m) distinct survivor sets exist), recover the data blocks, then
     re-encode any lost parity. Byte cost is O((k + lost) * L) table
-    lookups per stripe."""
+    lookups per stripe — and the lookups are batched (r15): stripes are
+    grouped by survivor pattern within each Arrow batch, stacked into
+    (n_stripes, k, L) slabs, and each pattern's inverse applies to its
+    whole group in k*k slab-sized lookups; lost-parity re-encodes batch
+    the same way per parity row. The previous per-stripe kernel spent
+    its time in fixed numpy-call overhead on ~hundreds-of-byte blocks
+    (the round-14 scaling table's worst row)."""
     state: dict = {}
 
-    def dec(g, out):
+    def dec_batch(pdf):
+        import numpy as np
+        import pandas as pd
+
         rows_full = state.get("rows")
         if rows_full is None:
             rows_full = state["rows"] = _rs_rows(k, m)
             state["inv"] = {}
-        lost = [int(i) for i in g[lost_idx_col].iloc[0]]
-        lens = [int(n) for n in g[lost_len_col].iloc[0]]
-        use = g.iloc[:k]  # sorted by idx upstream; any k survivors suffice
-        idxs = tuple(int(i) for i in use[idx_col])
-        inv = state["inv"].get(idxs)
-        if inv is None:
-            inv = state["inv"][idxs] = _gf_mat_inv(rows_full[list(idxs)])
-        payloads = list(use[payload_col])
-        surv = _payload_matrix(
-            payloads, max(len(bytes(p)) for p in payloads)
+        inv_cache = state["inv"]
+        sid_arr = pdf[stripe_col].to_numpy()
+        idx_arr = pdf[idx_col].to_numpy()
+        pay_arr = pdf[payload_col].to_numpy()
+        lost_arr = pdf[lost_idx_col].to_numpy()
+        lens_arr = pdf[lost_len_col].to_numpy()
+        sids, starts, counts = np.unique(
+            sid_arr, return_index=True, return_counts=True
         )
-        data = _gf_matvec_blocks(inv, surv)
-        sid = g[stripe_col].iloc[0]
-        for li, ln in zip(lost, lens):
-            if li < k:
-                blk = data[li].tobytes()
-            else:  # lost parity: re-encode from the recovered data
-                blk = _gf_matvec_blocks(rows_full[li : li + 1], data)[
-                    0
-                ].tobytes()
-            out.setdefault(stripe_col, []).append(sid)
-            out.setdefault(idx_col, []).append(li)
-            out.setdefault(payload_col, []).append(
-                blk if ln < 0 else blk[:ln]
-            )
+        out_sid: list = []
+        out_idx: list = []
+        out_pay: list = []
 
-    return _grouped_stripes(
+        def emit_one(g0, g1):
+            # original per-stripe path for stripes with < k survivors
+            # (invalid input; preserved error/semantics verbatim)
+            lost = [int(i) for i in lost_arr[g0]]
+            lns = [int(n) for n in lens_arr[g0]]
+            use = slice(g0, min(g0 + k, g1))
+            idxs = tuple(int(i) for i in idx_arr[use])
+            inv = inv_cache.get(idxs)
+            if inv is None:
+                inv = inv_cache[idxs] = _gf_mat_inv(rows_full[list(idxs)])
+            payloads = list(pay_arr[use])
+            surv = _payload_matrix(
+                payloads, max(len(bytes(p)) for p in payloads)
+            )
+            data = _gf_matvec_blocks(inv, surv)
+            for li, ln in zip(lost, lns):
+                if li < k:
+                    blk = data[li].tobytes()
+                else:
+                    blk = _gf_matvec_blocks(rows_full[li : li + 1], data)[
+                        0
+                    ].tobytes()
+                out_sid.append(sid_arr[g0])
+                out_idx.append(li)
+                out_pay.append(blk if ln < 0 else blk[:ln])
+
+        chunk = 4096  # stripes per padded slab: bounds peak memory
+        for c0 in range(0, len(sids), chunk):
+            c1 = min(c0 + chunk, len(sids))
+            st, ct = starts[c0:c1], counts[c0:c1]
+            reg = ct >= k
+            for s in np.nonzero(~reg)[0]:
+                emit_one(st[s], st[s] + ct[s])
+            if not reg.any():
+                continue
+            stc = st[reg]
+            sel = stc[:, None] + np.arange(k)  # first k survivors per stripe
+            ns = len(stc)
+            idx_mat = idx_arr[sel.ravel()].reshape(ns, k).astype(np.int64)
+            flat_sel = sel.ravel()
+            lmax = max(len(bytes(p)) for p in pay_arr[flat_sel])
+            mat, lens = _payload_matrix_flat(pay_arr[flat_sel], lmax)
+            surv3 = mat.reshape(ns, k, lmax)
+            smax = lens.reshape(ns, k).max(axis=1)
+            patterns, pat_inv = np.unique(
+                idx_mat, axis=0, return_inverse=True
+            )
+            data3 = np.empty((ns, k, lmax), dtype=np.uint8)
+            for p in range(len(patterns)):
+                idxs = tuple(int(i) for i in patterns[p])
+                inv = inv_cache.get(idxs)
+                if inv is None:
+                    inv = inv_cache[idxs] = _gf_mat_inv(
+                        rows_full[list(idxs)]
+                    )
+                mask = pat_inv == p
+                data3[mask] = _gf_matvec_batch(inv, surv3[mask])
+            # batch the lost-parity re-encodes per parity row
+            lost_lists = [
+                [int(i) for i in lost_arr[g0]] for g0 in stc
+            ]
+            len_lists = [[int(n) for n in lens_arr[g0]] for g0 in stc]
+            par_out: dict = {}
+            par_need: dict = {}
+            for s, lost in enumerate(lost_lists):
+                for li in lost:
+                    if li >= k:
+                        par_need.setdefault(li, []).append(s)
+            for li, members in par_need.items():
+                rec = _gf_matvec_batch(
+                    rows_full[li : li + 1], data3[members]
+                )[:, 0]
+                for j, s in enumerate(members):
+                    par_out[(s, li)] = rec[j]
+            for s in range(ns):
+                sid = sids[c0:c1][reg][s]
+                ls = int(smax[s])
+                for li, ln in zip(lost_lists[s], len_lists[s]):
+                    blk = data3[s, li] if li < k else par_out[(s, li)]
+                    cut = ls if ln < 0 else min(ln, ls)
+                    out_sid.append(sid)
+                    out_idx.append(li)
+                    out_pay.append(blk[:cut].tobytes())
+        return pd.DataFrame(
+            {stripe_col: out_sid, idx_col: out_idx, payload_col: out_pay}
+        )
+
+    return _batched_stripes(
         survivors,
         stripe_col,
         idx_col,
         [stripe_col, idx_col, payload_col, lost_idx_col, lost_len_col],
         f"{stripe_col} long, {idx_col} int, {payload_col} binary",
-        dec,
+        dec_batch,
     )

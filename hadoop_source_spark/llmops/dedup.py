@@ -512,6 +512,13 @@ def _band_candidate_pairs(
             F.col(f"a.{carry}").alias(f"{carry}_a"),
             F.col(f"b.{carry}").alias(f"{carry}_b"),
         ]
+    # Dedup across bands WITHOUT a pair-keyed exchange (r15, guide §2.4):
+    # repartitioning by id_a alone already co-locates every copy of a
+    # pair (id_a determines the partition), so the dropDuplicates
+    # aggregate runs on that distribution — HashPartitioning(id_a)
+    # satisfies ClusteredDistribution(id_a, id_b) — and downstream
+    # verify joins keyed on id_a reuse the SAME exchange instead of
+    # paying a second pair-volume shuffle after a (id_a, id_b) one.
     return (
         a.join(
             b,
@@ -522,6 +529,7 @@ def _band_candidate_pairs(
             ],
         )
         .select(*sel)
+        .repartition(F.col("id_a"))
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Hard bound on how many query rows ivf_topk will collect to the driver
+# for probe selection (~0.5 KB/row at dim 64 → ≤ ~4 MB). Larger query
+# sides must use ivf_topk_bipartite, which never collects.
+_IVF_QUERY_CAP = 8192
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -410,7 +415,7 @@ def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_cells: int = 16,
+    num_cells: int | None = 16,
     threshold: float = 0.95,
     train_fraction: float | None = None,
     centroids=None,
@@ -431,9 +436,21 @@ def semdedup(
     Returns (id, cell, nn_sim, keep): nn_sim = max cosine to an earlier
     cell member (-1.0 for the cell's first/loneliest vectors), keep ∈
     {0,1}.
+
+    ``num_cells=None`` auto-scales the cell count to ~sqrt(N) (one cheap
+    count() over the corpus) — the SemDeDup/IVF sizing rule that keeps
+    per-cell occupancy ~sqrt(N), so the within-cell pairwise check grows
+    ~N^1.5 total instead of N²/cells with a pinned cell count (r15,
+    guide §2.5: the fixed-cells shape measured 3.0x at 10x data).
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if num_cells is None:
+        n_corpus = corpus.count()
+        num_cells = max(1, min(int(math.isqrt(n_corpus)), n_corpus))
 
     _, assigned = _train_and_assign_cells(
         corpus, id_col, vec_col, num_cells, train_fraction,
@@ -521,7 +538,23 @@ def ivf_topk(
             acc_c += y * y                      # centroid is double
         return dot / (math.sqrt(acc_q) * math.sqrt(acc_c))
 
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    # Enforced nq bound (r15): the query side is collected to the driver
+    # for probe selection, which is only sane for ANN-convention-small
+    # query slices. Probe with limit(cap+1) — bm25's _TERM_LIT_CAP
+    # pattern — and fail loudly instead of silently collecting an
+    # unbounded side; a large query side belongs in ivf_topk_bipartite,
+    # which keeps both sides distributed.
+    qrows = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .limit(_IVF_QUERY_CAP + 1)
+        .collect()
+    )
+    if len(qrows) > _IVF_QUERY_CAP:
+        raise ValueError(
+            f"ivf_topk collects the query side to the driver (> "
+            f"{_IVF_QUERY_CAP} rows found); use ivf_topk_bipartite for "
+            f"large query sides"
+        )
     cent_lists = [[float(v) for v in c] for c in cent]
     probe_rows = []
     for r in qrows:

@@ -14,6 +14,7 @@ are emitted as formatted strings (UTC) for the same reason.
 from __future__ import annotations
 
 from collections.abc import Callable
+from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -50,6 +51,22 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
         return fn
 
     return deco
+
+
+def _overlap(*thunks):
+    """Run independent build thunks on a small thread pool (guide §2.6)
+    and return their results in submission order. The first failure
+    propagates as soon as it happens — pending siblings are cancelled
+    (already-running Spark jobs still drain, but the driver does not
+    keep waiting on the slowest build to learn about an error)."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        done, _ = wait(futs, return_when=FIRST_EXCEPTION)
+        for f in done:
+            if f.exception() is not None:
+                pool.shutdown(cancel_futures=True)
+                raise f.exception()
+        return [f.result() for f in futs]
 
 
 # ---------------------------------------------------------------------------
@@ -3887,7 +3904,15 @@ def set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), UNION DISTINCT, and the ViewFs mount-table provenance union
     (UNION ALL with a mount tag, ViewFileSystem.java:89). Each branch
     lowers to its native Catalyst set operator."""
-    c = table(spark, sf_dir, "customer")
+    # One customer scan for all eight branch references (r15, §5): the
+    # four set branches re-derived the scan with different pushed
+    # filters — 16 scans in the before-plan; the lazy checkpoint on the
+    # 3-column projection pays one pass and every branch filters from it.
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .localCheckpoint(eager=False)
+    )
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
     diff = building.subtract(
@@ -4060,8 +4085,6 @@ def ann_cosine_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returning their (lazy) search plan; running the builds from a
     # thread pool overlaps those independent jobs instead of paying
     # them back to back. Same seeded builds, identical results.
-    from concurrent.futures import ThreadPoolExecutor
-
     def _ivf():
         return sim.ivf_topk(
             e, q, k=10, num_cells=8, nprobe=3, train_fraction=0.25
@@ -4075,11 +4098,7 @@ def ann_cosine_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, q, k=10, num_cells=8, nprobe=3, m=16, ksub=32, refine=10
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_ivf, f_lsh, f_pq = (
-            pool.submit(_ivf), pool.submit(_lsh), pool.submit(_ivfpq)
-        )
-        ivf_df, lsh_df, ivfpq_df = f_ivf.result(), f_lsh.result(), f_pq.result()
+    ivf_df, lsh_df, ivfpq_df = _overlap(_ivf, _lsh, _ivfpq)
 
     ivf = ivf_df.select(
         F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
@@ -4249,14 +4268,9 @@ def sketch_ann_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back-fills slots the others leave idle instead of serializing
     # three build jobs end to end. Results are unchanged: the same
     # seeded builds run, only their scheduling overlaps.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_exact = pool.submit(_exact_build)
-        f_ivf = pool.submit(_ivf_build)
-        f_lsh = pool.submit(_lsh_build)
-        exact, n_exact = f_exact.result()
-        ivf_approx, lsh_approx = f_ivf.result(), f_lsh.result()
+    (exact, n_exact), ivf_approx, lsh_approx = _overlap(
+        _exact_build, _ivf_build, _lsh_build
+    )
 
     def recall_row(approx: DataFrame, name: str, gate: float) -> DataFrame:
         hits = approx.select("query_id", "vec_id").join(
@@ -4581,9 +4595,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id member reaches the threshold. Deterministic but k-means is
     not SQL-expressible, so the driver check is rows-only; quality is
     pytest-gated instead (planted near-identical dups recalled 1.0,
-    kept set pairwise sub-threshold per cell, determinism)."""
+    kept set pairwise sub-threshold per cell, determinism).
+
+    num_cells=None auto-scales cells to ~sqrt(N) (r15): a pinned cell
+    count made within-cell pair work grow N²/cells — 3.0x at 10x data;
+    the sqrt rule is the paper's own sizing and keeps it ~N^1.5."""
     e = table(spark, sf_dir, "embeddings")
-    out = sim.semdedup(e, num_cells=10, threshold=0.4)
+    out = sim.semdedup(e, num_cells=None, threshold=0.4)
     return out.select(
         "vec_id", "cell", F.round("nn_sim", 4).alias("nn_sim"), "keep"
     )
@@ -4891,7 +4909,10 @@ def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         pair_of=F.date_format(F.date_add(F.to_date("group_a"), 1), "yyyy-MM-dd"),
     )
-    du = days.distinct()
+    # One distinct pass (r15, §5): du fed the sizes aggregate and BOTH
+    # sides of the exact-overlap self-join — three evaluations of the
+    # scan+distinct in the before-plan; the lazy checkpoint pays one.
+    du = days.distinct().localCheckpoint(eager=False)
     sizes = du.groupBy("day").agg(F.count(F.lit(1)).alias("__n"))
     exact = (
         du.alias("a")
@@ -6370,9 +6391,16 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The feed is batch-sized → AQE broadcasts the anti join at scale."""
     from hadoop_source_spark.operators import upsert as ups
 
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+    # One orders scan (r15, §5): base + the three change branches + the
+    # apply_changes anti join all re-derived the scan (12 scans in the
+    # before-plan); the lazy checkpoint on the slim projection pays one.
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .localCheckpoint(eager=False)
     )
     upd = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") + 1000, 2)
@@ -17405,6 +17433,11 @@ def gpu_allocation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("used_by"),
             ((n + i) % 3 == 0).alias("holder_final"),
         )
+        # conf-sized (50 nodes × ≤6 devices) but derived from an
+        # orders-scan distinct that assign_gpus consumes twice — the
+        # lazy checkpoint cuts the duplicate data-sized derivations
+        # (r15, §5; same class as fpga_allocation_matrix in r14 #27)
+        .localCheckpoint(eager=False)
     )
     requests = o.select(
         F.concat(F.lit("n"), (k % 50).cast("string")).alias("node_id"),

@@ -21,7 +21,11 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="hss-plan-dump")
     spark.sparkContext.setLogLevel("ERROR")

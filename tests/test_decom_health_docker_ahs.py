@@ -214,6 +214,16 @@ def _admit(spark, row=None, **kw):
     return out.asDict()
 
 
+def _admit_many(spark, rows, **kw):
+    """Batch scenarios sharing operator kwargs into ONE invocation
+    (r15): the operator's cost is constant plan analysis, so the
+    one-row-per-collect shape paid it once per scenario and made the
+    docker tests ~90 s of suite wall. Keyed by container_id."""
+    out = dr.docker_admission(_containers(spark, rows), **kw).collect()
+    assert len(out) == len(rows)
+    return {r["container_id"]: r.asDict() for r in out}
+
+
 def _with(**over):
     cols = ["container_id", "user", "image", "network", "hostname",
             "runtime", "ports_mapping", "mounts", "tmpfs_mounts",
@@ -244,46 +254,78 @@ def test_docker_image_validation(spark):
     bad = ["Ubuntu", "ubuntu || fedora", "ubuntu#",
            "myregistryhost:50AB0/ubuntu", "myregistry#host:50AB0/ubuntu",
            ":8080/ubuntu"]
-    for img in ok:
-        assert _admit(spark, _with(image=img))["verdict"] == dr.ALLOWED, img
-    for img in bad:
-        assert _admit(spark, _with(image=img))["verdict"] == dr.FAIL_IMAGE, img
+    rows = [_with(container_id=f"ok{i}", image=img)
+            for i, img in enumerate(ok)]
+    rows += [_with(container_id=f"bad{i}", image=img)
+             for i, img in enumerate(bad)]
+    out = _admit_many(spark, rows)
+    for i, img in enumerate(ok):
+        assert out[f"ok{i}"]["verdict"] == dr.ALLOWED, img
+    for i, img in enumerate(bad):
+        assert out[f"bad{i}"]["verdict"] == dr.FAIL_IMAGE, img
 
 
 def test_docker_network_and_hostname(spark):
-    assert _admit(spark, _with(network="isolated"))["verdict"] == dr.FAIL_NETWORK
-    assert _admit(spark, _with(network="bridge", hostname="ctr-e84-host"))[
-        "verdict"] == dr.ALLOWED
-    # testValidDockerHostnameLength boundary: 64 ok, 65 fails
-    assert _admit(spark, _with(hostname="h" * 64))["verdict"] == dr.ALLOWED
-    assert _admit(spark, _with(hostname="h" * 65))["verdict"] == dr.FAIL_HOSTNAME
+    ok_h = ("ab", "a.b.c.d", "a1-b.cd.ef", "0AB.", "C_D-")
+    bad_h = ("a", "a#.b.c", "-a.b.c", "a@b.c", "a/b/c")
+    rows = [
+        _with(container_id="net_bad", network="isolated"),
+        _with(container_id="net_ok", network="bridge",
+              hostname="ctr-e84-host"),
+        # testValidDockerHostnameLength boundary: 64 ok, 65 fails
+        _with(container_id="len64", hostname="h" * 64),
+        _with(container_id="len65", hostname="h" * 65),
+        # host network with no hostname → container carries none
+        _with(container_id="nohost"),
+    ]
     # testDockerHostnamePattern:2067-2069 verbatim valid/invalid sets
-    for h in ("ab", "a.b.c.d", "a1-b.cd.ef", "0AB.", "C_D-"):
-        assert _admit(spark, _with(hostname=h))["verdict"] == dr.ALLOWED, h
-    for h in ("a", "a#.b.c", "-a.b.c", "a@b.c", "a/b/c"):
-        assert _admit(spark, _with(hostname=h))["verdict"] == dr.FAIL_HOSTNAME, h
-    # host network with no hostname → container carries none
-    assert _admit(spark, _with())["hostname"] is None
+    rows += [_with(container_id=f"hok{i}", hostname=h)
+             for i, h in enumerate(ok_h)]
+    rows += [_with(container_id=f"hbad{i}", hostname=h)
+             for i, h in enumerate(bad_h)]
+    out = _admit_many(spark, rows)
+    assert out["net_bad"]["verdict"] == dr.FAIL_NETWORK
+    assert out["net_ok"]["verdict"] == dr.ALLOWED
+    assert out["len64"]["verdict"] == dr.ALLOWED
+    assert out["len65"]["verdict"] == dr.FAIL_HOSTNAME
+    for i, h in enumerate(ok_h):
+        assert out[f"hok{i}"]["verdict"] == dr.ALLOWED, h
+    for i, h in enumerate(bad_h):
+        assert out[f"hbad{i}"]["verdict"] == dr.FAIL_HOSTNAME, h
+    assert out["nohost"]["hostname"] is None
 
 
 def test_docker_runtime_ports_mounts_tmpfs(spark):
-    assert _admit(spark, _with(runtime="kata"))["verdict"] == dr.FAIL_RUNTIME
+    out = _admit_many(spark, [
+        _with(container_id="rt_kata", runtime="kata"),
+        _with(container_id="rt_empty", runtime=""),
+        _with(container_id="p_ok",
+              ports_mapping=":8080,9090:90,1.2.3.4:80:8080"),
+        _with(container_id="p_bad1", ports_mapping="abc:80"),
+        _with(container_id="p_bad2", ports_mapping="256.1.1.1:80:80"),
+        _with(container_id="m_ok", mounts="/a:/b:ro,/c:/d"),
+        # testMountInvalid: a mount missing its destination is rejected
+        _with(container_id="m_bad1", mounts="/bad"),
+        _with(container_id="m_bad2", mounts="/a:/b:rx"),
+        _with(container_id="t_ok", tmpfs_mounts="/run"),
+        # testInvalidTmpfsMount: relative path / colon rejected
+        _with(container_id="t_bad1", tmpfs_mounts="rel/path"),
+        _with(container_id="t_bad2", tmpfs_mounts="/a:/b"),
+    ])
+    assert out["rt_kata"]["verdict"] == dr.FAIL_RUNTIME
+    assert out["rt_empty"]["verdict"] == dr.ALLOWED
+    assert out["p_ok"]["verdict"] == dr.ALLOWED
+    assert out["p_bad1"]["verdict"] == dr.FAIL_PORTS
+    assert out["p_bad2"]["verdict"] == dr.FAIL_PORTS
+    assert out["m_ok"]["verdict"] == dr.ALLOWED
+    assert out["m_bad1"]["verdict"] == dr.FAIL_MOUNTS
+    assert out["m_bad2"]["verdict"] == dr.FAIL_MOUNTS
+    assert out["t_ok"]["verdict"] == dr.ALLOWED
+    assert out["t_bad1"]["verdict"] == dr.FAIL_TMPFS
+    assert out["t_bad2"]["verdict"] == dr.FAIL_TMPFS
+    # the allowed_runtimes kwarg variant needs its own invocation
     assert _admit(spark, _with(runtime="kata"),
                   allowed_runtimes=("runc", "kata"))["verdict"] == dr.ALLOWED
-    assert _admit(spark, _with(runtime=""))["verdict"] == dr.ALLOWED
-    assert _admit(spark, _with(ports_mapping=":8080,9090:90,1.2.3.4:80:8080"))[
-        "verdict"] == dr.ALLOWED
-    assert _admit(spark, _with(ports_mapping="abc:80"))["verdict"] == dr.FAIL_PORTS
-    assert _admit(spark, _with(ports_mapping="256.1.1.1:80:80"))[
-        "verdict"] == dr.FAIL_PORTS
-    assert _admit(spark, _with(mounts="/a:/b:ro,/c:/d"))["verdict"] == dr.ALLOWED
-    # testMountInvalid: a mount missing its destination is rejected
-    assert _admit(spark, _with(mounts="/bad"))["verdict"] == dr.FAIL_MOUNTS
-    assert _admit(spark, _with(mounts="/a:/b:rx"))["verdict"] == dr.FAIL_MOUNTS
-    assert _admit(spark, _with(tmpfs_mounts="/run"))["verdict"] == dr.ALLOWED
-    # testInvalidTmpfsMount: relative path / colon rejected
-    assert _admit(spark, _with(tmpfs_mounts="rel/path"))["verdict"] == dr.FAIL_TMPFS
-    assert _admit(spark, _with(tmpfs_mounts="/a:/b"))["verdict"] == dr.FAIL_TMPFS
 
 
 def test_docker_pid_and_privileged_gates(spark):

@@ -504,7 +504,10 @@ def test_hll_sketch_store_merge_and_rollup(spark):
     from hadoop_source_spark.data import table
     from hadoop_source_spark.functions import hll
 
-    e = table(spark, "/root/testdata/sf0.01", "events").select(
+    # sf0.001 (r15): the incremental day-by-day merge chain below builds
+    # one store per day — at sf0.01 that was ~27 s of suite wall for the
+    # same bound checks (the HLL guarantee is relative, not SF-bound).
+    e = table(spark, "/root/testdata/sf0.001", "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
     store = hll.sketch_store(e, ["day"], "user_id")

@@ -91,6 +91,41 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF top-k recall {recall}"
 
 
+def test_ivf_topk_query_collect_cap_enforced(spark):
+    """ivf_topk collects the query side to the driver for probe
+    selection; the nq bound must be a contract, not a comment (r15):
+    an over-cap query side raises loudly instead of collecting."""
+    e = table(spark, SF, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    big_q = spark.range(sim._IVF_QUERY_CAP + 1).select(
+        F.col("id").alias("query_id"),
+        F.array_repeat((F.col("id") % 7).cast("float") + 1.0, dim).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="ivf_topk_bipartite"):
+        sim.ivf_topk(e, big_q, k=3, num_cells=4, nprobe=2)
+
+
+def test_semdedup_auto_cells_scales_with_corpus(spark):
+    """num_cells=None auto-scales to ~sqrt(N) (r15): cell count follows
+    the corpus, and planted near-identical dups are still dropped."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(256)]
+    for i in range(8):  # plant near-identical copies of ids 0..7
+        v = [x + 1e-4 for x in rows[i][1]]
+        rows.append((1000 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup(df, num_cells=None, threshold=0.98).collect()
+    n_cells = len({r.cell for r in out})
+    # isqrt(264) = 16; Lloyd may leave a cell empty, so allow a margin
+    assert 8 <= n_cells <= 16, n_cells
+    dropped = {r.vec_id for r in out if r.keep == 0}
+    assert dropped == {1000 + i for i in range(8)}
+
+
 def test_skew_caps_identity_above_and_prune_below(spark, docs):
     """df_cap (hot-shingle stop list) and bucket_cap (hot simhash bucket
     drop) must be identity when the cap exceeds every frequency, and only

@@ -14,22 +14,37 @@ ORACLE_QUERIES = sorted(
 )
 
 
+# A few queries are allowed to be empty at tiny SF (the hash-compare is
+# then vacuous for them, which the dedup suite's other gates cover).
+ALLOWED_EMPTY = {"dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_jaccard_suite", "anti_join_dormant_customers"}
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, sf_dir, name):
     q = workload.QUERIES[name]
     sdf = q.fn(spark, sf_dir)
     res = compare(name, sdf, q.oracle, sf_dir)
     assert res.ok, f"{name}: {res.detail} (spark={res.n_spark}, duck={res.n_duck})"
+    # non-emptiness rides along on the parity run (r15): compare()
+    # already counted the rows, so the separate every-query count()
+    # sweep — 244 s of re-running all 259 queries — is redundant for
+    # every oracle-backed query.
+    assert res.n_spark > 0 or name in ALLOWED_EMPTY, (
+        f"{name}: empty result makes the hash-compare vacuous"
+    )
 
 
 def test_nonempty_results(spark, sf_dir):
     """Queries should exercise real data — empty results would make the
-    hash-compare vacuous. A few are allowed to be empty at tiny SF."""
-    allowed_empty = {"dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-                     "dedup_jaccard_suite", "anti_join_dormant_customers"}
+    driver's check vacuous. Oracle-backed queries are covered inside
+    test_oracle_parity (zero extra cost there); this loop only runs the
+    rows-only remainder (r15 — it previously re-ran all 259 queries)."""
     empties = []
     for name, q in workload.QUERIES.items():
+        if q.oracle is not None:
+            continue
         n = q.fn(spark, sf_dir).count()
-        if n == 0 and name not in allowed_empty:
+        if n == 0 and name not in ALLOWED_EMPTY:
             empties.append(name)
     assert not empties, f"unexpectedly empty: {empties}"

@@ -226,12 +226,21 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
     """Global invariant behind every scale claim: NO registered query
     plans a row-at-a-time (pickled) Python UDF. Python appears only as
     Arrow-batched operators (ArrowEvalPython / MapInPandas /
-    FlatMapGroupsInPandas), which are the documented llmops kernels."""
-    offenders = []
-    for name, q in workload.QUERIES.items():
-        plan = plans.executed_plan(q.fn(spark, SF))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
+    FlatMapGroupsInPandas), which are the documented llmops kernels.
+
+    Plans are built from a thread pool (r15): the 259 constructions are
+    independent driver-side work (Catalyst analysis + the eager
+    checkpoint jobs some queries run while building), and running them
+    sequentially made this single test ~141 s of the suite's wall."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def plan_of(item):
+        name, q = item
+        return name, plans.executed_plan(q.fn(spark, SF))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        planned = list(pool.map(plan_of, workload.QUERIES.items()))
+    offenders = [name for name, plan in planned if "BatchEvalPython" in plan]
     assert not offenders, offenders
 
 
