@@ -773,17 +773,27 @@ def dedup_clusters(
     checksum = None
     for _it in range(max_iter):
         # min over neighbours' labels; the self-loop keeps the own label
-        # in the candidate set, so no keep-alive left join is needed
-        neigh_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("nlabel")
-                ),
-                "dst",
+        # in the candidate set, so no keep-alive left join is needed.
+        # Round 1 (r15): labels is the identity map, so the join is a
+        # no-op rename (nlabel = dst) — fold it away and aggregate the
+        # edge list directly, saving one edge×label shuffle join.
+        if _it == 0:
+            neigh_min = (
+                edges.groupBy(F.col("src").alias("node"))
+                .agg(F.min("dst").alias("label"))
             )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("nlabel").alias("label"))
-        )
+        else:
+            neigh_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("label").alias("nlabel"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("nlabel").alias("label"))
+            )
         # pointer halving: label := min(label, label(label)) — labels are
         # min-reachable so label(label) is always ≤-or-equal along a path
         parent = neigh_min.select(

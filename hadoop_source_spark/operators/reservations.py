@@ -202,8 +202,17 @@ def integral_quota_check(
             (-F.col("amount")).alias("d"),
         )
     )
+    # ONE exchange for the whole staircase pipeline (r15, guide §2.4):
+    # repartition by request_id up front — HashPartitioning(request_id)
+    # satisfies every downstream requirement because request_id is in
+    # every groupBy key and is every window's partition key — and the
+    # two unions below are fused into Generates (explode preserves
+    # partitioning where a union discards it). The before-plan paid a
+    # fresh exchange per groupBy/window-key change (6+); after, the
+    # aggregates and windows all run in the one request_id distribution.
     pts = (
         user_pts.unionByName(req_pts)
+        .repartition(F.col("request_id"))
         .groupBy(*rid_cols, "t")
         .agg(F.sum("d").alias("__d"))
     )
@@ -214,18 +223,16 @@ def integral_quota_check(
         F.sum("__d").over(wo).alias("__load"),
         F.lead("t").over(wo).alias("__tn"),
     )
-    # intermediate points every W inside a segment, never ON its end
-    inter = stepped.filter(
-        F.col("__tn").isNotNull()
-        & (F.col("__tn") - F.col("t") > W)
-    ).select(
+    # intermediate points every W inside a segment, never ON its end —
+    # emitted by the SAME Generate that keeps the original point (i=0),
+    # replacing the former stepped ∪ inter union
+    inter_n = F.when(
+        F.col("__tn").isNotNull() & (F.col("__tn") - F.col("t") > W),
+        F.floor((F.col("__tn") - F.col("t") - 1) / W).cast("int"),
+    ).otherwise(F.lit(0))
+    allpts = stepped.select(
         *rid_cols,
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.floor((F.col("__tn") - F.col("t") - 1) / W).cast("int"),
-            )
-        ).alias("__i"),
+        F.explode(F.sequence(F.lit(0), inter_n)).alias("__i"),
         "t",
         "__load",
     ).select(
@@ -233,7 +240,6 @@ def integral_quota_check(
         (F.col("t") + F.col("__i") * W).alias("t"),
         F.col("__load"),
     )
-    allpts = stepped.select(*rid_cols, "t", "__load").unionByName(inter)
     w2 = Window.partitionBy("request_id").orderBy("t")
     contrib = allpts.select(
         *rid_cols,
@@ -251,16 +257,25 @@ def integral_quota_check(
             Window.partitionBy("request_id").orderBy("t")
         ) / W).cast("long").alias("__ri"),
     )
+    # up/down staircase fronts from ONE Generate (was a self-union that
+    # discarded the request_id partitioning)
     fronts = integ.select(
-        *rid_cols, "t", F.col("__ri").alias("__up"),
-        F.lit(None).cast("long").alias("__dn"),
-    ).unionByName(
-        integ.select(
-            *rid_cols, (F.col("t") + W).alias("t"),
-            F.lit(None).cast("long").alias("__up"),
-            F.col("__ri").alias("__dn"),
-        )
-    )
+        *rid_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t").alias("t"),
+                    F.col("__ri").alias("__up"),
+                    F.lit(None).cast("long").alias("__dn"),
+                ),
+                F.struct(
+                    (F.col("t") + W).alias("t"),
+                    F.lit(None).cast("long").alias("__up"),
+                    F.col("__ri").alias("__dn"),
+                ),
+            )
+        ).alias("__f"),
+    ).select(*rid_cols, "__f.t", "__f.__up", "__f.__dn")
     merged = fronts.groupBy(*rid_cols, "t").agg(
         F.max("__up").alias("__up"), F.max("__dn").alias("__dn")
     )

@@ -3904,15 +3904,14 @@ def set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), UNION DISTINCT, and the ViewFs mount-table provenance union
     (UNION ALL with a mount tag, ViewFileSystem.java:89). Each branch
     lowers to its native Catalyst set operator."""
-    # One customer scan for all eight branch references (r15, §5): the
-    # four set branches re-derived the scan with different pushed
-    # filters — 16 scans in the before-plan; the lazy checkpoint on the
-    # 3-column projection pays one pass and every branch filters from it.
-    c = (
-        table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_mktsegment", "c_acctbal")
-        .localCheckpoint(eager=False)
-    )
+    # NOT checkpointed (r15, measured): fusing the eight branch scans
+    # into one lazy-checkpointed 3-column pass won at sf0.1 (0.570 →
+    # 0.521 s interleaved min) but LOST at sf1 (1.236 → 1.900 s) — the
+    # branches are cheap pushed-filter reads of the same slim columns,
+    # and the materialization barrier + checkpoint reads cost more than
+    # the duplicate scans as data grows (the decom_watcher class from
+    # the r14 audit). Same-shape revert as cdc_merge_apply below.
+    c = table(spark, sf_dir, "customer")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
     diff = building.subtract(
@@ -6391,16 +6390,15 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The feed is batch-sized → AQE broadcasts the anti join at scale."""
     from hadoop_source_spark.operators import upsert as ups
 
-    # One orders scan (r15, §5): base + the three change branches + the
-    # apply_changes anti join all re-derived the scan (12 scans in the
-    # before-plan); the lazy checkpoint on the slim projection pays one.
-    o = (
-        table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey", "o_custkey", "o_orderstatus",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-        )
-        .localCheckpoint(eager=False)
+    # NOT checkpointed (r15, measured): one lazy-checkpointed scan for
+    # base + three change branches + the anti join (12 scans → 0) was
+    # flat at sf0.1 (0.590 s both) but LOST at sf1 (0.860 → 1.179 s
+    # interleaved min) — cheap pushed-filter branches of a data-sized
+    # scan; the materialization barrier costs more than the re-reads
+    # (same revert class as set_algebra above / r14's decom_watcher).
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
     )
     upd = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") + 1000, 2)
