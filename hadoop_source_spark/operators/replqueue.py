@@ -79,25 +79,27 @@ def repair_plan(queued: DataFrame, topology: DataFrame) -> DataFrame:
     topo_row = topology.agg(
         F.collect_list(F.struct("node", "node_id", "rack")).alias("__topo")
     )
+    # Sort key precomputed ONCE per candidate (r15, §4.2-adjacent): the
+    # previous comparator-lambda array_sort re-evaluated the
+    # (rack-used, mixing-key) expression — including the held_racks
+    # array_contains probe — on BOTH sides of EVERY comparison
+    # (~2·n·log n interpreted evaluations per block; HOF lambdas don't
+    # codegen). Keys are unique (the mixing key embeds node_id), so the
+    # natural struct ordering on a precomputed (key, node, rack) array
+    # reproduces the comparator's order exactly with n key evaluations.
     keyed = queued.crossJoin(F.broadcast(topo_row)).withColumn(
         "__targets",
         F.expr(
-            "slice(array_sort("
-            "  filter(__topo, x -> NOT array_contains(held_ids, x.node_id)),"
-            "  (l, r) -> CASE WHEN ("
-            "    CASE WHEN array_contains(held_racks, l.rack) THEN 1 ELSE 0 END"
-            f"    * 100000000 + {_MK.replace('x.', 'l.')}"
-            "  ) < ("
-            "    CASE WHEN array_contains(held_racks, r.rack) THEN 1 ELSE 0 END"
-            f"    * 100000000 + {_MK.replace('x.', 'r.')}"
-            "  ) THEN -1 WHEN ("
-            "    CASE WHEN array_contains(held_racks, l.rack) THEN 1 ELSE 0 END"
-            f"    * 100000000 + {_MK.replace('x.', 'l.')}"
-            "  ) > ("
-            "    CASE WHEN array_contains(held_racks, r.rack) THEN 1 ELSE 0 END"
-            f"    * 100000000 + {_MK.replace('x.', 'r.')}"
-            "  ) THEN 1 ELSE 0 END"
-            "), 1, int(needed))"
+            "transform(slice(array_sort("
+            "  transform("
+            "    filter(__topo, x -> NOT array_contains(held_ids, x.node_id)),"
+            "    x -> struct("
+            "      CASE WHEN array_contains(held_racks, x.rack)"
+            f"      THEN 1 ELSE 0 END * 100000000 + {_MK} AS k,"
+            "      x.node AS node, x.rack AS rack)"
+            "  )"
+            "), 1, int(needed)),"
+            " s -> struct(s.node AS node, s.rack AS rack))"
         ),
     )
     return keyed.select(
