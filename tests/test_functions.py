@@ -355,6 +355,77 @@ def test_rs_erasure_all_loss_patterns(spark):
     assert n_checked == 5 * 1 + 10 * 2
 
 
+def test_rs_erasure_batch_carry_and_vectorized_path(spark):
+    """The batch-vectorized RS kernels (r15) must be exact when stripes
+    SPAN Arrow batches: with maxRecordsPerBatch=16, many 4-block stripes
+    per partition land across batch boundaries, exercising the
+    carry-the-trailing-stripe path, the per-pattern bucketing, and the
+    chunked slab assembly. Round-trips every block byte-exactly with a
+    rotating 2-loss pattern (data and parity)."""
+    import itertools
+
+    from hadoop_source_spark.functions import erasure
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        k, m = 4, 2
+        patterns = [
+            list(p) for p in itertools.combinations(range(k + m), 2)
+        ]
+        n_stripes = 120  # 480 rows -> many 16-row batches per partition
+        payload = lambda s, i: (
+            f"s{s}b{i}|" * (1 + (s * 7 + i) % 5)
+        ).encode()
+        rows = [
+            (s, i, payload(s, i))
+            for s in range(n_stripes)
+            for i in range(k)
+        ]
+        blocks = spark.createDataFrame(
+            rows, "stripe_id long, block_idx int, payload binary"
+        )
+        parity = erasure.rs_encode(blocks, k=k, m=m)
+        meta = [
+            (
+                s,
+                patterns[s % len(patterns)],
+                [
+                    len(payload(s, i)) if i < k else -1
+                    for i in patterns[s % len(patterns)]
+                ],
+            )
+            for s in range(n_stripes)
+        ]
+        meta_df = spark.createDataFrame(
+            meta, "stripe_id long, lost_idx array<int>, lost_len array<int>"
+        )
+        survivors = (
+            blocks.unionByName(parity)
+            .join(meta_df, "stripe_id")
+            .filter(~F.expr("array_contains(lost_idx, block_idx)"))
+        )
+        rebuilt = {
+            (r.stripe_id, r.block_idx): bytes(r.payload)
+            for r in erasure.rs_reconstruct(survivors, k=k, m=m).collect()
+        }
+        orig_parity = {
+            (r.stripe_id, r.block_idx): bytes(r.payload)
+            for r in parity.collect()
+        }
+        n_checked = 0
+        for s, lost, _ in meta:
+            for i in lost:
+                want = payload(s, i) if i < k else orig_parity[(s, i)]
+                assert rebuilt[(s, i)] == want, (s, i)
+                n_checked += 1
+        assert n_checked == 2 * n_stripes
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+
 def test_aes128_nist_vectors():
     """The AES behind encryption zones is REAL AES: FIPS-197 C.1 block
     vector, SP 800-38A F.5.1 CTR vector, involution, counter wrap, and
